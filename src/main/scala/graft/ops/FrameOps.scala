@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Array-valued "frames" semantics (SURVEY.md §2.6, §2.8) — the densest
+  * logic in the reference. Two layers:
+  *
+  *  - array-level combinators (higher-order functions, codegen-friendly,
+  *    zero shuffle): operate on a frames array *within* a row, exactly like
+  *    the reference's per-document Python loops;
+  *  - table-level dedup/argmax (groupBy + min_by/max_by): a single shuffle
+  *    with map-side partial aggregation — scales to 100 TB, unlike a window
+  *    over the whole table (no partial agg) or a driver-side loop.
+  */
+object FrameOps {
+
+  private val framesType =
+    "array<struct<path:string,aspect_ratio:double,vote_average:double,width:int>>"
+
+  /** O17 — pick_backdrop: among frames whose path is NOT in
+    * `incorrect_frames`, the path of the max `(vote_average, width)` pair,
+    * nulls treated as 0; NULL when no valid frame
+    * (reference: app/utils/frames.py:4-19).
+    *
+    * Array-level argmax via `array_max` over re-ordered structs: struct
+    * comparison is field-by-field, so (va, w, path) ordering reproduces the
+    * reference's sort key. Stays inside codegen; no explode, no shuffle.
+    */
+  def pickBackdrop(frames: Column, incorrectFrames: Column): Column = {
+    val valid = filter(
+      coalesce(frames, array().cast(framesType)),
+      f => !array_contains(coalesce(incorrectFrames, array().cast("array<string>")),
+        f.getField("path")))
+    array_max(transform(valid, f =>
+      struct(
+        coalesce(f.getField("vote_average"), lit(0.0)).as("va"),
+        coalesce(f.getField("width"), lit(0)).as("w"),
+        f.getField("path").as("path")))).getField("path")
+  }
+
+  /** O18 — frames sorted by (vote_average desc, width desc), nulls as 0
+    * (reference: app/tmdb_client.py:214-220). */
+  def sortFrames(frames: Column): Column =
+    transform(
+      sort_array(
+        transform(coalesce(frames, array().cast(framesType)), f =>
+          struct(
+            coalesce(f.getField("vote_average"), lit(0.0)).as("va"),
+            coalesce(f.getField("width"), lit(0)).as("w"),
+            f.as("f"))),
+        asc = false),
+      s => s.getField("f"))
+
+  /** F11 + O20 — _normalize_frames: accept legacy `frame_path` alias, drop
+    * entries without a path, dedup by path keeping the LARGER width (ties:
+    * first occurrence wins) (reference: app/catalog/upsert.py:8-34).
+    *
+    * Array-level: index-aware `transform` gives each frame its position so
+    * "first occurrence" is expressible; per-path argmax by (width, -pos).
+    */
+  def normalizeFrames(rawFrames: Column): Column = {
+    // tag positions, resolve path alias, drop pathless entries
+    val tagged = filter(
+      transform(rawFrames, (f, i) =>
+        struct(
+          coalesce(f.getField("path"), f.getField("frame_path")).as("path"),
+          f.getField("aspect_ratio").as("aspect_ratio"),
+          coalesce(f.getField("vote_average"), lit(0.0)).as("vote_average"),
+          coalesce(f.getField("width"), lit(0)).as("width"),
+          i.as("pos"))),
+      t => t.getField("path").isNotNull)
+    val paths = array_distinct(transform(tagged, t => t.getField("path")))
+    // per distinct path: max (width, -pos) => widest, first-on-tie
+    transform(paths, p => {
+      val candidates = filter(tagged, t => t.getField("path") === p)
+      val best = array_max(transform(candidates, t =>
+        struct(
+          t.getField("width").as("w"),
+          (-t.getField("pos")).as("negpos"),
+          t.as("t"))))
+      val f = best.getField("t")
+      struct(
+        f.getField("path").as("path"),
+        f.getField("aspect_ratio").as("aspect_ratio"),
+        f.getField("vote_average").as("vote_average"),
+        f.getField("width").as("width"))
+    })
+  }
+
+  /** P12+O19 — the images-endpoint transform (reference:
+    * app/tmdb_client.py:169-282): keep frames with aspect_ratio in
+    * [1.5, 2.2] (null -> 0, hence dropped), dedup by path keeping the FIRST
+    * occurrence, then sort by (vote_average desc, width desc). */
+  def filterBackdrops(rawFrames: Column): Column = {
+    val banded = filter(
+      coalesce(rawFrames, array().cast(framesType)),
+      f => coalesce(f.getField("aspect_ratio"), lit(0.0)).between(1.5, 2.2))
+    val tagged = transform(banded, (f, i) => struct(f.as("f"), i.as("pos")))
+    val paths = array_distinct(transform(banded, f => f.getField("path")))
+    val dedup = transform(paths, p => {
+      val first = array_min(filter(tagged,
+        t => t.getField("f").getField("path") === p))
+      first.getField("f")
+    })
+    sortFrames(dedup)
+  }
+
+  /** SO1 — $addToSet $each: idempotent multi-add (dedups, preserves
+    * first-seen order) (reference: app/endpoints/frames.py:52-55). */
+  def addToSet(incorrectFrames: Column, paths: Seq[String]): Column =
+    array_union(
+      coalesce(incorrectFrames, array().cast("array<string>")),
+      lit(paths.toArray))
+
+  /** SO2 — $pull $in: remove the listed paths
+    * (reference: app/endpoints/frames.py:93-96). */
+  def pullAll(incorrectFrames: Column, paths: Seq[String]): Column =
+    array_except(
+      coalesce(incorrectFrames, array().cast("array<string>")),
+      lit(paths.toArray))
+
+  /** SO3 — partition request paths into (present, missing) vs the movie's
+    * frames (reference: app/endpoints/frames.py:67-69). */
+  def presentPaths(frames: Column, paths: Seq[String]): Column =
+    array_intersect(lit(paths.toArray), transform(frames, _.getField("path")))
+  def missingPaths(frames: Column, paths: Seq[String]): Column =
+    array_except(lit(paths.toArray), transform(frames, _.getField("path")))
+
+  /** P13 — anti-membership filter: frames whose path is not blocklisted
+    * (reference: app/utils/frames.py:11-12). */
+  def validFrames(frames: Column, incorrectFrames: Column): Column =
+    filter(coalesce(frames, array().cast(framesType)),
+      f => !array_contains(coalesce(incorrectFrames, array().cast("array<string>")),
+        f.getField("path")))
+
+  // ------------------------------------------------------------------
+  // Table-level variants — for when frames arrive as rows, not arrays.
+  // ------------------------------------------------------------------
+
+  /** O19 table-level — dedup keeping the FIRST row per key in `orderCols`
+    * order. Implemented as groupBy + min_by(struct) so Spark runs a partial
+    * aggregation before the shuffle (a window would shuffle all rows and
+    * keep full partitions in memory). */
+  def dedupKeepFirst(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(orderCols.map(col): _*)
+    val picked = df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(payload, ord).as("_row"))
+    picked.select(df.columns.map(c => picked.col(s"_row.$c").as(c)): _*)
+  }
+
+  /** O20 table-level — dedup keeping the row with the MAX of `maxCol`
+    * (ties: first in `tieCols` order). */
+  def dedupKeepMax(df: DataFrame, keyCols: Seq[String], maxCol: String, tieCols: Seq[String]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    val ord = struct(col(maxCol) +: tieCols.map(c => -col(c)): _*)
+    val picked = df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(payload, ord).as("_row"))
+    picked.select(df.columns.map(c => picked.col(s"_row.$c").as(c)): _*)
+  }
+
+  /** O17 table-level — argmax per group via row_number window (used where
+    * the full winning row is needed and keys are few); prefer
+    * [[dedupKeepMax]]/max_by for large fact tables. */
+  def argmaxWindow(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+}

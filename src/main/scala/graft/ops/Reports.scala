@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Report aggregations (SURVEY.md §2.5).
+  *
+  * A1 (reference: app/endpoints/reports.py:20-46) is a two-stage
+  * aggregation in the reference: Mongo `$group` with `$sum/$push` server
+  * side, then a Python `Counter` per group. On Spark both stages are one
+  * shuffle: groupBy with partial (map-side) aggregation, the histogram
+  * built from a second groupBy on (group, reason) — never `collect_list`
+  * of unbounded arrays on the hot path at scale.
+  */
+object Reports {
+
+  /** A1 — per (movie_id, frame_path, content_type): report count + reason
+    * histogram as a map column. */
+  def reportStats(reports: DataFrame): DataFrame = {
+    val perReason = reports
+      .groupBy("movie_id", "frame_path", "content_type", "reason")
+      .agg(count(lit(1)).as("_n"))
+    perReason
+      .groupBy("movie_id", "frame_path", "content_type")
+      .agg(
+        sum("_n").cast("long").as("count"),
+        map_from_entries(
+          array_sort(collect_list(struct(col("reason"), col("_n"))))).as("reasons"))
+  }
+
+  /** A1 (flat form) — the same stats with the reason histogram exploded to
+    * rows; used by the oracle harness (maps don't hash portably). */
+  def reportStatsFlat(reports: DataFrame): DataFrame =
+    reports
+      .groupBy("movie_id", "frame_path", "content_type", "reason")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .withColumn("count",
+        sum("n").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("movie_id", "frame_path", "content_type")).cast("long"))
+
+  /** A3/P10 — windowed error counts relative to `now`
+    * (reference: app/main.py:121-126). */
+  def errorCounts(errors: DataFrame, now: Column): DataFrame = {
+    errors.agg(
+      count(when(col("timestamp") >= now - expr("INTERVAL 1 HOUR"), 1)).as("errors_last_hour"),
+      count(when(col("timestamp") >= now - expr("INTERVAL 24 HOURS"), 1)).as("errors_last_day"),
+      count(lit(1)).as("errors_total"))
+  }
+}

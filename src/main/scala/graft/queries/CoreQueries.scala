@@ -1,0 +1,364 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ops._
+
+/** SURVEY.md §2 operator inventory, re-expressed over the driver testdata
+  * tables (TESTDATA.md) so the DuckDB oracle can verify each operator on
+  * shared parquet. Each QueryDef's scaladoc names the SURVEY.md §2 IDs it
+  * covers; the Mongo-fidelity edge cases the oracle can't express are
+  * additionally pinned by ScalaTest specs on domain fixtures (FIXTURES.md).
+  *
+  * Conventions for oracle parity (hash compare is exact):
+  *  - every aggregate/computed column is aliased identically on both sides;
+  *  - DuckDB counts/sums over integers are CAST to BIGINT (DuckDB widens to
+  *    HUGEINT, Spark stays LongType);
+  *  - money aggregations go through DECIMAL (exact, associative) and are
+  *    CAST back to DOUBLE on both sides — float summation order would
+  *    otherwise differ between engines;
+  *  - results are fully ordered by a unique key (Mongo's tie order is
+  *    unspecified; determinism is required for the compare).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------
+    // Catalog read path (SURVEY §2.2 P1-P8, §2.3 J1-J2, §2.7 R1-R2)
+    // ---------------------------------------------------------------
+
+    /* P4+P5 filters, R1 sort, R2 skip/limit, J1 projection — the
+     * /movies/search shape (reference: app/endpoints/movies.py:21-67). */
+    QueryDef("c01_catalog_search",
+      (s, dir) => t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O" &&
+          col("o_orderdate").between(lit("1995-01-01"), lit("1995-12-31")))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(10).limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 10""")),
+
+    /* P6 — IN-list by-ids lookup (reference: app/endpoints/movies.py:74). */
+    QueryDef("c02_by_ids",
+      (s, dir) => t(s, dir, "customer")
+        .filter(col("c_custkey").isin(1L, 5L, 7L, 11L, 42L, 99L))
+        .orderBy("c_custkey")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+        WHERE c_custkey IN (1, 5, 7, 11, 42, 99) ORDER BY c_custkey""")),
+
+    /* P7 — point lookup on a compound key; key taken from the data so the
+     * query is scale-factor independent (reference: app/endpoints/movies.py:84-87). */
+    QueryDef("c03_point_lookup",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val k = li.agg(min("l_orderkey").as("_k"))
+        val order = li.join(broadcast(k), col("l_orderkey") === col("_k"))
+        val k2 = order.agg(min("l_linenumber").as("_k2"))
+        order.join(broadcast(k2), col("l_linenumber") === col("_k2"))
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+          AND l_linenumber = (SELECT min(l_linenumber) FROM lineitem
+                              WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem))""")),
+
+    /* P8 — unanchored case-insensitive regex OR across two columns, the
+     * Mongo $regex/$options semantics (reference: app/endpoints/catalog.py:49-53). */
+    QueryDef("c04_regex_search",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_name").rlike("(?i)widget") || col("p_type").rlike("(?i)^econ"))
+        .orderBy("p_partkey")
+        .select("p_partkey", "p_name", "p_type"),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        WHERE regexp_matches(p_name, '(?i)widget') OR regexp_matches(p_type, '(?i)^econ')
+        ORDER BY p_partkey""")),
+
+    /* P11 prefix match + J2 column-pruned projection
+     * (reference: app/main.py:98; app/endpoints/movies.py:98). */
+    QueryDef("c05_prefix_projection",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_type").startsWith("PROMO"))
+        .orderBy("p_partkey")
+        .select("p_partkey", "p_type", "p_size"),
+      Some("""SELECT p_partkey, p_type, p_size FROM part
+        WHERE p_type LIKE 'PROMO%' ORDER BY p_partkey""")),
+
+    /* P9 — anchored regex on a key column (reference: app/main.py:201-202). */
+    QueryDef("c06_anchored_regex",
+      (s, dir) => t(s, dir, "part")
+        .filter(col("p_brand").rlike("^Brand#[0-9]$"))
+        .orderBy("p_partkey")
+        .select("p_partkey", "p_brand"),
+      Some("""SELECT p_partkey, p_brand FROM part
+        WHERE regexp_matches(p_brand, '^Brand#[0-9]$') ORDER BY p_partkey""")),
+
+    /* F2/F3/F4 — cursor-key build + parse round-trip
+     * (reference: app/sync_years.py:18-20, app/main.py:100-105,196). */
+    QueryDef("c07_key_build_parse",
+      (s, dir) => t(s, dir, "orders")
+        .select(concat_ws(":", lit("years"), lower(col("o_orderstatus")),
+          year(col("o_orderdate"))).as("key"))
+        .distinct()
+        .withColumn("content_type", Enrich.parseKeyContentType(col("key")))
+        .withColumn("year", Enrich.parseKeyYear(col("key")))
+        .orderBy("key"),
+      Some("""WITH keys AS (
+          SELECT DISTINCT 'years:' || lower(o_orderstatus) || ':' || CAST(year(o_orderdate) AS INT) AS key
+          FROM orders)
+        SELECT key, string_split(key, ':')[2] AS content_type,
+               CAST(string_split(key, ':')[-1] AS INT) AS year
+        FROM keys ORDER BY key""")),
+
+    /* SO4 + F2 + F12 — year-cursor status with zero-backfill for missing
+     * years (reference: app/main.py:176-206). Orders only span 1995-2001,
+     * so 2002/2003 exercise the backfill. */
+    QueryDef("c08_year_sync_status",
+      (s, dir) => {
+        val cursors = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(year(col("o_orderdate")).as("_y"))
+          .agg(
+            count(lit(1)).cast("int").as("page"),
+            count(when(col("o_orderpriority") === "1-URGENT", 1)).as("inserted"),
+            count(when(col("o_orderpriority") =!= "1-URGENT", 1)).as("updated"))
+          .select(Enrich.buildYearKey(lit("movie"), col("_y")).as("key"),
+            col("page"), col("inserted"), col("updated"))
+        MetaSync.yearSyncStatus(s, cursors, "movie", 1995, 2003)
+      },
+      Some("""WITH cursors AS (
+          SELECT 'years:movie:' || CAST(year(o_orderdate) AS INT) AS key,
+                 CAST(count(*) AS INT) AS page,
+                 CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS inserted,
+                 CAST(count(CASE WHEN o_orderpriority <> '1-URGENT' THEN 1 END) AS BIGINT) AS updated
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY year(o_orderdate)),
+        expected AS (SELECT CAST(generate_series AS INT) AS year FROM generate_series(1995, 2003))
+        SELECT 'years:movie:' || e.year AS key, e.year AS year,
+               coalesce(c.page, 0) AS page,
+               CAST(coalesce(c.inserted, 0) AS BIGINT) AS inserted,
+               CAST(coalesce(c.updated, 0) AS BIGINT) AS updated
+        FROM expected e LEFT JOIN cursors c ON c.key = 'years:movie:' || e.year
+        ORDER BY year""")),
+
+    // ---------------------------------------------------------------
+    // Joins (SURVEY §2.4)
+    // ---------------------------------------------------------------
+
+    /* JN1 inner enrichment join + JN2 left-outer + F7 coalesce; small dims
+     * broadcast (reference: app/sync.py:118-124). */
+    QueryDef("j01_enrich_join",
+      (s, dir) => t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"), "left_outer")
+        .select(col("o_orderkey"), col("c_name"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_name, coalesce(n_name, 'UNKNOWN') AS nation
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY o_orderkey""")),
+
+    /* JN6 — existence guard as a left-semi join
+     * (reference: app/endpoints/frames.py:47-49). */
+    QueryDef("j02_exists_guard",
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .orderBy("c_custkey")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey""")),
+
+    // ---------------------------------------------------------------
+    // Aggregations (SURVEY §2.5)
+    // ---------------------------------------------------------------
+
+    /* A1 — reports/stats: group + count + reason histogram (flat form;
+     * reference: app/endpoints/reports.py:20-46). */
+    QueryDef("a01_reports_stats",
+      (s, dir) => {
+        val reports = t(s, dir, "events").select(
+          col("user_id").as("movie_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("frame_path"),
+          lit("event").as("content_type"),
+          col("event_type").as("reason"))
+        Reports.reportStatsFlat(reports)
+          .orderBy("movie_id", "frame_path", "reason")
+      },
+      Some("""WITH reports AS (
+          SELECT user_id AS movie_id, strftime(ts, '%Y-%m-%d') AS frame_path,
+                 'event' AS content_type, event_type AS reason FROM events)
+        SELECT movie_id, frame_path, content_type, reason,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(count(*)) OVER (PARTITION BY movie_id, frame_path, content_type) AS BIGINT) AS "count"
+        FROM reports GROUP BY movie_id, frame_path, content_type, reason
+        ORDER BY movie_id, frame_path, reason""")),
+
+    /* A2 — per-year coverage pipeline: count(col) null-skip ≡ Mongo
+     * $sum($cond($ifNull)), guarded ratio, sort
+     * (reference: app/endpoints/meta_sync.py:22-57). */
+    QueryDef("a02_sync_coverage",
+      (s, dir) => {
+        val movies = t(s, dir, "orders").select(
+          col("o_orderkey").as("id"),
+          lit("movie").as("_type"),
+          year(col("o_orderdate")).as("year"),
+          when(col("o_orderpriority") === "1-URGENT", col("o_orderdate"))
+            .as("last_popularity_sync_at"),
+          when(col("o_orderstatus") === "F", col("o_orderdate"))
+            .as("last_vote_count_sync_at"))
+        MetaSync.coverage(movies, "movie", 1995, 2000)
+      },
+      Some("""WITH movies AS (
+          SELECT o_orderkey AS id, 'movie' AS _type, CAST(year(o_orderdate) AS INT) AS year,
+                 CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END AS last_popularity_sync_at,
+                 CASE WHEN o_orderstatus = 'F' THEN o_orderdate END AS last_vote_count_sync_at
+          FROM orders)
+        SELECT year, CAST(count(*) AS BIGINT) AS total,
+               CAST(count(last_popularity_sync_at) AS BIGINT) AS with_popularity,
+               CAST(count(last_vote_count_sync_at) AS BIGINT) AS with_vote_count,
+               max(last_popularity_sync_at) AS last_popularity_sync_at,
+               max(last_vote_count_sync_at) AS last_vote_count_sync_at,
+               CASE WHEN count(*) > 0 THEN CAST(count(last_popularity_sync_at) AS DOUBLE) / count(*) ELSE 0.0 END AS popularity_coverage,
+               CASE WHEN count(*) > 0 THEN CAST(count(last_vote_count_sync_at) AS DOUBLE) / count(*) ELSE 0.0 END AS vote_count_coverage
+        FROM movies WHERE _type = 'movie' AND year BETWEEN 1995 AND 2000
+        GROUP BY year ORDER BY year""")),
+
+    /* A3 + P10 + F8 — windowed counts relative to a data-derived "now"
+     * (reference: app/main.py:121-127). */
+    QueryDef("a03_error_window_counts",
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("ts").as("timestamp"))
+        val now = e.agg(max("timestamp").as("_now"))
+        Reports.errorCounts(e.crossJoin(broadcast(now)), col("_now"))
+      },
+      Some("""SELECT
+          CAST(count(CASE WHEN ts >= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR THEN 1 END) AS BIGINT) AS errors_last_hour,
+          CAST(count(CASE WHEN ts >= (SELECT max(ts) FROM events) - INTERVAL 24 HOURS THEN 1 END) AS BIGINT) AS errors_last_day,
+          CAST(count(*) AS BIGINT) AS errors_total
+        FROM events""")),
+
+    // ---------------------------------------------------------------
+    // Window / top-k / dedup (SURVEY §2.6)
+    // ---------------------------------------------------------------
+
+    /* O17 — argmax per group via max_by(struct): one shuffle with partial
+     * aggregation (reference: app/utils/frames.py:4-19). */
+    QueryDef("w01_argmax_backdrop",
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(max_by(col("l_partkey"),
+          struct(col("l_extendedprice"), col("l_quantity"),
+            (-col("l_linenumber")).as("_np"))).as("backdrop_partkey"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey, l_partkey AS backdrop_partkey FROM (
+          SELECT l_orderkey, l_partkey,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY l_extendedprice DESC, l_quantity DESC, l_linenumber ASC) AS rn
+          FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""")),
+
+    /* O19 — dedup keeping the FIRST occurrence
+     * (reference: app/tmdb_client.py:199-206). */
+    QueryDef("w02_dedup_keep_first",
+      (s, dir) => FrameOps.dedupKeepFirst(t(s, dir, "lineitem"),
+          Seq("l_partkey"), Seq("l_orderkey", "l_linenumber"))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM (
+          SELECT *, row_number() OVER (PARTITION BY l_partkey
+            ORDER BY l_orderkey ASC, l_linenumber ASC) AS rn
+          FROM lineitem) WHERE rn = 1 ORDER BY l_partkey""")),
+
+    /* O20 — dedup keeping the max-valued row, first-on-tie
+     * (reference: app/catalog/upsert.py:26-34). */
+    QueryDef("w03_dedup_keep_max",
+      (s, dir) => FrameOps.dedupKeepMax(t(s, dir, "lineitem"),
+          Seq("l_partkey"), "l_quantity", Seq("l_orderkey", "l_linenumber"))
+        .select("l_partkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, l_orderkey, l_linenumber, l_quantity FROM (
+          SELECT *, row_number() OVER (PARTITION BY l_partkey
+            ORDER BY l_quantity DESC, l_orderkey ASC, l_linenumber ASC) AS rn
+          FROM lineitem) WHERE rn = 1 ORDER BY l_partkey""")),
+
+    // ---------------------------------------------------------------
+    // Array set-ops + higher-order filters (SURVEY §2.8, P13)
+    // ---------------------------------------------------------------
+
+    /* SO1 $addToSet / SO2 $pull as array_union/array_except
+     * (reference: app/endpoints/frames.py:52-55,93-96). */
+    QueryDef("s01_array_set_ops",
+      (s, dir) => t(s, dir, "part").select(
+          col("p_partkey"),
+          concat_ws(",", array_sort(array_union(split(col("p_name"), " "),
+            lit(Array("extra", "cold"))))).as("added"),
+          concat_ws(",", array_sort(array_except(split(col("p_name"), " "),
+            lit(Array("widget", "bolt"))))).as("removed"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+          array_to_string(list_sort(list_distinct(list_cat(string_split(p_name, ' '), ['extra','cold']))), ',') AS added,
+          array_to_string(list_sort(list_filter(list_distinct(string_split(p_name, ' ')), x -> NOT list_contains(['widget','bolt'], x))), ',') AS removed
+        FROM part ORDER BY p_partkey""")),
+
+    /* P13 — anti-membership higher-order filter
+     * (reference: app/utils/frames.py:11-12). */
+    QueryDef("s02_anti_membership",
+      (s, dir) => t(s, dir, "part").select(
+          col("p_partkey"),
+          size(filter(split(col("p_name"), " "),
+            x => !array_contains(lit(Array("cold", "small")), x))).as("n_valid"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+          CAST(len(list_filter(string_split(p_name, ' '), x -> NOT list_contains(['cold','small'], x))) AS INT) AS n_valid
+        FROM part ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------
+    // Headline analytics (bench anchors; SURVEY §6)
+    // ---------------------------------------------------------------
+
+    /* TPC-H Q1 shape: scan-heavy partial-agg pipeline. The money columns
+     * are exact 2-decimal values, so they are cast to DECIMAL *before* any
+     * arithmetic: every intermediate is exact, the sums are associative,
+     * and Spark and DuckDB agree bit-for-bit after the final cast to
+     * DOUBLE. (Casting a computed double to decimal instead rounds via
+     * shortest-string in Spark vs exact binary in DuckDB — boundary cells
+     * differ.) */
+    QueryDef("h01_pricing_summary",
+      (s, dir) => {
+        val ep = col("l_extendedprice").cast("decimal(18,2)")
+        val disc = col("l_discount").cast("decimal(4,2)")
+        val tax = col("l_tax").cast("decimal(4,2)")
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(ep).cast("double").as("sum_base_price"),
+            sum(ep * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+            sum(ep * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+          sum(l_quantity) AS sum_qty,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+          CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+  )
+}
