@@ -1,0 +1,111 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ops.FrameOps
+
+/** The reference's merge-preserving upsert (SURVEY.md §2.1 S11, §2.4
+  * JN4/JN5, §2.5 A5; reference: app/catalog/upsert.py:50-103) as a batch
+  * MERGE: a single full-outer join on the compound key, with per-column
+  * precedence rules.
+  *
+  * Column precedence (reference: app/catalog/upsert.py:71-96):
+  *  - ordinary columns: incoming row wins wholesale (Mongo `$set` of the
+  *    whole doc) — including incoming NULLs;
+  *  - `created_at`: insert-only (`$setOnInsert`) — existing wins;
+  *  - `incorrect_frames`: moderation state, preserved from existing;
+  *  - `frames`: incoming frames are normalized (legacy alias, dedup
+  *    keep-max-width) before the merge;
+  *  - `backdrop_path`: recomputed AFTER the merge from the merged frames
+  *    minus the merged (= preserved) incorrect_frames;
+  *  - `last_popularity_sync_at` / `last_vote_count_sync_at`: stamped to
+  *    `now` only when the sync's sort mode matches, else preserved.
+  *
+  * Scale: both sides shuffle on the key — at the real 100 TB deployment
+  * this is the storage layer's MERGE INTO (Iceberg/Delta); the plan shape
+  * (hash-partitioned full-outer + projections) is identical. Incoming
+  * batches are small relative to the catalog, so AQE broadcasts the
+  * incoming side when it fits.
+  */
+object Upsert {
+
+  /** Merged table + (inserted, updated) counters (A5). Counters come from
+    * the same join (JN4's existence probe), not a second scan. */
+  final case class MergeResult(merged: DataFrame, counters: DataFrame)
+
+  val InsertOnlyCols = Set("created_at")
+  val PreservedCols = Set("incorrect_frames")
+
+  /** Generic merge on `keys`, returning per-row `action`
+    * (insert|update|keep). Both inputs must share a schema. */
+  def mergeWithAction(existing: DataFrame, incoming: DataFrame,
+                      keys: Seq[String] = Seq("id", "_type")): DataFrame = {
+    require(existing.columns.sameElements(incoming.columns),
+      "existing and incoming must share a schema")
+    val dataCols = existing.columns.toSeq.filterNot(keys.contains)
+    val ex = existing.select(
+      keys.map(col) :+ struct(dataCols.map(col): _*).as("_ex"): _*)
+    val in = incoming.select(
+      keys.map(col) :+ struct(dataCols.map(col): _*).as("_in"): _*)
+    val joined = ex.join(in, keys, "full_outer")
+    val hasIncoming = col("_in").isNotNull
+    val hasExisting = col("_ex").isNotNull
+    def pick(c: String): Column = {
+      val e = col(s"_ex.$c"); val i = col(s"_in.$c")
+      val v =
+        if (InsertOnlyCols(c)) when(hasExisting, e).otherwise(i)
+        else if (PreservedCols(c)) e
+        else when(hasIncoming, i).otherwise(e)
+      v.as(c)
+    }
+    joined.select(
+      (keys.map(col) ++ dataCols.map(pick)) :+
+        when(!hasIncoming, "keep")
+          .when(!hasExisting, "insert")
+          .otherwise("update").as("action"): _*)
+  }
+
+  /** The full movies-upsert pipeline: frames normalization, merge with
+    * precedence rules, post-merge derived columns, and sync counters. */
+  def mergeMovies(existing: DataFrame, incoming: DataFrame,
+                  sortBy: Option[String], now: Column,
+                  keys: Seq[String] = Seq("id", "_type")): MergeResult = {
+    val cols = existing.columns.toSeq
+    val incNorm =
+      if (cols.contains("frames")) {
+        val legacyAlias = incoming.schema("frames").dataType match {
+          case org.apache.spark.sql.types.ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
+            st.fieldNames.contains("frame_path")
+          case _ => false
+        }
+        incoming.withColumn("frames",
+          FrameOps.normalizeFrames(col("frames"), legacyAlias))
+      } else incoming
+
+    var merged = mergeWithAction(existing, incNorm, keys)
+    val touched = col("action") =!= "keep"
+
+    if (cols.contains("backdrop_path") && cols.contains("frames"))
+      merged = merged.withColumn("backdrop_path",
+        FrameOps.pickBackdrop(col("frames"),
+          if (cols.contains("incorrect_frames")) col("incorrect_frames")
+          else lit(null).cast("array<string>")))
+    if (cols.contains("synced_at"))
+      merged = merged.withColumn("synced_at",
+        when(touched, now).otherwise(col("synced_at")))
+    if (cols.contains("last_popularity_sync_at") && sortBy.contains("popularity.desc"))
+      merged = merged.withColumn("last_popularity_sync_at",
+        when(touched, now).otherwise(col("last_popularity_sync_at")))
+    if (cols.contains("last_vote_count_sync_at") && sortBy.contains("vote_count.desc"))
+      merged = merged.withColumn("last_vote_count_sync_at",
+        when(touched, now).otherwise(col("last_vote_count_sync_at")))
+
+    val counters = merged
+      .filter(touched)
+      .groupBy(col("action"))
+      .agg(count(lit(1)).as("n"))
+
+    MergeResult(merged.drop("action"), counters)
+  }
+}

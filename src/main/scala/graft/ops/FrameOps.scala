@@ -60,12 +60,18 @@ object FrameOps {
     * Array-level: index-aware `transform` gives each frame its position so
     * "first occurrence" is expressible; per-path argmax by (width, -pos).
     */
-  def normalizeFrames(rawFrames: Column): Column = {
-    // tag positions, resolve path alias, drop pathless entries
+  def normalizeFrames(rawFrames: Column, legacyAlias: Boolean = false): Column = {
+    // tag positions, resolve path alias, drop pathless entries.
+    // `legacyAlias`: Mongo docs are schemaless so the reference probes both
+    // names at runtime; Spark structs are closed, so the caller says
+    // whether the `frame_path` field exists in the schema.
+    def path(f: Column): Column =
+      if (legacyAlias) coalesce(f.getField("path"), f.getField("frame_path"))
+      else f.getField("path")
     val tagged = filter(
       transform(rawFrames, (f, i) =>
         struct(
-          coalesce(f.getField("path"), f.getField("frame_path")).as("path"),
+          path(f).as("path"),
           f.getField("aspect_ratio").as("aspect_ratio"),
           coalesce(f.getField("vote_average"), lit(0.0)).as("vote_average"),
           coalesce(f.getField("width"), lit(0)).as("width"),

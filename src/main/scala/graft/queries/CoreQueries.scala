@@ -326,6 +326,144 @@ object CoreQueries {
         FROM part ORDER BY p_partkey""")),
 
     // ---------------------------------------------------------------
+    // Merge / upsert (SURVEY §2.1 S11, §2.4 JN4-JN5, §2.5 A5)
+    // ---------------------------------------------------------------
+
+    /* S11+JN4+JN5 — merge-preserving upsert: incoming wins ($set), but
+     * created_at is insert-only ($setOnInsert); per-row action
+     * classification from the same join
+     * (reference: app/catalog/upsert.py:50-103). */
+    QueryDef("m01_merge_upsert",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val existing = o.filter(col("o_orderkey") % 3 =!= 0).select(
+          col("o_orderkey").as("id"), lit("movie").as("_type"),
+          col("o_orderpriority").as("title"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          col("o_orderdate").as("created_at"))
+        val incoming = o.filter(col("o_orderkey") % 2 === 0).select(
+          col("o_orderkey").as("id"), lit("movie").as("_type"),
+          concat(lit("upd "), col("o_orderpriority")).as("title"),
+          (col("o_totalprice").cast("decimal(18,2)") * 2).as("price"),
+          // driver parquet timestamps read as TIMESTAMP_NTZ; literals must
+          // match or Spark coerces the merged column to the tz-aware type
+          lit("2026-01-01").cast("timestamp_ntz").as("created_at"))
+        graft.merge.Upsert.mergeWithAction(
+            existing, incoming.select(existing.columns.map(col): _*))
+          .withColumn("price", col("price").cast("double"))
+          .orderBy("id")
+      },
+      Some("""WITH existing AS (
+          SELECT o_orderkey AS id, 'movie' AS _type, o_orderpriority AS title,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price, o_orderdate AS created_at
+          FROM orders WHERE o_orderkey % 3 <> 0),
+        incoming AS (
+          SELECT o_orderkey AS id, 'movie' AS _type, 'upd ' || o_orderpriority AS title,
+                 CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS price,
+                 TIMESTAMP '2026-01-01' AS created_at
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT coalesce(i.id, e.id) AS id, coalesce(i._type, e._type) AS _type,
+               CASE WHEN i.id IS NOT NULL THEN i.title ELSE e.title END AS title,
+               CAST(CASE WHEN i.id IS NOT NULL THEN i.price ELSE e.price END AS DOUBLE) AS price,
+               CASE WHEN e.id IS NOT NULL THEN e.created_at ELSE i.created_at END AS created_at,
+               CASE WHEN i.id IS NULL THEN 'keep' WHEN e.id IS NULL THEN 'insert' ELSE 'update' END AS action
+        FROM existing e FULL OUTER JOIN incoming i ON e.id = i.id AND e._type = i._type
+        ORDER BY id""")),
+
+    /* A5 — inserted/updated sync counters from the merge's existence
+     * probe (reference: app/sync_top.py:210-221). */
+    QueryDef("m02_merge_counters",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val existing = o.filter(col("o_orderkey") % 3 =!= 0).select(
+          col("o_orderkey").as("id"), lit("movie").as("_type"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        val incoming = o.filter(col("o_orderkey") % 2 === 0).select(
+          col("o_orderkey").as("id"), lit("movie").as("_type"),
+          (col("o_totalprice").cast("decimal(18,2)") * 2).as("price"))
+        graft.merge.Upsert.mergeWithAction(existing, incoming)
+          .filter(col("action") =!= "keep")
+          .groupBy("action").agg(count(lit(1)).as("n"))
+          .orderBy("action")
+      },
+      Some("""WITH existing AS (
+          SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 3 <> 0),
+        incoming AS (
+          SELECT o_orderkey AS id FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT CASE WHEN e.id IS NULL THEN 'insert' ELSE 'update' END AS action,
+               CAST(count(*) AS BIGINT) AS n
+        FROM existing e FULL OUTER JOIN incoming i ON e.id = i.id
+        WHERE i.id IS NOT NULL GROUP BY 1 ORDER BY action""")),
+
+    // ---------------------------------------------------------------
+    // Sorts / scalar functions (SURVEY §2.7 R1, §2.9 F1/F7/F12, §2.5 A4)
+    // ---------------------------------------------------------------
+
+    /* R1 — Mongo sorts missing/null first on asc (≡ Spark asc_nulls_first
+     * default); DuckDB defaults NULLS LAST, so the oracle spells it out
+     * (reference: app/endpoints/movies.py:53-66). */
+    QueryDef("r01_sort_nulls",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).as("p"))
+        .orderBy(col("p").asc, col("o_orderkey").asc)
+        .limit(100),
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END AS p
+        FROM orders ORDER BY p ASC NULLS FIRST, o_orderkey LIMIT 100""")),
+
+    /* F1 + P5 — year extraction from a release_date STRING (null on
+     * malformed) + lexicographic string-date range filter
+     * (reference: app/catalog/upsert.py:37-43; app/endpoints/movies.py:46-51). */
+    QueryDef("f01_year_extract",
+      (s, dir) => {
+        val rd = date_format(col("o_orderdate"), "yyyy-MM-dd")
+        t(s, dir, "orders")
+          .select(col("o_orderkey").as("id"), rd.as("release_date"),
+            when(col("o_orderkey") % 7 === 0, lit("19xx-bad")).otherwise(rd).as("rd_dirty"))
+          .filter(col("release_date") >= "1996-01-01" && col("release_date") <= "1997-12-31")
+          .withColumn("year", graft.ops.Enrich.extractYear(col("rd_dirty")))
+          .orderBy("id")
+      },
+      Some("""WITH m AS (
+          SELECT o_orderkey AS id, strftime(o_orderdate, '%Y-%m-%d') AS release_date,
+                 CASE WHEN o_orderkey % 7 = 0 THEN '19xx-bad'
+                      ELSE strftime(o_orderdate, '%Y-%m-%d') END AS rd_dirty
+          FROM orders)
+        SELECT id, release_date, rd_dirty, TRY_CAST(substr(rd_dirty, 1, 4) AS INT) AS year
+        FROM m WHERE release_date >= '1996-01-01' AND release_date <= '1997-12-31'
+        ORDER BY id""")),
+
+    /* F7/F12 — defaulting after a left join (cursor defaults, or-coalesce)
+     * (reference: app/sync_top.py:24, app/main.py:181,194). */
+    QueryDef("f02_coalesce_defaults",
+      (s, dir) => {
+        val agg = t(s, dir, "orders").groupBy("o_custkey").agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+        t(s, dir, "customer")
+          .join(agg, col("c_custkey") === col("o_custkey"), "left_outer")
+          .select(col("c_custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("spend").cast("double"), lit(0.0)).as("spend"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+               CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+               coalesce(CAST(spend AS DOUBLE), 0.0) AS spend
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, count(*) AS n_orders,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        ORDER BY c_custkey""")),
+
+    /* A4 — total row count (the estimated_document_count analogue; Spark
+     * serves it from parquet footers) (reference: app/main.py:127). */
+    QueryDef("a04_total_count",
+      (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+      Some("SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem")),
+
+    // ---------------------------------------------------------------
     // Headline analytics (bench anchors; SURVEY §6)
     // ---------------------------------------------------------------
 

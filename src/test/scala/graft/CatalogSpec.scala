@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CatalogQueries, Enrich}
+import graft.ops.CatalogQueries.SearchParams
+
+/** Catalog read-path semantics on domain fixtures (SURVEY.md §3.1):
+  * P1-P8 predicates, J1 projection, R1/R2 ordering+pagination, and the
+  * Enrich derivations. */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private def movies = Fixtures.movies(spark)
+
+  test("search: P1 frames-exist filter drops empty/null frames") {
+    val ids = CatalogQueries.search(movies, SearchParams(limit = 100))
+      .select("id", "_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ids == Set((1L, "movie"), (2L, "movie"), (4L, "movie")),
+      "tv id=1 (empty frames) and id=3 (null frames) filtered out")
+  }
+
+  test("search: genre/animated/type/year filters conjunct") {
+    val got = CatalogQueries.search(movies,
+      SearchParams(genre = Some(16), isAnimated = Some(true),
+        contentType = Some("movie"), year = Some(2001), limit = 10))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("search: string-date year range is lexicographic (P5)") {
+    val got = CatalogQueries.search(movies, SearchParams(year = Some(1999), limit = 10))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L))
+  }
+
+  test("search: J1 projection is the reference keep-set") {
+    val cols = CatalogQueries.search(movies, SearchParams()).columns.toSeq
+    assert(cols == CatalogQueries.movieProjection)
+  }
+
+  test("search: sort desc + skip/limit pagination (R1/R2)") {
+    val page = CatalogQueries.search(movies,
+      SearchParams(sortBy = "popularity", descending = true, skip = 1, limit = 1))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(page == Seq(2L), "popularity order 85,60,40 -> skip 1 -> 60 (id 2)")
+  }
+
+  test("byIds / byId point lookups (P6/P7)") {
+    assert(CatalogQueries.byIds(movies, Seq(1L, 3L)).count() == 3,
+      "IN-list matches both _types of id 1")
+    val one = CatalogQueries.byId(movies, 1L, "tv").collect()
+    assert(one.length == 1 && one.head.getAs[String]("name") == "Some Show")
+  }
+
+  test("titleRegexSearch: case-insensitive substring across title/title_ru (P8)") {
+    val hit = CatalogQueries.titleRegexSearch(movies, "green")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(hit == Seq(4L))
+    val ru = CatalogQueries.titleRegexSearch(movies, "миля")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ru == Seq(4L), "title_ru matched when title doesn't")
+    val meta = CatalogQueries.titleRegexSearch(movies, "gre(en")
+    assert(meta.count() == 0, "regex metacharacters in user input are quoted")
+  }
+
+  test("Enrich: extractYear null on malformed; isAnimated; displayTitle coalesce") {
+    val got = movies.select(col("id"), col("_type"),
+        Enrich.extractYear(col("release_date")).as("y"),
+        Enrich.isAnimated(col("genre_ids")).as("anim"),
+        Enrich.displayTitle(col("title"), col("name")).as("t"))
+      .filter(col("id") === 3 || (col("id") === 1 && col("_type") === "tv"))
+      .orderBy("id", "_type").collect()
+    val tv = got(0); val broken = got(1)
+    assert(tv.getInt(2) == 2011 && tv.getString(4) == "Some Show")
+    assert(broken.isNullAt(2), "extractYear('19xx') -> null")
+    assert(!broken.getBoolean(3))
+  }
+
+  test("Enrich: key build/parse round-trip incl. malformed keys (F2-F4)") {
+    import spark.implicits._
+    val keys = Seq("years:movie:1999", "years:tv:2011", "top_vote_count_movie", "years:movie:abc")
+      .toDF("key")
+    val parsed = keys.select(col("key"),
+        Enrich.parseKeyContentType(col("key")).as("ct"),
+        Enrich.parseKeyYear(col("key")).as("y")).collect()
+    assert(parsed(0).getString(1) == "movie" && parsed(0).getInt(2) == 1999)
+    assert(parsed(1).getString(1) == "tv" && parsed(1).getInt(2) == 2011)
+    assert(parsed(2).isNullAt(1), "non-years key -> null content type")
+    assert(parsed(3).isNullAt(2), "non-numeric year -> null")
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.FrameOps
+
+/** Pins the Mongo-specific frame-array semantics the DuckDB oracle can't
+  * express (SURVEY.md §5.2): pick_backdrop exclusion + null coalescing,
+  * normalize dedup keep-max-width with first-on-tie, keep-first dedup,
+  * $addToSet idempotence. */
+class FrameOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def framesDf(frames: Seq[Row], incorrect: Seq[String]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("frames", ArrayType(Fixtures.frameType)),
+      StructField("incorrect_frames", ArrayType(StringType))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(frames, incorrect))), schema)
+  }
+
+  test("pickBackdrop picks max (vote_average, width) excluding incorrect") {
+    // /b.jpg has the best votes but is moderated out -> /a.jpg wins
+    val df = framesDf(
+      Seq(Row("/a.jpg", 1.78, 8.0, 1280), Row("/b.jpg", 1.78, 9.0, 1920)),
+      Seq("/b.jpg"))
+    val got = df.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))
+      .head().getString(0)
+    assert(got == "/a.jpg")
+  }
+
+  test("pickBackdrop treats null vote_average/width as 0 (reference or-coalesce)") {
+    val df = framesDf(
+      Seq(Row("/x.jpg", 1.78, null, 1920), Row("/y.jpg", 1.78, 0.1, null)),
+      Seq())
+    // (0.0, 1920) vs (0.1, null->0): 0.1 wins on vote_average
+    val got = df.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))
+      .head().getString(0)
+    assert(got == "/y.jpg")
+  }
+
+  test("pickBackdrop returns null when all frames are excluded or absent") {
+    val df = framesDf(Seq(Row("/a.jpg", 1.78, 8.0, 1280)), Seq("/a.jpg"))
+    assert(df.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))
+      .head().isNullAt(0))
+    val empty = framesDf(Seq(), Seq())
+    assert(empty.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))
+      .head().isNullAt(0))
+  }
+
+  test("normalizeFrames resolves legacy frame_path alias, drops pathless, dedups keep-max-width") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("frames", ArrayType(Fixtures.rawFrameType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(
+        Row(null, "/legacy.jpg", 1.7, 5.0, 100),   // legacy alias used
+        Row("/dup.jpg", null, 1.7, 5.0, 200),
+        Row("/dup.jpg", null, 1.7, 6.0, 500),       // wider -> wins
+        Row("/dup.jpg", null, 1.7, 7.0, 500),       // tie width -> first 500 wins
+        Row(null, null, 1.7, 5.0, 100))))),         // no path -> dropped
+      schema)
+    val out = df.select(FrameOps.normalizeFrames(col("frames"), legacyAlias = true).as("f"))
+      .selectExpr("inline(f)").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("/legacy.jpg", "/dup.jpg"))
+    val dup = out.find(_.getString(0) == "/dup.jpg").get
+    assert(dup.getInt(3) == 500)
+    assert(dup.getDouble(2) == 6.0, "tie on width keeps FIRST occurrence")
+  }
+
+  test("filterBackdrops: aspect band, keep-first dedup, (va,width) desc sort") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("frames", ArrayType(Fixtures.frameType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(
+        Row("/narrow.jpg", 1.0, 9.9, 2000),          // out of band
+        Row("/first.jpg", 1.8, 5.0, 100),
+        Row("/first.jpg", 1.8, 9.0, 900),             // dup: FIRST kept (O19)
+        Row("/best.jpg", 2.0, 8.0, 500),
+        Row("/nullar.jpg", null.asInstanceOf[java.lang.Double], 8.0, 500))))), // null ar -> 0 -> dropped
+      schema)
+    val out = df.select(FrameOps.filterBackdrops(col("frames")).as("f"))
+      .selectExpr("inline(f)").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("/best.jpg", "/first.jpg"))
+    assert(out.head.getDouble(2) == 8.0)
+  }
+
+  test("addToSet is idempotent and order-preserving; pullAll removes") {
+    val df = framesDf(Seq(), Seq("/a.jpg", "/b.jpg"))
+    val added = df.select(
+      FrameOps.addToSet(col("incorrect_frames"), Seq("/b.jpg", "/c.jpg")).as("x"))
+      .head().getSeq[String](0)
+    assert(added == Seq("/a.jpg", "/b.jpg", "/c.jpg"))
+    val twice = df.select(
+      FrameOps.addToSet(FrameOps.addToSet(col("incorrect_frames"), Seq("/c.jpg")), Seq("/c.jpg")).as("x"))
+      .head().getSeq[String](0)
+    assert(twice == Seq("/a.jpg", "/b.jpg", "/c.jpg"), "$addToSet twice ≡ once")
+    val pulled = df.select(
+      FrameOps.pullAll(col("incorrect_frames"), Seq("/a.jpg", "/zz.jpg")).as("x"))
+      .head().getSeq[String](0)
+    assert(pulled == Seq("/b.jpg"))
+  }
+
+  test("addToSet on null moderation state starts from empty") {
+    val df = framesDf(Seq(), null)
+    val added = df.select(
+      FrameOps.addToSet(col("incorrect_frames"), Seq("/n.jpg")).as("x"))
+      .head().getSeq[String](0)
+    assert(added == Seq("/n.jpg"))
+  }
+
+  test("table-level dedupKeepFirst / dedupKeepMax") {
+    import spark.implicits._
+    val df = Seq(
+      ("p1", 1, 10, 100.0), ("p1", 2, 99, 100.0), ("p2", 3, 50, 100.0),
+      ("p1", 4, 99, 100.0)).toDF("path", "pos", "width", "x")
+    val first = FrameOps.dedupKeepFirst(df, Seq("path"), Seq("pos"))
+      .orderBy("path").collect()
+    assert(first.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("p1", 1), ("p2", 3)))
+    val widest = FrameOps.dedupKeepMax(df, Seq("path"), "width", Seq("pos"))
+      .orderBy("path").collect()
+    assert(widest.map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("p1", 2), ("p2", 3)),
+      "max width, first-on-tie (pos 2 beats pos 4)")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.merge.Upsert
+
+/** Merge semantics per reference app/catalog/upsert.py:50-103 — the risk
+  * register items of SURVEY.md §7.3: created_at insert-only,
+  * incorrect_frames preserved, backdrop recomputed after the merge,
+  * conditional last_*_sync_at stamping, idempotence. */
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def base = Fixtures.movies(spark)
+
+  // incoming: re-sync of id=1 movie with fresh frames and no moderation
+  private def incoming = base
+    .filter(col("id") === 1 && col("_type") === "movie")
+    .withColumn("title", lit("The Matrix (resync)"))
+    .withColumn("incorrect_frames", lit(null).cast("array<string>"))
+    .withColumn("created_at", lit("2030-01-01 00:00:00").cast("timestamp"))
+    .withColumn("backdrop_path", lit(null).cast("string"))
+
+  private val now = lit("2026-08-12 00:00:00").cast("timestamp")
+
+  test("incoming wins ordinary columns; created_at is insert-only; incorrect_frames preserved") {
+    val r = Upsert.mergeMovies(base, incoming, None, now)
+    val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m1.getAs[String]("title") == "The Matrix (resync)")
+    assert(m1.getAs[java.sql.Timestamp]("created_at").toString == "2024-01-01 00:00:00.0",
+      "$setOnInsert: existing created_at survives")
+    assert(m1.getAs[scala.collection.Seq[String]]("incorrect_frames").toSeq == Seq("/b.jpg"),
+      "moderation state survives the re-sync")
+  }
+
+  test("backdrop_path recomputed AFTER merging existing moderation state") {
+    val r = Upsert.mergeMovies(base, incoming, None, now)
+    val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    // incoming frames contain /b.jpg (better) but preserved moderation blocks it
+    assert(m1.getAs[String]("backdrop_path") == "/a.jpg")
+  }
+
+  test("untouched rows keep their values; counters classify insert vs update") {
+    val fresh = incoming.withColumn("id", lit(999L))
+    val r = Upsert.mergeMovies(base, incoming.union(fresh), None, now)
+    assert(r.merged.count() == base.count() + 1)
+    val tv = r.merged.filter(col("id") === 1 && col("_type") === "tv").head()
+    assert(tv.getAs[String]("name") == "Some Show")
+    val c = r.counters.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(c == Map("insert" -> 1L, "update" -> 1L))
+  }
+
+  test("last_*_sync_at stamped only for the matching sort mode") {
+    val r = Upsert.mergeMovies(base, incoming, Some("popularity.desc"), now)
+    val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m1.getAs[java.sql.Timestamp]("last_popularity_sync_at").toString
+      == "2026-08-12 00:00:00.0")
+    // vote_count mode not active: incoming's value ($set wholesale) applies
+    val r2 = Upsert.mergeMovies(base, incoming, None, now)
+    val m2 = r2.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m2.getAs[java.sql.Timestamp]("synced_at").toString == "2026-08-12 00:00:00.0")
+  }
+
+  test("merge is idempotent: applying the same batch twice ≡ once") {
+    val r1 = Upsert.mergeMovies(base, incoming, None, now)
+    val r2 = Upsert.mergeMovies(r1.merged, incoming, None, now)
+    val a = r1.merged.orderBy("id", "_type").collect().toSeq
+    val b = r2.merged.orderBy("id", "_type").collect().toSeq
+    assert(a == b)
+  }
+
+  test("incoming frames are normalized (dup path keeps max width) before merge") {
+    val dupFrames = incoming.withColumn("frames", expr(
+      """array(named_struct('path','/dup.jpg','aspect_ratio',1.78d,'vote_average',5.0d,'width',200),
+               named_struct('path','/dup.jpg','aspect_ratio',1.78d,'vote_average',6.0d,'width',900))"""))
+    val r = Upsert.mergeMovies(base, dupFrames, None, now)
+    val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    val frames = m1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("frames")
+    assert(frames.length == 1 && frames.head.getInt(3) == 900)
+  }
+}
