@@ -1,0 +1,88 @@
+package graft.datax
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Brute-force cosine top-k is the exact baseline: queries are broadcast,
+  * scores are a scan-side fold (sequential, deterministic), and the top-k
+  * is a per-query window. The scale path is [[ivfTopK]]: an IVF-style
+  * coarse quantizer — vectors are bucketed by nearest centroid at index
+  * time, queries probe only the nProbe nearest buckets, shrinking the
+  * scanned fraction to ~nProbe/nCentroids.
+  */
+object Similarity {
+
+  /** Double-cast of a float vector (fold stays in float64 — deterministic
+    * and oracle-portable). */
+  def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Sequential-fold dot product (higher-order aggregate, codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact cosine top-k: for each query vector, the k nearest vectors
+    * (excluding itself), rank 1 = nearest; ties broken by id. */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qvec"))
+    val scored = v.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("vec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine")
+  }
+
+  /** IVF index: deterministic centroid sample (every `stride`-th vector)
+    * + nearest-centroid assignment. Returns (centroids, assigned). */
+  def ivfIndex(vectors: DataFrame, nCentroids: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val n = v.count()
+    val stride = math.max(1L, n / nCentroids)
+    val centroids = v.filter(col("id") % stride === 0)
+      .orderBy("id").limit(nCentroids) // sorted limit => deterministic pick
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+    val assigned = v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("centroid_id"),
+        cosine(col("vec"), col("cvec")).as("_sim"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("_sim").desc, col("centroid_id").asc)))
+      .filter(col("_rn") === 1)
+      .select("id", "vec", "centroid_id")
+    (centroids, assigned)
+  }
+
+  /** IVF-probed approximate top-k: per query, search only the `nProbe`
+    * nearest centroids' buckets. At 100 TB the assigned table is written
+    * partitioned by centroid_id, so a probe is a partition-pruned scan. */
+  def ivfTopK(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
+              k: Int, nProbe: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qvec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("_sim"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_sim").desc, col("centroid_id").asc)))
+      .filter(col("_rn") <= nProbe)
+      .select("query_id", "qvec", "centroid_id")
+    val scored = probes.join(assigned, Seq("centroid_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), cosine(col("vec"), col("qvec")).as("cosine"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "cosine")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.datax
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, fingerprinting. All pure
+  * `Column` expressions (codegen'd, no UDFs) so they run scan-side at
+  * 100 TB — no shuffle, no driver involvement.
+  */
+object TextStats {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), " ")
+
+  // stopword markers per language (tiny, deliberately: this is the n-gram
+  // heuristic family of language ID, not a model)
+  val EnMarkers = Array("the", "a", "of", "and", "to", "in", "is", "it")
+  val DeMarkers = Array("der", "die", "das", "und", "ist", "nicht", "ein")
+  val FrMarkers = Array("le", "la", "les", "et", "est", "une", "dans")
+  val EsMarkers = Array("el", "los", "las", "y", "es", "una", "en")
+
+  private def markerHits(toks: Column, markers: Array[String]): Column =
+    size(filter(toks, t => array_contains(lit(markers), t)))
+
+  /** Language-ID heuristic: CJK codepoints -> zh; otherwise the language
+    * with the most stopword-marker occurrences (priority en,de,fr,es on
+    * ties); 'und' (undetermined) when nothing scores. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val en = markerHits(toks, EnMarkers)
+    val de = markerHits(toks, DeMarkers)
+    val fr = markerHits(toks, FrMarkers)
+    val es = markerHits(toks, EsMarkers)
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Quality score in [0,1]: blend of alpha ratio, stopword ratio, and a
+    * word-length band — the length/punct/stopword family of heuristic
+    * quality filters. Single fixed expression tree (deterministic across
+    * engines). */
+  def qualityScore(text: Column): Column = {
+    val lower_ = lower(text)
+    val nChars = length(text).cast("double")
+    val alphaRatio = length(regexp_replace(lower_, "[^a-z]", "")).cast("double") / nChars
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val stopRatio = markerHits(toks, EnMarkers).cast("double") / nToks
+    val avgWordLen = (nChars - (nToks - lit(1.0))) / nToks
+    val wordLenBand = when(avgWordLen.between(3.0, 10.0), 1.0).otherwise(0.5)
+    when(nChars === 0, 0.0).otherwise(
+      alphaRatio * 0.5 + least(stopRatio * lit(5.0), lit(1.0)) * 0.2 + wordLenBand * 0.3)
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumerics each count as one token. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text — the canonical exact-dedup key. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+}

@@ -1,0 +1,193 @@
+package graft.ingest
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.merge.Upsert
+
+/** The reference's incremental sync mechanics (SURVEY.md §2.10 ST1-ST3,
+  * §3.2) re-expressed as batch composition:
+  *
+  *  - ST1 resumable cursors: an append-only commit log, last-write-wins
+  *    per key — the batch analogue of a streaming checkpoint;
+  *  - ST2 idempotent upsert: at-least-once page fetch + exactly-once
+  *    effect via [[graft.merge.Upsert.mergeMovies]];
+  *  - ST3 dead-letter: malformed records are appended to an error sink
+  *    and processing continues.
+  *
+  * The reference fetches pages sequentially over HTTP (~4 round-trips per
+  * item); here a page range becomes ONE data-parallel batch — per-page
+  * network latency is the reference's bottleneck, partitioned scan +
+  * broadcast enrichment is ours. Cursor granularity moves from per-page
+  * to per-batch, which preserves the observable contract (final table
+  * state + counters) while cutting checkpoint writes by the batch size.
+  */
+object SyncJob {
+
+  final case class Cursor(key: String, page: Int, inserted: Long, updated: Long)
+  final case class Report(key: String, attempted: Long, deadLettered: Long,
+      inserted: Long, updated: Long, lastPage: Int)
+
+  // ---------------------------------------------------------------
+  // ST1 — cursor commit log (S13): append-only, latest row wins.
+  // ---------------------------------------------------------------
+
+  object CursorStore {
+    private val schema = "key string, page int, inserted bigint, updated bigint, ts timestamp"
+
+    /** Latest cursor per key (max ts, then max page as tiebreak). */
+    def latest(spark: SparkSession, path: String): DataFrame = {
+      val raw =
+        if (Files.exists(Paths.get(path))) spark.read.schema(schema).parquet(path)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+      raw.groupBy("key")
+        .agg(max_by(struct(col("page"), col("inserted"), col("updated")),
+          struct(col("ts"), col("page"))).as("_c"))
+        .select(col("key"), col("_c.page").as("page"),
+          col("_c.inserted").as("inserted"), col("_c.updated").as("updated"))
+    }
+
+    def get(spark: SparkSession, path: String, key: String): Option[Cursor] =
+      latest(spark, path).filter(col("key") === key).collect().headOption
+        .map(r => Cursor(r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+    /** Append one checkpoint row (reference saves after each page; we
+      * save after each batch). */
+    def save(spark: SparkSession, path: String, c: Cursor): Unit = {
+      import spark.implicits._
+      Seq((c.key, c.page, c.inserted, c.updated))
+        .toDF("key", "page", "inserted", "updated")
+        .withColumn("ts", current_timestamp())
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Fixture-paged source (S5/S8/S9 shape): deterministic pages over a
+  // base table — the offline stand-in for the paginated HTTP discover.
+  // ---------------------------------------------------------------
+
+  /** Assign 1-based page numbers in `orderBy` order and keep pages
+    * [fromPage, fromPage+nPages). The global sort models the SERVER-side
+    * sort_by param of the discover API (source-level pushdown: at scale
+    * the source hands out page-ranged partitions; nothing downstream
+    * re-sorts). */
+  def pages(base: DataFrame, orderBy: Seq[Column], pageSize: Int,
+            fromPage: Int, nPages: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderBy: _*)
+    base
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_page", ((col("_rn") - 1) / pageSize + 1).cast("int"))
+      .filter(col("_page") >= fromPage && col("_page") < fromPage + nPages)
+      .drop("_rn")
+  }
+
+  // ---------------------------------------------------------------
+  // ST3 — dead-letter sink (S12): append, never fail the batch.
+  // ---------------------------------------------------------------
+
+  def deadLetter(errors: DataFrame, path: String, endpoint: String): Long = {
+    val n = errors.count()
+    if (n > 0)
+      errors.withColumn("endpoint", lit(endpoint))
+        .withColumn("timestamp", current_timestamp())
+        .write.mode(SaveMode.Append).parquet(path)
+    n
+  }
+
+  // ---------------------------------------------------------------
+  // The sync round (§3.2): resume -> pages -> enrich -> merge -> save.
+  // ---------------------------------------------------------------
+
+  /** One sync batch over `nPages` pages starting after the stored cursor
+    * (or at `startPage` when `resume=false` — reference semantics:
+    * explicit start_page overrides the cursor).
+    *
+    * `base` models the discover feed (must contain the state's columns
+    * minus enrichment outputs); rows with null `id` dead-letter (P14).
+    * `details` (id -> production fields) inner-joins (JN1, skip-if-
+    * missing); `ruTitles` (id -> title_ru) left-joins (JN2). Both are
+    * broadcast — they are per-page lookups in the reference.
+    */
+  def run(spark: SparkSession,
+          base: DataFrame,
+          details: DataFrame,
+          ruTitles: DataFrame,
+          stateTemplate: DataFrame,
+          statePath: String,
+          cursorPath: String,
+          deadLetterPath: String,
+          cursorKey: String,
+          orderBy: Seq[Column],
+          pageSize: Int = 20,
+          nPages: Int = 2,
+          resume: Boolean = true,
+          startPage: Int = 1,
+          sortBy: Option[String] = Some("vote_count.desc")): Report = {
+
+    val from =
+      if (resume) CursorStore.get(spark, cursorPath, cursorKey)
+        .map(_.page + 1).getOrElse(startPage)
+      else startPage
+
+    val pageBatch = pages(base, orderBy, pageSize, from, nPages).cache()
+    try {
+      val attempted = pageBatch.count()
+      val lastPage = from + nPages - 1
+
+      // P14 / ST3: null-id rows are poisoned records -> dead-letter
+      val bad = pageBatch.filter(col("id").isNull)
+      val deadLettered = deadLetter(
+        bad.withColumn("error", lit("missing id")), deadLetterPath, cursorKey)
+      val good = pageBatch.filter(col("id").isNotNull).drop("_page")
+
+      // JN1 (inner: skip-if-missing details) + JN2 (left: null allowed)
+      val enriched = good
+        .join(broadcast(details), Seq("id"), "inner")
+        .join(broadcast(ruTitles), Seq("id"), "left_outer")
+
+      val existing = readState(spark, statePath, stateTemplate)
+      val incoming = enriched.select(existing.columns.map(col): _*)
+      val res = Upsert.mergeMovies(existing, incoming, sortBy,
+        now = current_timestamp())
+
+      // every read of the OLD state (tmp write + counters) happens before
+      // the swap — the merge plan scans the state parquet lazily
+      val tmp = statePath + ".tmp"
+      res.merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+      val counts = res.counters.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      swapState(tmp, statePath)
+      val (ins, upd) = (counts.getOrElse("insert", 0L), counts.getOrElse("update", 0L))
+
+      CursorStore.save(spark, cursorPath,
+        Cursor(cursorKey, lastPage, ins, upd))
+      Report(cursorKey, attempted, deadLettered, ins, upd, lastPage)
+    } finally pageBatch.unpersist()
+  }
+
+  /** State table read; empty-with-template-schema when absent (first run). */
+  private def readState(spark: SparkSession, path: String,
+                        template: DataFrame): DataFrame =
+    if (Files.exists(Paths.get(path))) spark.read.parquet(path)
+    else template.limit(0)
+
+  /** Parquet MERGE target swap: the local-FS stand-in for an Iceberg/
+    * Delta MERGE INTO commit. Spark can't overwrite a parquet dir it is
+    * reading in the same job, hence write-aside + rename. */
+  private def swapState(tmp: String, path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) deleteRec(p)
+    Files.move(Paths.get(tmp), p)
+  }
+
+  private def deleteRec(p: Path): Unit =
+    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+      .forEach(f => Files.delete(f))
+}

@@ -1,10 +1,338 @@
 package graft.queries
 
-import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Scale-extension operators (dedup / similarity search / text analysis /
-  * multimodal) over `documents` and `embeddings` — filled in build step 8
-  * (SURVEY.md §7.2). */
+import graft.{QueryDef, Tables}
+import graft.datax.{Dedup, Multimodal, Similarity, TextStats}
+import graft.streaming.StreamOps
+
+/** Scale-extension operators — dedup / similarity search / multimodal /
+  * text analysis / event-time windows — over the `documents`,
+  * `embeddings`, and `events` tables.
+  *
+  * Oracle-parity notes (hash compare is exact):
+  *  - every hash-bearing operator here is built on md5 (hex, lowercase in
+  *    both engines) so the FULL pipeline — including MinHash signatures
+  *    and LSH band buckets — is replayed verbatim in DuckDB SQL;
+  *  - float folds (dot products) are sequential in both engines with a
+  *    0.0 seed, so doubles match bit-for-bit;
+  *  - xxhash64-based ops (SimHash, hyperplane LSH) have no DuckDB
+  *    equivalent -> rows-only check + ScalaTest semantics specs.
+  */
 object DataxQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // marker lists must match TextStats.* exactly (quoted into the SQL)
+  private def sqlList(xs: Array[String]): String =
+    xs.map("'" + _ + "'").mkString("[", ",", "]")
+  private val EN = sqlList(TextStats.EnMarkers)
+  private val DE = sqlList(TextStats.DeMarkers)
+  private val FR = sqlList(TextStats.FrMarkers)
+  private val ES = sqlList(TextStats.EsMarkers)
+
+  // DuckDB fragments shared by the text oracles
+  private val TOKS = "string_split(trim(lower(text)), ' ')"
+  private def hits(list: String) =
+    s"len(list_filter($TOKS, t -> list_contains($list, t)))"
+  private val en = hits(EN)
+  private val de = hits(DE)
+  private val fr = hits(FR)
+  private val es = hits(ES)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---------------------------------------------------------------
+    // Text analysis (token counting, fingerprinting, language ID,
+    // quality scoring) — all scan-side column expressions, no shuffle.
+    // ---------------------------------------------------------------
+
+    QueryDef("d01_text_stats",
+      (s, dir) => t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.tokenCountWs(col("text")).as("n_tokens_ws"),
+          TextStats.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+          TextStats.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens_ws,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_tokens_bpe,
+          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents ORDER BY doc_id""")),
+
+    /* Exact dedup: one shuffle on the 16-byte digest, map-side partial agg. */
+    QueryDef("d02_exact_dedup",
+      (s, dir) => Dedup.exactDupGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+               min(doc_id) AS representative, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    QueryDef("d03_lang_id",
+      (s, dir) => t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang,
+          CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+               WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+               WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+               WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+               WHEN $es > 0 THEN 'es'
+               ELSE 'und' END AS lang_pred
+        FROM documents ORDER BY doc_id""")),
+
+    QueryDef("d04_quality_score",
+      (s, dir) => t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          CASE WHEN length(text) = 0 THEN 0.0 ELSE
+            (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE) * 0.5
+            + least(($en::DOUBLE / len($TOKS)::DOUBLE) * 5.0, 1.0) * 0.2
+            + (CASE WHEN (length(text)::DOUBLE - (len($TOKS)::DOUBLE - 1.0))
+                           / len($TOKS)::DOUBLE BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.5 END) * 0.3
+          END AS quality
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------
+    // Near-duplicate detection
+    // ---------------------------------------------------------------
+
+    /* MinHash+LSH: signatures computed scan-side; only (id, band, bsig)
+     * shuffles; verification touches bucket collisions only. The oracle
+     * replays the ENTIRE pipeline (shingles -> 16 md5 minhashes -> 8
+     * 2-row band digests -> bucket join -> exact-jaccard verify). */
+    QueryDef("d05_minhash_neardups",
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH docs AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(
+                   list_transform(range(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+3], ' ')),
+                   x -> x <> '')) AS sh
+          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+          WHERE len(toks) >= 4),
+        sigs AS (
+          SELECT id, sh,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS sig
+          FROM docs WHERE len(sh) > 0),
+        banded AS (
+          SELECT id, sh,
+                 unnest(list_transform(range(0, 8),
+                   b -> {'band': b, 'bsig': md5(array_to_string(sig[b*2+1:b*2+2], ','))}),
+                   recursive := true)
+          FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+           AND a.id < b.id)
+        SELECT id_a, id_b,
+               len(list_intersect(sh_a, sh_b))
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+        FROM pairs
+        WHERE len(list_intersect(sh_a, sh_b))
+                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.3
+        ORDER BY id_a, id_b""")),
+
+    /* Exhaustive n-gram Jaccard — the exact baseline MinHash approximates
+     * (shared-shingle join in Spark; small-n cross join in the oracle). */
+    QueryDef("d06_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, threshold = 0.3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH docs AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(
+                   list_transform(range(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+3], ' ')),
+                   x -> x <> '')) AS sh
+          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+          WHERE len(toks) >= 4)
+        SELECT a.id AS id_a, b.id AS id_b,
+               len(list_intersect(a.sh, b.sh))
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        FROM docs a JOIN docs b ON a.id < b.id
+        WHERE len(a.sh) > 0 AND len(b.sh) > 0
+          AND len(list_intersect(a.sh, b.sh))
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
+        ORDER BY id_a, id_b""")),
+
+    /* SimHash fingerprints (xxhash64-based — no SQL oracle; semantics
+     * pinned by DedupSpec). */
+    QueryDef("d07_simhash",
+      (s, dir) => t(s, dir, "documents").select(
+          col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy("doc_id"),
+      None),
+
+    // ---------------------------------------------------------------
+    // Similarity search over embeddings
+    // ---------------------------------------------------------------
+
+    /* Exact cosine top-k; float folds sequential with 0.0 seed in both
+     * engines -> bit-identical doubles. */
+    QueryDef("d08_cosine_topk",
+      (s, dir) => Similarity.bruteForceTopK(
+          t(s, dir, "embeddings"),
+          t(s, dir, "embeddings").filter(col("vec_id") < 16),
+          k = 5)
+        .orderBy("query_id", "rank"),
+      Some("""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id < 16),
+        scored AS (
+          SELECT query_id, id,
+            list_reduce(list_prepend(0.0, list_transform(range(1, len(vec)+1),
+              i -> vec[i] * qvec[i])), (a, x) -> a + x)
+            / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(vec)+1),
+                 i -> vec[i] * vec[i])), (a, x) -> a + x))
+               * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, len(qvec)+1),
+                   i -> qvec[i] * qvec[i])), (a, x) -> a + x))) AS cosine
+          FROM v CROSS JOIN q WHERE id <> query_id)
+        SELECT query_id, rank, id, cosine FROM (
+          SELECT query_id, id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, id ASC) AS INT) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    /* IVF-probed ANN (approximate; index build + probe). Deterministic,
+     * but the centroid assignment has no tractable SQL transcript ->
+     * rows-only; recall-vs-brute-force pinned by SimilaritySpec. */
+    QueryDef("d09_ivf_topk",
+      (s, dir) => {
+        val (centroids, assigned) =
+          Similarity.ivfIndex(t(s, dir, "embeddings"), nCentroids = 16)
+        Similarity.ivfTopK(centroids, assigned,
+            t(s, dir, "embeddings").filter(col("vec_id") < 16),
+            k = 5, nProbe = 4)
+          .orderBy("query_id", "rank")
+      },
+      None),
+
+    /* Random-hyperplane LSH near-dup pairs (xxhash64 planes -> rows-only;
+     * threshold calibrated to the near-orthogonal synthetic embeddings). */
+    QueryDef("d10_embedding_neardups",
+      (s, dir) => Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+          "vec_id", "embedding", planes = 4, threshold = 0.25)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ---------------------------------------------------------------
+    // Multimodal columns (binary payload + typed metadata; stub decode)
+    // ---------------------------------------------------------------
+
+    /* Asset metadata + stub header-decode, all scan-side expressions. */
+    QueryDef("d11_multimodal_meta",
+      (s, dir) => {
+        val a = Multimodal.assets(t(s, dir, "documents"))
+        a.select(
+            col("asset_id"), col("media_type"),
+            col("meta.origin").as("origin"),
+            octet_length(col("payload")).as("n_bytes"),
+            md5(col("payload")).as("digest"),
+            Multimodal.decodeMeta(col("payload")).as("_d"))
+          .select(col("asset_id"), col("media_type"), col("origin"),
+            col("n_bytes"), col("digest"),
+            col("_d.width").as("width"), col("_d.height").as("height"),
+            col("_d.n_frames").as("n_frames"))
+          .orderBy("asset_id")
+      },
+      Some("""SELECT doc_id AS asset_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'image'
+               WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          source AS origin,
+          CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+          md5(text) AS digest,
+          CAST(64 + (ascii(substr(md5(text), 1, 1)) * 256
+                     + ascii(substr(md5(text), 2, 1))) % 1856 AS INT) AS width,
+          CAST(64 + (ascii(substr(md5(text), 3, 1)) * 256
+                     + ascii(substr(md5(text), 4, 1))) % 1016 AS INT) AS height,
+          CAST(octet_length(text::BLOB) % 240 + 1 AS INT) AS n_frames
+        FROM documents ORDER BY asset_id""")),
+
+    /* Frame sampling: every 30th frame of each video asset, one row per
+     * sampled frame with a per-frame decode digest. */
+    QueryDef("d12_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.assets(t(s, dir, "documents")), step = 30)
+        .orderBy("asset_id", "frame_no"),
+      Some("""WITH a AS (
+          SELECT doc_id AS asset_id, md5(text) AS digest,
+                 octet_length(text::BLOB) % 240 + 1 AS nf
+          FROM documents WHERE doc_id % 3 = 2),
+        f AS (
+          SELECT asset_id, digest,
+                 unnest(list_filter(range(0, nf), i -> i % 30 = 0)) AS fr
+          FROM a)
+        SELECT asset_id, CAST(fr AS INT) AS frame_no,
+               md5(digest || ':' || fr::VARCHAR) AS frame_digest
+        FROM f ORDER BY asset_id, frame_no""")),
+
+    /* Batched mapPartitions feature extraction (typed Dataset path; the
+     * deterministic fake decode has no SQL transcript -> rows-only). */
+    QueryDef("d13_asset_features",
+      (s, dir) => Multimodal.extractFeatures(
+          Multimodal.assets(t(s, dir, "documents")))
+        .orderBy("asset_id"),
+      None),
+
+    // ---------------------------------------------------------------
+    // Event-time windows over `events` (Structured-Streaming-shaped)
+    // ---------------------------------------------------------------
+
+    QueryDef("d14_tumbling_window",
+      (s, dir) => StreamOps.tumblingStats(t(s, dir, "events"))
+        .drop("approx_users") // HLL sketch differs across engines
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, CAST(count(*) AS BIGINT) AS n_events,
+               min(value) AS min_value, max(value) AS max_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    QueryDef("d15_sliding_window",
+      (s, dir) => StreamOps.slidingCounts(t(s, dir, "events"))
+        .orderBy("window_start", "event_type"),
+      Some("""WITH e AS (
+          SELECT event_type,
+                 unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                         time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
+          FROM events)
+        SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    /* Gaps-and-islands sessionization (batch analogue of
+     * session_window): one shuffle on user_id. */
+    QueryDef("d16_sessionize",
+      (s, dir) => StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 60)
+        .orderBy("user_id", "session_id"),
+      Some("""WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1
+                      ELSE 0 END AS _new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sess AS (
+          SELECT user_id, ts,
+                 CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+          FROM flagged)
+        SELECT user_id, session_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+        ORDER BY user_id, session_id"""))
+  )
 }

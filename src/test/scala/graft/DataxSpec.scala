@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.datax.{Dedup, Similarity, TextStats}
+
+/** Semantics specs for the scale-pipeline operators (dedup / similarity /
+  * text analysis) — the behaviors the DuckDB oracle cannot express
+  * (xxhash64-based ops) plus edge cases on crafted fixtures. */
+class DataxSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- text stats ----
+
+  test("langId classifies marker-bearing sentences and CJK") {
+    val d = docs(
+      1L -> "the cat is in the house and it is warm",
+      2L -> "der hund ist nicht in das haus und die katze",
+      3L -> "le chat est dans la maison et les chiens",
+      4L -> "el perro y los gatos es una casa en madrid",
+      5L -> "你好世界",
+      6L -> "zzz qqq xxx")
+    val got = d.select($"doc_id", TextStats.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und"))
+  }
+
+  test("token counts: ws vs bpe-ish") {
+    val d = docs(1L -> "Hello, world! x2")
+    val r = d.select(
+      TextStats.tokenCountWs($"text"),
+      TextStats.tokenCountBpe($"text")).head()
+    assert(r.getInt(0) == 3) // [Hello,] [world!] [x2]
+    assert(r.getInt(1) == 6) // [hello][,][world][!][x][2]
+  }
+
+  test("fingerprint is whitespace- and case-insensitive") {
+    val d = docs(1L -> "A  B\tC", 2L -> "a b c", 3L -> "a b d")
+    val fps = d.select(TextStats.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("qualityScore stays in [0,1] and penalizes junk") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog and it runs",
+      2L -> "!!!! #### 1234 @@@@ %%%%")
+    val q = d.orderBy("doc_id")
+      .select(TextStats.qualityScore($"text")).as[Double].collect()
+    assert(q.forall(x => x >= 0.0 && x <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  // ---- shingles / dedup ----
+
+  test("shingles: shorter than k -> empty, not descending-sequence garbage") {
+    val d = docs(1L -> "one two three", 2L -> "one two three four five")
+    val sh = d.orderBy("doc_id")
+      .select(Dedup.shingles($"text", 4)).as[Seq[String]].collect()
+    assert(sh(0).isEmpty)
+    assert(sh(1) == Seq("one two three four", "two three four five"))
+  }
+
+  test("exactDupGroups groups whitespace/case variants") {
+    val d = docs(1L -> "Spark is fast", 2L -> "spark  is   fast",
+      3L -> "flink is ok")
+    val g = Dedup.exactDupGroups(d, "doc_id", "text")
+      .orderBy("representative")
+      .select("representative", "n_docs").as[(Long, Long)].collect()
+    assert(g.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhashNearDups finds exact and near duplicates, and is a subset of exhaustive jaccard") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      1L -> base,
+      2L -> base, // exact dup
+      3L -> (base + " lambda"), // near dup
+      4L -> "totally different words entirely unrelated content here now")
+    val mh = Dedup.minhashNearDups(d, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)))
+    assert(mh.contains((1L, 3L)) && mh.contains((2L, 3L)))
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.subsetOf(exact)) // LSH candidates are verified -> no false positives
+    assert(!exact.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " extra"),
+      4L -> "qq ww ee rr tt yy uu ii oo pp aa ss dd ff gg hh jj kk ll zz")
+    val sh = d.orderBy("doc_id")
+      .select(Dedup.simhash64($"text")).as[Long].collect()
+    assert(sh(0) == sh(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0), sh(2)) < ham(sh(0), sh(3)))
+  }
+
+  test("embeddingNearDups catches identical vectors via hyperplane buckets") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.5f, -0.5f, 0.2f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+        planes = 2, threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  // ---- similarity search ----
+
+  test("bruteForceTopK: self excluded, duplicate vector ranks first with cosine 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1), k = 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    assert(top.length == 2)
+    assert(top(0)._3 == 2L && math.abs(top(0)._4 - 1.0) < 1e-12)
+    assert(top(1)._3 == 4L)
+    assert(!top.exists(_._3 == 1L))
+  }
+
+  test("ivfTopK recall vs brute force >= 0.6 on real embeddings") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val (c, a) = Similarity.ivfIndex(emb, nCentroids = 16)
+    val approx = Similarity.ivfTopK(c, a, queries, k = 5, nProbe = 4)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}

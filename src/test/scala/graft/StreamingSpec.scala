@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+
+/** The Structured Streaming contract: the SAME declarative transform
+  * produces identical results on a batch DataFrame and on a stream —
+  * verified here with MemoryStream micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    (1L, ts("2026-01-01 10:05:00"), 100L, "click", 1.0),
+    (2L, ts("2026-01-01 10:40:00"), 100L, "click", 2.0),
+    (3L, ts("2026-01-01 11:10:00"), 200L, "view", 3.0),
+    (4L, ts("2026-01-01 11:59:00"), 100L, "click", 0.5),
+    (5L, ts("2026-01-01 13:00:00"), 200L, "view", 9.0))
+
+  private def batchDf = rows
+    .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("tumblingStats on stream == tumblingStats on batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = StreamOps.tumblingStats(streamDf)
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3)) // second micro-batch updates state
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = StreamOps.tumblingStats(batchDf)
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      // sanity on content: 10:00 window has 2 clicks
+      val first = streamed.head
+      assert(first.getString(0) == "2026-01-01 10:00:00" &&
+        first.getLong(2) == 2L)
+    } finally q.stop()
+  }
+
+  test("slidingCounts: each event lands in width/slide windows") {
+    val out = StreamOps.slidingCounts(batchDf, "1 hour", "30 minutes")
+      .orderBy("window_start", "event_type")
+      .as[(String, String, Long)].collect()
+    // event at 10:05 -> windows starting 09:30 and 10:00
+    assert(out.contains(("2026-01-01 09:30:00", "click", 1L)))
+    assert(out.contains(("2026-01-01 10:00:00", "click", 2L)))
+    // total (event, window) incidences = 2x events
+    assert(out.map(_._3).sum == rows.size * 2)
+  }
+
+  test("sessionize splits on gaps > threshold per user") {
+    val out = StreamOps.sessionize(batchDf, gapMinutes = 60)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    // user 100: 10:05, 10:40 (35m gap), 11:59 (79m gap -> new session)
+    // user 200: 11:10, 13:00 (110m gap -> new session)
+    assert(out == Seq((100L, 1L, 2L), (100L, 2L, 1L),
+      (200L, 1L, 1L), (200L, 2L, 1L)))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.SyncJob
+
+/** End-to-end sync simulation (SURVEY.md §3.2, ST1-ST3): resumable
+  * cursor, dead-letter, inner/left enrichment joins, idempotent merge. */
+class SyncJobSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 25 discover rows (5 pages of 5) sorted by vote_count desc =
+  // ids 25..1; id=13 is poisoned (null id) -> dead-letter
+  private def base = (1 to 25).map { i =>
+    (if (i == 13) None else Some(i.toLong), "movie", s"Movie $i", i.toLong)
+  }.toDF("id", "_type", "title", "vote_count")
+
+  // details for all but id=7 (JN1 inner join drops it)
+  private def details = (1 to 25).filter(_ != 7)
+    .map(i => (i.toLong, s"C$i")).toDF("id", "country")
+
+  // ru titles only for even ids (JN2 left join nulls the rest)
+  private def ruTitles = (1 to 25).filter(_ % 2 == 0)
+    .map(i => (i.toLong, s"RU $i")).toDF("id", "title_ru")
+
+  private def template = Seq.empty[(Long, String, String, Long, String, String)]
+    .toDF("id", "_type", "title", "vote_count", "country", "title_ru")
+
+  test("two-batch resumable sync with dead-letter, then idempotent re-run") {
+    val dir = Files.createTempDirectory("syncjob").toString
+    val (st, cur, dl) = (s"$dir/state", s"$dir/cursors", s"$dir/dead")
+    def round() = SyncJob.run(spark, base, details, ruTitles, template,
+      st, cur, dl, cursorKey = "top_vote_count_movie",
+      orderBy = Seq(col("vote_count").desc, col("id").asc),
+      pageSize = 5, nPages = 2)
+
+    // batch 1: pages 1-2 = ids 25..16 by vote_count desc
+    val r1 = round()
+    assert(r1.attempted == 10 && r1.deadLettered == 0)
+    assert(r1.inserted == 10 && r1.updated == 0 && r1.lastPage == 2)
+
+    // batch 2 resumes at page 3: ids 15..6; id=13 dead-letters, id=7
+    // dropped by missing details
+    val r2 = round()
+    assert(r2.attempted == 10 && r2.deadLettered == 1)
+    assert(r2.inserted == 8 && r2.updated == 0 && r2.lastPage == 4)
+
+    val state = spark.read.parquet(st)
+    assert(state.count() == 18)
+    // enrichment joins applied: country everywhere, title_ru evens only
+    assert(state.filter($"country".isNull).count() == 0)
+    assert(state.filter($"title_ru".isNotNull).count() ==
+      state.filter($"id" % 2 === 0).count())
+    assert(state.filter($"id" === 13 || $"id" === 7).count() == 0)
+
+    // dead-letter got the poisoned row with context
+    val dead = spark.read.parquet(dl)
+    assert(dead.count() == 1)
+    assert(dead.select("endpoint").as[String].head() == "top_vote_count_movie")
+
+    // explicit re-run of pages 3-4 (resume=false): idempotent — same
+    // state, rows now classified update
+    val r3 = SyncJob.run(spark, base, details, ruTitles, template,
+      st, cur, dl, cursorKey = "top_vote_count_movie",
+      orderBy = Seq(col("vote_count").desc, col("id").asc),
+      pageSize = 5, nPages = 2, resume = false, startPage = 3)
+    assert(r3.inserted == 0 && r3.updated == 8)
+    assert(spark.read.parquet(st).count() == 18)
+
+    // cursor log: latest wins, history preserved
+    val c = SyncJob.CursorStore.get(spark, cur, "top_vote_count_movie").get
+    assert(c.page == 4)
+    assert(spark.read.parquet(cur).count() == 3)
+  }
+}
