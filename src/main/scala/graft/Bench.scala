@@ -14,7 +14,26 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_ONLY=d05_x,d06_y restricts the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Per-query warm-up on the smallest SF IMMEDIATELY before its timed
+    // run: Janino whole-stage-codegen compile + JIT dominate cold
+    // single-query runs (up to ~10s for wide-agg plans) and are one-time
+    // costs irrelevant at scale. The warmup must be interleaved, not a
+    // separate pass — Spark's codegen cache holds ~100 generated
+    // classes, so a fleet-wide warmup pass self-evicts before timing.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    def warm(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      if (warmDir.nonEmpty && warmDir != sfDir)
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
+    val results = queries.map { case (name, fn) =>
+      warm(name, fn)
       val t0 = System.nanoTime()
       // noop sink materializes every row/column (a bare count() would let
       // Catalyst prune the query down to a metadata scan)

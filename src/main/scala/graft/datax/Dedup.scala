@@ -24,11 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word k-shingles of the text; empty array when the document
-    * has fewer than k tokens (Spark's `sequence(1, n)` is DESCENDING for
-    * n<1, so the short-doc case must be guarded, not clamped). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextStats.tokens(text)
+  /** Distinct word k-shingles from a MATERIALIZED token-array column;
+    * empty array when the document has fewer than k tokens (Spark's
+    * `sequence(1, n)` is DESCENDING for n<1, so the short-doc case must
+    * be guarded, not clamped).
+    *
+    * `toks` must be a real column (attribute), not an inline
+    * `split(...)` expression: every `slice(toks, i, k)` inside the
+    * lambda re-evaluates its subtree per element, so an inline split
+    * costs O(positions x text-length) per row. */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
     when(size(toks) >= k,
       array_distinct(
         filter(
@@ -36,6 +41,33 @@ object Dedup {
             i => concat_ws(" ", slice(toks, i, lit(k)))),
           s => s =!= "")))
       .otherwise(array().cast("array<string>"))
+
+  /** Convenience single-expression form (fine for small data / specs;
+    * table-scale callers should materialize tokens first). */
+  def shingles(text: Column, k: Int): Column =
+    shinglesFromTokens(TextStats.tokens(text), k)
+
+  /** The distinct (id, shingle) ROWS of each document — the workhorse
+    * relation for both LSH and exact Jaccard. Built with posexplode +
+    * window `lead` instead of array higher-order functions: HOF lambdas
+    * are interpreted expression trees, while explode/window/aggregate
+    * stay inside whole-stage codegen — at table scale that is the
+    * difference between seconds and minutes. The window shuffles once on
+    * id; the per-doc `distinct` reuses that partitioning (no second
+    * exchange), as do all downstream per-id aggregations. */
+  private def docShingleRows(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until k).map(j => lead(col("t"), j).over(w))
+    toks.select(col("id"),
+        concat_ws(" ", col("t") +: leads: _*).as("s"),
+        (if (k > 1) leads.last else col("t")).as("_last"))
+      .filter(col("_last").isNotNull && col("s") =!= "")
+      .select("id", "s")
+      .distinct()
   }
 
   /** One MinHash permutation: min over shingles of md5(seed:shingle).
@@ -53,6 +85,17 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows)))))
 
+  /** [[lshBandSigs]] ∘ [[minhashSignature]] fused so each of the
+    * numHashes minhash folds is evaluated EXACTLY once: slicing a
+    * full-signature subexpression would splice that whole subtree into
+    * every band (Catalyst does not CSE inside lambda bodies), costing
+    * bands× the md5 work. Output strings are identical. */
+  def lshBandSigsDirect(sh: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",",
+        transform(sequence(b * rows, b * rows + (rows - 1)),
+          i => minhashOne(sh, i)))))
+
   /** Exact Jaccard over the distinct shingle sets. */
   def jaccard(shA: Column, shB: Column): Column = {
     val inter = size(array_intersect(shA, shB))
@@ -69,25 +112,61 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     */
+  /** Set sizes |A| per doc from the shingle-rows relation. */
+  private def shingleCounts(exploded: DataFrame): DataFrame =
+    exploded.groupBy("id").agg(count(lit(1)).as("n"))
+
+  /** Count-based exact Jaccard for a given candidate-pair set: |A∩B| is
+    * a codegen'd count over shared-shingle rows, never an
+    * array_intersect over wide arrays. `cand` is consumed EXACTLY once —
+    * re-referencing it would re-execute its (expensive) producing
+    * subtree per reference. `threshold` must be > 0 (pairs with empty
+    * intersection don't reach the output). */
+  private def verifyJaccard(cand: DataFrame, exploded: DataFrame,
+                            threshold: Double): DataFrame = {
+    val inter = cand
+      .join(exploded.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(exploded.select(col("id").as("_idb"), col("s").as("s_b")),
+        col("id_b") === col("_idb") && col("s_a") === col("s_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
+    val sz = shingleCounts(exploded)
+    inter
+      .join(sz.select(col("id").as("id_a"), col("n").as("_na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("_inter") / (col("_na") + col("_nb") - col("_inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 4, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val withSh = docs.select(col(idCol).as("id"),
-        shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val banded = withSh.select(col("id"), col("sh"),
-        posexplode(lshBandSigs(minhashSignature(col("sh"), numHashes), bands, rows))
-          .as(Seq("band", "bsig")))
-    val a = banded.select(col("band"), col("bsig"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bsig"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bsig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val exploded = docShingleRows(docs, idCol, textCol, k)
+    // signatures as codegen'd min-aggregates; map-side partial min()
+    // shrinks the shuffle to one row per doc before the exchange
+    val hashAggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"_h$i"))
+    val sigs = exploded.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bandSigCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*))
+    }
+    // Candidates via bucket GROUPING, not a banded self-join: a self-join
+    // would execute the signature subtree once per side. Buckets collect
+    // their member ids (bounded by bucket size — LSH's intrinsic skew
+    // unit) and expand to sorted in-bucket pairs.
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
+    val buckets = banded.groupBy("band", "bsig")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairCombos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val cand = buckets.select(explode(pairCombos).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(cand, exploded, threshold)
   }
 
   /** Exact n-gram Jaccard pairs via shared-shingle self-join — the
@@ -95,27 +174,33 @@ object Dedup {
     * use minhashNearDups at scale. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val exploded = sh.select(col("id"), col("sh"), explode(col("sh")).as("s"))
-    val pairs = exploded.as("a").join(exploded.as("b"),
+    val exploded = docShingleRows(docs, idCol, textCol, k)
+    // one shared-shingle self-join: each output row IS one element of
+    // A∩B, so |A∩B| falls out of the same join as a codegen'd count —
+    // no candidate re-join, no arrays anywhere
+    val inter = exploded.as("a").join(exploded.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-    pairs.select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("_inter"))
+    val sz = shingleCounts(exploded)
+    inter
+      .join(sz.select(col("id").as("id_a"), col("n").as("_na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("_inter") / (col("_na") + col("_nb") - col("_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over whitespace tokens (xxhash64-based; Spark-native,
     * not SQL-portable — verified by spec, rows-only in the oracle). */
   def simhash64(text: Column): Column = {
-    val toks = TextStats.tokens(text)
-    // per bit j: sum of (bit_j(hash(t)) ? 1 : -1) over tokens; sign -> bit
+    // hash each token ONCE; the 64 per-bit passes are then shift+mask
+    // only (hashing per (token, bit) would cost 64x the hashes)
+    val hashes = transform(TextStats.tokens(text), t => xxhash64(t))
+    // per bit j: sum of (bit_j(hash) ? 1 : -1) over tokens; sign -> bit
     val bitSums = transform(sequence(lit(0), lit(63)), j =>
-      aggregate(toks, lit(0),
-        (acc, t) => acc + when(call_function("shiftright", xxhash64(t), j)
+      aggregate(hashes, lit(0),
+        (acc, h) => acc + when(call_function("shiftright", h, j)
           .bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
@@ -126,32 +211,67 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Table-level SimHash — identical output to [[simhash64]] but via
+    * explode + 64 codegen'd conditional-sum aggregates (the array fold is
+    * interpreted; this stays in whole-stage codegen and partial-aggs
+    * map-side, one row per doc into the shuffle). */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(TextStats.tokens(col(textCol))).as("t"))
+    val hashed = tokens.select(col("id"), xxhash64(col("t")).as("h"))
+    val bitAggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"_b$j"))
+    val sums = hashed.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until 64).map(j =>
+        when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("id"), fp.as("simhash"))
+  }
+
+  /** splitmix64 finalizer — the deterministic PRNG behind the hyperplane
+    * signs (public-domain constants, Steele et al., "Fast Splittable
+    * Pseudorandom Number Generators"). */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
-    * bucket by sign-pattern over `planes` pseudo-random hyperplanes
-    * (deterministic, hash-derived), verify candidates with exact cosine.
-    * Only bucket collisions are verified — never the full pair space. */
+    * bucket by sign-pattern over `planes` pseudo-random ±1 hyperplanes,
+    * verify candidates with exact cosine. Only bucket collisions are
+    * verified — never the full pair space. The plane matrix is
+    * deterministic (splitmix64 parity) and baked in as LITERALS — it is
+    * data-independent, so hashing per (row, plane, dim) at runtime would
+    * be pure waste. */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         planes: Int = 8, threshold: Double = 0.9): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    // hyperplane p component j = ±1 from xxhash64(p:j) parity; sign of
-    // dot(vec, plane) = sign of sum(±vec_j)
-    val sigExpr = transform(sequence(lit(0), lit(planes - 1)), p => {
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val signs: Array[Array[Double]] = Array.tabulate(planes, dim)((p, j) =>
+      if ((splitmix64(p.toLong * 1000003L + j) & 1L) == 1L) 1.0 else -1.0)
+    val sigExprs = (0 until planes).map { p =>
       val dot = aggregate(
-        zip_with(col("vec"), sequence(lit(0), size(col("vec")) - 1),
-          (x, j) => when(xxhash64(concat(p.cast("string"), lit(":"), j.cast("string")))
-            .bitwiseAND(1) === 1, x).otherwise(-x)),
+        zip_with(col("vec"), lit(signs(p)), (x, s) => x * s),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, "1").otherwise("0")
-    })
+    }
+    // norms once per vector, not once per candidate pair
     val bucketed = v.select(col("id"), col("vec"),
-      concat_ws("", sigExpr).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+      Similarity.norm(col("vec")).as("_n"),
+      concat_ws("", sigExprs: _*).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("_n").as("_na"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("_n").as("_nb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("vec_a"), col("vec_b")).as("cosine"))
+        (Similarity.dot(col("vec_a"), col("vec_b")) / (col("_na") * col("_nb")))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

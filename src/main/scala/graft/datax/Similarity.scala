@@ -28,14 +28,22 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact cosine top-k: for each query vector, the k nearest vectors
-    * (excluding itself), rank 1 = nearest; ties broken by id. */
+    * (excluding itself), rank 1 = nearest; ties broken by id.
+    *
+    * Norms are computed once per SIDE before the join — cosine inside
+    * the pair loop would fold each vector's self-dot once per pair
+    * (interpreted lambdas, 3x the work). `dot/(na*nb)` is the same
+    * float expression tree as `cosine()`, so results are bit-identical. */
   def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("_n", norm(col("vec")))
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qvec"))
+      .withColumn("_qn", norm(col("qvec")))
     val scored = v.crossJoin(broadcast(q))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"), cosine(col("vec"), col("qvec")).as("cosine"))
+      .select(col("query_id"), col("id"),
+        (dot(col("vec"), col("qvec")) / (col("_n") * col("_qn"))).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -70,16 +78,19 @@ object Similarity {
               k: Int, nProbe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qvec"))
+      .withColumn("_qn", norm(col("qvec")))
     val probes = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qvec"), col("centroid_id"),
+      .select(col("query_id"), col("qvec"), col("_qn"), col("centroid_id"),
         cosine(col("qvec"), col("cvec")).as("_sim"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("_sim").desc, col("centroid_id").asc)))
       .filter(col("_rn") <= nProbe)
-      .select("query_id", "qvec", "centroid_id")
-    val scored = probes.join(assigned, Seq("centroid_id"))
+      .select("query_id", "qvec", "_qn", "centroid_id")
+    val scored = probes
+      .join(assigned.withColumn("_n", norm(col("vec"))), Seq("centroid_id"))
       .filter(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"), cosine(col("vec"), col("qvec")).as("cosine"))
+      .select(col("query_id"), col("id"),
+        (dot(col("vec"), col("qvec")) / (col("_n") * col("_qn"))).as("cosine"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)))
       .filter(col("rank") <= k)

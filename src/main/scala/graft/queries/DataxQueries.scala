@@ -169,8 +169,8 @@ object DataxQueries {
     /* SimHash fingerprints (xxhash64-based — no SQL oracle; semantics
      * pinned by DedupSpec). */
     QueryDef("d07_simhash",
-      (s, dir) => t(s, dir, "documents").select(
-          col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      (s, dir) => Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       None),
 

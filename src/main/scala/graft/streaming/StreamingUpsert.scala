@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.merge.Upsert
+
+/** ST2 — the streaming face of the merge engine: an incoming stream of
+  * movie docs is merged into the catalog state exactly-once-in-effect via
+  * `foreachBatch` + the idempotent batch MERGE (at-least-once delivery x
+  * idempotent upsert = exactly-once effect, the reference's own contract;
+  * reference: app/catalog/upsert.py:99-103).
+  *
+  * State lives in an in-memory exchangeable cell here (the test harness);
+  * production swaps [[StateStore]] for an Iceberg/Delta table whose
+  * MERGE INTO has the same plan shape. Checkpointing (ST1) is Structured
+  * Streaming's own WAL; the batchId guard makes replayed batches no-ops.
+  */
+object StreamingUpsert {
+
+  /** Minimal pluggable state: read current, commit merged. */
+  trait StateStore {
+    def read(): DataFrame
+    def commit(merged: DataFrame, batchId: Long): Unit
+    /** Highest batchId already applied (replay guard). */
+    def lastCommitted: Long
+  }
+
+  /** Wire a streaming DataFrame of incoming docs into the merge. The
+    * caller starts the returned writer (choosing trigger/checkpoint). */
+  def writer(incoming: DataFrame, store: StateStore,
+             sortBy: Option[String]): DataStreamWriter[Row] =
+    incoming.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > store.lastCommitted) { // replayed batch -> no-op
+          val existing = store.read()
+          val incomingAligned = batch.select(
+            existing.columns.map(org.apache.spark.sql.functions.col): _*)
+          val res = Upsert.mergeMovies(existing, incomingAligned, sortBy,
+            now = org.apache.spark.sql.functions.current_timestamp())
+          store.commit(res.merged, batchId)
+        }
+        ()
+      }
+
+  /** One-shot convenience: drain everything available, then stop. */
+  def runAvailableNow(incoming: DataFrame, store: StateStore,
+                      sortBy: Option[String], checkpointDir: String): Unit = {
+    val q = writer(incoming, store, sortBy)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

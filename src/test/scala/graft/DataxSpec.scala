@@ -105,6 +105,10 @@ class DataxSpec extends AnyFunSuite {
     assert(sh(0) == sh(1))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(sh(0), sh(2)) < ham(sh(0), sh(3)))
+    // the codegen'd table-level path is bit-identical to the array fold
+    val tbl = Dedup.simhashTable(d, "doc_id", "text").orderBy("id")
+      .select("simhash").as[Long].collect()
+    assert(tbl.toSeq == sh.toSeq)
   }
 
   test("embeddingNearDups catches identical vectors via hyperplane buckets") {
