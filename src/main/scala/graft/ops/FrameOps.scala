@@ -103,7 +103,10 @@ object FrameOps {
     val banded = filter(
       coalesce(rawFrames, array().cast(framesType)),
       f => coalesce(f.getField("aspect_ratio"), lit(0.0)).between(1.5, 2.2))
-    val tagged = transform(banded, (f, i) => struct(f.as("f"), i.as("pos")))
+    // pos must lead the struct: array_min compares fields in order, so
+    // (f, pos) would pick the smallest FRAME among path-duplicates
+    // instead of the first-fetched one
+    val tagged = transform(banded, (f, i) => struct(i.as("pos"), f.as("f")))
     val paths = array_distinct(transform(banded, f => f.getField("path")))
     val dedup = transform(paths, p => {
       val first = array_min(filter(tagged,

@@ -313,6 +313,104 @@ object CoreQueries {
           array_to_string(list_sort(list_filter(list_distinct(string_split(p_name, ' ')), x -> NOT list_contains(['widget','bolt'], x))), ',') AS removed
         FROM part ORDER BY p_partkey""")),
 
+    /* P12+O18+O19+F11 — the full frames array pipeline under oracle:
+     * aspect-ratio band filter, keep-FIRST dedup by path, sort by
+     * (vote_average desc, width desc) — array-level, zero shuffle beyond
+     * the frames assembly (reference: app/tmdb_client.py:169-282).
+     * Frames are synthesized per order from lineitem integer columns
+     * (float-derived values would cast-round differently across
+     * engines); duplicate l_partkey within an order exercises dedup. */
+    QueryDef("s03_frames_pipeline",
+      (s, dir) => {
+        val frame = struct(
+          concat(lit("/"), col("l_partkey"), lit(".jpg")).as("path"),
+          (lit(1.4) + (col("l_partkey") % 8) / lit(10.0)).as("aspect_ratio"),
+          (((col("l_partkey") * 7 + col("l_linenumber")) % 97) / lit(10.0)).as("vote_average"),
+          (col("l_suppkey") % 4000).cast("int").as("width"))
+        // 10% order sample: this query exists to oracle-verify the
+        // ARRAY-level ops (the table-level scale path is w02/w03);
+        // per-array interpreted lambdas are not the 100 TB plan shape
+        val perOrder = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
+          .groupBy("l_orderkey")
+          .agg(transform(
+            array_sort(collect_list(struct(col("l_linenumber").as("pos"), frame.as("f")))),
+            x => x.getField("f")).as("frames"))
+        perOrder.select(col("l_orderkey"),
+            posexplode(FrameOps.filterBackdrops(col("frames"))).as(Seq("pos", "f")))
+          .select(col("l_orderkey"), col("pos"),
+            col("f.path").as("path"), col("f.vote_average").as("va"),
+            col("f.width").as("width"))
+          .orderBy("l_orderkey", "pos")
+      },
+      Some("""WITH fr AS (
+          SELECT l_orderkey, l_linenumber AS lpos,
+                 '/' || CAST(l_partkey AS VARCHAR) || '.jpg' AS path,
+                 1.4 + (l_partkey % 8) / 10.0 AS ar,
+                 ((l_partkey * 7 + l_linenumber) % 97) / 10.0 AS va,
+                 CAST(l_suppkey % 4000 AS INT) AS width
+          FROM lineitem WHERE l_orderkey % 10 = 0),
+        banded AS (SELECT * FROM fr WHERE ar BETWEEN 1.5 AND 2.2),
+        dedup AS (
+          -- l_linenumber is NOT unique per order in this testdata; the
+          -- full (lpos, frame) tuple mirrors Spark's struct tie-break
+          SELECT * FROM (SELECT *, row_number() OVER (
+              PARTITION BY l_orderkey, path
+              ORDER BY lpos, ar, va, width) AS _rn FROM banded)
+          WHERE _rn = 1)
+        SELECT l_orderkey,
+               CAST(row_number() OVER (PARTITION BY l_orderkey
+                 ORDER BY va DESC, width DESC, path DESC) - 1 AS INT) AS pos,
+               path, va, width
+        FROM dedup ORDER BY l_orderkey, pos""")),
+
+    /* F5+F6+SO3 — genre/country derivations + present/missing partition
+     * of a request list vs the document's codes (reference:
+     * app/sync.py:104-107, app/catalog/upsert.py:65-66,
+     * app/endpoints/frames.py:67-69). Every 5th supplier has a NULL iso
+     * code (F6 must drop it, not propagate). */
+    QueryDef("s04_country_codes",
+      (s, dir) => {
+        val country = struct(
+          when(col("l_suppkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(concat(lit("C"), col("l_suppkey") % 25)).as("iso_3166_1"),
+          concat(lit("Country "), col("l_suppkey")).as("name"))
+        val req = Seq("C1", "C2", "C3")
+        val perOrder = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
+          .groupBy("l_orderkey")
+          .agg(transform(
+            array_sort(collect_list(struct(col("l_linenumber").as("pos"), country.as("c")))),
+            x => x.getField("c")).as("production_countries"))
+        perOrder.select(col("l_orderkey"),
+            Enrich.countryCodes(col("production_countries")).as("_codes"))
+          .select(col("l_orderkey"),
+            concat_ws(",", col("_codes")).as("codes"),
+            array_contains(col("_codes"), "C7").as("has_c7"),
+            concat_ws(",", array_intersect(lit(req.toArray), col("_codes"))).as("present"),
+            concat_ws(",", array_except(lit(req.toArray), col("_codes"))).as("missing"))
+          .orderBy("l_orderkey")
+      },
+      Some("""WITH pc AS (
+          SELECT l_orderkey,
+                 list(CASE WHEN l_suppkey % 5 = 0 THEN NULL
+                           ELSE 'C' || CAST(l_suppkey % 25 AS VARCHAR) END
+                      ORDER BY l_linenumber,
+                        CASE WHEN l_suppkey % 5 = 0 THEN NULL
+                             ELSE 'C' || CAST(l_suppkey % 25 AS VARCHAR) END
+                          ASC NULLS FIRST,
+                        'Country ' || CAST(l_suppkey AS VARCHAR)) AS isos
+          FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY 1),
+        codes AS (
+          SELECT l_orderkey, list_filter(isos, x -> x IS NOT NULL) AS cs FROM pc)
+        SELECT l_orderkey,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark
+               coalesce(array_to_string(cs, ','), '') AS codes,
+               list_contains(cs, 'C7') AS has_c7,
+               coalesce(array_to_string(list_filter(['C1','C2','C3'], x -> list_contains(cs, x)), ','), '') AS present,
+               coalesce(array_to_string(list_filter(['C1','C2','C3'], x -> NOT list_contains(cs, x)), ','), '') AS missing
+        FROM codes ORDER BY l_orderkey""")),
+
     /* P13 — anti-membership higher-order filter
      * (reference: app/utils/frames.py:11-12). */
     QueryDef("s02_anti_membership",
