@@ -19,8 +19,13 @@ object Similarity {
     * and oracle-portable). */
   def toDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Sequential-fold dot product (higher-order aggregate, codegen'd). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product via the native codegen'd expression
+    * ([[graft.functions.DotProduct]]); bit-identical to [[dotFold]]. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dotp(a, b)
+
+  /** The built-in higher-order-function fold (interpreted; kept as the
+    * reference semantics the native expression must match). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

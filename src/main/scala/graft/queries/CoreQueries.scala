@@ -595,6 +595,37 @@ object CoreQueries {
           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
           CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    /* TPC-H Q3 shape: selective dim filter -> broadcast customer ->
+     * shuffle join orders⋈lineitem -> partial/final agg -> global top-10
+     * (TakeOrderedAndProject — no full sort at scale). The bench anchor
+     * for join strategy. */
+    QueryDef("h02_top_revenue",
+      (s, dir) => {
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01"))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") >= lit("1997-01-01"))
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(sum(rev).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("o_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
   )
 }

@@ -313,6 +313,27 @@ object DataxQueries {
                CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    /* JSON property extraction over the events stream (training
+     * pipelines carry semi-structured payloads; extraction must be
+     * scan-side, codegen'd, and null-safe on malformed docs). */
+    QueryDef("d17_json_props",
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(col("k")).as("n_with_k"),
+          min("k").as("min_k"), max("k").as("max_k"),
+          sum("k").as("sum_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_with_k,
+               min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     /* Gaps-and-islands sessionization (batch analogue of
      * session_window): one shuffle on user_id. */
     QueryDef("d16_sessionize",

@@ -139,6 +139,22 @@ class DataxSpec extends AnyFunSuite {
     assert(!top.exists(_._3 == 1L))
   }
 
+  test("native DotProduct == HOF fold, and registers as SQL graft_dot") {
+    val vecs = Seq(
+      (1L, Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.25)),
+      (2L, Array(0.1, 0.2, 0.3), Array(0.0, 0.0, 0.0)))
+      .toDF("id", "a", "b")
+    val both = vecs.select(
+      graft.functions.DotProduct.dotp($"a", $"b").as("native"),
+      datax.Similarity.dotFold($"a", $"b").as("fold"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (n, f) => assert(n == f) } // bit-identical
+    // SQL registration via SparkSessionExtensions
+    val viaSql = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d))").head().getDouble(0)
+    assert(viaSql == 11.0)
+  }
+
   test("ivfTopK recall vs brute force >= 0.6 on real embeddings") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = emb.filter($"vec_id" < 8)
