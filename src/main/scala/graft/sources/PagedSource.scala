@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 source with the reference's paginated-feed shape
+  * (SURVEY.md §2.1 S1/S5/S8/S9: TMDB discover pages; reference:
+  * app/tmdb_client.py:293-382, app/sync_top.py:32-121).
+  *
+  * Offline build: a "feed" is a directory of JSON-lines files
+  * `page-<n>.json`, one file per page — exactly the unit the reference
+  * fetches per HTTP round-trip. The live variant would swap the file
+  * read in [[PageReader]] for the HTTP GET (with the retry/backoff of
+  * ST4) and nothing else: partition planning, schema, and pushdown are
+  * the same.
+  *
+  * Scale design:
+  *  - one InputPartition per page -> a 500-page year sync fans out as
+  *    500 parallel tasks instead of the reference's sequential loop;
+  *  - `SupportsPushDownLimit`: LIMIT n plans only ceil(n/pageSize)
+  *    pages — the reference's `saved >= limit` early-exit, moved into
+  *    the scan;
+  *  - options `startPage`/`maxPages` give the resumable-cursor window
+  *    (ST1) source-side.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("tmdb-pages")
+  *     .option("path", dir).option("startPage", 3).load()
+  * }}}
+  */
+class PagedSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "tmdb-pages"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedTable(properties.asScala.toMap)
+}
+
+object PagedSource {
+  /** The discover-item projection the reference consumes (dynamic TMDB
+    * payloads reduced to the fields the pipeline uses) + page provenance. */
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("title", StringType),
+    StructField("vote_count", LongType),
+    StructField("popularity", DoubleType),
+    StructField("_page", IntegerType)))
+
+  def pageFiles(dir: String): Seq[(Int, String)] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap { f =>
+        f.getName match {
+          case s if s.startsWith("page-") && s.endsWith(".json") =>
+            Some(s.stripPrefix("page-").stripSuffix(".json").toInt -> f.getAbsolutePath)
+          case _ => None
+        }
+      }.sortBy(_._1)
+  }
+}
+
+class PagedTable(options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = s"tmdb_pages(${options.getOrElse("path", "?")})"
+  override def schema(): StructType = PagedSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(options)
+}
+
+class PagedScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownLimit {
+  private var limit: Option[Int] = None
+  /** LIMIT caps the planned pages; rows still flow through Spark's own
+    * GlobalLimit for exactness (pushdown is an upper-bound prune). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+  override def build(): Scan = new PagedScan(options, limit)
+}
+
+case class PageInputPartition(page: Int, path: String) extends InputPartition
+
+class PagedScan(options: Map[String, String], limit: Option[Int])
+    extends Scan with Batch {
+  private val pageSize = options.getOrElse("pageSize", "20").toInt
+  override def readSchema(): StructType = PagedSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val lim = limit.map(n => s", limitPages=${pagesFor(n)}").getOrElse("")
+    s"tmdb-pages path=${options.getOrElse("path", "?")}$lim"
+  }
+  private def pagesFor(n: Int): Int = (n + pageSize - 1) / pageSize
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val start = options.getOrElse("startPage", "1").toInt
+    val maxPages = options.getOrElse("maxPages", Int.MaxValue.toString).toInt
+    // long arithmetic: start + maxPages overflows Int at the default cap
+    val all = PagedSource.pageFiles(options("path"))
+      .filter { case (p, _) => p >= start && p.toLong < start.toLong + maxPages.toLong }
+    val capped = limit.map(n => all.take(pagesFor(n))).getOrElse(all)
+    capped.map { case (p, f) => PageInputPartition(p, f): InputPartition }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PageReader(p.asInstanceOf[PageInputPartition])
+    }
+}
+
+/** Reads one page file (JSON lines). The live implementation replaces
+  * the file source with the HTTP GET + retry/backoff (ST4) and the
+  * dead-letter append (ST3) — same reader contract. */
+class PageReader(part: PageInputPartition) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val lines = scala.io.Source.fromFile(part.path, "UTF-8")
+  private val it = lines.getLines().filter(_.trim.nonEmpty)
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!it.hasNext) false
+    else {
+      val node = mapper.readTree(it.next())
+      current = InternalRow(
+        if (node.hasNonNull("id")) node.get("id").asLong() else null,
+        if (node.hasNonNull("title")) UTF8String.fromString(node.get("title").asText()) else null,
+        if (node.hasNonNull("vote_count")) node.get("vote_count").asLong() else null,
+        if (node.hasNonNull("popularity")) node.get("popularity").asDouble() else null,
+        part.page)
+      true
+    }
+  override def get(): InternalRow = current
+  override def close(): Unit = lines.close()
+}
