@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -596,6 +596,27 @@ object CoreQueries {
           CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    /* Salted two-phase aggregation — identical results to the direct
+     * GROUP BY (the oracle runs the direct form), with hot keys spread
+     * over 16 reducer buckets. The skew tool for keys AQE can't split. */
+    QueryDef("k01_salted_agg",
+      (s, dir) => SkewOps.saltedAgg(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          saltBy = col("l_orderkey"), buckets = 16,
+          aggs = Seq(
+            ("sum_qty", (c: Column) => sum(c.cast("decimal(18,2)")),
+              (p: String) => sum(col(p))),
+            ("n", (_: Column) => count(lit(1)),
+              (p: String) => sum(col(p)))),
+          valueCol = "l_quantity")
+        .select(col("l_returnflag"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("n").cast("long").as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     /* TPC-H Q3 shape: selective dim filter -> broadcast customer ->
      * shuffle join orders⋈lineitem -> partial/final agg -> global top-10

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SkewOps
+
+/** Scale-technique specs: salted aggregation/join equivalence and
+  * bucketed co-located joins (shuffle-free plan shape). */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedAgg == direct aggregation on a hot-keyed table") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("q"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+      .as[(String, BigDecimal, Long)].collect().toSeq
+    val salted = SkewOps.saltedAgg(li, Seq("l_returnflag"),
+        saltBy = col("l_orderkey"), buckets = 8,
+        aggs = Seq(
+          ("q", (c: org.apache.spark.sql.Column) => sum(c.cast("decimal(18,2)")),
+            (p: String) => sum(col(p))),
+          ("n", (_: org.apache.spark.sql.Column) => count(lit(1)),
+            (p: String) => sum(col(p)))),
+        valueCol = "l_quantity")
+      .orderBy("l_returnflag")
+      .select(col("l_returnflag"), col("q").cast("decimal(18,2)"), col("n"))
+      .as[(String, BigDecimal, Long)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("saltedJoin == plain inner join") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    val plain = orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name").orderBy("o_orderkey")
+      .as[(Long, String)].collect().toSeq
+    val salted = SkewOps.saltedJoin(
+        orders.withColumnRenamed("o_custkey", "k"),
+        customer.withColumnRenamed("c_custkey", "k"),
+        keys = Seq("k"), saltBy = col("o_orderkey"), buckets = 4)
+      .select("o_orderkey", "c_name").orderBy("o_orderkey")
+      .as[(Long, String)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // external-table paths: warehouse.dir is static config, but bucketed
+    // metadata only needs the catalog entry, not the warehouse location
+    val wh = Files.createTempDirectory("wh").toString
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val customer = Tables.load(spark, "/root/testdata/sf0.001", "customer")
+    orders.write.mode("overwrite")
+      .bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    customer.write.mode("overwrite")
+      .bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .option("path", s"$wh/customer_b").saveAsTable("customer_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("orders_b").join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() ==
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
