@@ -313,6 +313,28 @@ object DataxQueries {
                CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    /* Quality-score distribution as an EXACT fixed-width histogram
+     * (floor-bucketing is engine-portable; percentile sketches are not
+     * — use approx_percentile at scale where exactness isn't gated). */
+    QueryDef("d18_quality_histogram",
+      (s, dir) => t(s, dir, "documents")
+        .select((floor(TextStats.qualityScore(col("text")) * 10) / 10).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket"),
+      Some(s"""WITH q AS (
+          SELECT CASE WHEN length(text) = 0 THEN 0.0 ELSE
+            (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+               / length(text)::DOUBLE) * 0.5
+            + least(($en::DOUBLE / len($TOKS)::DOUBLE) * 5.0, 1.0) * 0.2
+            + (CASE WHEN (length(text)::DOUBLE - (len($TOKS)::DOUBLE - 1.0))
+                           / len($TOKS)::DOUBLE BETWEEN 3.0 AND 10.0
+                    THEN 1.0 ELSE 0.5 END) * 0.3
+          END AS quality FROM documents)
+        SELECT floor(quality * 10) / 10 AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM q GROUP BY 1 ORDER BY bucket""")),
+
     /* JSON property extraction over the events stream (training
      * pipelines carry semi-structured payloads; extraction must be
      * scan-side, codegen'd, and null-safe on malformed docs). */

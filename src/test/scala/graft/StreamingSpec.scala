@@ -64,6 +64,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == rows.size * 2)
   }
 
+  test("sessionize matches Spark's built-in session_window aggregation") {
+    val builtin = batchDf
+      .groupBy($"user_id", session_window($"ts", "60 minutes").as("w"))
+      .count()
+      .select($"user_id", $"count")
+      .orderBy($"user_id", $"w.start")
+      .as[(Long, Long)].collect().toSeq
+    val ours = StreamOps.sessionize(batchDf, gapMinutes = 60)
+      .orderBy("user_id", "session_id")
+      .select($"user_id", $"n_events")
+      .as[(Long, Long)].collect().toSeq
+    assert(ours == builtin)
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     val out = StreamOps.sessionize(batchDf, gapMinutes = 60)
       .orderBy("user_id", "session_id")
