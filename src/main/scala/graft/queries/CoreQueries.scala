@@ -647,6 +647,30 @@ object CoreQueries {
           AND o_orderdate < TIMESTAMP '1999-01-01'
           AND l_shipdate >= TIMESTAMP '1997-01-01'
         GROUP BY o_orderkey, o_orderdate
-        ORDER BY revenue DESC, o_orderkey LIMIT 10"""))
+        ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    /* Headline window-function shape: per-customer running totals and
+     * order ranks — one shuffle on the partition key, sort within
+     * partitions, no global sort. DECIMAL keeps the running sum exact
+     * and associative across engines. */
+    QueryDef("h03_running_totals",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .filter(col("o_custkey") % 10 === 0)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            row_number().over(w).as("order_seq"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+              .cast("double").as("running_spend"))
+          .orderBy("o_custkey", "order_seq")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(row_number() OVER w AS INT) AS order_seq,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
+        FROM orders WHERE o_custkey % 10 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, order_seq"""))
   )
 }

@@ -53,6 +53,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark drops late events in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = StreamOps.tumblingStats(streamDf)
+      .writeStream.format("memory").queryName("wm_append")
+      .outputMode("append").start()
+    try {
+      // window 10:00-11:00 has one event; then the watermark advances
+      // far past 11:10 (13:00 - 10m), closing that window
+      mem.addData((1L, ts("2026-01-01 10:05:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2026-01-01 13:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // a late event for the CLOSED window must be dropped
+      mem.addData((3L, ts("2026-01-01 10:20:00"), 1L, "click", 99.0))
+      q.processAllAvailable()
+      mem.addData((4L, ts("2026-01-01 15:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable() // advance watermark so 13:00 window emits
+      val out = spark.table("wm_append")
+        .orderBy("window_start")
+        .as[(String, String, Long, Long, Double, Double)].collect()
+      val w10 = out.find(_._1 == "2026-01-01 10:00:00").get
+      assert(w10._3 == 1L, "late event must not be counted")
+      assert(w10._6 == 1.0, "late event's value must not appear")
+    } finally q.stop()
+  }
+
   test("slidingCounts: each event lands in width/slide windows") {
     val out = StreamOps.slidingCounts(batchDf, "1 hour", "30 minutes")
       .orderBy("window_start", "event_type")
