@@ -510,6 +510,19 @@ object CoreQueries {
                CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END AS p
         FROM orders ORDER BY p ASC NULLS FIRST, o_orderkey LIMIT 100""")),
 
+    /* R1 desc — Mongo sorts missing/null LAST on desc ≡ Spark's default
+     * desc_nulls_last; DuckDB defaults NULLS FIRST on DESC, so the
+     * oracle spells it out (reference: app/endpoints/movies.py:53-66). */
+    QueryDef("r02_sort_nulls_desc",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")).as("p"))
+        .orderBy(col("p").desc, col("o_orderkey").asc)
+        .limit(100),
+      Some("""SELECT o_orderkey,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END AS p
+        FROM orders ORDER BY p DESC NULLS LAST, o_orderkey LIMIT 100""")),
+
     /* F1 + P5 — year extraction from a release_date STRING (null on
      * malformed) + lexicographic string-date range filter
      * (reference: app/catalog/upsert.py:37-43; app/endpoints/movies.py:46-51). */
