@@ -4,23 +4,24 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication at scale: exact (hash groupBy), MinHash+LSH
-  * (shingle -> signature -> band-bucket join -> verify), SimHash, and
-  * n-gram Jaccard.
+  * (shingle rows -> min-agg signatures -> band buckets -> count-verify),
+  * SimHash, n-gram Jaccard, and embedding-LSH.
   *
   * Scale design notes:
   *  - exact dedup is one shuffle on the 16-byte digest, with map-side
   *    partial aggregation;
-  *  - MinHash signatures are computed entirely scan-side with nested
-  *    higher-order functions — NO explode of (shingle x hashId) rows, so
-  *    the only shuffled data is (docId, band, bandSig): the classic
-  *    pay-per-band LSH cost, independent of document length;
-  *  - candidate verification touches only bucket collisions, never the
-  *    full pair space (the n-gram Jaccard self-join below IS the full
-  *    pair space restricted to shared shingles — correct but quadratic
-  *    in the worst case; it exists as the exact baseline/verifier).
-  *  - the default hash is md5 with lexicographic-min over hex strings (a
-  *    valid uniform permutation family, and portable to any SQL oracle);
-  *    swap `hashShingle` for xxhash64 to trade portability for speed.
+  *  - the text pipelines run as explode + window + aggregate (whole-
+  *    stage codegen), NEVER as interpreted array-lambda folds; partial
+  *    min/sum aggregation means one row per doc enters each shuffle;
+  *  - candidate pairs travel as bare (id_a, id_b); Jaccard verification
+  *    is a count over shared-shingle rows restricted to bucket
+  *    collisions — wide arrays never ride a shuffle (the n-gram Jaccard
+  *    self-join below IS the full shared-shingle pair space; it exists
+  *    as the exact baseline/verifier);
+  *  - the MinHash hash is md5 with lexicographic-min over hex strings
+  *    (a valid uniform permutation family, portable to any SQL oracle —
+  *    the driver's DuckDB check replays the whole pipeline); xxhash64
+  *    variants (SimHash, hyperplane LSH) trade portability for speed.
   */
 object Dedup {
 
@@ -109,9 +110,6 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("representative"), count(lit(1)).as("n_docs"))
 
-  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
-    */
   /** Set sizes |A| per doc from the shingle-rows relation. */
   private def shingleCounts(exploded: DataFrame): DataFrame =
     exploded.groupBy("id").agg(count(lit(1)).as("n"))
@@ -138,9 +136,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
+    * (> 0). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 4, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    require(threshold > 0, "zero-intersection pairs are never emitted")
     val rows = numHashes / bands
     val exploded = docShingleRows(docs, idCol, textCol, k)
     // signatures as codegen'd min-aggregates; map-side partial min()
@@ -250,7 +253,11 @@ object Dedup {
                         planes: Int = 8, threshold: Double = 0.9): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val dim = vectors.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) // empty input (or empty vectors): no pairs, same schema
+      return v.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine"))
     val signs: Array[Array[Double]] = Array.tabulate(planes, dim)((p, j) =>
       if ((splitmix64(p.toLong * 1000003L + j) & 1L) == 1L) 1.0 else -1.0)
     val sigExprs = (0 until planes).map { p =>

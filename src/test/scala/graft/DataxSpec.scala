@@ -111,6 +111,11 @@ class DataxSpec extends AnyFunSuite {
     assert(tbl.toSeq == sh.toSeq)
   }
 
+  test("embeddingNearDups: empty input -> empty output, not a crash") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.embeddingNearDups(empty, "vec_id", "embedding").count() == 0)
+  }
+
   test("embeddingNearDups catches identical vectors via hyperplane buckets") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
