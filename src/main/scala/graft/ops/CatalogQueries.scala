@@ -74,12 +74,17 @@ object CatalogQueries {
     movies.filter(col("id") === id && col("_type") === contentType).limit(1)
 
   /** P8 — Mongo `$regex ... $options i` is an UNANCHORED, case-insensitive
-    * substring match across title/title_ru (reference:
-    * app/endpoints/catalog.py:49-53). `rlike` has the same unanchored
-    * semantics; `(?i)` carries the option. */
-  def titleRegexSearch(movies: DataFrame, q: String): DataFrame = {
-    val quoted = java.util.regex.Pattern.quote(q)
+    * match across title/title_ru, and the user string IS a regex pattern
+    * (reference: app/endpoints/catalog.py:49-53 passes it through raw).
+    * `rlike` has the same unanchored semantics; `(?i)` carries the
+    * option. `literal=true` opts into substring-escaping for callers
+    * that don't want pattern metacharacters interpreted (PCRE-vs-Java
+    * regex differences are out of the reference's observable surface for
+    * the common cases). */
+  def titleRegexSearch(movies: DataFrame, q: String,
+                       literal: Boolean = false): DataFrame = {
+    val pattern = if (literal) java.util.regex.Pattern.quote(q) else q
     movies.filter(
-      col("title").rlike(s"(?i)$quoted") || col("title_ru").rlike(s"(?i)$quoted"))
+      col("title").rlike(s"(?i)$pattern") || col("title_ru").rlike(s"(?i)$pattern"))
   }
 }

@@ -60,8 +60,17 @@ class CatalogSpec extends AnyFunSuite {
     val ru = CatalogQueries.titleRegexSearch(movies, "миля")
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(ru == Seq(4L), "title_ru matched when title doesn't")
-    val meta = CatalogQueries.titleRegexSearch(movies, "gre(en")
-    assert(meta.count() == 0, "regex metacharacters in user input are quoted")
+    // the user string IS a pattern (reference passes it to $regex raw)
+    val wild = CatalogQueries.titleRegexSearch(movies, "gre.n m")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(wild == Seq(4L), "metacharacters interpreted as regex")
+    // invalid pattern -> error (Mongo errors on invalid $regex too)
+    intercept[Exception] {
+      CatalogQueries.titleRegexSearch(movies, "gre(en").count()
+    }
+    // literal mode quotes metacharacters for substring search
+    assert(CatalogQueries.titleRegexSearch(movies, "gre(en", literal = true)
+      .count() == 0)
   }
 
   test("Enrich: extractYear null on malformed; isAnimated; displayTitle coalesce") {
