@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.datax.{Dedup, Multimodal, Similarity, TextStats}
+import graft.datax.{Dedup, Multimodal, Profile, Similarity, TextStats}
 import graft.streaming.StreamOps
 
 /** Scale-extension operators — dedup / similarity search / multimodal /
@@ -312,6 +312,25 @@ object DataxQueries {
         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    /* One-scan dataset profile: per-column row/non-null/distinct counts
+     * (exact distinct for the oracle; HLL at 100 TB via exact=false). */
+    QueryDef("d19_profile",
+      (s, dir) => Profile.profile(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name"),
+      Some("""SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(count(o_orderstatus) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(count(o_orderpriority) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
+        ORDER BY col_name""")),
 
     /* Quality-score distribution as an EXACT fixed-width histogram
      * (floor-bucketing is engine-portable; percentile sketches are not

@@ -75,5 +75,15 @@ class SyncJobSpec extends AnyFunSuite {
     val c = SyncJob.CursorStore.get(spark, cur, "top_vote_count_movie").get
     assert(c.page == 4)
     assert(spark.read.parquet(cur).count() == 3)
+
+    // batch 3 resumes at page 5 (ids 5..1); batch 4 runs past the end:
+    // empty page set, zero counters, state untouched, cursor advances
+    val r4 = round()
+    assert(r4.attempted == 5 && r4.inserted == 5) // page 5 = ids 5..1, page 6 empty
+    val before = spark.read.parquet(st).count()
+    val r5 = round()
+    assert(r5.attempted == 0 && r5.inserted == 0 && r5.updated == 0)
+    assert(spark.read.parquet(st).count() == before)
+    assert(SyncJob.CursorStore.get(spark, cur, "top_vote_count_movie").get.page == 8)
   }
 }
