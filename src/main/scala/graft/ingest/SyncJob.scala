@@ -145,15 +145,21 @@ object SyncJob {
       val bad = pageBatch.filter(col("id").isNull)
       val deadLettered = deadLetter(
         bad.withColumn("error", lit("missing id")), deadLetterPath, cursorKey)
-      val good = pageBatch.filter(col("id").isNotNull).drop("_page")
+      val good = pageBatch.filter(col("id").isNotNull)
 
       // JN1 (inner: skip-if-missing details) + JN2 (left: null allowed)
       val enriched = good
         .join(broadcast(details), Seq("id"), "inner")
         .join(broadcast(ruTitles), Seq("id"), "left_outer")
 
+      // the reference applies upserts sequentially, so a movie seen on
+      // two pages of one batch resolves LAST-write-wins; the batch merge
+      // needs that made explicit — dedup by key keeping the highest page
+      val deduped = graft.ops.FrameOps.dedupKeepMax(enriched,
+        Seq("id", "_type"), "_page", Seq("id"))
+
       val existing = readState(spark, statePath, stateTemplate)
-      val incoming = enriched.select(existing.columns.map(col): _*)
+      val incoming = deduped.select(existing.columns.map(col): _*)
       val res = Upsert.mergeMovies(existing, incoming, sortBy,
         now = current_timestamp())
 

@@ -86,4 +86,24 @@ class SyncJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(st).count() == before)
     assert(SyncJob.CursorStore.get(spark, cur, "top_vote_count_movie").get.page == 8)
   }
+
+  test("duplicate key within one batch resolves last-write-wins (by page)") {
+    val dir = Files.createTempDirectory("syncdup").toString
+    // id=1 appears on page 1 (v1) and page 2 (v2): sequential upsert
+    // semantics => v2 must win, and it counts as ONE insert
+    val dupBase = Seq(
+      (Some(1L), "movie", "v1", 10L),
+      (Some(2L), "movie", "other", 9L),
+      (Some(1L), "movie", "v2", 8L))
+      .toDF("id", "_type", "title", "vote_count")
+    val r = SyncJob.run(spark, dupBase,
+      details, ruTitles, template,
+      s"$dir/state", s"$dir/cursors", s"$dir/dead",
+      cursorKey = "dup", orderBy = Seq(col("vote_count").desc),
+      pageSize = 2, nPages = 2)
+    assert(r.inserted == 2)
+    val state = spark.read.parquet(s"$dir/state")
+    assert(state.count() == 2)
+    assert(state.filter($"id" === 1L).select("title").as[String].head() == "v2")
+  }
 }
