@@ -81,11 +81,12 @@ object SyncJob {
             fromPage: Int, nPages: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(orderBy: _*)
+    // _rn (the global feed position) is kept: it is the "sequential
+    // upsert order" key for last-write-wins dedup inside a batch
     base
       .withColumn("_rn", row_number().over(w))
       .withColumn("_page", ((col("_rn") - 1) / pageSize + 1).cast("int"))
       .filter(col("_page") >= fromPage && col("_page") < fromPage + nPages)
-      .drop("_rn")
   }
 
   // ---------------------------------------------------------------
@@ -152,11 +153,12 @@ object SyncJob {
         .join(broadcast(details), Seq("id"), "inner")
         .join(broadcast(ruTitles), Seq("id"), "left_outer")
 
-      // the reference applies upserts sequentially, so a movie seen on
-      // two pages of one batch resolves LAST-write-wins; the batch merge
-      // needs that made explicit — dedup by key keeping the highest page
+      // the reference applies upserts sequentially, so a movie seen
+      // twice in one batch resolves LAST-write-wins; the batch merge
+      // makes that explicit — dedup by key keeping the max feed
+      // position (_rn orders WITHIN a page too, where _page would tie)
       val deduped = graft.ops.FrameOps.dedupKeepMax(enriched,
-        Seq("id", "_type"), "_page", Seq("id"))
+        Seq("id", "_type"), "_rn", Seq("id"))
 
       val existing = readState(spark, statePath, stateTemplate)
       val incoming = deduped.select(existing.columns.map(col): _*)
