@@ -1,0 +1,42 @@
+package graft
+
+/** Dev tool: dumps the physical-plan evidence (pushdown, pruning, join
+  * strategy, aggregation mode, codegen) for representative queries —
+  * the ".explain and iterate" audit trail (see PLANS.md). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val interesting = Seq(
+      "c01_catalog_search", "h01_pricing_summary", "h02_top_revenue",
+      "j01_enrich_join", "w01_argmax_backdrop", "d02_exact_dedup",
+      "d05_minhash_neardups", "d08_cosine_topk", "k01_salted_agg")
+    for (name <- interesting) {
+      println(s"\n##### $name")
+      val df = SparkEntry.queries(name)(spark, dir)
+      // formatted explain of the non-adaptive plan shows the static
+      // strategy; AQE refines at runtime
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val keep = plan.linesIterator.filter { l =>
+        val t = l.trim
+        t.startsWith("PushedFilters") || t.startsWith("ReadSchema") ||
+        t.contains("BroadcastHashJoin") || t.contains("SortMergeJoin") ||
+        t.contains("HashAggregate") || t.contains("SortAggregate") ||
+        t.contains("TakeOrderedAndProject") || t.contains("WholeStageCodegen") ||
+        t.contains("Exchange") || t.contains("BatchScan")
+      }
+      keep.take(24).foreach(l => println(l.replaceAll("#\\d+L?", "")))
+    }
+    spark.stop()
+  }
+}
