@@ -313,6 +313,23 @@ object DataxQueries {
                CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
+    /* Vocabulary frequency top-k (the word-count shape): explode tokens,
+     * partial-agg count per token map-side, global top-k via
+     * TakeOrderedAndProject — no full sort of the vocabulary. */
+    QueryDef("d20_vocab_topk",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(TextStats.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20),
+      Some("""SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(trim(lower(text)), ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""")),
+
     /* One-scan dataset profile: per-column row/non-null/distinct counts
      * (exact distinct for the oracle; HLL at 100 TB via exact=false). */
     QueryDef("d19_profile",
