@@ -76,7 +76,6 @@ object Multimodal {
     * call; it is deterministic in the payload bytes. */
   def extractFeatures(assets: DataFrame, dim: Int = 8,
                       batchSize: Int = 64): DataFrame = {
-    val spark = assets.sparkSession
     val ds: Dataset[Asset] = assets
       .select("asset_id", "media_type", "payload")
       .as[Asset](Encoders.product[Asset])
