@@ -66,4 +66,24 @@ object MetaSync {
       .withColumn("year", Enrich.parseKeyYear(col("key")))
       .filter(col("content_type").isNotNull && col("year").isNotNull)
       .orderBy("content_type", "year")
+
+  /** ST6 — the full `/sync/status` composition (reference:
+    * app/main.py:64-138): the top-votes cursor, the parsed year-cursor
+    * list, and the error-window counts, with the endpoint's
+    * `.get(field, 0)` defaulting. */
+  final case class SyncStatus(topVotes: DataFrame, years: DataFrame,
+      errors: DataFrame)
+
+  def syncStatus(cursors: DataFrame, errors: DataFrame,
+                 now: Column): SyncStatus = {
+    def defaulted(df: DataFrame): DataFrame = df.select(
+      (df.columns.filterNot(Seq("page", "inserted", "updated").contains).map(col) ++ Seq(
+        coalesce(col("page"), lit(0)).as("page"),
+        coalesce(col("inserted"), lit(0L)).as("inserted"),
+        coalesce(col("updated"), lit(0L)).as("updated"))): _*)
+    SyncStatus(
+      defaulted(cursors.filter(col("key") === "top_vote_count_movie")).limit(1),
+      defaulted(parsedYearCursors(cursors)),
+      Reports.errorCounts(errors.select(col("timestamp")), now))
+  }
 }
