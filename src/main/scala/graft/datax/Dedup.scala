@@ -69,6 +69,11 @@ object Dedup {
       .filter(col("_last").isNotNull && col("s") =!= "")
       .select("id", "s")
       .distinct()
+      // every consumer (signatures, pair join, size counts, verify)
+      // re-executes this subtree otherwise — the standard multi-pass-
+      // algorithm cache (as MLlib's LSH does); rows are (id, shingle)
+      // only, far smaller than the source text
+      .cache()
   }
 
   /** One MinHash permutation: min over shingles of md5(seed:shingle).
