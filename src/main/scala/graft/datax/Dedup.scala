@@ -199,6 +199,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Near-duplicate CLUSTERS from a pair list: connected components via
+    * iterative min-label propagation (each node adopts the smallest
+    * label among itself and its neighbors until fixpoint). Returns
+    * (id, cluster) where cluster = the smallest doc id in the
+    * component — the canonical "keep one representative per near-dup
+    * group" step that follows pair detection.
+    *
+    * Scale: dup components are shallow (diameter a few hops), so the
+    * loop converges in O(diameter) joins; each iteration is one shuffle
+    * of the (small) pair-graph node set, with a driver-side convergence
+    * check. `maxIterations` bounds pathological chains; the method
+    * throws rather than return a half-converged clustering. */
+  def dupClusters(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min("cluster").as("_nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("cluster", "_prev"), "id")
+        .filter(col("cluster") =!= col("_prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIterations iterations")
+    labels
+  }
+
   /** 64-bit SimHash over whitespace tokens (xxhash64-based; Spark-native,
     * not SQL-portable — verified by spec, rows-only in the oracle). */
   def simhash64(text: Column): Column = {

@@ -42,6 +42,40 @@ object DataxQueries {
   private val fr = hits(FR)
   private val es = hits(ES)
 
+  /** The full MinHash-LSH pipeline replayed in DuckDB SQL (shared by the
+    * d05 pair check and the d21 cluster check, which wraps it in a
+    * recursive-CTE connected-components closure). */
+  private val MinhashPairsSql: String = s"""WITH docs AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(
+                   list_transform(range(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+3], ' ')),
+                   x -> x <> '')) AS sh
+          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+          WHERE len(toks) >= 4),
+        sigs AS (
+          SELECT id, sh,
+                 list_transform(range(0, 16),
+                   i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS sig
+          FROM docs WHERE len(sh) > 0),
+        banded AS (
+          SELECT id, sh,
+                 unnest(list_transform(range(0, 8),
+                   b -> {'band': b, 'bsig': md5(array_to_string(sig[b*2+1:b*2+2], ','))}),
+                   recursive := true)
+          FROM sigs),
+        pairs AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+           AND a.id < b.id)
+        SELECT id_a, id_b,
+               len(list_intersect(sh_a, sh_b))
+                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+        FROM pairs
+        WHERE len(list_intersect(sh_a, sh_b))
+                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.3
+        ORDER BY id_a, id_b"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------
@@ -112,36 +146,24 @@ object DataxQueries {
       (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
           k = 4, numHashes = 16, bands = 8, threshold = 0.3)
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH docs AS (
-          SELECT doc_id AS id,
-                 list_distinct(list_filter(
-                   list_transform(range(1, len(toks) - 2),
-                     i -> array_to_string(toks[i:i+3], ' ')),
-                   x -> x <> '')) AS sh
-          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
-          WHERE len(toks) >= 4),
-        sigs AS (
-          SELECT id, sh,
-                 list_transform(range(0, 16),
-                   i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS sig
-          FROM docs WHERE len(sh) > 0),
-        banded AS (
-          SELECT id, sh,
-                 unnest(list_transform(range(0, 8),
-                   b -> {'band': b, 'bsig': md5(array_to_string(sig[b*2+1:b*2+2], ','))}),
-                   recursive := true)
-          FROM sigs),
-        pairs AS (
-          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
-          FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
-           AND a.id < b.id)
-        SELECT id_a, id_b,
-               len(list_intersect(sh_a, sh_b))
-                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
-        FROM pairs
-        WHERE len(list_intersect(sh_a, sh_b))
-                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.3
-        ORDER BY id_a, id_b""")),
+      Some(MinhashPairsSql)),
+
+    /* Near-dup pair list -> connected-component CLUSTERS (the "one
+     * representative per group" step). Spark runs min-label propagation
+     * to fixpoint; the oracle computes the same transitive min via a
+     * recursive CTE over the full replayed MinHash pipeline. */
+    QueryDef("d21_dup_clusters",
+      (s, dir) => Dedup.dupClusters(
+          Dedup.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+            k = 4, numHashes = 16, bands = 8, threshold = 0.3))
+        .orderBy("id"),
+      Some(s"""WITH RECURSIVE p AS ($MinhashPairsSql),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+        r(u, v) AS (SELECT u, v FROM e
+                    UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u)
+        SELECT u AS id, least(u, min(v)) AS cluster
+        FROM r GROUP BY u ORDER BY id""")),
 
     /* Exhaustive n-gram Jaccard — the exact baseline MinHash approximates
      * (shared-shingle join in Spark; small-n cross join in the oracle). */

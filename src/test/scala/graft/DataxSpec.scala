@@ -95,6 +95,15 @@ class DataxSpec extends AnyFunSuite {
     assert(!exact.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dupClusters: chain components collapse to the min-id representative") {
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 4L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), // 1-2-3 chain
+      (4L, 4L), (5L, 5L), (6L, 5L), (9L, 4L)))
+  }
+
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
