@@ -212,29 +212,37 @@ object Dedup {
     * check. `maxIterations` bounds pathological chains; the method
     * throws rather than return a half-converged clustering. */
   def dupClusters(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // cache the pair list BEFORE mirroring: the union's two branches
+    // would otherwise each execute the (expensive) pair-producing plan
+    val p = pairs.select("id_a", "id_b").cache()
+    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("cluster")).cache()
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
+      // project to (id, cluster) — the cached frame carries _prev too
+      val cur = labels.select("id", "cluster")
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "v"), "v")
+        .join(cur.withColumnRenamed("id", "v"), "v")
         .groupBy(col("u").as("id")).agg(min("cluster").as("_nmin"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+      // previous label rides along so ONE action both materializes the
+      // cache and counts the changes (no separate convergence join)
+      val next = cur.withColumnRenamed("cluster", "_prev")
+        .join(neighborMin, Seq("id"), "left_outer")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("_nmin"), col("cluster"))).as("cluster"))
+          least(col("_prev"), coalesce(col("_nmin"), col("_prev"))).as("cluster"),
+          col("_prev"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("cluster", "_prev"), "id")
-        .filter(col("cluster") =!= col("_prev")).isEmpty
+      converged = next.filter(col("cluster") =!= col("_prev")).count() == 0
       labels.unpersist()
       labels = next
       i += 1
     }
     require(converged, s"label propagation did not converge in $maxIterations iterations")
-    labels
+    labels.select("id", "cluster")
   }
 
   /** 64-bit SimHash over whitespace tokens (xxhash64-based; Spark-native,
