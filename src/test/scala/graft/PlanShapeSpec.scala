@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the perf properties PLANS.md documents,
+  * asserted so a refactor can't silently lose them while staying
+  * value-correct. Non-adaptive explain is inspected (AQE refines but
+  * does not add scans/filters). */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.executedPlan.toString
+
+  test("c01: filters pushed to the scan, sort+limit fused") {
+    val p = plan("c01_catalog_search")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
+      s"expected pushed filters:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "page must not global-sort")
+  }
+
+  test("h02: dims broadcast, partial/final aggregation, top-k fused") {
+    val p = plan("h02_top_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"customer and orders sides must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join expected at this shape")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("j01: column pruning reaches the orders scan") {
+    val p = plan("j01_enrich_join")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"orders scan must read 2 columns only:\n$p")
+  }
+
+  test("h01: aggregation is a partial/final pair (map-side combine)") {
+    val p = plan("h01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected 2 HashAggregates:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+  }
+
+  test("w01: max_by partial-aggregates before the exchange") {
+    val p = plan("w01_argmax_backdrop")
+    // SortAggregate (struct buffer) is expected — but it MUST appear
+    // twice: partial before the shuffle, final after
+    assert("SortAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("d08: query side broadcasts with its filter pushed") {
+    val p = plan("d08_cosine_topk")
+    assert(p.contains("BroadcastExchange"))
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,16)]"),
+      s"query-side filter must reach the scan:\n$p")
+  }
+}
