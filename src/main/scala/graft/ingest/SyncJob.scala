@@ -132,10 +132,13 @@ object SyncJob {
           startPage: Int = 1,
           sortBy: Option[String] = Some("vote_count.desc")): Report = {
 
-    val from =
-      if (resume) CursorStore.get(spark, cursorPath, cursorKey)
-        .map(_.page + 1).getOrElse(startPage)
-      else startPage
+    // the reference loads the cursor unconditionally: an explicit
+    // start_page overrides the resume POSITION, but the stored
+    // inserted/updated totals still accumulate (sync_top.py:133-134,
+    // 266-271)
+    val prior = CursorStore.get(spark, cursorPath, cursorKey)
+    val from = if (resume) prior.map(_.page + 1).getOrElse(startPage)
+               else startPage
 
     val pageBatch = pages(base, orderBy, pageSize, from, nPages).cache()
     try {
@@ -174,8 +177,13 @@ object SyncJob {
       swapState(tmp, statePath)
       val (ins, upd) = (counts.getOrElse("insert", 0L), counts.getOrElse("update", 0L))
 
+      // cursor totals are CUMULATIVE across runs (sync_top.py:266-271:
+      // cur.get("inserted", 0) + inserted); the Report — like the HTTP
+      // response body — carries this run's counts only
       CursorStore.save(spark, cursorPath,
-        Cursor(cursorKey, lastPage, ins, upd))
+        Cursor(cursorKey, lastPage,
+          prior.map(_.inserted).getOrElse(0L) + ins,
+          prior.map(_.updated).getOrElse(0L) + upd))
       Report(cursorKey, attempted, deadLettered, ins, upd, lastPage)
     } finally pageBatch.unpersist()
   }

@@ -38,9 +38,12 @@ object Upsert {
   val PreservedCols = Set("incorrect_frames")
 
   /** Generic merge on `keys`, returning per-row `action`
-    * (insert|update|keep). Both inputs must share a schema. */
+    * (insert|update|keep). Both inputs must share a schema.
+    * `preserved` columns always keep the existing side's value (the
+    * reference never puts them in `$set`). */
   def mergeWithAction(existing: DataFrame, incoming: DataFrame,
-                      keys: Seq[String] = Seq("id", "_type")): DataFrame = {
+                      keys: Seq[String] = Seq("id", "_type"),
+                      preserved: Set[String] = PreservedCols): DataFrame = {
     require(existing.columns.sameElements(incoming.columns),
       "existing and incoming must share a schema")
     val dataCols = existing.columns.toSeq.filterNot(keys.contains)
@@ -55,7 +58,7 @@ object Upsert {
       val e = col(s"_ex.$c"); val i = col(s"_in.$c")
       val v =
         if (InsertOnlyCols(c)) when(hasExisting, e).otherwise(i)
-        else if (PreservedCols(c)) e
+        else if (preserved(c)) e
         else when(hasIncoming, i).otherwise(e)
       v.as(c)
     }
@@ -83,14 +86,25 @@ object Upsert {
           FrameOps.normalizeFrames(col("frames"), legacyAlias))
       } else incoming
 
-    var merged = mergeWithAction(existing, incNorm, keys)
+    // Sync stamps are NOT ordinary columns: the reference only ever adds
+    // the sort-mode-matching stamp to `$set` (app/catalog/upsert.py:94-97),
+    // so the other stamp must survive the merge untouched — otherwise a
+    // vote_count sync would null out last_popularity_sync_at on every
+    // updated row. Preserve both here; re-stamp the matching one below.
+    val syncStampCols = Seq("last_popularity_sync_at", "last_vote_count_sync_at")
+      .filter(cols.contains).toSet
+    var merged = mergeWithAction(existing, incNorm, keys,
+      PreservedCols ++ syncStampCols)
     val touched = col("action") =!= "keep"
 
     if (cols.contains("backdrop_path") && cols.contains("frames"))
+      // recompute only for rows present in the batch — the reference never
+      // rewrites documents it didn't fetch (app/catalog/upsert.py:88-91)
       merged = merged.withColumn("backdrop_path",
-        FrameOps.pickBackdrop(col("frames"),
+        when(touched, FrameOps.pickBackdrop(col("frames"),
           if (cols.contains("incorrect_frames")) col("incorrect_frames")
           else lit(null).cast("array<string>")))
+          .otherwise(col("backdrop_path")))
     if (cols.contains("synced_at"))
       merged = merged.withColumn("synced_at",
         when(touched, now).otherwise(col("synced_at")))

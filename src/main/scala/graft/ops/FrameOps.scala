@@ -65,25 +65,32 @@ object FrameOps {
     // `legacyAlias`: Mongo docs are schemaless so the reference probes both
     // names at runtime; Spark structs are closed, so the caller says
     // whether the `frame_path` field exists in the schema.
+    // Falsy-path semantics: `f.get("path") or f.get("frame_path")` — the
+    // empty string falls through to the alias, and a falsy final path is
+    // skipped (`if not path: continue`). Null/None field values are stored
+    // AS-IS; zero-coalescing happens only inside the dedup comparison key.
+    def nonEmpty(p: Column): Column = when(length(p) > 0, p)
     def path(f: Column): Column =
-      if (legacyAlias) coalesce(f.getField("path"), f.getField("frame_path"))
-      else f.getField("path")
+      if (legacyAlias) coalesce(nonEmpty(f.getField("path")),
+        nonEmpty(f.getField("frame_path")))
+      else nonEmpty(f.getField("path"))
     val tagged = filter(
       transform(rawFrames, (f, i) =>
         struct(
           path(f).as("path"),
           f.getField("aspect_ratio").as("aspect_ratio"),
-          coalesce(f.getField("vote_average"), lit(0.0)).as("vote_average"),
-          coalesce(f.getField("width"), lit(0)).as("width"),
+          f.getField("vote_average").as("vote_average"),
+          f.getField("width").as("width"),
           i.as("pos"))),
       t => t.getField("path").isNotNull)
     val paths = array_distinct(transform(tagged, t => t.getField("path")))
-    // per distinct path: max (width, -pos) => widest, first-on-tie
+    // per distinct path: max (width-or-0, -pos) => widest, first-on-tie
+    // (the reference's strict `>` keeps the FIRST of equal widths)
     transform(paths, p => {
       val candidates = filter(tagged, t => t.getField("path") === p)
       val best = array_max(transform(candidates, t =>
         struct(
-          t.getField("width").as("w"),
+          coalesce(t.getField("width"), lit(0)).as("w"),
           (-t.getField("pos")).as("negpos"),
           t.as("t"))))
       val f = best.getField("t")

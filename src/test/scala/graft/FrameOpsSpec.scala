@@ -71,6 +71,25 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(dup.getDouble(2) == 6.0, "tie on width keeps FIRST occurrence")
   }
 
+  test("normalizeFrames preserves null fields and treats '' paths as missing") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("frames", ArrayType(Fixtures.rawFrameType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(
+        Row("", "/via-alias.jpg", 1.7, 5.0, 100), // '' is falsy -> alias wins
+        Row("", null, 1.7, 5.0, 100),             // '' everywhere -> dropped
+        Row("/nulls.jpg", null, null, null, null))))), // None values stored AS-IS
+      schema)
+    val out = df.select(FrameOps.normalizeFrames(col("frames"), legacyAlias = true).as("f"))
+      .selectExpr("inline(f)").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("/via-alias.jpg", "/nulls.jpg"),
+      "''-path entries resolve via the alias or are dropped, never kept as ''")
+    val nulls = out.find(_.getString(0) == "/nulls.jpg").get
+    assert(nulls.isNullAt(1) && nulls.isNullAt(2) && nulls.isNullAt(3),
+      "the reference stores f.get(...) results verbatim — no zero-coalescing")
+  }
+
   test("filterBackdrops: aspect band, keep-first dedup, (va,width) desc sort") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -71,9 +71,13 @@ class SyncJobSpec extends AnyFunSuite {
     assert(r3.inserted == 0 && r3.updated == 8)
     assert(spark.read.parquet(st).count() == 18)
 
-    // cursor log: latest wins, history preserved
+    // cursor log: latest wins, history preserved; totals are CUMULATIVE
+    // across runs (reference: cur.get("inserted", 0) + inserted) — the
+    // Report carries per-run counts, the cursor the running sum
     val c = SyncJob.CursorStore.get(spark, cur, "top_vote_count_movie").get
     assert(c.page == 4)
+    assert(c.inserted == 18 && c.updated == 8,
+      "cursor accumulates: 10+8 inserted across r1/r2, 8 updated in r3")
     assert(spark.read.parquet(cur).count() == 3)
 
     // batch 3 resumes at page 5 (ids 5..1); batch 4 runs past the end:
@@ -84,7 +88,10 @@ class SyncJobSpec extends AnyFunSuite {
     val r5 = round()
     assert(r5.attempted == 0 && r5.inserted == 0 && r5.updated == 0)
     assert(spark.read.parquet(st).count() == before)
-    assert(SyncJob.CursorStore.get(spark, cur, "top_vote_count_movie").get.page == 8)
+    val c5 = SyncJob.CursorStore.get(spark, cur, "top_vote_count_movie").get
+    assert(c5.page == 8)
+    assert(c5.inserted == 23 && c5.updated == 8,
+      "an empty batch advances the page but leaves the totals intact")
   }
 
   test("duplicate key within one batch resolves last-write-wins (by page)") {

@@ -56,10 +56,41 @@ class UpsertSpec extends AnyFunSuite {
     val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
     assert(m1.getAs[java.sql.Timestamp]("last_popularity_sync_at").toString
       == "2026-08-12 00:00:00.0")
-    // vote_count mode not active: incoming's value ($set wholesale) applies
     val r2 = Upsert.mergeMovies(base, incoming, None, now)
     val m2 = r2.merged.filter(col("id") === 1 && col("_type") === "movie").head()
     assert(m2.getAs[java.sql.Timestamp]("synced_at").toString == "2026-08-12 00:00:00.0")
+  }
+
+  test("non-matching sync stamp survives an update (only the matching field is $set)") {
+    // a vote_count.desc sync updates id=1; its existing popularity stamp
+    // (2024-06-01) must survive — the reference never puts the other
+    // stamp in $set (app/catalog/upsert.py:94-97)
+    val r = Upsert.mergeMovies(base, incoming, Some("vote_count.desc"), now)
+    val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m1.getAs[java.sql.Timestamp]("last_vote_count_sync_at").toString
+      == "2026-08-12 00:00:00.0")
+    assert(m1.getAs[java.sql.Timestamp]("last_popularity_sync_at").toString
+      == "2024-06-01 00:00:00.0",
+      "vote_count sync must not clobber last_popularity_sync_at")
+    // and with NO sort mode, both stamps survive untouched
+    val r2 = Upsert.mergeMovies(base, incoming, None, now)
+    val m2 = r2.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m2.getAs[java.sql.Timestamp]("last_popularity_sync_at").toString
+      == "2024-06-01 00:00:00.0")
+    assert(m2.getAs[java.sql.Timestamp]("last_vote_count_sync_at") == null)
+  }
+
+  test("keep rows are untouched: stored backdrop_path is NOT recomputed") {
+    // stored backdrop diverges from pickBackdrop(frames) (older writer /
+    // manual fix); a sync of OTHER documents must not rewrite it
+    val divergent = base.withColumn("backdrop_path",
+      when(col("id") === 4, lit("/manual-fix.jpg")).otherwise(col("backdrop_path")))
+    val r = Upsert.mergeMovies(divergent, incoming, None, now)
+    val m4 = r.merged.filter(col("id") === 4 && col("_type") === "movie").head()
+    assert(m4.getAs[String]("backdrop_path") == "/manual-fix.jpg")
+    // while the UPDATED row's backdrop IS recomputed
+    val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m1.getAs[String]("backdrop_path") == "/a.jpg")
   }
 
   test("merge is idempotent: applying the same batch twice ≡ once") {
