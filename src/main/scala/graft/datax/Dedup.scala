@@ -283,6 +283,31 @@ object Dedup {
     sums.select(col("id"), fp.as("simhash"))
   }
 
+  /** Oracle-portable 64-bit SimHash: the per-token hash is md5, with the
+    * 64 bits read off the leading 16 hex nibbles (bit j = bit (j%4) of
+    * nibble j/4). Identical plan shape to [[simhashTable]] — explode +
+    * codegen'd conditional-sum aggregates, one row per doc into the
+    * shuffle — but every step is replayable in DuckDB SQL
+    * (strpos-on-hex ≡ conv), so the driver hash-verifies it end-to-end.
+    * [[simhashTable]] (xxhash64) stays as the cheaper non-portable
+    * variant: one 64-bit hash vs sixteen nibble decodes per token. */
+  def simhashTablePortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(TextStats.tokens(col(textCol))).as("t"))
+    val nibbles = (0 until 16).map(i =>
+      conv(substring(md5(col("t")), i + 1, 1), 16, 10).cast("int").as(s"_n$i"))
+    val nib = tokens.select(col("id") +: nibbles: _*)
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"_n${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"_b$j")
+    }
+    val sums = nib.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until 64).map(j =>
+        when(col(s"_b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("id"), fp.as("simhash"))
+  }
+
   /** splitmix64 finalizer — the deterministic PRNG behind the hyperplane
     * signs (public-domain constants, Steele et al., "Fast Splittable
     * Pseudorandom Number Generators"). */
@@ -300,6 +325,12 @@ object Dedup {
     * deterministic (splitmix64 parity) and baked in as LITERALS — it is
     * data-independent, so hashing per (row, plane, dim) at runtime would
     * be pure waste. */
+  /** The ±1 hyperplane matrix for [[embeddingNearDups]] — exposed so the
+    * oracle SQL can bake the SAME literals into its replay. */
+  def planeSigns(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)((p, j) =>
+      if ((splitmix64(p.toLong * 1000003L + j) & 1L) == 1L) 1.0 else -1.0)
+
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         planes: Int = 8, threshold: Double = 0.9): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),
@@ -309,8 +340,7 @@ object Dedup {
     if (dim == 0) // empty input (or empty vectors): no pairs, same schema
       return v.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
         lit(0.0).as("cosine"))
-    val signs: Array[Array[Double]] = Array.tabulate(planes, dim)((p, j) =>
-      if ((splitmix64(p.toLong * 1000003L + j) & 1L) == 1L) 1.0 else -1.0)
+    val signs: Array[Array[Double]] = planeSigns(planes, dim)
     val sigExprs = (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(col("vec"), lit(signs(p)), (x, s) => x * s),

@@ -88,14 +88,15 @@ object Multimodal {
     }(Encoders.product[AssetFeatures]).toDF()
   }
 
-  /** Deterministic stand-in for decode+embed: per-dimension byte-sums. */
+  /** Deterministic stand-in for decode+embed: ascii codes of the payload
+    * digest's leading hex chars. Digesting reads every payload byte (the
+    * I/O shape of a real decode), and the integer-valued floats are exact
+    * in any engine — the driver's DuckDB oracle replays them as
+    * `ascii(substr(md5(text), d+1, 1))`. */
   private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val acc = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      acc(i % dim) += (payload(i) & 0xff) / 255.0f
-      i += 1
-    }
-    acc
+    require(dim <= 32, "stub features are drawn from the 32 md5 hex chars")
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      .map("%02x".format(_)).mkString
+    Array.tabulate(dim)(d => hex.charAt(d).toFloat)
   }
 }

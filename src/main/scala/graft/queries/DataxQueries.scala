@@ -42,6 +42,109 @@ object DataxQueries {
   private val fr = hits(FR)
   private val es = hits(ES)
 
+  /** DuckDB sequential double fold ≡ Spark's `aggregate(zip_with(...),
+    * 0.0, +)` / the native DotProduct expression — bit-identical doubles
+    * (same products, same summation order, 0.0 seed). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1),
+       |              i -> $a[i] * $b[i])), (acc, x) -> acc + x)""".stripMargin
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** The portable SimHash replayed in DuckDB: md5 hex nibbles via strpos
+    * (≡ Spark's conv(substr(md5, i, 1), 16, 10)), 64 conditional sums,
+    * sign bits re-assembled into a signed BIGINT (bit 63 is the sign:
+    * Spark's shiftleft(1L, 63) ≡ the Long.MinValue literal). */
+  private val SimhashSql: String = {
+    val nibDefs = (0 until 16).map(i =>
+      s"strpos('0123456789abcdef', substr(md5(t), ${i + 1}, 1)) - 1 AS n$i")
+      .mkString(",\n                 ")
+    val sumDefs = (0 until 64).map(j =>
+      s"sum(CASE WHEN (n${j / 4} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n                 ")
+    val fpTerms = (0 until 64).map(j =>
+      if (j == 63) "(CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END)"
+      else s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString("\n                 + ")
+    s"""WITH toks AS (
+          SELECT doc_id AS id, unnest($TOKS) AS t FROM documents),
+        nib AS (
+          SELECT id, $nibDefs
+          FROM toks),
+        sums AS (
+          SELECT id, $sumDefs
+          FROM nib GROUP BY id)
+        SELECT id AS doc_id,
+               CAST($fpTerms AS BIGINT) AS simhash
+        FROM sums ORDER BY doc_id"""
+  }
+
+  /** IVF with deterministic stride-sampled centroids, fully replayed:
+    * stride = max(1, n/16), centroids = ids ≡ 0 (mod stride) sorted,
+    * nearest-centroid assignment, 4-probe search, top-5 per query. */
+  private val IvfSql: String = {
+    s"""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        c AS (
+          SELECT id AS centroid_id, vec AS cvec FROM v, st
+          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        asg AS (
+          SELECT id, vec, centroid_id FROM (
+            SELECT v.id, v.vec, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+            FROM v CROSS JOIN c) WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+          FROM embeddings WHERE vec_id < 16),
+        pr AS (
+          SELECT query_id, qvec, centroid_id FROM (
+            SELECT q.query_id, q.qvec, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSql("q.qvec", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 4),
+        scored AS (
+          SELECT pr.query_id, asg.id,
+                 ${dotSql("asg.vec", "pr.qvec")}
+                   / (sqrt(${dotSql("asg.vec", "asg.vec")})
+                      * sqrt(${dotSql("pr.qvec", "pr.qvec")})) AS cosine
+          FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+          WHERE asg.id <> pr.query_id)
+        SELECT query_id, rank, id, cosine FROM (
+          SELECT query_id, id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, id ASC) AS INT) AS rank
+          FROM scored) WHERE rank <= 5
+        ORDER BY query_id, rank"""
+  }
+
+  /** Hyperplane-LSH near-dups replayed with the SAME ±1 plane literals
+    * the Spark operator bakes in ([[Dedup.planeSigns]]). */
+  private val EmbeddingNearDupSql: String = {
+    val signs = Dedup.planeSigns(planes = 4, dim = 64)
+    def signList(p: Int) =
+      signs(p).map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def planeDot(p: Int) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, len(vec)+1),
+         |              i -> vec[i] * (${signList(p)})[i])), (acc, x) -> acc + x)""".stripMargin
+    val bucket = (0 until 4).map(p =>
+      s"(CASE WHEN ${planeDot(p)} >= 0 THEN '1' ELSE '0' END)")
+      .mkString("\n               || ")
+    s"""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        b AS (
+          SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS n,
+               $bucket AS bucket
+          FROM v),
+        pairs AS (
+          SELECT a.id AS id_a, bb.id AS id_b,
+                 ${dotSql("a.vec", "bb.vec")} / (a.n * bb.n) AS cosine
+          FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id)
+        SELECT id_a, id_b, cosine FROM pairs
+        WHERE cosine >= 0.25 ORDER BY id_a, id_b"""
+  }
+
   /** The full MinHash-LSH pipeline replayed in DuckDB SQL (shared by the
     * d05 pair check and the d21 cluster check, which wraps it in a
     * recursive-CTE connected-components closure). */
@@ -188,13 +291,14 @@ object DataxQueries {
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
         ORDER BY id_a, id_b""")),
 
-    /* SimHash fingerprints (xxhash64-based — no SQL oracle; semantics
-     * pinned by DedupSpec). */
+    /* SimHash fingerprints — the oracle-portable md5-nibble variant
+     * (hash-verified end-to-end); the cheaper xxhash64 simhashTable is
+     * the non-gated fast path, pinned by DedupSpec. */
     QueryDef("d07_simhash",
-      (s, dir) => Dedup.simhashTable(t(s, dir, "documents"), "doc_id", "text")
+      (s, dir) => Dedup.simhashTablePortable(t(s, dir, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
-      None),
+      Some(SimhashSql)),
 
     // ---------------------------------------------------------------
     // Similarity search over embeddings
@@ -229,9 +333,10 @@ object DataxQueries {
           FROM scored)
         WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    /* IVF-probed ANN (approximate; index build + probe). Deterministic,
-     * but the centroid assignment has no tractable SQL transcript ->
-     * rows-only; recall-vs-brute-force pinned by SimilaritySpec. */
+    /* IVF-probed ANN (approximate; index build + probe). The stride-
+     * sampled centroids are deterministic, so the WHOLE index build +
+     * probe replays in SQL (hash-verified); recall-vs-brute-force pinned
+     * by SimilaritySpec. */
     QueryDef("d09_ivf_topk",
       (s, dir) => {
         val (centroids, assigned) =
@@ -241,15 +346,17 @@ object DataxQueries {
             k = 5, nProbe = 4)
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(IvfSql)),
 
-    /* Random-hyperplane LSH near-dup pairs (xxhash64 planes -> rows-only;
-     * threshold calibrated to the near-orthogonal synthetic embeddings). */
+    /* Random-hyperplane LSH near-dup pairs; the deterministic ±1 plane
+     * matrix is baked into BOTH sides as literals, so the oracle replays
+     * bucket assignment and cosine verify exactly (threshold calibrated
+     * to the near-orthogonal synthetic embeddings). */
     QueryDef("d10_embedding_neardups",
       (s, dir) => Dedup.embeddingNearDups(t(s, dir, "embeddings"),
           "vec_id", "embedding", planes = 4, threshold = 0.25)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(EmbeddingNearDupSql)),
 
     // ---------------------------------------------------------------
     // Multimodal columns (binary payload + typed metadata; stub decode)
@@ -302,13 +409,27 @@ object DataxQueries {
                md5(digest || ':' || fr::VARCHAR) AS frame_digest
         FROM f ORDER BY asset_id, frame_no""")),
 
-    /* Batched mapPartitions feature extraction (typed Dataset path; the
-     * deterministic fake decode has no SQL transcript -> rows-only). */
+    /* Batched mapPartitions feature extraction (typed Dataset path). The
+     * verification surface posexplodes the feature vector to scalar rows:
+     * array cells don't survive the driver's pandas sort/hash, and the
+     * md5-derived stub features replay exactly in DuckDB. */
     QueryDef("d13_asset_features",
       (s, dir) => Multimodal.extractFeatures(
           Multimodal.assets(t(s, dir, "documents")))
-        .orderBy("asset_id"),
-      None),
+        .select(col("asset_id"), col("media_type"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("dim", "feature")))
+        .orderBy("asset_id", "dim"),
+      Some("""WITH a AS (
+          SELECT doc_id AS asset_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+                 CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
+                 md5(text) AS h
+          FROM documents)
+        SELECT asset_id, media_type, n_bytes, CAST(d AS INT) AS dim,
+               CAST(ascii(substr(h, CAST(d AS INT) + 1, 1)) AS FLOAT) AS feature
+        FROM a, unnest(range(0, 8)) AS t(d)
+        ORDER BY asset_id, dim""")),
 
     // ---------------------------------------------------------------
     // Event-time windows over `events` (Structured-Streaming-shaped)
