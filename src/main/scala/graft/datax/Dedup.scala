@@ -76,14 +76,24 @@ object Dedup {
       .cache()
   }
 
-  /** One MinHash permutation: min over shingles of md5(seed:shingle).
-    * Lexicographic min over hex digests ≡ min over a random permutation. */
-  private def minhashOne(sh: Column, seed: Column): Column =
-    array_min(transform(sh, x => md5(concat(seed.cast("string"), lit(":"), x))))
+  /** The i-th MinHash hash of one shingle: seed i/4 prefixes the md5
+    * input, and the digest's four 8-hex-char substrings are four
+    * independent 32-bit hash values (chunk i%4). Lexicographic min over
+    * fixed-width hex ≡ min over the 32-bit integers, and a 32-bit space
+    * is ample for per-document shingle counts (collision odds ~n/2^32).
+    * One digest feeds FOUR hash functions — 4x less hashing than
+    * md5-per-function, with the same DuckDB replayability
+    * (substr(md5(...))). */
+  private def minhashHash(x: Column, i: Int): Column =
+    substring(md5(concat(lit(s"${i / 4}:"), x)), (i % 4) * 8 + 1, 8)
+
+  /** One MinHash value: min over shingles of the i-th hash. */
+  private def minhashOne(sh: Column, i: Int): Column =
+    array_min(transform(sh, x => minhashHash(x, i)))
 
   /** The numHashes-long MinHash signature, computed scan-side. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i => minhashOne(sh, i))
+    array((0 until numHashes).map(minhashOne(sh, _)): _*)
 
   /** LSH band signatures: bands of rows hashes each collapsed to one
     * digest. Two docs sharing any band are candidates. */
@@ -91,16 +101,14 @@ object Dedup {
     transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows)))))
 
-  /** [[lshBandSigs]] ∘ [[minhashSignature]] fused so each of the
-    * numHashes minhash folds is evaluated EXACTLY once: slicing a
-    * full-signature subexpression would splice that whole subtree into
-    * every band (Catalyst does not CSE inside lambda bodies), costing
-    * bands× the md5 work. Output strings are identical. */
+  /** [[lshBandSigs]] ∘ [[minhashSignature]] fused so each minhash fold
+    * is spliced in EXACTLY once: slicing a full-signature subexpression
+    * would splice that whole subtree into every band (Catalyst does not
+    * CSE inside lambda bodies), costing bands× the md5 work. */
   def lshBandSigsDirect(sh: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws(",",
-        transform(sequence(b * rows, b * rows + (rows - 1)),
-          i => minhashOne(sh, i)))))
+    array((0 until bands).map(b =>
+      md5(concat_ws(",",
+        (b * rows until (b + 1) * rows).map(minhashOne(sh, _)): _*))): _*)
 
   /** Exact Jaccard over the distinct shingle sets. */
   def jaccard(shA: Column, shB: Column): Column = {
@@ -152,9 +160,11 @@ object Dedup {
     val rows = numHashes / bands
     val exploded = docShingleRows(docs, idCol, textCol, k)
     // signatures as codegen'd min-aggregates; map-side partial min()
-    // shrinks the shuffle to one row per doc before the exchange
+    // shrinks the shuffle to one row per doc before the exchange. The
+    // 16 agg inputs share 4 md5 digests (chunk scheme) — hash-aggregate
+    // codegen's subexpression elimination computes each digest once.
     val hashAggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"_h$i"))
+      min(minhashHash(col("s"), i)).as(s"_h$i"))
     val sigs = exploded.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
     val bandSigCols = (0 until bands).map { b =>
       md5(concat_ws(",", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*))
@@ -294,11 +304,17 @@ object Dedup {
   def simhashTablePortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
       explode(TextStats.tokens(col(textCol))).as("t"))
-    val nibbles = (0 until 16).map(i =>
-      conv(substring(md5(col("t")), i + 1, 1), 16, 10).cast("int").as(s"_n$i"))
-    val nib = tokens.select(col("id") +: nibbles: _*)
+    // decode the 64 bits as TWO 8-hex-char conv()s per token, not 16
+    // per-nibble ones — the bit reads are then shift/mask on a long.
+    // Bit j lives at nibble j/4 (hex position i, big-endian within the
+    // chunk), bit j%4 within the nibble.
+    val chunks = (0 until 2).map(c =>
+      conv(substring(md5(col("t")), c * 8 + 1, 8), 16, 10).cast("long").as(s"_c$c"))
+    val nib = tokens.select(col("id") +: chunks: _*)
     val bitAggs = (0 until 64).map { j =>
-      sum(when(shiftright(col(s"_n${j / 4}"), j % 4).bitwiseAND(1) === 1, 1)
+      val i = j / 4 // hex-char position of the nibble, 0-based
+      val shift = (7 - i % 8) * 4 + (j % 4)
+      sum(when(shiftright(col(s"_c${i / 8}"), shift).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"_b$j")
     }
     val sums = nib.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)

@@ -159,7 +159,9 @@ object DataxQueries {
         sigs AS (
           SELECT id, sh,
                  list_transform(range(0, 16),
-                   i -> list_min(list_transform(sh, x -> md5(i::VARCHAR || ':' || x)))) AS sig
+                   i -> list_min(list_transform(sh,
+                     x -> substr(md5((i // 4)::VARCHAR || ':' || x),
+                                 CAST((i % 4) * 8 + 1 AS INT), 8)))) AS sig
           FROM docs WHERE len(sh) > 0),
         banded AS (
           SELECT id, sh,
