@@ -112,20 +112,33 @@ class PagedScan(options: Map[String, String], limit: Option[Int])
     val capped = limit.map(n => all.take(pagesFor(n))).getOrElse(all)
     capped.map { case (p, f) => PageInputPartition(p, f): InputPartition }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val maxAttempts = options.getOrElse("maxAttempts", "5").toInt
+    val backoffMillis = options.getOrElse("backoffMillis", "1000").toLong
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PageReader(p.asInstanceOf[PageInputPartition])
+        new PageReader(p.asInstanceOf[PageInputPartition], maxAttempts, backoffMillis)
     }
+  }
 }
 
-/** Reads one page file (JSON lines). The live implementation replaces
-  * the file source with the HTTP GET + retry/backoff (ST4) and the
-  * dead-letter append (ST3) — same reader contract. */
-class PageReader(part: PageInputPartition) extends PartitionReader[InternalRow] {
+/** Reads one page file (JSON lines) through the ST4 retry envelope: a
+  * transiently-failing page backs off linearly inside ITS OWN task and,
+  * on exhaustion (or a terminal HTTP status error in the live variant),
+  * degrades to the empty page — the reference's `{}` — so one poisoned
+  * page never fails the job (ST3). The live implementation replaces the
+  * file read with the HTTP GET; the envelope and reader contract are
+  * identical. */
+class PageReader(part: PageInputPartition, maxAttempts: Int = 5,
+                 backoffMillis: Long = 1000L) extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(part.path, "UTF-8")
-  private val it = lines.getLines().filter(_.trim.nonEmpty)
+  private val it: Iterator[String] =
+    Retry.withRetry(maxAttempts, backoffMillis)(Seq.empty[String]) {
+      Retry.Faults.maybeThrow(part.path) // test-only fault injection
+      val src = scala.io.Source.fromFile(part.path, "UTF-8")
+      try src.getLines().filter(_.trim.nonEmpty).toList
+      finally src.close()
+    }.iterator
   private var current: InternalRow = _
 
   override def next(): Boolean =
@@ -141,5 +154,5 @@ class PageReader(part: PageInputPartition) extends PartitionReader[InternalRow] 
       true
     }
   override def get(): InternalRow = current
-  override def close(): Unit = lines.close()
+  override def close(): Unit = ()
 }
