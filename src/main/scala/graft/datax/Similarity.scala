@@ -56,6 +56,17 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine")
   }
 
+  /** Nearest-centroid assignment: centroids broadcast, best by
+    * (cosine desc, centroid_id asc). */
+  private def assign(v: DataFrame, centroids: DataFrame): DataFrame =
+    v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"), col("centroid_id"),
+        cosine(col("vec"), col("cvec")).as("_sim"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("_sim").desc, col("centroid_id").asc)))
+      .filter(col("_rn") === 1)
+      .select("id", "vec", "centroid_id")
+
   /** IVF index: deterministic centroid sample (every `stride`-th vector)
     * + nearest-centroid assignment. Returns (centroids, assigned). */
   def ivfIndex(vectors: DataFrame, nCentroids: Int,
@@ -66,14 +77,41 @@ object Similarity {
     val centroids = v.filter(col("id") % stride === 0)
       .orderBy("id").limit(nCentroids) // sorted limit => deterministic pick
       .select(col("id").as("centroid_id"), col("vec").as("cvec"))
-    val assigned = v.crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("centroid_id"),
-        cosine(col("vec"), col("cvec")).as("_sim"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("_sim").desc, col("centroid_id").asc)))
-      .filter(col("_rn") === 1)
-      .select("id", "vec", "centroid_id")
-    (centroids, assigned)
+    (centroids, assign(v, centroids))
+  }
+
+  /** IVF index with Lloyd-refined centroids: stride-sample seeds, then
+    * `iterations` rounds of assign + per-dimension mean. The quality
+    * path for the coarse quantizer — tighter clusters mean a given
+    * nProbe scans fewer wrong buckets at the same recall.
+    *
+    * Scale shape per round: one broadcast-assign pass over the vectors,
+    * then posexplode to (centroid, dim) rows whose `avg` partial-
+    * aggregates map-side — the shuffle carries nCentroids x dim rows,
+    * never vectors. The K centroid vectors (tiny) are collected and
+    * re-broadcast each round, exactly as MLlib's KMeans drives Lloyd —
+    * keeping per-iteration lineage flat. Empty clusters keep their
+    * previous centroid. */
+  def ivfIndexKMeans(vectors: DataFrame, nCentroids: Int, iterations: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    var centroids = ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+    for (_ <- 0 until iterations) {
+      val means = assign(v, centroids)
+        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("_d", "_x")))
+        .groupBy("centroid_id", "_d").agg(avg("_x").as("_m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("_d"), col("_m")))),
+          s => s.getField("_m")).as("_mean"))
+      val next = centroids
+        .join(means, Seq("centroid_id"), "left_outer")
+        .select(col("centroid_id"), coalesce(col("_mean"), col("cvec")).as("cvec"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      centroids = next.toDF("centroid_id", "cvec")
+    }
+    (centroids, assign(v, centroids))
   }
 
   /** IVF-probed approximate top-k: per query, search only the `nProbe`

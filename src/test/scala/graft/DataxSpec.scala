@@ -180,4 +180,23 @@ class DataxSpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall")
   }
+
+  test("kmeans-refined IVF centroids tighten the quantizer (objective >= stride seed)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // objective: mean cosine of each vector to its assigned centroid
+    def objective(assigned: org.apache.spark.sql.DataFrame,
+                  centroids: org.apache.spark.sql.DataFrame): Double =
+      assigned.join(centroids, "centroid_id")
+        .select(Similarity.cosine($"vec", $"cvec").as("c"))
+        .agg(avg($"c")).head().getDouble(0)
+    val (c0, a0) = Similarity.ivfIndex(emb, nCentroids = 16)
+    val (c2, a2) = Similarity.ivfIndexKMeans(emb, nCentroids = 16, iterations = 2)
+    val (seed, refined) = (objective(a0, c0), objective(a2, c2))
+    assert(refined >= seed - 1e-9, s"Lloyd must not worsen the objective: $seed -> $refined")
+    assert(c2.count() == 16, "empty clusters keep their previous centroid")
+    // the refined index still serves queries with full result shape
+    val q = emb.filter($"vec_id" < 4)
+    val res = Similarity.ivfTopK(c2, a2, q, k = 5, nProbe = 4)
+    assert(res.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 5))
+  }
 }
