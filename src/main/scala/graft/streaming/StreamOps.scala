@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming-ready transforms over the `events` stream table.
   *
@@ -43,6 +44,46 @@ object StreamOps {
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"))
+
+  /** Streaming exact dedup, first-seen wins: duplicates of a key arriving
+    * within the watermark delay are dropped, and — the 100 TB/day point —
+    * a key's state is EXPIRED once the watermark passes its event time,
+    * so state is bounded by (arrival rate x delay), not by stream
+    * history. The input must carry `withWatermark` on its event-time
+    * column. Batch analogue: FrameOps.dedupKeepFirst on the same keys. */
+  def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keys)
+
+  final case class UserActivity(user_id: Long, n_events: Long, last_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: a per-user running
+    * activity profile (count + last value), emitted on every update and
+    * dropped after `idleMinutes` of event-time inactivity — the
+    * mapGroups/timeout machinery arbitrary stateful pipelines hang off.
+    * Rows: (user_id, ts, value); requires a watermark for the timeout. */
+  def userActivity(events: DataFrame, idleMinutes: Int = 120): Dataset[UserActivity] = {
+    val typed = events.select(col("user_id").cast("long"), col("ts"),
+      col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)](
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble))
+    typed.groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserActivity, UserActivity](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[UserActivity]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            val prev = state.getOption.getOrElse(UserActivity(user, 0L, 0.0))
+            val next = sorted.foldLeft(prev)((acc, r) =>
+              UserActivity(user, acc.n_events + 1, r._3))
+            state.update(next)
+            state.setTimeoutTimestamp(
+              sorted.map(_._2.getTime).max + idleMinutes * 60000L)
+            Iterator.single(next)
+          }
+      }(Encoders.product[UserActivity], Encoders.product[UserActivity])
+  }
 
   /** Per-user session windows: events within `gapMinutes` of the previous
     * event share a session (classic gaps-and-islands via a lag + running
