@@ -29,14 +29,28 @@ object Reports {
   }
 
   /** A1 (flat form) — the same stats with the reason histogram exploded to
-    * rows; used by the oracle harness (maps don't hash portably). */
-  def reportStatsFlat(reports: DataFrame): DataFrame =
-    reports
+    * rows; used by the oracle harness (maps don't hash portably).
+    *
+    * The group total comes from a second (tiny, partially-aggregated)
+    * groupBy joined back null-safely, NOT a window: a window over the
+    * 3-key partition re-sorts and holds whole partitions in memory with
+    * no partial aggregation, while the re-agg's shuffle carries one row
+    * per reason group. AQE broadcasts the totals side when it fits. */
+  def reportStatsFlat(reports: DataFrame): DataFrame = {
+    val perReason = reports
       .groupBy("movie_id", "frame_path", "content_type", "reason")
       .agg(count(lit(1)).cast("long").as("n"))
-      .withColumn("count",
-        sum("n").over(org.apache.spark.sql.expressions.Window
-          .partitionBy("movie_id", "frame_path", "content_type")).cast("long"))
+    val totals = perReason
+      .groupBy("movie_id", "frame_path", "content_type")
+      .agg(sum("n").cast("long").as("count"))
+      .withColumnsRenamed(Map("movie_id" -> "_m", "frame_path" -> "_f",
+        "content_type" -> "_c"))
+    perReason
+      .join(totals,
+        col("movie_id") <=> col("_m") && col("frame_path") <=> col("_f") &&
+          col("content_type") <=> col("_c"))
+      .select("movie_id", "frame_path", "content_type", "reason", "n", "count")
+  }
 
   /** A3/P10 — windowed error counts relative to `now`
     * (reference: app/main.py:121-126). */
