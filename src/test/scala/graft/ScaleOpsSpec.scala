@@ -49,6 +49,51 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("bucketed MERGE: catalog side never shuffles; view flip commits; counters correct") {
+    val wh = Files.createTempDirectory("whmerge").toString
+    val spark2 = spark
+    import graft.merge.BucketedUpsert
+    val template = Seq.empty[(Long, String, String, java.sql.Timestamp)]
+      .toDF("id", "_type", "title", "created_at")
+    BucketedUpsert.init(spark2, "movies_state", wh, template, nBuckets = 4)
+    val now = lit("2026-08-12 00:00:00").cast("timestamp")
+    def batch(ids: Seq[Long], tag: String) = ids
+      .map(i => (i, "movie", s"$tag $i", java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+      .toDF("id", "_type", "title", "created_at")
+    try {
+      val c1 = BucketedUpsert.merge(spark2, "movies_state", wh,
+        batch(1L to 10L, "v1"), None, now)
+      assert(c1 == Map("insert" -> 10L))
+      val c2 = BucketedUpsert.merge(spark2, "movies_state", wh,
+        batch(6L to 15L, "v2"), None, now)
+      assert(c2 == Map("insert" -> 5L, "update" -> 5L))
+      val state = spark2.table("movies_state")
+      assert(state.count() == 15)
+      assert(state.filter($"id" === 7L).select("title").as[String].head() == "v2 7",
+        "incoming wins on update")
+      assert(state.filter($"id" === 3L).select("title").as[String].head() == "v1 3",
+        "keep rows survive the version flip")
+
+      // plan shape: with broadcast off, the merge join must shuffle ONLY
+      // the incoming side — the bucketed catalog scan is pre-partitioned
+      val prev = spark2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val existing = spark2.table("movies_state_v0") // after 2 merges: v0
+        val merged = graft.merge.Upsert.mergeWithAction(
+          existing, batch(1L to 5L, "probe"))
+        val plan = merged.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"))
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+        assert(exchanges == 1, s"only the incoming batch may shuffle:\n$plan")
+      } finally spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark2.sql("DROP VIEW IF EXISTS movies_state")
+      spark2.sql("DROP TABLE IF EXISTS movies_state_v0")
+      spark2.sql("DROP TABLE IF EXISTS movies_state_v1")
+    }
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     // external-table paths: warehouse.dir is static config, but bucketed
     // metadata only needs the catalog entry, not the warehouse location
