@@ -209,6 +209,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination check: for each `bench` document, the
+    * `corpus` documents containing too much of it — containment =
+    * |shingles(bench) ∩ shingles(corpus)| / |shingles(bench)| (the
+    * asymmetric measure: a giant corpus doc that swallowed a benchmark
+    * item has low Jaccard but containment ~1). Same plan shape as
+    * [[jaccardPairs]]: a shared-shingle join whose rows ARE the
+    * intersection elements, counted codegen-side — no arrays ride the
+    * join. At scale, restrict the corpus side by an LSH prefilter
+    * exactly as [[minhashNearDups]] does. */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val cs = docShingleRows(corpus, idCol, textCol, k)
+    val bs = docShingleRows(bench, idCol, textCol, k)
+    val inter = bs.as("b").join(cs.as("c"), col("b.s") === col("c.s"))
+      .groupBy(col("b.id").as("bench_id"), col("c.id").as("corpus_id"))
+      .agg(count(lit(1)).as("_inter"))
+    val bsz = shingleCounts(bs).select(col("id").as("bench_id"), col("n").as("_nb"))
+    inter.join(bsz, "bench_id")
+      .select(col("bench_id"), col("corpus_id"),
+        (col("_inter") / col("_nb")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Near-duplicate CLUSTERS from a pair list: connected components via
     * iterative min-label propagation (each node adopts the smallest
     * label among itself and its neighbors until fixpoint). Returns

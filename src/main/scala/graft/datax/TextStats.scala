@@ -70,4 +70,48 @@ object TextStats {
     * text — the canonical exact-dedup key. */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  // ------------------------------------------------------------------
+  // Deterministic corpus splitting
+  // ------------------------------------------------------------------
+
+  /** Hash split bucket in [0, 100): integer value of the first two md5
+    * hex chars of the key, mod 100. HASH-based, never `rand()` — the
+    * assignment must be stable across runs, executors, and cluster
+    * sizes, or every re-run reshuffles train/test and leaks. */
+  def splitBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int") % 100
+
+  /** Named train/valid/test assignment from [[splitBucket]]. */
+  def splitName(key: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    val b = splitBucket(key)
+    when(b < trainPct, "train")
+      .when(b < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
+  // ------------------------------------------------------------------
+  // PII scanning / redaction (regexes deliberately simple and portable:
+  // Java regex on the Spark side, RE2 in the DuckDB oracle — no
+  // backreferences, no lookaround)
+  // ------------------------------------------------------------------
+
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** Per-document PII pattern counts. */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(EmailRe)).as("n_emails"),
+    regexp_count(text, lit(UrlRe)).as("n_urls"),
+    regexp_count(text, lit(PhoneRe)).as("n_phones"))
+
+  /** Redacted text: emails, then URLs, then phone-like runs replaced by
+    * typed placeholders (fixed order — redaction must be deterministic). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        UrlRe, "[URL]"),
+      PhoneRe, "[PHONE]")
 }

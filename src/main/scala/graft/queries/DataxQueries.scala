@@ -434,6 +434,77 @@ object DataxQueries {
         ORDER BY asset_id, dim""")),
 
     // ---------------------------------------------------------------
+    // Corpus curation: deterministic split, contamination, PII
+    // ---------------------------------------------------------------
+
+    /* Hash-based train/valid/test assignment — stable across runs and
+     * cluster sizes (never rand()), scan-side only. */
+    QueryDef("d22_train_split",
+      (s, dir) => t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.splitBucket(col("doc_id")).as("bucket"),
+          TextStats.splitName(col("doc_id")).as("split"))
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+          SELECT doc_id,
+                 CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100 AS INT) AS bucket
+          FROM documents)
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        FROM b ORDER BY doc_id""")),
+
+    /* Benchmark-contamination scan: corpus docs containing >= 50% of a
+     * benchmark doc's 4-shingles (asymmetric containment, the measure
+     * that catches a corpus doc which swallowed a benchmark item). */
+    QueryDef("d23_contamination",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.contamination(
+            docs.filter(col("doc_id") % 29 =!= 0),
+            docs.filter(col("doc_id") % 29 === 0),
+            "doc_id", "text", k = 4, threshold = 0.5)
+          .orderBy("bench_id", "corpus_id")
+      },
+      Some(s"""WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(
+                   list_transform(range(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+3], ' ')),
+                   x -> x <> '')) AS sh
+          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+          WHERE len(toks) >= 4),
+        bench AS (SELECT * FROM sh WHERE id % 29 = 0 AND len(sh) > 0),
+        corpus AS (SELECT * FROM sh WHERE id % 29 <> 0 AND len(sh) > 0)
+        SELECT b.id AS bench_id, c.id AS corpus_id,
+               len(list_intersect(b.sh, c.sh)) / len(b.sh) AS containment
+        FROM bench b JOIN corpus c ON len(list_intersect(b.sh, c.sh)) > 0
+        WHERE len(list_intersect(b.sh, c.sh)) / len(b.sh) >= 0.5
+        ORDER BY bench_id, corpus_id""")),
+
+    /* PII pattern scan + deterministic redaction (fingerprint of the
+     * redacted text keeps the compare exact without shipping full text). */
+    QueryDef("d24_pii_scan",
+      (s, dir) => t(s, dir, "documents").select(
+          col("doc_id"),
+          TextStats.piiCounts(col("text")).as("_p"),
+          md5(TextStats.redactPii(col("text"))).as("redacted_fp"))
+        .select(col("doc_id"), col("_p.n_emails").as("n_emails"),
+          col("_p.n_urls").as("n_urls"), col("_p.n_phones").as("n_phones"),
+          col("redacted_fp"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '${TextStats.EmailRe}')) AS INT) AS n_emails,
+          CAST(len(regexp_extract_all(text, '${TextStats.UrlRe}')) AS INT) AS n_urls,
+          CAST(len(regexp_extract_all(text, '${TextStats.PhoneRe}')) AS INT) AS n_phones,
+          md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '${TextStats.EmailRe}', '[EMAIL]', 'g'),
+            '${TextStats.UrlRe}', '[URL]', 'g'),
+            '${TextStats.PhoneRe}', '[PHONE]', 'g')) AS redacted_fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------
     // Event-time windows over `events` (Structured-Streaming-shaped)
     // ---------------------------------------------------------------
 
