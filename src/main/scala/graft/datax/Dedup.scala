@@ -220,9 +220,24 @@ object Dedup {
     * exactly as [[minhashNearDups]] does. */
   def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
                     textCol: String, k: Int = 4,
-                    threshold: Double = 0.5): DataFrame = {
-    val cs = docShingleRows(corpus, idCol, textCol, k)
-    val bs = docShingleRows(bench, idCol, textCol, k)
+                    threshold: Double = 0.5): DataFrame =
+    contaminationSides(
+      docShingleRows(corpus, idCol, textCol, k),
+      docShingleRows(bench, idCol, textCol, k), threshold)
+
+  /** [[contamination]] when benchmark and corpus live in ONE table,
+    * split by a predicate on the id — builds (and caches) the shingle
+    * relation once instead of scanning the table per side. */
+  def contaminationWithin(docs: DataFrame, idCol: String, textCol: String,
+                          isBench: Column => Column, k: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val sh = docShingleRows(docs, idCol, textCol, k)
+    contaminationSides(sh.filter(!isBench(col("id"))),
+      sh.filter(isBench(col("id"))), threshold)
+  }
+
+  private def contaminationSides(cs: DataFrame, bs: DataFrame,
+                                 threshold: Double): DataFrame = {
     val inter = bs.as("b").join(cs.as("c"), col("b.s") === col("c.s"))
       .groupBy(col("b.id").as("bench_id"), col("c.id").as("corpus_id"))
       .agg(count(lit(1)).as("_inter"))

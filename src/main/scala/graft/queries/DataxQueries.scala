@@ -459,14 +459,9 @@ object DataxQueries {
      * benchmark doc's 4-shingles (asymmetric containment, the measure
      * that catches a corpus doc which swallowed a benchmark item). */
     QueryDef("d23_contamination",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Dedup.contamination(
-            docs.filter(col("doc_id") % 29 =!= 0),
-            docs.filter(col("doc_id") % 29 === 0),
-            "doc_id", "text", k = 4, threshold = 0.5)
-          .orderBy("bench_id", "corpus_id")
-      },
+      (s, dir) => Dedup.contaminationWithin(t(s, dir, "documents"),
+          "doc_id", "text", isBench = _ % 29 === 0, k = 4, threshold = 0.5)
+        .orderBy("bench_id", "corpus_id"),
       Some(s"""WITH sh AS (
           SELECT doc_id AS id,
                  list_distinct(list_filter(
