@@ -18,6 +18,47 @@ class DataxSpec extends AnyFunSuite {
 
   // ---- text stats ----
 
+  test("splitBucket/splitName: in-range, deterministic, roughly proportional") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val assigned = ids.select($"id",
+      TextStats.splitBucket($"id").as("b"), TextStats.splitName($"id").as("s"))
+    val buckets = assigned.agg(min("b"), max("b")).head()
+    assert(buckets.getInt(0) >= 0 && buckets.getInt(1) < 100)
+    val counts = assigned.groupBy("s").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "valid", "test"))
+    assert(counts("train") > 1400 && counts("train") < 1800, s"~80%: $counts")
+    // determinism: same ids, same assignment, any run
+    val again = ids.select(TextStats.splitName($"id")).as[String].collect()
+    assert(assigned.select("s").as[String].collect().toSeq == again.toSeq)
+  }
+
+  test("PII counts and redaction: emails, urls, phones; clean text untouched") {
+    val d = docs(
+      1L -> "write a@b.com or see https://x.org/d?q=1 or call +1 (555) 123-4567 now",
+      2L -> "no pii here at all")
+    val r = d.select($"doc_id", TextStats.piiCounts($"text").as("p"),
+        TextStats.redactPii($"text").as("red"))
+      .select($"doc_id", $"p.n_emails", $"p.n_urls", $"p.n_phones", $"red")
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(r(0)._2 == 1 && r(0)._3 == 1 && r(0)._4 == 1)
+    assert(r(0)._5 == "write [EMAIL] or see [URL] or call [PHONE] now")
+    assert(r(1)._2 == 0 && r(1)._3 == 0 && r(1)._4 == 0)
+    assert(r(1)._5 == "no pii here at all", "redaction is identity on clean text")
+  }
+
+  test("contamination: containment catches a benchmark doc embedded in a larger one") {
+    val corpus = docs(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta plus lots of extra words here",
+      11L -> "totally unrelated content with nothing shared at all right")
+    val bench = docs(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+    val hits = Dedup.contamination(corpus, bench, "doc_id", "text",
+        k = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) == Seq((1L, 10L)))
+    assert(hits.head._3 == 1.0, "fully contained -> containment 1.0")
+  }
+
   test("langId classifies marker-bearing sentences and CJK") {
     val d = docs(
       1L -> "the cat is in the house and it is warm",
