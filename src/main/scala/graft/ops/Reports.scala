@@ -40,6 +40,10 @@ object Reports {
     val perReason = reports
       .groupBy("movie_id", "frame_path", "content_type", "reason")
       .agg(count(lit(1)).cast("long").as("n"))
+    // perReason is referenced twice (rows + totals), so its subtree —
+    // including the source scan — executes twice. Measured here, a
+    // memory-store cache of the aggregate costs MORE than the rescan;
+    // at source sizes where that flips, persist perReason first.
     val totals = perReason
       .groupBy("movie_id", "frame_path", "content_type")
       .agg(sum("n").cast("long").as("count"))
