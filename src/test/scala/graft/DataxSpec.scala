@@ -222,6 +222,21 @@ class DataxSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("approx profile (HLL path): same shape, estimates within 10% of exact") {
+    val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val cols = Seq("o_custkey", "o_orderstatus")
+    val exact = datax.Profile.profile(orders, cols).orderBy("col_name")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val approx = datax.Profile.profile(orders, cols, exact = false).orderBy("col_name")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(approx.map(r => (r._1, r._2, r._3)) == exact.map(r => (r._1, r._2, r._3)),
+      "row/non-null counts identical; only distinct is estimated")
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(math.abs(a._4 - e._4).toDouble / e._4 <= 0.10,
+        s"${e._1}: HLL ${a._4} vs exact ${e._4}")
+    }
+  }
+
   test("kmeans-refined IVF centroids tighten the quantizer (objective >= stride seed)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // objective: mean cosine of each vector to its assigned centroid
