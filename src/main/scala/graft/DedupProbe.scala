@@ -60,6 +60,10 @@ object DedupProbe {
     spark.sqlContext.clearCache()
     time("FULL minhashNearDups")(
       graft.datax.Dedup.minhashNearDups(docs, "doc_id", "text", 4, 16, 8, 0.3).count())
+    // clustering stage on top of the (recomputed) pair list
+    spark.sqlContext.clearCache()
+    val pairs = graft.datax.Dedup.minhashNearDups(docs, "doc_id", "text", 4, 16, 8, 0.3)
+    time("FULL dupClusters")(graft.datax.Dedup.dupClusters(pairs).count())
     spark.stop()
   }
 }

@@ -260,10 +260,19 @@ object Dedup {
     * of the (small) pair-graph node set, with a driver-side convergence
     * check. `maxIterations` bounds pathological chains; the method
     * throws rather than return a half-converged clustering. */
-  def dupClusters(pairs: DataFrame, maxIterations: Int = 15): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIterations: Int = 15,
+                  driverMaxPairs: Long = 1000000L): DataFrame = {
     // cache the pair list BEFORE mirroring: the union's two branches
     // would otherwise each execute the (expensive) pair-producing plan
     val p = pairs.select("id_a", "id_b").cache()
+    // ADAPTIVE: the pair graph is the OUTPUT of near-dup detection —
+    // normally minuscule next to the corpus. Under `driverMaxPairs`
+    // edges, a driver-side union-find (one collect of bare id pairs)
+    // replaces the iterative joins: label propagation's per-round
+    // plan/compile/job overhead dwarfs the actual work at that size.
+    // Bigger graphs take the distributed min-label loop below.
+    val nPairs = p.count()
+    if (nPairs <= driverMaxPairs) return driverComponents(p)
     val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
@@ -292,6 +301,43 @@ object Dedup {
     }
     require(converged, s"label propagation did not converge in $maxIterations iterations")
     labels.select("id", "cluster")
+  }
+
+  /** Driver-side union-find over a collected pair list; cluster = the
+    * MINIMUM member id (same contract as the distributed loop). Ids may
+    * be any Comparable type (long, string, ...). */
+  private def driverComponents(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val parent = new scala.collection.mutable.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val rows = p.collect()
+    rows.foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    val members = rows.iterator.flatMap(r => Iterator(r.get(0), r.get(1))).toSet
+    val minOf = new scala.collection.mutable.HashMap[Any, Any]()
+    members.foreach { m =>
+      val r = find(m)
+      val cur = minOf.get(r)
+      if (cur.isEmpty ||
+          m.asInstanceOf[Comparable[Any]].compareTo(cur.get.asInstanceOf[Any]) < 0)
+        minOf(r) = m
+    }
+    val out = members.toSeq.map(m =>
+      org.apache.spark.sql.Row(m, minOf(find(m))))
+    val idType = p.schema.fields(0).dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("cluster", idType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /** 64-bit SimHash over whitespace tokens (xxhash64-based; Spark-native,

@@ -143,6 +143,11 @@ class DataxSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), // 1-2-3 chain
       (4L, 4L), (5L, 5L), (6L, 5L), (9L, 4L)))
+    // the distributed label-propagation path (forced by driverMaxPairs=0)
+    // must produce the identical clustering
+    val dist = Dedup.dupClusters(pairs, driverMaxPairs = 0L).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(dist == got, "driver union-find == distributed min-label loop")
   }
 
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
