@@ -132,6 +132,38 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(added == Seq("/n.jpg"))
   }
 
+  test("moderation round-trip: mark blocks the backdrop, unmark restores it") {
+    import graft.ops.Moderation
+    val movies = Fixtures.movies(spark)
+    // movie 1 frames: /a.jpg (8.0), /b.jpg (9.0); /b.jpg already blocked
+    val marked = Moderation.markIncorrect(movies, 1L, "movie", Seq("/a.jpg", "/zz.jpg"))
+    val m1 = marked.updated.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m1.getAs[scala.collection.Seq[String]]("incorrect_frames").toSeq
+      == Seq("/b.jpg", "/a.jpg", "/zz.jpg"), "$addToSet appends, keeps order, dedups")
+    assert(m1.isNullAt(m1.fieldIndex("backdrop_path")),
+      "all frames blocked -> backdrop null")
+    val resp = marked.response.head()
+    assert(resp.getAs[scala.collection.Seq[String]]("present_in_frames").toSeq == Seq("/a.jpg"))
+    assert(resp.getAs[scala.collection.Seq[String]]("not_in_frames").toSeq == Seq("/zz.jpg"))
+    // untouched rows bit-identical
+    val others = marked.updated.filter(!(col("id") === 1 && col("_type") === "movie"))
+      .orderBy("id", "_type").collect().toSeq
+    val before = movies.filter(!(col("id") === 1 && col("_type") === "movie"))
+      .orderBy("id", "_type").collect().toSeq
+    assert(others == before)
+    // unmark the best frame: backdrop comes back as the top valid frame
+    val unmarked = Moderation.unmarkIncorrect(marked.updated, 1L, "movie", Seq("/b.jpg"))
+    val m1b = unmarked.updated.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m1b.getAs[scala.collection.Seq[String]]("incorrect_frames").toSeq
+      == Seq("/a.jpg", "/zz.jpg"))
+    assert(m1b.getAs[String]("backdrop_path") == "/b.jpg")
+    // 404 guard: absent movie -> empty response, table unchanged
+    val miss = Moderation.markIncorrect(movies, 999L, "movie", Seq("/x.jpg"))
+    assert(miss.response.isEmpty)
+    assert(miss.updated.orderBy("id", "_type").collect().toSeq ==
+      movies.orderBy("id", "_type").collect().toSeq)
+  }
+
   test("table-level dedupKeepFirst / dedupKeepMax") {
     import spark.implicits._
     val df = Seq(
