@@ -12,8 +12,9 @@ import graft.queries.{CoreQueries, DataxQueries}
   * Every implemented operator from SURVEY.md §2 is registered here as a
   * named query over the driver testdata tables (TESTDATA.md), paired with
   * ANSI SQL that DuckDB runs on the same parquet for the hash-compare.
-  * Queries with no SQL equivalent (hash-function-dependent ops) appear in
-  * `queries` only -> weaker rows-only check.
+  * As of round 2 EVERY query carries a full oracle — hash-bearing ops are
+  * built on md5 so the whole pipeline replays in SQL (no rows-only
+  * checks remain).
   *
   * The query definitions live in [[graft.queries.CoreQueries]] (reference
   * surface, SURVEY.md §2) and [[graft.queries.DataxQueries]] (scale
