@@ -3,7 +3,7 @@ package graft.merge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.ops.FrameOps
+import graft.ops.{Enrich, FrameOps}
 
 /** The reference's merge-preserving upsert (SURVEY.md §2.1 S11, §2.4
   * JN4/JN5, §2.5 A5; reference: app/catalog/upsert.py:50-103) as a batch
@@ -17,6 +17,10 @@ import graft.ops.FrameOps
   *  - `incorrect_frames`: moderation state, preserved from existing;
   *  - `frames`: incoming frames are normalized (legacy alias, dedup
   *    keep-max-width) before the merge;
+  *  - `year` / `is_animated` / `country_codes`: re-derived on the
+  *    incoming doc (from release_date / genre_ids /
+  *    production_countries) before the merge, as the reference does on
+  *    every upsert;
   *  - `backdrop_path`: recomputed AFTER the merge from the merged frames
   *    minus the merged (= preserved) incorrect_frames;
   *  - `last_popularity_sync_at` / `last_vote_count_sync_at`: stamped to
@@ -75,6 +79,24 @@ object Upsert {
                   sortBy: Option[String], now: Column,
                   keys: Seq[String] = Seq("id", "_type")): MergeResult = {
     val cols = existing.columns.toSeq
+
+    // the reference re-derives year / is_animated / country_codes on
+    // every incoming doc before the $set (app/catalog/upsert.py:61-66).
+    // Guarded on the SOURCE column existing in the schema: a table that
+    // carries country_codes without production_countries pre-derived
+    // them upstream — recomputing from a missing source would wipe data
+    // the reference derives from a present (possibly empty) field.
+    var incDerived = incoming
+    if (cols.contains("year") && cols.contains("release_date"))
+      incDerived = incDerived.withColumn("year",
+        Enrich.extractYear(col("release_date")))
+    if (cols.contains("is_animated") && cols.contains("genre_ids"))
+      incDerived = incDerived.withColumn("is_animated",
+        Enrich.isAnimated(col("genre_ids")))
+    if (cols.contains("country_codes") && cols.contains("production_countries"))
+      incDerived = incDerived.withColumn("country_codes",
+        Enrich.countryCodes(col("production_countries")))
+    val incoming2 = incDerived
     val incNorm =
       if (cols.contains("frames")) {
         val legacyAlias = incoming.schema("frames").dataType match {
@@ -82,9 +104,9 @@ object Upsert {
             st.fieldNames.contains("frame_path")
           case _ => false
         }
-        incoming.withColumn("frames",
+        incoming2.withColumn("frames",
           FrameOps.normalizeFrames(col("frames"), legacyAlias))
-      } else incoming
+      } else incoming2
 
     // Sync stamps are NOT ordinary columns: the reference only ever adds
     // the sort-mode-matching stamp to `$set` (app/catalog/upsert.py:94-97),

@@ -13,10 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Enrich {
 
-  /** F1 — year from a "YYYY-MM-DD" *string*; NULL on short/invalid input
-    * (reference: app/catalog/upsert.py:37-43). */
+  /** F1 — year from a "YYYY-MM-DD" *string*; NULL on short/invalid input.
+    * The length guard matters: the reference returns None for inputs
+    * shorter than 4 chars, while a bare substring+cast would happily
+    * parse "19" as 19 (reference: app/catalog/upsert.py:37-43). */
   def extractYear(releaseDate: Column): Column =
-    substring(releaseDate, 1, 4).cast("int")
+    when(length(releaseDate) >= 4, substring(releaseDate, 1, 4).cast("int"))
 
   /** F5 — `is_animated = 16 in genre_ids` (reference: app/sync.py:104). */
   def isAnimated(genreIds: Column): Column =

@@ -84,6 +84,12 @@ class CatalogSpec extends AnyFunSuite {
     assert(tv.getInt(2) == 2011 && tv.getString(4) == "Some Show")
     assert(broken.isNullAt(2), "extractYear('19xx') -> null")
     assert(!broken.getBoolean(3))
+    // the reference returns None for len < 4 — "19" must NOT parse as 19
+    import spark.implicits._
+    val shorts = Seq("19", "", null, "1999", "1999-03-31").toDF("rd")
+      .select(Enrich.extractYear(col("rd")).as("y")).collect()
+    assert(shorts(0).isNullAt(0) && shorts(1).isNullAt(0) && shorts(2).isNullAt(0))
+    assert(shorts(3).getInt(0) == 1999 && shorts(4).getInt(0) == 1999)
   }
 
   test("Enrich: key build/parse round-trip incl. malformed keys (F2-F4)") {

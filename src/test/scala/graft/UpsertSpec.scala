@@ -101,6 +101,23 @@ class UpsertSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("derived columns re-derived on the incoming doc before merge") {
+    // stale year/is_animated ride in; the merge must recompute them from
+    // release_date / genre_ids (reference: app/catalog/upsert.py:61-66)
+    val stale = incoming
+      .withColumn("release_date", lit("2005-06-01"))
+      .withColumn("year", lit(1900))
+      .withColumn("genre_ids", lit(Array(16, 35)))
+      .withColumn("is_animated", lit(false))
+    val r = Upsert.mergeMovies(base, stale, None, now)
+    val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    assert(m1.getAs[Int]("year") == 2005, "year derived from release_date, not trusted")
+    assert(m1.getAs[Boolean]("is_animated"), "genre 16 -> animated")
+    // keep rows never re-derive
+    val m4 = r.merged.filter(col("id") === 4 && col("_type") === "movie").head()
+    assert(m4.getAs[Int]("year") == 1999)
+  }
+
   test("incoming frames are normalized (dup path keeps max width) before merge") {
     val dupFrames = incoming.withColumn("frames", expr(
       """array(named_struct('path','/dup.jpg','aspect_ratio',1.78d,'vote_average',5.0d,'width',200),
