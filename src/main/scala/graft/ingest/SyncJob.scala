@@ -115,6 +115,11 @@ object SyncJob {
     * `details` (id -> production fields) inner-joins (JN1, skip-if-
     * missing); `ruTitles` (id -> title_ru) left-joins (JN2). Both are
     * broadcast — they are per-page lookups in the reference.
+    *
+    * `frames` (id -> frames array) left-joins when given (JN3);
+    * `requireFrames=true` is the sync_category variant that SKIPS items
+    * whose frames lookup came back empty (reference: app/sync.py:125-130
+    * `if not frames: continue`), while sync_top/sync_years keep them.
     */
   def run(spark: SparkSession,
           base: DataFrame,
@@ -130,7 +135,9 @@ object SyncJob {
           nPages: Int = 2,
           resume: Boolean = true,
           startPage: Int = 1,
-          sortBy: Option[String] = Some("vote_count.desc")): Report = {
+          sortBy: Option[String] = Some("vote_count.desc"),
+          frames: Option[DataFrame] = None,
+          requireFrames: Boolean = false): Report = {
 
     // the reference loads the cursor unconditionally: an explicit
     // start_page overrides the resume POSITION, but the stored
@@ -152,9 +159,18 @@ object SyncJob {
       val good = pageBatch.filter(col("id").isNotNull)
 
       // JN1 (inner: skip-if-missing details) + JN2 (left: null allowed)
-      val enriched = good
+      val enriched0 = good
         .join(broadcast(details), Seq("id"), "inner")
         .join(broadcast(ruTitles), Seq("id"), "left_outer")
+      // JN3: frames lookup; the category sync drops frameless items
+      val enriched = frames match {
+        case Some(f) =>
+          val joined = enriched0.join(broadcast(f), Seq("id"), "left_outer")
+          if (requireFrames)
+            joined.filter(col("frames").isNotNull && size(col("frames")) > 0)
+          else joined
+        case None => enriched0
+      }
 
       // the reference applies upserts sequentially, so a movie seen
       // twice in one batch resolves LAST-write-wins; the batch merge

@@ -7,6 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ingest.SyncJob
 
+/** A frame as fetched (images endpoint shape) — used by the JN3 tests. */
+case class SyncFr(path: String, aspect_ratio: Option[Double],
+    vote_average: Option[Double], width: Option[Int])
+
 /** End-to-end sync simulation (SURVEY.md §3.2, ST1-ST3): resumable
   * cursor, dead-letter, inner/left enrichment joins, idempotent merge. */
 class SyncJobSpec extends AnyFunSuite {
@@ -92,6 +96,32 @@ class SyncJobSpec extends AnyFunSuite {
     assert(c5.page == 8)
     assert(c5.inserted == 23 && c5.updated == 8,
       "an empty batch advances the page but leaves the totals intact")
+  }
+
+  test("category sync drops frameless items; top sync keeps them (JN3 variants)") {
+    import org.apache.spark.sql.functions.typedLit
+    // frames only for even ids; odd ids' lookup returns empty
+    val frames = (1 to 25).map { i =>
+      (i.toLong,
+        if (i % 2 == 0) Seq(SyncFr(s"/f$i.jpg", Some(1.8), Some(5.0), Some(100)))
+        else Seq.empty[SyncFr])
+    }.toDF("id", "frames")
+    val tmpl = template.withColumn("frames",
+      typedLit(Seq.empty[SyncFr])).limit(0)
+    def go(dir: String, require: Boolean) = SyncJob.run(spark, base, details,
+      ruTitles, tmpl, s"$dir/state", s"$dir/cursors", s"$dir/dead",
+      cursorKey = "cat", orderBy = Seq(col("vote_count").desc, col("id").asc),
+      pageSize = 5, nPages = 1, frames = Some(frames), requireFrames = require)
+
+    val d1 = Files.createTempDirectory("synccat").toString
+    val r1 = go(d1, require = true) // page 1 = ids 25..21; evens: 24, 22
+    assert(r1.attempted == 5, "attempted counts FETCHED items (reference quirk)")
+    assert(r1.inserted == 2, "frameless items skipped in category mode")
+    assert(spark.read.parquet(s"$d1/state").count() == 2)
+
+    val d2 = Files.createTempDirectory("synctop").toString
+    val r2 = go(d2, require = false)
+    assert(r2.inserted == 5, "top/years mode keeps empty-frames items")
   }
 
   test("duplicate key within one batch resolves last-write-wins (by page)") {
