@@ -32,8 +32,11 @@ object Enrich {
         c => c.getField("iso_3166_1")),
       x => x.isNotNull)
 
-  /** F7 — `title or name` coalesce (reference: app/sync.py:36). */
-  def displayTitle(title: Column, name: Column): Column = coalesce(title, name)
+  /** F7 — `title or name`: Python `or` is TRUTHINESS, so the empty
+    * string falls through to name just like None does
+    * (reference: app/sync.py:36). */
+  def displayTitle(title: Column, name: Column): Column =
+    coalesce(when(length(title) > 0, title), name)
 
   /** F2 — cursor key building `f"years:{type}:{year}"`
     * (reference: app/sync_years.py:18-20). */

@@ -90,6 +90,11 @@ class CatalogSpec extends AnyFunSuite {
       .select(Enrich.extractYear(col("rd")).as("y")).collect()
     assert(shorts(0).isNullAt(0) && shorts(1).isNullAt(0) && shorts(2).isNullAt(0))
     assert(shorts(3).getInt(0) == 1999 && shorts(4).getInt(0) == 1999)
+    // Python `or` truthiness: empty-string title falls through to name
+    val titles = Seq(("", "Fallback"), (null, "AlsoFallback"), ("Real", "Unused"))
+      .toDF("t", "n")
+      .select(Enrich.displayTitle(col("t"), col("n"))).as[String].collect().toSeq
+    assert(titles == Seq("Fallback", "AlsoFallback", "Real"))
   }
 
   test("Enrich: key build/parse round-trip incl. malformed keys (F2-F4)") {
