@@ -21,7 +21,12 @@ object CatalogQueries {
       country: Option[String] = None,      // P3
       isAnimated: Option[Boolean] = None,  // P4
       contentType: Option[String] = None,  // P4
-      year: Option[Int] = None,            // P5 (string-date range)
+      // P5: INDEPENDENT open-ended string-date bounds — the reference
+      // accepts year_from and/or year_to (app/endpoints/movies.py:23-24,
+      // 47-52); limit/sort-key validation (le=200, key whitelist) is the
+      // HTTP layer's 422, not query semantics
+      yearFrom: Option[Int] = None,
+      yearTo: Option[Int] = None,
       requireFrames: Boolean = true,       // P1
       sortBy: String = "popularity",       // R1
       descending: Boolean = true,
@@ -54,7 +59,8 @@ object CatalogQueries {
     p.country.foreach(c => pred = pred && array_contains(col("country_codes"), c))
     p.isAnimated.foreach(a => pred = pred && col("is_animated") === a)
     p.contentType.foreach(t => pred = pred && col("_type") === t)
-    p.year.foreach(y => pred = pred && yearRange(col("release_date"), y))
+    p.yearFrom.foreach(y => pred = pred && col("release_date") >= s"$y-01-01")
+    p.yearTo.foreach(y => pred = pred && col("release_date") <= s"$y-12-31")
     val sort = if (p.descending) col(p.sortBy).desc else col(p.sortBy).asc
     movies.filter(pred)
       // id tiebreak for a deterministic page (Mongo's order is unspecified

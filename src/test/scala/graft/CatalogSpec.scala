@@ -23,13 +23,13 @@ class CatalogSpec extends AnyFunSuite {
   test("search: genre/animated/type/year filters conjunct") {
     val got = CatalogQueries.search(movies,
       SearchParams(genre = Some(16), isAnimated = Some(true),
-        contentType = Some("movie"), year = Some(2001), limit = 10))
+        contentType = Some("movie"), yearFrom = Some(2001), yearTo = Some(2001), limit = 10))
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(2L))
   }
 
   test("search: string-date year range is lexicographic (P5)") {
-    val got = CatalogQueries.search(movies, SearchParams(year = Some(1999), limit = 10))
+    val got = CatalogQueries.search(movies, SearchParams(yearFrom = Some(1999), yearTo = Some(1999), limit = 10))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 4L))
   }
