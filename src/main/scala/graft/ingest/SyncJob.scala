@@ -180,7 +180,7 @@ object SyncJob {
         Seq("id", "_type"), "_rn", Seq("id"))
 
       val existing = readState(spark, statePath, stateTemplate)
-      val incoming = deduped.select(existing.columns.map(col): _*)
+      val incoming = deduped.select(existing.columns.toSeq.map(col): _*)
       val res = Upsert.mergeMovies(existing, incoming, sortBy,
         now = current_timestamp())
 

@@ -160,21 +160,21 @@ object FrameOps {
     * aggregation before the shuffle (a window would shuffle all rows and
     * keep full partitions in memory). */
   def dedupKeepFirst(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toSeq.map(col): _*)
     val ord = struct(orderCols.map(col): _*)
     val picked = df.groupBy(keyCols.map(col): _*)
       .agg(min_by(payload, ord).as("_row"))
-    picked.select(df.columns.map(c => picked.col(s"_row.$c").as(c)): _*)
+    picked.select(df.columns.toSeq.map(c => picked.col(s"_row.$c").as(c)): _*)
   }
 
   /** O20 table-level — dedup keeping the row with the MAX of `maxCol`
     * (ties: first in `tieCols` order). */
   def dedupKeepMax(df: DataFrame, keyCols: Seq[String], maxCol: String, tieCols: Seq[String]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toSeq.map(col): _*)
     val ord = struct(col(maxCol) +: tieCols.map(c => -col(c)): _*)
     val picked = df.groupBy(keyCols.map(col): _*)
       .agg(max_by(payload, ord).as("_row"))
-    picked.select(df.columns.map(c => picked.col(s"_row.$c").as(c)): _*)
+    picked.select(df.columns.toSeq.map(c => picked.col(s"_row.$c").as(c)): _*)
   }
 
   /** O17 table-level — argmax per group via row_number window (used where

@@ -77,7 +77,7 @@ object MetaSync {
   def syncStatus(cursors: DataFrame, errors: DataFrame,
                  now: Column): SyncStatus = {
     def defaulted(df: DataFrame): DataFrame = df.select(
-      (df.columns.filterNot(Seq("page", "inserted", "updated").contains).map(col) ++ Seq(
+      (df.columns.toSeq.filterNot(Seq("page", "inserted", "updated").contains).map(col) ++ Seq(
         coalesce(col("page"), lit(0)).as("page"),
         coalesce(col("inserted"), lit(0L)).as("inserted"),
         coalesce(col("updated"), lit(0L)).as("updated"))): _*)
