@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converts a Column's node tree to a catalyst expression tree
+    * (`ColumnNodeToExpressionConverter`). Required when splicing a
+    * composed Column into a FunctionRegistry builder: the lazy
+    * `ColumnNodeExpression` wrapper from [[expression]] never meets the
+    * plan-level converter on that path and would reach codegen
+    * unresolved. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
