@@ -662,6 +662,47 @@ object CoreQueries {
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
 
+    /* TPC-H Q5 shape: five-table join — selective region filter walks
+     * down broadcast dims (region -> nation -> supplier/customer), the
+     * fact join stays on lineitem⋈orders, same-nation predicate couples
+     * the two dim paths. The multi-join planning anchor; exercises the
+     * region/supplier tables. */
+    QueryDef("h04_local_supplier_revenue",
+      (s, dir) => {
+        val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders").filter(
+            col("o_orderdate") >= lit("1996-01-01") &&
+              col("o_orderdate") < lit("1998-01-01")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "customer")),
+            col("o_custkey") === col("c_custkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region.select("r_regionkey")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(rev).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some("""SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")),
+
     /* Headline window-function shape: per-customer running totals and
      * order ranks — one shuffle on the partition key, sort within
      * partitions, no global sort. DECIMAL keeps the running sum exact
