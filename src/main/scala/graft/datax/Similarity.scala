@@ -67,6 +67,30 @@ object Similarity {
       .filter(col("_rn") === 1)
       .select("id", "vec", "centroid_id")
 
+  /** Per-class centroids from a labeled embedding table: one row per
+    * (label, dim) with the dimension mean — the nearest-class-mean /
+    * class-separation building block. The sum is a SEQUENTIAL double
+    * fold in id order (the d08-proven engine-portable pattern): a plain
+    * double sum would depend on partition order, and decimal element
+    * casts can round-tie differently across engines (observed: 1 cell in
+    * 64k). Per-group lists are bounded by class size; for unbounded
+    * classes at scale, chunk ids into fixed ranges and fold the partial
+    * sums in range order — still deterministic, still partial-agged. */
+  def labelCentroids(vectors: DataFrame, labelCol: String = "label",
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    vectors
+      .select(col(labelCol).as("label"), col(idCol).as("id"),
+        posexplode(toDouble(col(vecCol))).as(Seq("dim", "_x")))
+      .groupBy("label", "dim")
+      .agg(
+        sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
+          .as("_sx"),
+        count(lit(1)).cast("long").as("n_vectors"))
+      .select(col("label"), col("dim"),
+        (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
+          / col("n_vectors")).as("centroid"),
+        col("n_vectors"))
+
   /** IVF index: deterministic centroid sample (every `stride`-th vector)
     * + nearest-centroid assignment. Returns (centroids, assigned). */
   def ivfIndex(vectors: DataFrame, nCentroids: Int,

@@ -360,6 +360,21 @@ object DataxQueries {
         .orderBy("id_a", "id_b"),
       Some(EmbeddingNearDupSql)),
 
+    /* Per-class embedding centroids (sequential id-ordered double fold
+     * -> deterministic at any parallelism, bit-identical across engines). */
+    QueryDef("d25_label_centroids",
+      (s, dir) => Similarity.labelCentroids(t(s, dir, "embeddings"))
+        .orderBy("label", "dim"),
+      Some("""WITH e AS (
+          SELECT label, vec_id AS id, d - 1 AS dim, vec[d] AS x
+          FROM (SELECT label, vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+               unnest(range(1, 65)) AS t(d))
+        SELECT label, CAST(dim AS INT) AS dim,
+               list_reduce(list_prepend(0.0, list(x ORDER BY id)),
+                 (a, b) -> a + b) / count(*) AS centroid,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM e GROUP BY label, dim ORDER BY label, dim""")),
+
     // ---------------------------------------------------------------
     // Multimodal columns (binary payload + typed metadata; stub decode)
     // ---------------------------------------------------------------
