@@ -21,13 +21,15 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Per-query warm-up at the SAME SF immediately before the timed run:
     // Janino whole-stage-codegen + JIT + AQE-variant compile dominate
-    // cold single-query runs (probe: d05 is 1.3s warm vs 3.8s after only
-    // a small-SF warmup — the AQE plan variants at the timed SF never
-    // got compiled). These are one-time costs irrelevant at scale, so
-    // the steady-state number is the honest one; the price is ~2x bench
-    // wall. Interleaved per query, not a separate fleet pass — Spark's
-    // codegen cache holds ~100 generated classes, so a fleet-wide pass
-    // self-evicts. SPARK_GRAFT_WARM_DIR overrides (empty disables).
+    // cold single-query runs (up to ~2-3s per heavy query; a small-SF
+    // warmup never compiles the AQE plan variants of the timed SF).
+    // These are one-time costs irrelevant at scale, so the steady-state
+    // number is the honest one; the price is ~2x bench wall. Interleaved
+    // per query, not a separate fleet pass — Spark's codegen cache holds
+    // ~100 generated classes, so a fleet-wide pass self-evicts. Data
+    // caches are CLEARED between warm and timed runs (below) so the
+    // timed run re-executes the full pipeline.
+    // SPARK_GRAFT_WARM_DIR overrides (empty disables).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
     def warm(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       if (warmDir.nonEmpty)
@@ -37,6 +39,12 @@ object Bench {
         }
     val results = queries.map { case (name, fn) =>
       warm(name, fn)
+      // drop any InMemoryRelations the warm run materialized (several
+      // operators .cache() internally): at the same SF the timed plan is
+      // canonically identical, so CacheManager would silently substitute
+      // the cached subtree and the timed number would measure cache
+      // hits, not the pipeline
+      spark.sqlContext.clearCache()
       val t0 = System.nanoTime()
       // noop sink materializes every row/column (a bare count() would let
       // Catalyst prune the query down to a metadata scan)

@@ -34,11 +34,24 @@ object Verify {
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
-    val json = SparkEntry.oracleSql
+    // under SPARK_GRAFT_ONLY, MERGE into an existing oracle map instead
+    // of clobbering it: a restricted dev run into a previously-full
+    // outDir must not silently shrink the compare coverage of the other
+    // queries' dumps sitting alongside
+    val oraclePath = Paths.get(s"$outDir/oracle_sql.json")
+    val existing: Map[String, String] =
+      if (only.isDefined && Files.exists(oraclePath)) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(Files.readString(oraclePath))
+        import scala.jdk.CollectionConverters._
+        node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      } else Map.empty
+    val merged = existing ++ SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.contains(k)) }
+    val json = merged
       .map { case (k, v) => s"${JsonEscape.quote(k)}: ${JsonEscape.quote(v)}" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(oraclePath, json)
     spark.stop()
   }
 }

@@ -75,12 +75,15 @@ object TextStats {
   // Deterministic corpus splitting
   // ------------------------------------------------------------------
 
-  /** Hash split bucket in [0, 100): integer value of the first two md5
-    * hex chars of the key, mod 100. HASH-based, never `rand()` — the
-    * assignment must be stable across runs, executors, and cluster
-    * sizes, or every re-run reshuffles train/test and leaks. */
+  /** Hash split bucket in [0, 100): integer value of the first FOUR md5
+    * hex chars of the key (16 bits), mod 100. HASH-based, never `rand()`
+    * — the assignment must be stable across runs, executors, and cluster
+    * sizes, or every re-run reshuffles train/test and leaks. 16 bits,
+    * not 8: 256 mod 100 would make buckets 0-55 1.5x as likely (an
+    * ~84/8/8 split masquerading as 80/10/10); 65536 mod 100 skews by
+    * <0.2%. */
   def splitBucket(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 2), 16, 10).cast("int") % 100
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % 100
 
   /** Named train/valid/test assignment from [[splitBucket]]. */
   def splitName(key: Column, trainPct: Int = 80, validPct: Int = 10): Column = {

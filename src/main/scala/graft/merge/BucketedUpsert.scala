@@ -22,9 +22,18 @@ object BucketedUpsert {
 
   private def vname(name: String, v: Int) = s"${name}_v$v"
 
-  /** Current physical version: the single versioned table that exists. */
-  private def currentVersion(spark: SparkSession, name: String): Int =
-    if (spark.catalog.tableExists(vname(name, 0))) 0 else 1
+  /** Current physical version, read from the VIEW definition — the view
+    * repoint IS the commit, so it is the source of truth. Bare table
+    * existence would mis-resolve after a crash between the view flip and
+    * the old version's DROP (both tables present): the next merge would
+    * resurrect the stale version and overwrite the committed one. */
+  private def currentVersion(spark: SparkSession, name: String): Int = {
+    val viewText = spark.sql(s"SHOW CREATE TABLE $name")
+      .head().getString(0)
+    val v = Seq(0, 1).filter(i => viewText.contains(vname(name, i)))
+    require(v.size == 1, s"cannot resolve current version of $name from: $viewText")
+    v.head
+  }
 
   private def writeVersion(df: DataFrame, name: String, v: Int, dir: String,
                            keys: Seq[String], nBuckets: Int): Unit =

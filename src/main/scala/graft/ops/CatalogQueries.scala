@@ -44,14 +44,13 @@ object CatalogQueries {
   def hasFrames(frames: Column): Column =
     frames.isNotNull && size(frames) > 0
 
-  /** P5 — release_date is a STRING; the reference range-filters it
-    * lexicographically with `"{year}-01-01"`.. bounds, which on ISO dates
-    * is identical to date comparison (reference:
-    * app/endpoints/movies.py:46-51). We keep StringType + string bounds. */
-  def yearRange(releaseDate: Column, year: Int): Column =
-    releaseDate >= s"$year-01-01" && releaseDate <= s"$year-12-31"
-
-  /** The full search pipeline over a movies-shaped DataFrame. */
+  /** The full search pipeline over a movies-shaped DataFrame.
+    *
+    * P5: release_date is a STRING; the reference range-filters it
+    * lexicographically with `"{year}-01-01"`.. bounds, which on ISO
+    * dates is identical to date comparison (reference:
+    * app/endpoints/movies.py:46-51). We keep StringType + string
+    * bounds. */
   def search(movies: DataFrame, p: SearchParams): DataFrame = {
     var pred: Column = lit(true)
     if (p.requireFrames) pred = pred && hasFrames(col("frames"))

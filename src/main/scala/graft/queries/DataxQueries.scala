@@ -460,11 +460,15 @@ object DataxQueries {
           TextStats.splitBucket(col("doc_id")).as("bucket"),
           TextStats.splitName(col("doc_id")).as("split"))
         .orderBy("doc_id"),
-      Some("""WITH b AS (
+      Some("""WITH n AS (
           SELECT doc_id,
-                 CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                  + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100 AS INT) AS bucket
-          FROM documents)
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(1, 5),
+                     i -> CAST(strpos('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) AS v
+          FROM documents),
+        b AS (SELECT doc_id, CAST(v % 100 AS INT) AS bucket FROM n)
         SELECT doc_id, bucket,
                CASE WHEN bucket < 80 THEN 'train'
                     WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split

@@ -56,7 +56,11 @@ object Retry {
     while (true) {
       try return fetch
       catch {
-        case e: Throwable =>
+        // NonFatal ONLY: an OutOfMemoryError must fail the task, not be
+        // retried in a broken JVM and swallowed into an empty page; an
+        // InterruptedException (task kill) must propagate promptly, not
+        // sit out backoff sleeps
+        case scala.util.control.NonFatal(e) =>
           val kind = classify(e)
           if (kind == Http || attempt >= maxAttempts) {
             onGiveUp(GiveUp(kind.name, attempt, String.valueOf(e.getMessage)))

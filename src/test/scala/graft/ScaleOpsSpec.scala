@@ -74,12 +74,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(state.filter($"id" === 3L).select("title").as[String].head() == "v1 3",
         "keep rows survive the version flip")
 
+      // crash-window recovery: simulate dying between the view flip and
+      // the old version's DROP — both versioned tables exist, the VIEW
+      // (the commit) points at the newer one. currentVersion must follow
+      // the view, not table existence, or the stale table wins.
+      val staleV = if (spark2.catalog.tableExists("movies_state_v0")) 1 else 0
+      template.limit(0).write.mode("overwrite")
+        .bucketBy(4, "id", "_type").sortBy("id", "_type")
+        .option("path", s"$wh/movies_state_v$staleV")
+        .saveAsTable(s"movies_state_v$staleV")
+      val c3 = BucketedUpsert.merge(spark2, "movies_state", wh,
+        batch(1L to 3L, "v3"), None, now)
+      assert(c3 == Map("update" -> 3L),
+        "merge must read the COMMITTED version, not the stale leftover")
+      assert(spark2.table("movies_state").count() == 15)
+
       // plan shape: with broadcast off, the merge join must shuffle ONLY
       // the incoming side — the bucketed catalog scan is pre-partitioned
       val prev = spark2.conf.get("spark.sql.autoBroadcastJoinThreshold")
       try {
         spark2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        val existing = spark2.table("movies_state_v0") // after 2 merges: v0
+        val curName = if (spark2.catalog.tableExists("movies_state_v0"))
+          "movies_state_v0" else "movies_state_v1"
+        val existing = spark2.table(curName)
         val merged = graft.merge.Upsert.mergeWithAction(
           existing, batch(1L to 5L, "probe"))
         val plan = merged.queryExecution.executedPlan.toString
