@@ -236,6 +236,46 @@ object Dedup {
       sh.filter(isBench(col("id"))), threshold)
   }
 
+  /** [[contamination]] with a MinHash-LSH prefilter on the corpus side —
+    * the 100 TB path: instead of joining every shared shingle across the
+    * full corpus, band signatures bucket both sides first and only
+    * bucket-colliding (bench, corpus) pairs are containment-verified.
+    * APPROXIMATE on the LSH side (recall follows the band/row S-curve,
+    * tuned by bands x rows like minhashNearDups); every returned pair
+    * carries the EXACT containment. Verified pairs ⊆ [[contamination]]'s. */
+  def contaminationLsh(corpus: DataFrame, bench: DataFrame, idCol: String,
+                       textCol: String, k: Int = 4, numHashes: Int = 16,
+                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    val cs = docShingleRows(corpus, idCol, textCol, k)
+    val bs = docShingleRows(bench, idCol, textCol, k)
+    def banded(sh: DataFrame): DataFrame = {
+      val hashAggs = (0 until numHashes).map(i =>
+        min(minhashHash(col("s"), i)).as(s"_h$i"))
+      val sigs = sh.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
+      val bandSigCols = (0 until bands).map { b =>
+        md5(concat_ws(",", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*))
+      }
+      sigs.select(col("id"), posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
+    }
+    val cand = banded(bs).select(col("band"), col("bsig"), col("id").as("bench_id"))
+      .join(banded(cs).select(col("band"), col("bsig"), col("id").as("corpus_id")),
+        Seq("band", "bsig"))
+      .select("bench_id", "corpus_id").distinct()
+    // exact containment, restricted to the candidates
+    val inter = cand
+      .join(bs.select(col("id").as("bench_id"), col("s").as("s_b")), "bench_id")
+      .join(cs.select(col("id").as("_cid"), col("s").as("s_c")),
+        col("corpus_id") === col("_cid") && col("s_b") === col("s_c"))
+      .groupBy("bench_id", "corpus_id").agg(count(lit(1)).as("_inter"))
+    val bsz = shingleCounts(bs).select(col("id").as("bench_id"), col("n").as("_nb"))
+    inter.join(bsz, "bench_id")
+      .select(col("bench_id"), col("corpus_id"),
+        (col("_inter") / col("_nb")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   private def contaminationSides(cs: DataFrame, bs: DataFrame,
                                  threshold: Double): DataFrame = {
     val inter = bs.as("b").join(cs.as("c"), col("b.s") === col("c.s"))

@@ -57,6 +57,26 @@ class DataxSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(hits.map(h => (h._1, h._2)) == Seq((1L, 10L)))
     assert(hits.head._3 == 1.0, "fully contained -> containment 1.0")
+    // the LSH-prefiltered scale path: catches the embedded doc (identical
+    // shingle subsets collide in every band) and is a subset of exhaustive
+    val lsh = Dedup.contaminationLsh(corpus, bench, "doc_id", "text",
+        k = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(lsh == hits, "prefilter must not lose the fully-contained pair")
+  }
+
+  test("contaminationLsh ⊆ exhaustive contamination on real documents") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = d.filter($"doc_id" % 29 =!= 0)
+    val bench = d.filter($"doc_id" % 29 === 0)
+    val exact = Dedup.contamination(corpus, bench, "doc_id", "text",
+        k = 4, threshold = 0.5)
+      .select("bench_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.contaminationLsh(corpus, bench, "doc_id", "text",
+        k = 4, threshold = 0.5)
+      .select("bench_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(exact.isEmpty || lsh.nonEmpty, "near-identical pairs survive the prefilter")
   }
 
   test("langId classifies marker-bearing sentences and CJK") {
