@@ -28,15 +28,29 @@ object StreamingUpsert {
   }
 
   /** Wire a streaming DataFrame of incoming docs into the merge. The
-    * caller starts the returned writer (choosing trigger/checkpoint). */
+    * caller starts the returned writer (choosing trigger/checkpoint).
+    *
+    * `versionCol`: a micro-batch can carry several versions of one key;
+    * the reference applies them sequentially so the LAST wins. The merge
+    * is a keyed full-outer join — duplicate keys in would mean duplicate
+    * rows out — so the batch is deduped first: keep-max of `versionCol`
+    * when given (event time / feed position), else an arbitrary single
+    * row (matching Mongo's own race for unordered concurrent upserts). */
   def writer(incoming: DataFrame, store: StateStore,
-             sortBy: Option[String]): DataStreamWriter[Row] =
+             sortBy: Option[String],
+             versionCol: Option[String] = None): DataStreamWriter[Row] =
     incoming.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > store.lastCommitted) { // replayed batch -> no-op
           val existing = store.read()
-          val incomingAligned = batch.select(
+          val keys = Seq("id", "_type")
+          val deduped = versionCol match {
+            case Some(v) =>
+              graft.ops.FrameOps.dedupKeepMax(batch, keys, v, Nil)
+            case None => batch.dropDuplicates(keys)
+          }
+          val incomingAligned = deduped.select(
             existing.columns.map(org.apache.spark.sql.functions.col): _*)
           val res = Upsert.mergeMovies(existing, incomingAligned, sortBy,
             now = org.apache.spark.sql.functions.current_timestamp())
@@ -47,8 +61,9 @@ object StreamingUpsert {
 
   /** One-shot convenience: drain everything available, then stop. */
   def runAvailableNow(incoming: DataFrame, store: StateStore,
-                      sortBy: Option[String], checkpointDir: String): Unit = {
-    val q = writer(incoming, store, sortBy)
+                      sortBy: Option[String], checkpointDir: String,
+                      versionCol: Option[String] = None): Unit = {
+    val q = writer(incoming, store, sortBy, versionCol)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

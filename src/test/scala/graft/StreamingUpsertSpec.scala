@@ -56,4 +56,25 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(guard == store.lastCommitted)
     assert(store.read().collect().toSeq == before)
   }
+
+  test("duplicate keys WITHIN a micro-batch collapse to one row (last version wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    val template = Seq.empty[(Long, String, String, Long)]
+      .toDF("id", "_type", "title", "vote_count")
+    val store = new MemStore(template)
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val incoming = mem.toDF().toDF("id", "_type", "title", "vote_count")
+    val dir = Files.createTempDirectory("supsertdup").toString
+    // two versions of id=1 arrive in ONE batch; vote_count is the
+    // version/feed-position column -> v2 (the higher) must win, and the
+    // keyed merge must see exactly one incoming row for the key
+    mem.addData((1L, "movie", "v1", 1L), (1L, "movie", "v2", 2L),
+      (2L, "movie", "only", 5L))
+    StreamingUpsert.runAvailableNow(incoming, store, None, dir,
+      versionCol = Some("vote_count"))
+    val rows = store.read().orderBy("id")
+      .select("id", "title").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "v2"), (2L, "only")),
+      "one row per key; highest version wins")
+  }
 }
