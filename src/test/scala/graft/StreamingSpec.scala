@@ -83,6 +83,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("slidingCounts on stream == slidingCounts on batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = StreamOps.slidingCounts(streamDf)
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("sliding")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = StreamOps.slidingCounts(batchDf)
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("slidingCounts: each event lands in width/slide windows") {
     val out = StreamOps.slidingCounts(batchDf, "1 hour", "30 minutes")
       .orderBy("window_start", "event_type")
