@@ -418,6 +418,41 @@ object Dedup {
     sums.select(col("id"), fp.as("simhash"))
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme): hash every
+    * k-gram IN POSITION ORDER (no distinct — position structure is the
+    * point), slide a w-wide window over the hash sequence, keep each
+    * window's minimum, dedup. Two docs sharing any sufficiently long
+    * passage share fingerprints regardless of offset — the
+    * guarantee-bearing alternative to MinHash for plagiarism-style
+    * substring matching. The 32-bit k-gram hash is an md5-hex chunk
+    * (the rolling hash's O(1) incremental update is a sequential-scan
+    * trick; columnar evaluation hashes each k-gram independently
+    * anyway, portably). Plan: posexplode + window lead (shingle
+    * assembly) + min over a w-row frame + distinct — one shuffle on id,
+    * everything else inside whole-stage codegen. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    val byPos = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until k).map(j => lead(col("t"), j).over(byPos))
+    // k-gram hash at each position (null once the doc runs out)
+    val grams = toks.select(col("id"), col("pos"),
+      when((if (k > 1) leads.last else col("t")).isNotNull,
+        conv(substring(md5(concat_ws(" ", col("t") +: leads: _*)), 1, 8), 16, 10)
+          .cast("long")).as("h"))
+    // window minimum over the next w hashes; valid only where the
+    // window is FULL (w-th hash exists)
+    val frame = byPos.rowsBetween(0, w - 1)
+    grams
+      .withColumn("_wmin", min(col("h")).over(frame))
+      .withColumn("_full", lead(col("h"), w - 1).over(byPos))
+      .filter(col("h").isNotNull && col("_full").isNotNull)
+      .select(col("id"), col("_wmin").as("fingerprint"))
+      .distinct()
+  }
+
   /** Oracle-portable 64-bit SimHash: the per-token hash is md5, with the
     * 64 bits read off the leading 16 hex nibbles (bit j = bit (j%4) of
     * nibble j/4). Identical plan shape to [[simhashTable]] — explode +

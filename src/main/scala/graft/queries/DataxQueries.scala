@@ -293,6 +293,36 @@ object DataxQueries {
                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.3
         ORDER BY id_a, id_b""")),
 
+    /* Winnowing fingerprints (MOSS): window minima over position-ordered
+     * k-gram hashes — shared passages share fingerprints at any offset. */
+    QueryDef("d26_winnow_fingerprints",
+      (s, dir) => Dedup.winnowFingerprints(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, w = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "fingerprint"),
+      Some {
+        val hex2int = (src: String) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |               list_transform(range(1, 9),
+             |                 j -> CAST(strpos('0123456789abcdef',
+             |                        substr(md5($src), CAST(j AS INT), 1)) - 1 AS BIGINT))),
+             |               (a, x) -> a * 16 + x)""".stripMargin
+        s"""WITH g AS (
+          SELECT doc_id AS id,
+                 list_transform(
+                   list_transform(range(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+3], ' ')),
+                   s -> ${hex2int("s")}) AS hs
+          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+          WHERE len(toks) >= 4),
+        f AS (
+          SELECT id, unnest(list_distinct(
+                   list_transform(range(1, len(hs) - 2),
+                     i -> list_min(hs[i:i+3])))) AS fingerprint
+          FROM g WHERE len(hs) >= 4)
+        SELECT id AS doc_id, fingerprint FROM f ORDER BY doc_id, fingerprint"""
+      }),
+
     /* SimHash fingerprints — the oracle-portable md5-nibble variant
      * (hash-verified end-to-end); the cheaper xxhash64 simhashTable is
      * the non-gated fast path, pinned by DedupSpec. */

@@ -170,6 +170,24 @@ class DataxSpec extends AnyFunSuite {
     assert(dist == got, "driver union-find == distributed min-label loop")
   }
 
+  test("winnowing: a shared passage yields shared fingerprints at ANY offset") {
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val d = docs(
+      1L -> passage,
+      2L -> ("completely different preamble words here and then " + passage),
+      3L -> "nothing in common with anything else at all whatsoever truly")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long)].collect().toSeq.groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty,
+      "offset-shifted copy of the passage shares fingerprints")
+    assert((fp(1L) & fp.getOrElse(3L, Set.empty)).isEmpty,
+      "unrelated docs share nothing")
+    // guarantee direction: every doc-1 fingerprint from the shared text
+    // appears in doc 2 (its windows are a superset over the passage)
+    assert(fp(1L).subsetOf(fp(2L)))
+  }
+
   test("simhash: identical -> hamming 0; near-dup closer than unrelated") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
