@@ -127,6 +127,24 @@ object Dedup {
   private def shingleCounts(exploded: DataFrame): DataFrame =
     exploded.groupBy("id").agg(count(lit(1)).as("n"))
 
+  /** (id, band, bsig) rows from a shingle-rows relation: the signature
+    * min-aggregates (map-side partial min, one row per doc into the
+    * shuffle) collapsed into per-band digests. THE shared band
+    * construction — minhashNearDups and contaminationLsh must bucket
+    * identically for their S-curve/replayability claims to hold. */
+  private def bandedSigs(exploded: DataFrame, numHashes: Int,
+                         bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val hashAggs = (0 until numHashes).map(i =>
+      min(minhashHash(col("s"), i)).as(s"_h$i"))
+    val sigs = exploded.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bandSigCols = (0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*))
+    }
+    sigs.select(col("id"),
+      posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
+  }
+
   /** Count-based exact Jaccard for a given candidate-pair set: |A∩B| is
     * a codegen'd count over shared-shingle rows, never an
     * array_intersect over wide arrays. `cand` is consumed EXACTLY once —
@@ -157,24 +175,15 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
-    val rows = numHashes / bands
     val exploded = docShingleRows(docs, idCol, textCol, k)
-    // signatures as codegen'd min-aggregates; map-side partial min()
-    // shrinks the shuffle to one row per doc before the exchange. The
-    // 16 agg inputs share 4 md5 digests (chunk scheme) — hash-aggregate
+    // signatures as codegen'd min-aggregates (bandedSigs); the 16 agg
+    // inputs share 4 md5 digests (chunk scheme) — hash-aggregate
     // codegen's subexpression elimination computes each digest once.
-    val hashAggs = (0 until numHashes).map(i =>
-      min(minhashHash(col("s"), i)).as(s"_h$i"))
-    val sigs = exploded.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
-    val bandSigCols = (0 until bands).map { b =>
-      md5(concat_ws(",", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*))
-    }
     // Candidates via bucket GROUPING, not a banded self-join: a self-join
     // would execute the signature subtree once per side. Buckets collect
     // their member ids (bounded by bucket size — LSH's intrinsic skew
     // unit) and expand to sorted in-bucket pairs.
-    val banded = sigs.select(col("id"),
-      posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
+    val banded = bandedSigs(exploded, numHashes, bands)
     val buckets = banded.groupBy("band", "bsig")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -247,20 +256,12 @@ object Dedup {
                        textCol: String, k: Int = 4, numHashes: Int = 16,
                        bands: Int = 8, threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val rows = numHashes / bands
     val cs = docShingleRows(corpus, idCol, textCol, k)
     val bs = docShingleRows(bench, idCol, textCol, k)
-    def banded(sh: DataFrame): DataFrame = {
-      val hashAggs = (0 until numHashes).map(i =>
-        min(minhashHash(col("s"), i)).as(s"_h$i"))
-      val sigs = sh.groupBy("id").agg(hashAggs.head, hashAggs.tail: _*)
-      val bandSigCols = (0 until bands).map { b =>
-        md5(concat_ws(",", (0 until rows).map(r => col(s"_h${b * rows + r}")): _*))
-      }
-      sigs.select(col("id"), posexplode(array(bandSigCols: _*)).as(Seq("band", "bsig")))
-    }
-    val cand = banded(bs).select(col("band"), col("bsig"), col("id").as("bench_id"))
-      .join(banded(cs).select(col("band"), col("bsig"), col("id").as("corpus_id")),
+    val cand = bandedSigs(bs, numHashes, bands)
+      .select(col("band"), col("bsig"), col("id").as("bench_id"))
+      .join(bandedSigs(cs, numHashes, bands)
+        .select(col("band"), col("bsig"), col("id").as("corpus_id")),
         Seq("band", "bsig"))
       .select("bench_id", "corpus_id").distinct()
     // exact containment, restricted to the candidates

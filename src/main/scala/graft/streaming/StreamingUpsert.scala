@@ -34,8 +34,10 @@ object StreamingUpsert {
     * the reference applies them sequentially so the LAST wins. The merge
     * is a keyed full-outer join — duplicate keys in would mean duplicate
     * rows out — so the batch is deduped first: keep-max of `versionCol`
-    * when given (event time / feed position), else an arbitrary single
-    * row (matching Mongo's own race for unordered concurrent upserts). */
+    * (event time / feed position). Without a versionCol, intra-batch
+    * duplicate keys FAIL the batch: silently picking an arbitrary row
+    * would make the committed state run-order-dependent, breaking the
+    * exactly-once-in-effect contract this file exists for. */
   def writer(incoming: DataFrame, store: StateStore,
              sortBy: Option[String],
              versionCol: Option[String] = None): DataStreamWriter[Row] =
@@ -48,7 +50,14 @@ object StreamingUpsert {
           val deduped = versionCol match {
             case Some(v) =>
               graft.ops.FrameOps.dedupKeepMax(batch, keys, v, Nil)
-            case None => batch.dropDuplicates(keys)
+            case None =>
+              val dup = batch.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+                .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+                .limit(1).count()
+              require(dup == 0,
+                "micro-batch carries duplicate (id, _type) keys; pass " +
+                  "versionCol to define which version wins")
+              batch
           }
           val incomingAligned = deduped.select(
             existing.columns.map(org.apache.spark.sql.functions.col): _*)

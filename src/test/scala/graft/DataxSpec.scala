@@ -57,12 +57,21 @@ class DataxSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(hits.map(h => (h._1, h._2)) == Seq((1L, 10L)))
     assert(hits.head._3 == 1.0, "fully contained -> containment 1.0")
-    // the LSH-prefiltered scale path: catches the embedded doc (identical
-    // shingle subsets collide in every band) and is a subset of exhaustive
-    val lsh = Dedup.contaminationLsh(corpus, bench, "doc_id", "text",
+    // the LSH-prefiltered scale path: an EXACT duplicate has an identical
+    // shingle set -> identical signature -> collides in every band, so
+    // catching it is guaranteed (an embedded-passage pair like (1,10) is
+    // only probabilistically caught — that's the prefilter's S-curve)
+    val corpusWithCopy = corpus.union(
+      docs(12L -> "alpha beta gamma delta epsilon zeta eta theta"))
+    val lsh = Dedup.contaminationLsh(corpusWithCopy, bench, "doc_id", "text",
         k = 4, threshold = 0.5)
       .as[(Long, Long, Double)].collect().toSeq
-    assert(lsh == hits, "prefilter must not lose the fully-contained pair")
+    assert(lsh.exists(h => h._1 == 1L && h._2 == 12L && h._3 == 1.0),
+      "identical text must always survive the prefilter")
+    val exhaustive = Dedup.contamination(corpusWithCopy, bench, "doc_id", "text",
+        k = 4, threshold = 0.5)
+      .select("bench_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(lsh.map(h => (h._1, h._2)).toSet.subsetOf(exhaustive))
   }
 
   test("contaminationLsh ⊆ exhaustive contamination on real documents") {
