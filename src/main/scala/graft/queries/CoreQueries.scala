@@ -662,6 +662,43 @@ object CoreQueries {
         GROUP BY o_orderkey, o_orderdate
         ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
 
+    /* A4+ — distinct aggregation (count(DISTINCT) per group): plans as
+     * a two-phase expand/aggregate; the per-group distinct-customer
+     * count every analytics surface needs. */
+    QueryDef("a05_distinct_counts",
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    /* Rollup subtotals: (flag, status) -> (flag) -> grand total in ONE
+     * aggregation pass; GROUPING() markers make subtotal rows sortable
+     * deterministically (subtotal keys are NULL). */
+    QueryDef("h05_rollup_summary",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST""")),
+
     /* TPC-H Q5 shape: five-table join — selective region filter walks
      * down broadcast dims (region -> nation -> supplier/customer), the
      * fact join stays on lineitem⋈orders, same-nation predicate couples
