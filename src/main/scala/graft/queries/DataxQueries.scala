@@ -652,6 +652,25 @@ object DataxQueries {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    /* Event-time interval join (view -> click attribution within 30
+     * minutes, same user) — the batch face of the stream-stream join. */
+    QueryDef("d27_interval_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        StreamOps.intervalJoin(
+            e.filter(col("event_type") === "view"),
+            e.filter(col("event_type") === "click"),
+            withinMinutes = 30)
+          .select(col("user_id"), col("view_id"), col("click_id"))
+          .orderBy("user_id", "view_id", "click_id")
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        ORDER BY v.user_id, view_id, click_id""")),
+
     /* Gaps-and-islands sessionization (batch analogue of
      * session_window): one shuffle on user_id. */
     QueryDef("d16_sessionize",

@@ -85,6 +85,28 @@ object StreamOps {
       }(Encoders.product[UserActivity], Encoders.product[UserActivity])
   }
 
+  /** Event-time interval join (attribution shape): each `click` pairs
+    * with the SAME USER's `view`s in the preceding `withinMinutes`.
+    * Written once for both worlds: on streams this is a stream-stream
+    * inner join — the event-time bound plus per-input watermarks let the
+    * engine expire join state (without the bound, both sides' state
+    * would grow forever); on batch the same plan is a plain range join.
+    * Inputs are (user_id, ts, ...) frames pre-filtered to one event
+    * type each. */
+  def intervalJoin(views: DataFrame, clicks: DataFrame,
+                   withinMinutes: Int): DataFrame = {
+    val v = views.select(col("user_id"), col("ts").as("view_ts"),
+      col("event_id").as("view_id"))
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+    v.join(c,
+      v("user_id") === c("user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(v("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Per-user session windows: events within `gapMinutes` of the previous
     * event share a session (classic gaps-and-islands via a lag + running
     * sum — one shuffle on user_id). Batch analogue of

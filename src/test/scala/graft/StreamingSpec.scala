@@ -116,6 +116,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_._3).sum == rows.size * 2)
   }
 
+  test("intervalJoin runs as a stream-stream join with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def named(m: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "10 minutes")
+    val q = StreamOps.intervalJoin(named(vMem), named(cMem), withinMinutes = 30)
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      // view at 10:00 (user 1); clicks at 10:10 (in window) and 11:30 (out)
+      vMem.addData((1L, ts("2026-01-01 10:00:00"), 1L, "view", 0.0))
+      cMem.addData((2L, ts("2026-01-01 10:10:00"), 1L, "click", 0.0))
+      q.processAllAvailable()
+      cMem.addData((3L, ts("2026-01-01 11:30:00"), 1L, "click", 0.0))
+      // advance both watermarks so results emit
+      vMem.addData((8L, ts("2026-01-01 13:00:00"), 9L, "view", 0.0))
+      cMem.addData((9L, ts("2026-01-01 13:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attribution")
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 2L)), "click within 30min joins its view")
+      assert(!got.contains((1L, 3L)), "click past the interval bound does not")
+      // streamed results == the batch form on the union of inputs
+      val allV = Seq((1L, ts("2026-01-01 10:00:00"), 1L, "view", 0.0),
+        (8L, ts("2026-01-01 13:00:00"), 9L, "view", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val allC = Seq((2L, ts("2026-01-01 10:10:00"), 1L, "click", 0.0),
+        (3L, ts("2026-01-01 11:30:00"), 1L, "click", 0.0),
+        (9L, ts("2026-01-01 13:00:00"), 9L, "click", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = StreamOps.intervalJoin(allV, allC, 30)
+        .select("view_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("sessionize matches Spark's built-in session_window aggregation") {
     val builtin = batchDf
       .groupBy($"user_id", session_window($"ts", "60 minutes").as("w"))
