@@ -652,6 +652,25 @@ object DataxQueries {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    /* Exact interpolated percentiles per group (Spark `percentile` and
+     * DuckDB `quantile_cont` share the (1-g)*lo + g*hi definition; at
+     * 100 TB switch to approx_percentile where a sketch suffices). */
+    QueryDef("d28_value_percentiles",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          expr("percentile(value, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
     /* Event-time interval join (view -> click attribution within 30
      * minutes, same user) — the batch face of the stream-stream join. */
     QueryDef("d27_interval_join",
