@@ -677,15 +677,24 @@ object CoreQueries {
                CAST(count(*) AS BIGINT) AS n_orders
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
-    /* Rollup subtotals: (flag, status) -> (flag) -> grand total in ONE
-     * aggregation pass; GROUPING() markers make subtotal rows sortable
-     * deterministically (subtotal keys are NULL). */
+    /* Rollup subtotals: (flag, status) -> (flag) -> grand total.
+     * sum/count are algebraic, so we pre-aggregate the fact table to its
+     * ~6 (flag, status) groups FIRST and rollup only that tiny aggregate:
+     * a bare `rollup` on lineitem makes Expand emit 3 rows per RAW input
+     * row before the partial aggregate (3x pre-shuffle work at any
+     * scale). Decimal partial sums re-sum exactly, so results are
+     * bit-identical to the single-pass form. GROUPING() markers make
+     * subtotal rows (NULL keys) sortable deterministically. */
     QueryDef("h05_rollup_summary",
       (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("part_qty"),
+          count(lit(1)).as("part_n"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-          count(lit(1)).as("n"),
+          sum(col("part_qty")).cast("double").as("sum_qty"),
+          sum(col("part_n")).as("n"),
           grouping(col("l_returnflag")).cast("int").as("g_flag"),
           grouping(col("l_linestatus")).cast("int").as("g_status"))
         .orderBy(col("g_flag"), col("g_status"), col("l_returnflag").asc_nulls_first,

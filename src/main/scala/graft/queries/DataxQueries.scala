@@ -633,11 +633,17 @@ object DataxQueries {
 
     /* JSON property extraction over the events stream (training
      * pipelines carry semi-structured payloads; extraction must be
-     * scan-side, codegen'd, and null-safe on malformed docs). */
+     * scan-side, codegen'd, and null-safe on malformed docs).
+     * `from_json` with a minimal one-field schema parses each document
+     * once into a typed struct; `get_json_object` re-tokenizes the raw
+     * string per path evaluation — measurably slower, and linearly worse
+     * the more paths you pull. Malformed docs yield a null struct →
+     * null field, same as the oracle's json_extract. */
     QueryDef("d17_json_props",
       (s, dir) => t(s, dir, "events")
         .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("int").as("k"))
+          from_json(col("props"), "k INT", Map.empty[String, String])
+            .getField("k").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           count(col("k")).as("n_with_k"),
