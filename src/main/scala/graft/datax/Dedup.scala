@@ -153,15 +153,25 @@ object Dedup {
     * intersection don't reach the output). */
   private def verifyJaccard(cand: DataFrame, exploded: DataFrame,
                             threshold: Double): DataFrame = {
-    val inter = cand
+    val sz = shingleCounts(exploded)
+    // Size-ratio prune BEFORE the shared-shingle join: with |A| <= |B|,
+    // J(A,B) = |A∩B|/|A∪B| <= |A|/|B|, so a pair whose count ratio falls
+    // outside [t, 1/t] provably cannot reach threshold t. The counts are
+    // a tiny (one row per doc) broadcast-size relation, and the prune is
+    // LOSSLESS — output is bit-identical, the oracle needs no mirror —
+    // but the expensive per-shingle join sees only survivors. At 100 TB
+    // this is the difference between verifying every LSH collision and
+    // verifying only same-scale ones.
+    val sized = cand
+      .join(sz.select(col("id").as("id_a"), col("n").as("_na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("_nb")), "id_b")
+      .filter(col("_na") >= col("_nb") * threshold &&
+        col("_nb") >= col("_na") * threshold)
+    sized
       .join(exploded.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(exploded.select(col("id").as("_idb"), col("s").as("s_b")),
         col("id_b") === col("_idb") && col("s_a") === col("s_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_inter"))
-    val sz = shingleCounts(exploded)
-    inter
-      .join(sz.select(col("id").as("id_a"), col("n").as("_na")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("n").as("_nb")), "id_b")
+      .groupBy("id_a", "id_b", "_na", "_nb").agg(count(lit(1)).as("_inter"))
       .select(col("id_a"), col("id_b"),
         (col("_inter") / (col("_na") + col("_nb") - col("_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
