@@ -4,7 +4,6 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -18,12 +17,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * (SURVEY.md §2.1 S1/S5/S8/S9: TMDB discover pages; reference:
   * app/tmdb_client.py:293-382, app/sync_top.py:32-121).
   *
-  * Offline build: a "feed" is a directory of JSON-lines files
-  * `page-<n>.json`, one file per page — exactly the unit the reference
-  * fetches per HTTP round-trip. The live variant would swap the file
-  * read in [[PageReader]] for the HTTP GET (with the retry/backoff of
-  * ST4) and nothing else: partition planning, schema, and pushdown are
-  * the same.
+  * Two transports behind one source ([[PageFetch]]):
+  *  - offline: `path=` names a directory of JSON-lines files
+  *    `page-<n>.json`, one file per page — exactly the unit the
+  *    reference fetches per HTTP round-trip;
+  *  - live: `url=` names a GET template with a `{page}` placeholder
+  *    (e.g. `https://host/3/movie/top_rated?page={page}`); requires
+  *    `maxPages` (the scan's bound). Non-2xx statuses dead-letter
+  *    terminally, network errors back off linearly — the ST4 envelope,
+  *    identical in both modes. Partition planning, schema, and pushdown
+  *    are shared.
   *
   * Scale design:
   *  - one InputPartition per page -> a 500-page year sync fans out as
@@ -106,45 +109,61 @@ class PagedScan(options: Map[String, String], limit: Option[Int])
   override def planInputPartitions(): Array[InputPartition] = {
     val start = options.getOrElse("startPage", "1").toInt
     val maxPages = options.getOrElse("maxPages", Int.MaxValue.toString).toInt
-    // long arithmetic: start + maxPages overflows Int at the default cap
-    val all = PagedSource.pageFiles(options("path"))
-      .filter { case (p, _) => p >= start && p.toLong < start.toLong + maxPages.toLong }
+    val all = options.get("url") match {
+      case Some(template) =>
+        // Live mode: the page window must be explicit — there is no
+        // directory to list, and an unbounded live scan is a bug, not a
+        // default. `{page}` in the template is replaced per partition.
+        require(maxPages != Int.MaxValue,
+          "live (url=) mode requires maxPages: the page window is the scan's bound")
+        require(template.contains("{page}"),
+          s"url template must contain the {page} placeholder: $template")
+        (start until start + maxPages)
+          .map(p => p -> template.replace("{page}", p.toString))
+      case None =>
+        // long arithmetic: start + maxPages overflows Int at the default cap
+        PagedSource.pageFiles(options("path"))
+          .filter { case (p, _) => p >= start && p.toLong < start.toLong + maxPages.toLong }
+    }
     val capped = limit.map(n => all.take(pagesFor(n))).getOrElse(all)
     capped.map { case (p, f) => PageInputPartition(p, f): InputPartition }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val maxAttempts = options.getOrElse("maxAttempts", "5").toInt
     val backoffMillis = options.getOrElse("backoffMillis", "1000").toLong
+    val requestTimeoutMillis = options.getOrElse("requestTimeoutMillis", "30000").toLong
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PageReader(p.asInstanceOf[PageInputPartition], maxAttempts, backoffMillis)
+        new PageReader(p.asInstanceOf[PageInputPartition], maxAttempts,
+          backoffMillis, requestTimeoutMillis)
     }
   }
 }
 
-/** Reads one page file (JSON lines) through the ST4 retry envelope: a
-  * transiently-failing page backs off linearly inside ITS OWN task and,
-  * on exhaustion (or a terminal HTTP status error in the live variant),
+/** Reads one page — a fixture file (JSON lines) or a live HTTP GET,
+  * dispatched on the partition path's scheme — through the ST4 retry
+  * envelope: a transiently-failing page backs off linearly inside ITS
+  * OWN task and, on exhaustion (or a terminal HTTP status error), it
   * degrades to the empty page — the reference's `{}` — so one poisoned
-  * page never fails the job (ST3). The live implementation replaces the
-  * file read with the HTTP GET; the envelope and reader contract are
-  * identical. */
+  * page never fails the job (ST3). The transports share partition
+  * planning, schema, pushdown, and this envelope ([[PageFetch]]). */
 class PageReader(part: PageInputPartition, maxAttempts: Int = 5,
-                 backoffMillis: Long = 1000L) extends PartitionReader[InternalRow] {
-  private val mapper = new ObjectMapper()
-  private val it: Iterator[String] =
-    Retry.withRetry(maxAttempts, backoffMillis)(Seq.empty[String]) {
+                 backoffMillis: Long = 1000L,
+                 requestTimeoutMillis: Long = 30000L)
+    extends PartitionReader[InternalRow] {
+  import com.fasterxml.jackson.databind.JsonNode
+  private val it: Iterator[JsonNode] =
+    Retry.withRetry(maxAttempts, backoffMillis)(Seq.empty[JsonNode]) {
       Retry.Faults.maybeThrow(part.path) // test-only fault injection
-      val src = scala.io.Source.fromFile(part.path, "UTF-8")
-      try src.getLines().filter(_.trim.nonEmpty).toList
-      finally src.close()
+      if (PageFetch.isLive(part.path)) PageFetch.http(part.path, requestTimeoutMillis)
+      else PageFetch.file(part.path)
     }.iterator
   private var current: InternalRow = _
 
   override def next(): Boolean =
     if (!it.hasNext) false
     else {
-      val node = mapper.readTree(it.next())
+      val node = it.next()
       current = InternalRow(
         if (node.hasNonNull("id")) node.get("id").asLong() else null,
         if (node.hasNonNull("title")) UTF8String.fromString(node.get("title").asText()) else null,
