@@ -518,6 +518,28 @@ object Dedup {
     Array.tabulate(planes, dim)((p, j) =>
       if ((splitmix64(p.toLong * 1000003L + j) & 1L) == 1L) 1.0 else -1.0)
 
+  /** The plane-count growth rule: with random data, expected bucket
+    * occupancy is n/2^planes, so in-bucket pair expansion (quadratic in
+    * occupancy) stays LINEAR in n only if planes rises with log2(n).
+    * Returns the smallest plane count keeping expected occupancy at or
+    * under `targetOccupancy` (floor 4 — fewer buckets than 16 is never
+    * worth the hashing savings). A fixed plane count at growing n is the
+    * classic LSH scale bug: 2^4 buckets over 10^9 docs is an all-pairs
+    * join in disguise. */
+  def planesFor(n: Long, targetOccupancy: Long = 16L): Int = {
+    var p = 1
+    while (p < 62 && (n >> p) > targetOccupancy) p += 1
+    math.max(p, 4)
+  }
+
+  /** [[embeddingNearDups]] with the plane count derived from the input
+    * size via [[planesFor]] — one count pass, then the bucketed join.
+    * Callers that already know n should call [[embeddingNearDups]] with
+    * `planesFor(n)` directly and skip the count. */
+  def embeddingNearDupsAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.9): DataFrame =
+    embeddingNearDups(vectors, idCol, vecCol, planesFor(vectors.count()), threshold)
+
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         planes: Int = 8, threshold: Double = 0.9): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),

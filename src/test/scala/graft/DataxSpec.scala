@@ -231,6 +231,49 @@ class DataxSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("planesFor keeps in-bucket pair expansion bounded as n grows 10x") {
+    def randomVecs(n: Int, seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      // dim 32: enough dimensions that the plane signs are near-
+      // independent (at tiny dims sign-patterns correlate and buckets
+      // skew regardless of the plane count)
+      (1 to n).map(i => (i.toLong,
+        Array.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    }
+    // threshold = -1 passes every bucket collision through: the output
+    // IS the candidate set the verify stage would have to pay for
+    def candidates(n: Int): Long = {
+      val planes = Dedup.planesFor(n)
+      Dedup.embeddingNearDups(randomVecs(n, seed = 42), "vec_id", "embedding",
+        planes = planes, threshold = -1.0).count()
+    }
+    val small = candidates(300)   // planesFor(300) = 5  -> ~32 buckets
+    val large = candidates(3000)  // planesFor(3000) = 8 -> ~256 buckets
+    // per-doc candidate load must stay bounded (expected occupancy <=16
+    // means <= ~8 pairs/doc for random data; allow generous slack for
+    // bucket skew)
+    assert(large.toDouble / 3000 < 20.0,
+      s"pair expansion grew superlinearly: $large candidates for 3000 docs")
+    assert(large.toDouble / 3000 < 4.0 * math.max(1.0, small.toDouble / 300),
+      s"per-doc load should stay flat: $small@300 vs $large@3000")
+    // the contrast: a FIXED plane count at 10x n goes quadratic
+    val fixedPlanes = Dedup.embeddingNearDups(randomVecs(3000, seed = 42),
+      "vec_id", "embedding", planes = 4, threshold = -1.0).count()
+    assert(fixedPlanes > 4 * large,
+      s"fixed planes=4 should explode vs scaled planes: $fixedPlanes vs $large")
+  }
+
+  test("embeddingNearDupsAuto derives the plane count from the input size") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.5f, -0.5f, 0.2f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupsAuto(vecs, "vec_id", "embedding",
+        threshold = 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   // ---- similarity search ----
 
   test("bruteForceTopK: self excluded, duplicate vector ranks first with cosine 1") {
