@@ -106,9 +106,10 @@ object SyncJob {
   // The sync round (§3.2): resume -> pages -> enrich -> merge -> save.
   // ---------------------------------------------------------------
 
-  /** One sync batch over `nPages` pages starting after the stored cursor
-    * (or at `startPage` when `resume=false` — reference semantics:
-    * explicit start_page overrides the cursor).
+  /** One sync batch over `nPages` pages. The window starts at an
+    * explicit `startPage` when one is given (it overrides the cursor —
+    * sync_top.py:134); otherwise after the stored cursor when
+    * `resume=true`, else at page 1.
     *
     * `base` models the discover feed (must contain the state's columns
     * minus enrichment outputs); rows with null `id` dead-letter (P14).
@@ -134,18 +135,19 @@ object SyncJob {
           pageSize: Int = 20,
           nPages: Int = 2,
           resume: Boolean = true,
-          startPage: Int = 1,
+          startPage: Option[Int] = None,
           sortBy: Option[String] = Some("vote_count.desc"),
           frames: Option[DataFrame] = None,
           requireFrames: Boolean = false): Report = {
 
-    // the reference loads the cursor unconditionally: an explicit
-    // start_page overrides the resume POSITION, but the stored
-    // inserted/updated totals still accumulate (sync_top.py:133-134,
-    // 266-271)
+    // the reference loads the cursor unconditionally: an EXPLICIT
+    // start_page takes priority over the resume position
+    // (sync_top.py:134 `start_page or (cur["page"]+1 if resume else 1)`),
+    // but the stored inserted/updated totals still accumulate
+    // (sync_top.py:266-271)
     val prior = CursorStore.get(spark, cursorPath, cursorKey)
-    val from = if (resume) prior.map(_.page + 1).getOrElse(startPage)
-               else startPage
+    val from = startPage.getOrElse(
+      if (resume) prior.map(_.page + 1).getOrElse(1) else 1)
 
     val pageBatch = pages(base, orderBy, pageSize, from, nPages).cache()
     try {

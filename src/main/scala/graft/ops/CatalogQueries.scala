@@ -58,8 +58,11 @@ object CatalogQueries {
     p.country.foreach(c => pred = pred && array_contains(col("country_codes"), c))
     p.isAnimated.foreach(a => pred = pred && col("is_animated") === a)
     p.contentType.foreach(t => pred = pred && col("_type") === t)
-    p.yearFrom.foreach(y => pred = pred && col("release_date") >= s"$y-01-01")
-    p.yearTo.foreach(y => pred = pred && col("release_date") <= s"$y-12-31")
+    // Python truthiness fidelity: `if year_from:` (movies.py:47-52)
+    // ignores 0, so year 0 must NOT apply a bound (negative years would —
+    // they're truthy — hence != 0, not > 0)
+    p.yearFrom.filter(_ != 0).foreach(y => pred = pred && col("release_date") >= s"$y-01-01")
+    p.yearTo.filter(_ != 0).foreach(y => pred = pred && col("release_date") <= s"$y-12-31")
     val sort = if (p.descending) col(p.sortBy).desc else col(p.sortBy).asc
     movies.filter(pred)
       // id tiebreak for a deterministic page (Mongo's order is unspecified

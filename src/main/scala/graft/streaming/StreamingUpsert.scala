@@ -47,12 +47,23 @@ object StreamingUpsert {
         if (batchId > store.lastCommitted) { // replayed batch -> no-op
           val existing = store.read()
           val keys = Seq("id", "_type")
+          import org.apache.spark.sql.functions.{col => c}
           val deduped = versionCol match {
             case Some(v) =>
+              // keep-max resolves ORDERED versions; two rows with the
+              // same key AND the same version value have no defined
+              // winner — tie-breaking arbitrarily would make the
+              // committed state run-order-dependent, the exact
+              // nondeterminism the None branch fails loudly to prevent
+              val tied = batch.groupBy((keys :+ v).map(c): _*)
+                .count().filter(c("count") > 1).limit(1).count()
+              require(tied == 0,
+                s"micro-batch carries duplicate (id, _type) keys with EQUAL " +
+                  s"'$v' values; no deterministic winner exists")
               graft.ops.FrameOps.dedupKeepMax(batch, keys, v, Nil)
             case None =>
-              val dup = batch.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
-                .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+              val dup = batch.groupBy(keys.map(c): _*)
+                .count().filter(c("count") > 1)
                 .limit(1).count()
               require(dup == 0,
                 "micro-batch carries duplicate (id, _type) keys; pass " +

@@ -34,6 +34,15 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == Set(1L, 4L))
   }
 
+  test("search: year 0 is falsy (`if year_from:` truthiness) — no bound applied") {
+    val all = CatalogQueries.search(movies, SearchParams(limit = 100))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val zero = CatalogQueries.search(movies,
+        SearchParams(yearFrom = Some(0), yearTo = Some(0), limit = 100))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(zero == all, "year 0 must behave exactly like no year filter")
+  }
+
   test("search: J1 projection is the reference keep-set") {
     val cols = CatalogQueries.search(movies, SearchParams()).columns.toSeq
     assert(cols == CatalogQueries.movieProjection)

@@ -77,4 +77,24 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(rows == Seq((1L, "v2"), (2L, "only")),
       "one row per key; highest version wins")
   }
+
+  test("EQUAL-version duplicate keys in a micro-batch fail loudly, not arbitrarily") {
+    implicit val sqlCtx = spark.sqlContext
+    val template = Seq.empty[(Long, String, String, Long)]
+      .toDF("id", "_type", "title", "vote_count")
+    val store = new MemStore(template)
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val incoming = mem.toDF().toDF("id", "_type", "title", "vote_count")
+    val dir = Files.createTempDirectory("supserttie").toString
+    // same key, same version value, different payload: no deterministic
+    // winner exists — committing either would be run-order-dependent
+    mem.addData((1L, "movie", "left", 7L), (1L, "movie", "right", 7L))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingUpsert.runAvailableNow(incoming, store, None, dir,
+        versionCol = Some("vote_count"))
+    }
+    assert(e.getCause.getMessage.contains("EQUAL"),
+      s"expected the equal-version guard, got: ${e.getCause}")
+    assert(store.read().count() == 0, "nothing may commit from the failed batch")
+  }
 }

@@ -71,7 +71,7 @@ class SyncJobSpec extends AnyFunSuite {
     val r3 = SyncJob.run(spark, base, details, ruTitles, template,
       st, cur, dl, cursorKey = "top_vote_count_movie",
       orderBy = Seq(col("vote_count").desc, col("id").asc),
-      pageSize = 5, nPages = 2, resume = false, startPage = 3)
+      pageSize = 5, nPages = 2, resume = false, startPage = Some(3))
     assert(r3.inserted == 0 && r3.updated == 8)
     assert(spark.read.parquet(st).count() == 18)
 
@@ -84,6 +84,15 @@ class SyncJobSpec extends AnyFunSuite {
       "cursor accumulates: 10+8 inserted across r1/r2, 8 updated in r3")
     assert(spark.read.parquet(cur).count() == 3)
 
+    // an explicit startPage OVERRIDES the resume position even with a
+    // live cursor (sync_top.py:134: `start_page or (cur+1 if resume...)`)
+    val rOverride = SyncJob.run(spark, base, details, ruTitles, template,
+      st, cur, dl, cursorKey = "top_vote_count_movie",
+      orderBy = Seq(col("vote_count").desc, col("id").asc),
+      pageSize = 5, nPages = 2, resume = true, startPage = Some(3))
+    assert(rOverride.lastPage == 4, "startPage must beat the stored cursor")
+    assert(rOverride.inserted == 0 && rOverride.updated == 8)
+
     // batch 3 resumes at page 5 (ids 5..1); batch 4 runs past the end:
     // empty page set, zero counters, state untouched, cursor advances
     val r4 = round()
@@ -94,8 +103,9 @@ class SyncJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(st).count() == before)
     val c5 = SyncJob.CursorStore.get(spark, cur, "top_vote_count_movie").get
     assert(c5.page == 8)
-    assert(c5.inserted == 23 && c5.updated == 8,
-      "an empty batch advances the page but leaves the totals intact")
+    assert(c5.inserted == 23 && c5.updated == 16,
+      "an empty batch advances the page but leaves the totals intact " +
+        "(updated: 8 from r3 + 8 from the override run)")
   }
 
   test("category sync drops frameless items; top sync keeps them (JN3 variants)") {
