@@ -138,6 +138,52 @@ object Similarity {
     (centroids, assign(v, centroids))
   }
 
+  /** Lloyd rounds with ORDERED-fold means — the oracle-stable face of
+    * [[ivfIndexKMeans]]. `avg()` means are summation-order-dependent
+    * (fine for the quality path: Lloyd is self-correcting), but the
+    * harness hash-compare needs bit-exact engine portability, so each
+    * (centroid, dim) mean is the d25-proven sequential id-ordered double
+    * fold divided by the member count. Assignment ties break by
+    * centroid_id (the d09-proven portable shape). Returns the refined
+    * centroids as (centroid_id, dim, value) rows — flat, because array
+    * columns don't survive the harness's result sort.
+    *
+    * Scale note: collect_list carries every member value through the
+    * shuffle (vs avg's map-side partials) — at unbounded cluster sizes
+    * use [[ivfIndexKMeans]] or chunk ids into fixed ranges and fold the
+    * partials in range order (see [[labelCentroids]]). */
+  def kmeansCentroidsOrdered(vectors: DataFrame, nCentroids: Int,
+                             iterations: Int = 2,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    var centroids = ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+    for (_ <- 0 until iterations) {
+      val means = assign(v, centroids)
+        .select(col("centroid_id"), col("id"), posexplode(col("vec")).as(Seq("_d", "_x")))
+        .groupBy("centroid_id", "_d")
+        .agg(
+          sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
+            .as("_sx"),
+          count(lit(1)).as("_n"))
+        .select(col("centroid_id"), col("_d"),
+          (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
+            / col("_n")).as("_m"))
+        .groupBy("centroid_id")
+        .agg(transform(array_sort(collect_list(struct(col("_d"), col("_m")))),
+          s => s.getField("_m")).as("_mean"))
+      val next = centroids
+        .join(means, Seq("centroid_id"), "left_outer")
+        .select(col("centroid_id"), coalesce(col("_mean"), col("cvec")).as("cvec"))
+        .as[(Long, Seq[Double])].collect().toSeq
+      centroids = next.toDF("centroid_id", "cvec")
+    }
+    centroids.select(col("centroid_id"),
+      posexplode(col("cvec")).as(Seq("dim", "value")))
+  }
+
   /** IVF-probed approximate top-k: per query, search only the `nProbe`
     * nearest centroids' buckets. At 100 TB the assigned table is written
     * partitioned by centroid_id, so a probe is a partition-pruned scan. */

@@ -119,6 +119,49 @@ object DataxQueries {
         ORDER BY query_id, rank"""
   }
 
+  /** Two Lloyd rounds replayed in SQL: stride seed (as [[IvfSql]]),
+    * then per round nearest-centroid assignment (cosine, centroid_id
+    * tie-break) and ORDERED-fold per-dimension means (the d25 pattern —
+    * sequential id-ordered double fold / count is bit-identical across
+    * engines, unlike avg()). Empty clusters keep their previous
+    * centroid via the left join. */
+  private val KmeansSql: String = {
+    def round(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""a$i AS (
+          SELECT id, vec, centroid_id FROM (
+            SELECT v.id, v.vec, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+            FROM v CROSS JOIN $prev c) WHERE rn = 1),
+        m$i AS (
+          SELECT centroid_id, list(mm ORDER BY dim) AS cvec
+          FROM (
+            SELECT centroid_id, dim,
+                   list_reduce(list_prepend(0.0, list(x ORDER BY id)),
+                     (p, q) -> p + q) / count(*) AS mm
+            FROM (
+              SELECT centroid_id, id, d - 1 AS dim, vec[d] AS x
+              FROM a$i, unnest(range(1, 65)) AS t(d))
+            GROUP BY centroid_id, dim)
+          GROUP BY centroid_id),
+        c$i AS (
+          SELECT c.centroid_id, coalesce(m.cvec, c.cvec) AS cvec
+          FROM $prev c LEFT JOIN m$i m ON c.centroid_id = m.centroid_id)"""
+    }
+    s"""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        c0 AS (
+          SELECT id AS centroid_id, vec AS cvec FROM v, st
+          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        ${round(1)},
+        ${round(2)}
+        SELECT centroid_id, CAST(d - 1 AS INT) AS dim, cvec[d] AS value
+        FROM c2, unnest(range(1, 65)) AS t(d)
+        ORDER BY centroid_id, dim"""
+  }
+
   /** Hyperplane-LSH near-dups replayed with the SAME ±1 plane literals
     * the Spark operator bakes in ([[Dedup.planeSigns]]). */
   private val EmbeddingNearDupSql: String = {
@@ -389,6 +432,16 @@ object DataxQueries {
           "vec_id", "embedding", planes = 4, threshold = 0.25)
         .orderBy("id_a", "id_b"),
       Some(EmbeddingNearDupSql)),
+
+    /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
+     * (avg() is summation-order-dependent; the id-ordered sequential
+     * fold is not) — promotes k-means from spec-only to a full hash
+     * compare. Two rounds over the stride seed, 16 centroids. */
+    QueryDef("d29_kmeans_centroids",
+      (s, dir) => Similarity.kmeansCentroidsOrdered(t(s, dir, "embeddings"),
+          nCentroids = 16, iterations = 2)
+        .orderBy("centroid_id", "dim"),
+      Some(KmeansSql)),
 
     /* Per-class embedding centroids (sequential id-ordered double fold
      * -> deterministic at any parallelism, bit-identical across engines). */
