@@ -711,6 +711,30 @@ object DataxQueries {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    /* The 100 TB variants of d19/d28, surfaced as BENCH entries: sketch
+     * aggregates (HyperLogLog / t-digest-style quantile sketch) whose
+     * estimates are engine-specific by construction, so they carry NO
+     * oracle (rows-only check — the documented exception: the exact
+     * twins d19/d28 are the hash-gated forms, and DataxSpec pins the
+     * HLL estimates within 10% of exact). Bench-timing them records the
+     * exact-vs-sketch cost gap per round. */
+    QueryDef("d19a_profile_hll",
+      (s, dir) => Profile.profile(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"), exact = false)
+        .orderBy("col_name"),
+      None),
+
+    QueryDef("d28a_percentiles_approx",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("approx_percentile(value, 0.5)").as("p50"),
+          expr("approx_percentile(value, 0.9)").as("p90"),
+          expr("approx_percentile(value, 0.99)").as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+      None),
+
     /* Exact interpolated percentiles per group (Spark `percentile` and
      * DuckDB `quantile_cont` share the (1-g)*lo + g*hi definition; at
      * 100 TB switch to approx_percentile where a sketch suffices). */
