@@ -206,6 +206,86 @@ object SyncJob {
     } finally pageBatch.unpersist()
   }
 
+  // ---------------------------------------------------------------
+  // ST5 — the scheduled refresh jobs, composed (main.py:209-223).
+  // ---------------------------------------------------------------
+
+  /** The discover API's two scheduled sort orders; id tiebreaks make the
+    * fixture feed deterministic where the live API's order is the
+    * server's. */
+  private def orderFor(sortBy: String): Seq[Column] = sortBy match {
+    case "popularity.desc" => Seq(col("popularity").desc, col("id").asc)
+    case "vote_count.desc" => Seq(col("vote_count").desc, col("id").asc)
+    case other => throw new IllegalArgumentException(s"unsupported sort_by: $other")
+  }
+
+  /** Year-range sync (sync_years.py:151-230): year by year, each with
+    * ITS OWN resumable cursor `years:<type>:<year>` (so a 500-page API
+    * cap never strands a range), stopping once `limit` items have been
+    * attempted. `yearCol` plays the discover `primary_release_year`
+    * param: the per-year feed is `base` filtered to the year, ordered by
+    * `sortBy`. A year's page budget is ceil(remaining/pageSize) — like
+    * the reference, the last page is processed whole even if it
+    * overshoots the limit — capped at `maxPagesPerYear` (the API's
+    * 500-page ceiling). */
+  def syncYears(spark: SparkSession, base: DataFrame, details: DataFrame,
+                ruTitles: DataFrame, stateTemplate: DataFrame,
+                statePath: String, cursorPath: String, deadLetterPath: String,
+                yearCol: Column, startYear: Int, endYear: Int,
+                contentType: String = "movie", limit: Long = 5000,
+                pageSize: Int = 20, resume: Boolean = true,
+                sortBy: String = "popularity.desc",
+                maxPagesPerYear: Int = 500): Seq[Report] = {
+    val (s, e) = if (endYear < startYear) (endYear, startYear) else (startYear, endYear)
+    val order = orderFor(sortBy)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[Report]
+    var processed = 0L
+    var y = s
+    while (y <= e && processed < limit) {
+      val remaining = limit - processed
+      val nPages = math.min(
+        ((remaining + pageSize - 1) / pageSize).toInt, maxPagesPerYear)
+      val r = run(spark, base.filter(yearCol === y), details, ruTitles,
+        stateTemplate, statePath, cursorPath, deadLetterPath,
+        cursorKey = s"years:$contentType:$y",
+        orderBy = order, pageSize = pageSize, nPages = nPages,
+        resume = resume, sortBy = Some(sortBy))
+      processed += r.attempted
+      reports += r
+      y += 1
+    }
+    reports.toSeq
+  }
+
+  /** The monthly job (main.py:209-215): re-sync ONE year by
+    * popularity.desc — the order that surfaces this year's newly-popular
+    * titles first. The reference takes `datetime.utcnow().year`; the
+    * year is a parameter here so runs are reproducible (schedulers pass
+    * their own clock). */
+  def refreshCurrentYear(spark: SparkSession, base: DataFrame, details: DataFrame,
+                         ruTitles: DataFrame, stateTemplate: DataFrame,
+                         statePath: String, cursorPath: String, deadLetterPath: String,
+                         yearCol: Column, year: Int,
+                         limit: Long = 5000, pageSize: Int = 20,
+                         resume: Boolean = true): Seq[Report] =
+    syncYears(spark, base, details, ruTitles, stateTemplate,
+      statePath, cursorPath, deadLetterPath, yearCol, year, year,
+      limit = limit, pageSize = pageSize, resume = resume,
+      sortBy = "popularity.desc")
+
+  /** The year-close job (main.py:218-223): finalize one year by
+    * vote_count.desc — the stable order once a year stops moving. */
+  def finalizeYear(spark: SparkSession, base: DataFrame, details: DataFrame,
+                   ruTitles: DataFrame, stateTemplate: DataFrame,
+                   statePath: String, cursorPath: String, deadLetterPath: String,
+                   yearCol: Column, year: Int,
+                   limit: Long = 5000, pageSize: Int = 20,
+                   resume: Boolean = true): Seq[Report] =
+    syncYears(spark, base, details, ruTitles, stateTemplate,
+      statePath, cursorPath, deadLetterPath, yearCol, year, year,
+      limit = limit, pageSize = pageSize, resume = resume,
+      sortBy = "vote_count.desc")
+
   /** State table read; empty-with-template-schema when absent (first run). */
   private def readState(spark: SparkSession, path: String,
                         template: DataFrame): DataFrame =

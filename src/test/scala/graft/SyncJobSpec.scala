@@ -84,6 +84,8 @@ class SyncJobSpec extends AnyFunSuite {
       "cursor accumulates: 10+8 inserted across r1/r2, 8 updated in r3")
     assert(spark.read.parquet(cur).count() == 3)
 
+    // (ST5 composition tests live in their own test below)
+
     // an explicit startPage OVERRIDES the resume position even with a
     // live cursor (sync_top.py:134: `start_page or (cur+1 if resume...)`)
     val rOverride = SyncJob.run(spark, base, details, ruTitles, template,
@@ -132,6 +134,61 @@ class SyncJobSpec extends AnyFunSuite {
     val d2 = Files.createTempDirectory("synctop").toString
     val r2 = go(d2, require = false)
     assert(r2.inserted == 5, "top/years mode keeps empty-frames items")
+  }
+
+  test("ST5 composed jobs: year-range sync, monthly refresh, finalize (main.py:209-223)") {
+    // 30 items across three years; popularity inverts vote_count so the
+    // two scheduled sort orders are distinguishable
+    val yBase = (1 to 30).map { i =>
+      val year = 2022 + (i - 1) / 10 // 1-10 -> 2022, 11-20 -> 2023, 21-30 -> 2024
+      (Some(i.toLong), "movie", s"Movie $i", i.toLong, (31 - i).toDouble, year)
+    }.toDF("id", "_type", "title", "vote_count", "popularity", "year")
+    val yDetails = (1 to 30).map(i => (i.toLong, s"C$i")).toDF("id", "country")
+    val yRu = Seq.empty[(Long, String)].toDF("id", "title_ru")
+    val tmpl = Seq.empty[(Long, String, String, Long, String, String)]
+      .toDF("id", "_type", "title", "vote_count", "country", "title_ru")
+    val dir = Files.createTempDirectory("syncyears").toString
+    val (st, cur, dl) = (s"$dir/state", s"$dir/cursors", s"$dir/dead")
+
+    // range sync with an item budget: 2022 fully (10), then the limit
+    // stops the range inside 2023 — 2024 must not start
+    val rs = SyncJob.syncYears(spark, yBase, yDetails, yRu, tmpl, st, cur, dl,
+      yearCol = $"year", startYear = 2022, endYear = 2024,
+      limit = 15, pageSize = 5, sortBy = "popularity.desc")
+    assert(rs.map(_.key) == Seq("years:movie:2022", "years:movie:2023"),
+      "limit=15 must stop before 2024")
+    assert(rs.map(_.attempted) == Seq(10, 5))
+    assert(spark.read.parquet(st).count() == 15)
+    // popularity.desc order within 2023: pop 20..11 = ids 11..20 asc,
+    // first page of 5 = ids 11..15
+    assert(spark.read.parquet(st).filter($"id" > 10)
+      .select("id").as[Long].collect().sorted.toSeq == (11L to 15L))
+    // per-year cursors, independently resumable (cursor is batch-
+    // granular: 2022's 15-item budget planned 3 pages, data filled 2)
+    assert(SyncJob.CursorStore.get(spark, cur, "years:movie:2022").get.page == 3)
+    assert(SyncJob.CursorStore.get(spark, cur, "years:movie:2023").get.page == 1)
+    assert(SyncJob.CursorStore.get(spark, cur, "years:movie:2024").isEmpty)
+
+    // monthly refresh resumes 2023's own cursor: next page = ids 16..20
+    val rr = SyncJob.refreshCurrentYear(spark, yBase, yDetails, yRu, tmpl,
+      st, cur, dl, yearCol = $"year", year = 2023, limit = 5, pageSize = 5)
+    assert(rr.map(_.key) == Seq("years:movie:2023"))
+    assert(rr.head.inserted == 5)
+    assert(spark.read.parquet(st).filter($"id".between(11, 20)).count() == 10)
+
+    // finalize 2024 by vote_count.desc: page 1 = ids 30..26
+    val rf = SyncJob.finalizeYear(spark, yBase, yDetails, yRu, tmpl,
+      st, cur, dl, yearCol = $"year", year = 2024, limit = 5, pageSize = 5)
+    assert(rf.map(_.key) == Seq("years:movie:2024"))
+    assert(spark.read.parquet(st).filter($"id" > 20)
+      .select("id").as[Long].collect().sorted.toSeq == (26L to 30L))
+
+    // re-running the finalize is idempotent on state (updates, no dups)
+    val rf2 = SyncJob.finalizeYear(spark, yBase, yDetails, yRu, tmpl,
+      st, cur, dl, yearCol = $"year", year = 2024, limit = 5, pageSize = 5,
+      resume = false)
+    assert(rf2.head.inserted == 0 && rf2.head.updated == 5)
+    assert(spark.read.parquet(st).count() == 25)
   }
 
   test("duplicate key within one batch resolves last-write-wins (by page)") {
