@@ -48,6 +48,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("SortAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("h05: Expand runs AFTER the base aggregate, not on raw fact rows") {
+    val df = SparkEntry.queries("h05_rollup_summary")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the rollup's Expand must consume the (flag,status) pre-aggregate:
+    // in the plan tree that means an Expand with an aggregate BELOW it
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    assert(expandIdx >= 0, s"rollup plan lost its Expand:\n$p")
+    assert(lines.drop(expandIdx + 1).exists(_.contains("HashAggregate")),
+      s"Expand must sit above the pre-aggregate, not above the scan:\n$p")
+  }
+
+  test("d17: props parsed once via from_json, not per-path get_json_object") {
+    val p = SparkEntry.queries("d17_json_props")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(p.contains("from_json"), s"expected from_json in the plan:\n$p")
+    assert(!p.contains("get_json_object"), s"per-path parse crept back:\n$p")
+  }
+
+  test("d16: sessionize has exactly one data shuffle (window partitioning reused)") {
+    val p = plan("d16_sessionize")
+    // exchanges: one hashpartitioning(user_id) for the window; the final
+    // orderBy adds a rangepartitioning — but NO second hash exchange
+    // between window and groupBy (clustering satisfied by subset rule)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+  }
+
   test("d08: query side broadcasts with its filter pushed") {
     val p = plan("d08_cosine_topk")
     assert(p.contains("BroadcastExchange"))
