@@ -206,6 +206,27 @@ object Dedup {
     verifyJaccard(cand, exploded, threshold)
   }
 
+  /** End-to-end corpus deduplication — THE training-data pipeline step
+    * the pair/cluster operators exist for: detect near-dup pairs
+    * ([[minhashNearDups]]), close them into clusters ([[dupClusters]]),
+    * keep each cluster's min-id representative, pass singletons through
+    * untouched. Exact duplicates need no separate pass: identical docs
+    * share every shingle, so they cluster at any threshold. Returns the
+    * surviving rows of `docs` (all columns).
+    *
+    * Scale shape: the drop list is the clusters' non-representatives —
+    * output-sized (tiny next to the corpus) — so the final prune is a
+    * broadcast LEFT ANTI join against the full corpus scan. */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, numHashes: Int = 16, bands: Int = 4,
+                  threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, k, numHashes, bands, threshold)
+    val drop = dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+  }
+
   /** Exact n-gram Jaccard pairs via shared-shingle self-join — the
     * exhaustive baseline MinHash approximates. Quadratic in bucket size;
     * use minhashNearDups at scale. */

@@ -313,6 +313,26 @@ object DataxQueries {
         SELECT u AS id, least(u, min(v)) AS cluster
         FROM r GROUP BY u ORDER BY id""")),
 
+    /* The end-to-end corpus dedup: clusters -> keep min-id
+     * representative -> surviving docs. Composes the d05/d21 pipeline
+     * and prunes with a broadcast anti join; the oracle drops every
+     * cluster member whose transitive min label isn't itself. */
+    QueryDef("d30_dedup_corpus",
+      (s, dir) => Dedup.dedupCorpus(t(s, dir, "documents"), "doc_id", "text",
+          k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE p AS ($MinhashPairsSql),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+        r(u, v) AS (SELECT u, v FROM e
+                    UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+        dropped AS (SELECT u AS id FROM r GROUP BY u
+                    HAVING least(u, min(v)) <> u)
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM dropped)
+        ORDER BY doc_id""")),
+
     /* Exhaustive n-gram Jaccard — the exact baseline MinHash approximates
      * (shared-shingle join in Spark; small-n cross join in the oracle). */
     QueryDef("d06_jaccard_pairs",

@@ -231,6 +231,26 @@ class DataxSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("dedupCorpus keeps one representative per cluster, singletons untouched") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog at dawn today"), // near-dup
+      (4L, "completely unrelated text about spark physical plans here"),
+      (5L, "another singleton document with its own words entirely"))
+      .toDF("doc_id", "text")
+    // bands=8 (rows=2): band-collision odds at J~0.6 are ~97% vs a coin
+    // flip at bands=4 — the d30 configuration
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", bands = 8,
+        threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L),
+      "cluster {1,2,3} collapses to its min id; 4 and 5 pass through")
+    // all original columns survive
+    assert(Dedup.dedupCorpus(docs, "doc_id", "text", bands = 8,
+      threshold = 0.4).columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("planesFor keeps in-bucket pair expansion bounded as n grows 10x") {
     def randomVecs(n: Int, seed: Int) = {
       val rnd = new scala.util.Random(seed)
