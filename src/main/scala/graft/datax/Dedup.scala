@@ -210,21 +210,32 @@ object Dedup {
     * the pair/cluster operators exist for: detect near-dup pairs
     * ([[minhashNearDups]]), close them into clusters ([[dupClusters]]),
     * keep each cluster's min-id representative, pass singletons through
-    * untouched. Exact duplicates need no separate pass: identical docs
-    * share every shingle, so they cluster at any threshold. Returns the
-    * surviving rows of `docs` (all columns).
+    * untouched. Returns the surviving rows of `docs` (all columns).
     *
-    * Scale shape: the drop list is the clusters' non-representatives —
-    * output-sized (tiny next to the corpus) — so the final prune is a
-    * broadcast LEFT ANTI join against the full corpus scan. */
+    * Exact duplicates of k tokens or more cluster on their own (identical
+    * docs share every shingle), but docs SHORTER than k produce no
+    * shingles and are invisible to MinHash — so an explicit
+    * fingerprint-level drop (the [[exactDupGroups]] digest) is unioned
+    * in. The two rules agree: both keep min ids, and a fingerprint
+    * representative dropped by the near-dup rule always leaves a
+    * surviving near-dup of its group.
+    *
+    * Scale shape: the near-dup drop list is output-sized (tiny next to
+    * the corpus) — a broadcast LEFT ANTI prunes the full corpus scan;
+    * the exact rule is one digest shuffle, the d02 plan. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 4, numHashes: Int = 16, bands: Int = 4,
                   threshold: Double = 0.5): DataFrame = {
     val pairs = minhashNearDups(docs, idCol, textCol, k, numHashes, bands, threshold)
-    val drop = dupClusters(pairs)
+    val nearDrop = dupClusters(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    docs.join(broadcast(drop), Seq(idCol), "left_anti")
+    val fps = docs.select(col(idCol), TextStats.fingerprint(col(textCol)).as("_fp"))
+    val exactDrop = fps
+      .join(fps.groupBy("_fp").agg(min(idCol).as("_rep")), "_fp")
+      .filter(col(idCol) =!= col("_rep"))
+      .select(col(idCol))
+    docs.join(broadcast(nearDrop.union(exactDrop)), Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard pairs via shared-shingle self-join — the

@@ -118,24 +118,41 @@ object Similarity {
     * previous centroid. */
   def ivfIndexKMeans(vectors: DataFrame, nCentroids: Int, iterations: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
-    var centroids = ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+    val centroids = lloyd(v, ivfIndex(vectors, nCentroids, idCol, vecCol)._1,
+      iterations, avgMeans)
+    (centroids, assign(v, centroids))
+  }
+
+  /** One (centroid, dim) mean table from an assignment — avg(): fastest,
+    * map-side partials, summation-order-dependent (Lloyd self-corrects). */
+  private def avgMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), posexplode(col("vec")).as(Seq("_d", "_x")))
+      .groupBy("centroid_id", "_d").agg(avg("_x").as("_m"))
+
+  /** The Lloyd driver shared by both mean strategies: per round, assign,
+    * aggregate means via `means`, keep the previous centroid for empty
+    * clusters, collect the K refined vectors and re-broadcast (MLlib's
+    * KMeans drive — keeps per-iteration lineage flat). `means` returns
+    * (centroid_id, _d, _m) rows. */
+  private def lloyd(v: DataFrame, seed: DataFrame, iterations: Int,
+                    means: DataFrame => DataFrame): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    var centroids = seed
     for (_ <- 0 until iterations) {
-      val means = assign(v, centroids)
-        .select(col("centroid_id"), posexplode(col("vec")).as(Seq("_d", "_x")))
-        .groupBy("centroid_id", "_d").agg(avg("_x").as("_m"))
+      val meanVecs = means(assign(v, centroids))
         .groupBy("centroid_id")
         .agg(transform(array_sort(collect_list(struct(col("_d"), col("_m")))),
           s => s.getField("_m")).as("_mean"))
       val next = centroids
-        .join(means, Seq("centroid_id"), "left_outer")
+        .join(meanVecs, Seq("centroid_id"), "left_outer")
         .select(col("centroid_id"), coalesce(col("_mean"), col("cvec")).as("cvec"))
         .as[(Long, Seq[Double])].collect().toSeq
       centroids = next.toDF("centroid_id", "cvec")
     }
-    (centroids, assign(v, centroids))
+    centroids
   }
 
   /** Lloyd rounds with ORDERED-fold means — the oracle-stable face of
@@ -156,33 +173,27 @@ object Similarity {
                              iterations: Int = 2,
                              idCol: String = "vec_id",
                              vecCol: String = "embedding"): DataFrame = {
-    val spark = vectors.sparkSession
-    import spark.implicits._
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
-    var centroids = ivfIndex(vectors, nCentroids, idCol, vecCol)._1
-    for (_ <- 0 until iterations) {
-      val means = assign(v, centroids)
-        .select(col("centroid_id"), col("id"), posexplode(col("vec")).as(Seq("_d", "_x")))
-        .groupBy("centroid_id", "_d")
-        .agg(
-          sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
-            .as("_sx"),
-          count(lit(1)).as("_n"))
-        .select(col("centroid_id"), col("_d"),
-          (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
-            / col("_n")).as("_m"))
-        .groupBy("centroid_id")
-        .agg(transform(array_sort(collect_list(struct(col("_d"), col("_m")))),
-          s => s.getField("_m")).as("_mean"))
-      val next = centroids
-        .join(means, Seq("centroid_id"), "left_outer")
-        .select(col("centroid_id"), coalesce(col("_mean"), col("cvec")).as("cvec"))
-        .as[(Long, Seq[Double])].collect().toSeq
-      centroids = next.toDF("centroid_id", "cvec")
-    }
-    centroids.select(col("centroid_id"),
-      posexplode(col("cvec")).as(Seq("dim", "value")))
+    lloyd(v, ivfIndex(vectors, nCentroids, idCol, vecCol)._1,
+        iterations, orderedMeans)
+      .select(col("centroid_id"),
+        posexplode(col("cvec")).as(Seq("dim", "value")))
   }
+
+  /** One (centroid, dim) mean table — the d25 sequential id-ordered
+    * double fold / count: engine-portable bit-exact, at the cost of
+    * carrying member values through the shuffle. */
+  private def orderedMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), col("id"), posexplode(col("vec")).as(Seq("_d", "_x")))
+      .groupBy("centroid_id", "_d")
+      .agg(
+        sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
+          .as("_sx"),
+        count(lit(1)).as("_n"))
+      .select(col("centroid_id"), col("_d"),
+        (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
+          / col("_n")).as("_m"))
 
   /** IVF-probed approximate top-k: per query, search only the `nProbe`
     * nearest centroids' buckets. At 100 TB the assigned table is written

@@ -274,7 +274,15 @@ object SyncJob {
       sortBy = "popularity.desc")
 
   /** The year-close job (main.py:218-223): finalize one year by
-    * vote_count.desc — the stable order once a year stops moving. */
+    * vote_count.desc — the stable order once a year stops moving.
+    *
+    * Inherited reference quirk, preserved deliberately: the cursor key
+    * `years:<type>:<year>` does NOT include the sort order
+    * (sync_years.py:20), so a finalize that resumes a cursor written by
+    * the popularity-ordered refresh skips pages that paginate
+    * differently under vote_count. The reference has the identical
+    * behavior (both endpoints default resume=True over the shared key);
+    * run the finalize with `resume = false` for a full re-walk. */
   def finalizeYear(spark: SparkSession, base: DataFrame, details: DataFrame,
                    ruTitles: DataFrame, stateTemplate: DataFrame,
                    statePath: String, cursorPath: String, deadLetterPath: String,

@@ -328,9 +328,17 @@ object DataxQueries {
         r(u, v) AS (SELECT u, v FROM e
                     UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
         dropped AS (SELECT u AS id FROM r GROUP BY u
-                    HAVING least(u, min(v)) <> u)
+                    HAVING least(u, min(v)) <> u),
+        fpd AS (SELECT doc_id,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents),
+        exact_dropped AS (
+          SELECT doc_id AS id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep FROM fpd)
+          WHERE doc_id <> rep)
         SELECT doc_id, lang FROM documents
-        WHERE doc_id NOT IN (SELECT id FROM dropped)
+        WHERE doc_id NOT IN (SELECT id FROM dropped
+                             UNION SELECT id FROM exact_dropped)
         ORDER BY doc_id""")),
 
     /* Exhaustive n-gram Jaccard — the exact baseline MinHash approximates
@@ -710,13 +718,16 @@ object DataxQueries {
      * `from_json` with a minimal one-field schema parses each document
      * once into a typed struct; `get_json_object` re-tokenizes the raw
      * string per path evaluation — measurably slower, and linearly worse
-     * the more paths you pull. Malformed docs yield a null struct →
-     * null field, same as the oracle's json_extract. */
+     * the more paths you pull. The field is extracted as STRING and cast
+     * (not parsed as INT directly): a string-encoded `{"k": "12"}` must
+     * coerce exactly like the old get_json_object + cast path and the
+     * oracle's json_extract_string + CAST, where a typed INT parse would
+     * null it. Malformed docs yield a null struct → null field. */
     QueryDef("d17_json_props",
       (s, dir) => t(s, dir, "events")
         .select(col("event_type"),
-          from_json(col("props"), "k INT", Map.empty[String, String])
-            .getField("k").as("k"))
+          from_json(col("props"), "k STRING", Map.empty[String, String])
+            .getField("k").cast("int").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           count(col("k")).as("n_with_k"),

@@ -118,7 +118,15 @@ class PagedScan(options: Map[String, String], limit: Option[Int])
           "live (url=) mode requires maxPages: the page window is the scan's bound")
         require(template.contains("{page}"),
           s"url template must contain the {page} placeholder: $template")
-        (start until start + maxPages)
+        // long arithmetic (start + maxPages overflows Int), and the
+        // limit cap applied BEFORE materializing page descriptors — a
+        // huge window with a small LIMIT must not build a huge Seq on
+        // the driver
+        val endExcl = math.min(start.toLong + maxPages.toLong, Int.MaxValue.toLong)
+        val nPlanned = math.min(endExcl - start,
+          limit.map(n => pagesFor(n).toLong).getOrElse(Long.MaxValue))
+        (0L until nPlanned)
+          .map(i => (start + i).toInt)
           .map(p => p -> template.replace("{page}", p.toString))
       case None =>
         // long arithmetic: start + maxPages overflows Int at the default cap

@@ -48,33 +48,43 @@ object StreamingUpsert {
           val existing = store.read()
           val keys = Seq("id", "_type")
           import org.apache.spark.sql.functions.{col => c}
-          val deduped = versionCol match {
-            case Some(v) =>
-              // keep-max resolves ORDERED versions; two rows with the
-              // same key AND the same version value have no defined
-              // winner — tie-breaking arbitrarily would make the
-              // committed state run-order-dependent, the exact
-              // nondeterminism the None branch fails loudly to prevent
-              val tied = batch.groupBy((keys :+ v).map(c): _*)
-                .count().filter(c("count") > 1).limit(1).count()
-              require(tied == 0,
-                s"micro-batch carries duplicate (id, _type) keys with EQUAL " +
-                  s"'$v' values; no deterministic winner exists")
-              graft.ops.FrameOps.dedupKeepMax(batch, keys, v, Nil)
-            case None =>
-              val dup = batch.groupBy(keys.map(c): _*)
-                .count().filter(c("count") > 1)
-                .limit(1).count()
-              require(dup == 0,
-                "micro-batch carries duplicate (id, _type) keys; pass " +
-                  "versionCol to define which version wins")
-              batch
-          }
-          val incomingAligned = deduped.select(
-            existing.columns.map(org.apache.spark.sql.functions.col): _*)
-          val res = Upsert.mergeMovies(existing, incomingAligned, sortBy,
-            now = org.apache.spark.sql.functions.current_timestamp())
-          store.commit(res.merged, batchId)
+          // persisted: the guard count and the merge both read the batch,
+          // and foreachBatch frames re-execute their source per action
+          val b = batch.persist()
+          try {
+            val deduped = versionCol match {
+              case Some(v) =>
+                // keep-max resolves ORDERED versions. Fully-identical
+                // rows are the benign artifact of at-least-once delivery
+                // — collapse them first (committing one of N identical
+                // rows is deterministic by definition). Only rows with
+                // the same key, the SAME version value, and DIFFERENT
+                // payloads have no defined winner: tie-breaking those
+                // arbitrarily would make the committed state
+                // run-order-dependent, the exact nondeterminism the None
+                // branch fails loudly to prevent.
+                val unique = b.dropDuplicates()
+                val tied = unique.groupBy((keys :+ v).map(c): _*)
+                  .count().filter(c("count") > 1).limit(1).count()
+                require(tied == 0,
+                  s"micro-batch carries duplicate (id, _type) keys with EQUAL " +
+                    s"'$v' values but different payloads; no deterministic winner exists")
+                graft.ops.FrameOps.dedupKeepMax(unique, keys, v, Nil)
+              case None =>
+                val dup = b.groupBy(keys.map(c): _*)
+                  .count().filter(c("count") > 1)
+                  .limit(1).count()
+                require(dup == 0,
+                  "micro-batch carries duplicate (id, _type) keys; pass " +
+                    "versionCol to define which version wins")
+                b
+            }
+            val incomingAligned = deduped.select(
+              existing.columns.map(org.apache.spark.sql.functions.col): _*)
+            val res = Upsert.mergeMovies(existing, incomingAligned, sortBy,
+              now = org.apache.spark.sql.functions.current_timestamp())
+            store.commit(res.merged, batchId)
+          } finally { b.unpersist(); () }
         }
         ()
       }

@@ -237,15 +237,18 @@ class DataxSpec extends AnyFunSuite {
       (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
       (3L, "the quick brown fox jumps over the lazy dog at dawn today"), // near-dup
       (4L, "completely unrelated text about spark physical plans here"),
-      (5L, "another singleton document with its own words entirely"))
+      (5L, "another singleton document with its own words entirely"),
+      (6L, "tiny doc"), // shorter than k=4 tokens: invisible to MinHash
+      (7L, "tiny  DOC")) // exact dup of 6 modulo whitespace/case (fingerprint)
       .toDF("doc_id", "text")
     // bands=8 (rows=2): band-collision odds at J~0.6 are ~97% vs a coin
     // flip at bands=4 — the d30 configuration
     val kept = Dedup.dedupCorpus(docs, "doc_id", "text", bands = 8,
         threshold = 0.4)
       .select("doc_id").as[Long].collect().sorted.toSeq
-    assert(kept == Seq(1L, 4L, 5L),
-      "cluster {1,2,3} collapses to its min id; 4 and 5 pass through")
+    assert(kept == Seq(1L, 4L, 5L, 6L),
+      "cluster {1,2,3} collapses to its min id; 4 and 5 pass through; " +
+        "sub-k exact dup 7 drops via the fingerprint rule")
     // all original columns survive
     assert(Dedup.dedupCorpus(docs, "doc_id", "text", bands = 8,
       threshold = 0.4).columns.toSeq == Seq("doc_id", "text"))

@@ -78,6 +78,25 @@ class StreamingUpsertSpec extends AnyFunSuite {
       "one row per key; highest version wins")
   }
 
+  test("fully-identical duplicate rows (at-least-once redelivery) commit fine") {
+    implicit val sqlCtx = spark.sqlContext
+    val template = Seq.empty[(Long, String, String, Long)]
+      .toDF("id", "_type", "title", "vote_count")
+    val store = new MemStore(template)
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val incoming = mem.toDF().toDF("id", "_type", "title", "vote_count")
+    val dir = Files.createTempDirectory("supsertredeliver").toString
+    // the same record delivered twice in one batch: identical payloads
+    // have a trivially deterministic winner — must NOT kill the query
+    mem.addData((1L, "movie", "same", 7L), (1L, "movie", "same", 7L),
+      (2L, "movie", "other", 3L))
+    StreamingUpsert.runAvailableNow(incoming, store, None, dir,
+      versionCol = Some("vote_count"))
+    val rows = store.read().orderBy("id")
+      .select("id", "title").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "same"), (2L, "other")))
+  }
+
   test("EQUAL-version duplicate keys in a micro-batch fail loudly, not arbitrarily") {
     implicit val sqlCtx = spark.sqlContext
     val template = Seq.empty[(Long, String, String, Long)]
