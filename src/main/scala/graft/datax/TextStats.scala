@@ -72,6 +72,70 @@ object TextStats {
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   // ------------------------------------------------------------------
+  // Document-level quality filters (the Gopher/MassiveText family):
+  // these two are DataFrame ops — repetition needs a per-doc aggregate.
+  // ------------------------------------------------------------------
+
+  /** Per-document duplicate n-gram fraction — the classic intra-doc
+    * repetition signal (boilerplate, keyword stuffing, template spam):
+    * 1 - distinct/total over the doc's token n-grams; 0 for docs shorter
+    * than n tokens. Built as posexplode + window lead + one groupBy
+    * (codegen throughout, one shuffle on id; HOF lambdas would
+    * interpret the per-gram work). */
+  def repetition(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(j => lead(col("t"), j).over(w))
+    val grams = toks.select(col("id"),
+        concat_ws(" ", col("t") +: leads: _*).as("g"),
+        (if (n > 1) leads.last else col("t")).as("_last"))
+      .filter(col("_last").isNotNull)
+    val agg = grams.groupBy("id").agg(
+      count(lit(1)).as("n_ngrams"), countDistinct(col("g")).as("n_distinct"))
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(coalesce(col("n_ngrams"), lit(0L)) === 0, 0.0)
+          .otherwise((col("n_ngrams") - col("n_distinct")) / col("n_ngrams"))
+          .as("dup_fraction"))
+  }
+
+  /** Composed keep/drop document filter with REASONS — the auditable
+    * form every production corpus filter needs (a bare boolean can't
+    * answer "why did we lose 4% of the crawl"). Rules, in fixed order:
+    * too_short / too_long (whitespace tokens), low_alpha (alpha ratio),
+    * high_repetition (duplicate n-gram fraction via [[repetition]]),
+    * pii_heavy (emails+phones). `keep` = no rule fired. All expressions
+    * are scan-side except the repetition aggregate (one shuffle). */
+  def qualityFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    minTokens: Int = 5, maxTokens: Int = 5000,
+                    minAlpha: Double = 0.5, maxDupFraction: Double = 0.3,
+                    maxPii: Int = 5): org.apache.spark.sql.DataFrame = {
+    val rep = repetition(docs, idCol, textCol)
+      .select(col(idCol), col("dup_fraction"))
+    val t = col(textCol)
+    val ws = tokenCountWs(t)
+    val alpha = when(length(t) === 0, 0.0)
+      .otherwise(length(regexp_replace(lower(t), "[^a-z]", "")).cast("double")
+        / length(t).cast("double"))
+    val pii = piiCounts(t)
+    val reasons = concat_ws(",",
+      when(ws < minTokens, "too_short"),
+      when(ws > maxTokens, "too_long"),
+      when(alpha < minAlpha, "low_alpha"),
+      when(col("dup_fraction") > maxDupFraction, "high_repetition"),
+      when(pii.getField("n_emails") + pii.getField("n_phones") > maxPii, "pii_heavy"))
+    docs.join(rep, Seq(idCol))
+      .select(col(idCol), (reasons === "").as("keep"), reasons.as("reasons"))
+  }
+
+  // ------------------------------------------------------------------
   // Deterministic corpus splitting
   // ------------------------------------------------------------------
 

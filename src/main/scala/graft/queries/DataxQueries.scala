@@ -690,6 +690,71 @@ object DataxQueries {
                CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders
         ORDER BY col_name""")),
 
+    /* Intra-document repetition: duplicate 3-gram fraction per doc —
+     * the boilerplate/keyword-stuffing signal of the Gopher-style
+     * filter family. One shuffle on doc id. */
+    QueryDef("d31_repetition",
+      (s, dir) => TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $TOKS AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS g
+          FROM tk),
+        a AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS n_distinct
+          FROM g GROUP BY doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+               CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+               CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
+                    ELSE (a.n_ngrams - a.n_distinct) / a.n_ngrams END AS dup_fraction
+        FROM documents d LEFT JOIN a USING (doc_id)
+        ORDER BY doc_id""")),
+
+    /* Composed keep/drop corpus filter with per-doc REASONS (fixed rule
+     * order, '' = keep) — the auditable production form of d04/d18's
+     * score. The repetition rule joins the d31 aggregate; everything
+     * else stays scan-side. */
+    QueryDef("d32_quality_filter",
+      (s, dir) => TextStats.qualityFilter(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $TOKS AS toks FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                   i -> array_to_string(toks[i:i+2], ' '))) AS g
+          FROM tk),
+        a AS (
+          SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT g) AS n_distinct
+          FROM g GROUP BY doc_id),
+        f AS (
+          SELECT d.doc_id,
+                 len(regexp_extract_all(d.text, '\\S+')) AS ws,
+                 CASE WHEN length(d.text) = 0 THEN 0.0
+                      ELSE length(regexp_replace(lower(d.text), '[^a-z]', '', 'g'))::DOUBLE
+                           / length(d.text)::DOUBLE END AS alpha,
+                 len(regexp_extract_all(d.text, '${TextStats.EmailRe}')) AS n_emails,
+                 len(regexp_extract_all(d.text, '${TextStats.PhoneRe}')) AS n_phones,
+                 CASE WHEN coalesce(a.n_ngrams, 0) = 0 THEN 0.0
+                      ELSE (a.n_ngrams - a.n_distinct) / a.n_ngrams END AS dup_fraction
+          FROM documents d LEFT JOIN a USING (doc_id)),
+        r AS (
+          SELECT doc_id, concat_ws(',',
+                   CASE WHEN ws < 5 THEN 'too_short' END,
+                   CASE WHEN ws > 5000 THEN 'too_long' END,
+                   CASE WHEN alpha < 0.5 THEN 'low_alpha' END,
+                   CASE WHEN dup_fraction > 0.3 THEN 'high_repetition' END,
+                   CASE WHEN n_emails + n_phones > 5 THEN 'pii_heavy' END) AS reasons
+          FROM f)
+        SELECT doc_id, (coalesce(reasons, '') = '') AS keep,
+               coalesce(reasons, '') AS reasons
+        FROM r ORDER BY doc_id""")),
+
     /* Quality-score distribution as an EXACT fixed-width histogram
      * (floor-bucketing is engine-portable; percentile sketches are not
      * — use approx_percentile at scale where exactness isn't gated). */

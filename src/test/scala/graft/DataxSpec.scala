@@ -231,6 +231,29 @@ class DataxSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("repetition flags duplicated n-grams; qualityFilter composes reasons") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"), // one 3-gram repeated
+      (2L, "a perfectly normal sentence with the usual variety of words in it"),
+      (3L, "no"), // shorter than n tokens -> 0 ngrams, dup 0
+      (4L, "x1 @@@ ##$ %%% !!! ??? &&& *** ((( )))")) // low alpha, short-ish
+      .toDF("doc_id", "text")
+    val rep = TextStats.repetition(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_ngrams", "n_distinct", "dup_fraction")
+      .as[(Long, Long, Double)].collect()
+    assert(rep(0) == ((8L, 1L, 7.0 / 8.0)), "10 identical tokens: 8 grams, 1 distinct")
+    assert(rep(1)._1 == rep(1)._2 && rep(1)._3 == 0.0, "varied text has no dup grams")
+    assert(rep(2) == ((0L, 0L, 0.0)), "sub-n docs are 0, not null/crash")
+
+    val f = TextStats.qualityFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").select("keep", "reasons").as[(Boolean, String)].collect()
+    assert(f(0) == ((false, "high_repetition")))
+    assert(f(1) == ((true, "")))
+    assert(f(2)._1 == false && f(2)._2.contains("too_short"))
+    assert(f(3) == ((false, "low_alpha")), s"got ${f(3)}")
+  }
+
   test("dedupCorpus keeps one representative per cluster, singletons untouched") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
