@@ -230,9 +230,13 @@ object Dedup {
     val nearDrop = dupClusters(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    val fps = docs.select(col(idCol), TextStats.fingerprint(col(textCol)).as("_fp"))
-    val exactDrop = fps
-      .join(fps.groupBy("_fp").agg(min(idCol).as("_rep")), "_fp")
+    // window, not groupBy+self-join: re-referencing the (scan + md5)
+    // subtree would execute it twice — at corpus scale that is two full
+    // text scans for one digest
+    val exactDrop = docs
+      .select(col(idCol), TextStats.fingerprint(col(textCol)).as("_fp"))
+      .withColumn("_rep", min(col(idCol)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("_fp")))
       .filter(col(idCol) =!= col("_rep"))
       .select(col(idCol))
     docs.join(broadcast(nearDrop.union(exactDrop)), Seq(idCol), "left_anti")
