@@ -73,13 +73,26 @@ object PagedSource {
         }
       }.sortBy(_._1)
   }
+
+  /** The one reader factory both faces (batch scan, micro-batch stream)
+    * share: the transports and the ST4 envelope are identical. */
+  def readerFactory(options: Map[String, String]): PartitionReaderFactory = {
+    val maxAttempts = options.getOrElse("maxAttempts", "5").toInt
+    val backoffMillis = options.getOrElse("backoffMillis", "1000").toLong
+    val requestTimeoutMillis = options.getOrElse("requestTimeoutMillis", "30000").toLong
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PageReader(p.asInstanceOf[PageInputPartition], maxAttempts,
+          backoffMillis, requestTimeoutMillis)
+    }
+  }
 }
 
 class PagedTable(options: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"tmdb_pages(${options.getOrElse("path", "?")})"
   override def schema(): StructType = PagedSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(options)
 }
@@ -136,16 +149,12 @@ class PagedScan(options: Map[String, String], limit: Option[Int])
     val capped = limit.map(n => all.take(pagesFor(n))).getOrElse(all)
     capped.map { case (p, f) => PageInputPartition(p, f): InputPartition }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val maxAttempts = options.getOrElse("maxAttempts", "5").toInt
-    val backoffMillis = options.getOrElse("backoffMillis", "1000").toLong
-    val requestTimeoutMillis = options.getOrElse("requestTimeoutMillis", "30000").toLong
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new PageReader(p.asInstanceOf[PageInputPartition], maxAttempts,
-          backoffMillis, requestTimeoutMillis)
-    }
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    PagedSource.readerFactory(options)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedMicroBatchStream(options)
 }
 
 /** Reads one page — a fixture file (JSON lines) or a live HTTP GET,
