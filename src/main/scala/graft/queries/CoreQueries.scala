@@ -749,6 +749,42 @@ object CoreQueries {
           AND o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name""")),
 
+    /* TPC-H Q9 shape: product-line profit by nation and year — the
+     * OTHER canonical multi-join anchor (h04's Q5 walks dims down to
+     * one fact shuffle; Q9's selective part filter broadcasts into the
+     * fact BEFORE the orders join, so the expensive fact⋈fact join sees
+     * only matching lines). */
+    QueryDef("h06_part_profit",
+      (s, dir) => {
+        val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")))
+        t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").contains("widget"))
+            .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+          .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), year(col("o_orderdate")).cast("int").as("o_year"))
+          .agg(sum(rev).cast("double").as("profit"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name").asc, col("o_year").desc)
+      },
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS profit,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY n_name, o_year
+        ORDER BY n_name ASC, o_year DESC""")),
+
     /* Headline window-function shape: per-customer running totals and
      * order ranks — one shuffle on the partition key, sort within
      * partitions, no global sort. DECIMAL keeps the running sum exact
