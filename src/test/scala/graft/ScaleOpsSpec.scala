@@ -49,6 +49,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("compact: many appended small files collapse to the size target, data intact") {
+    import graft.ops.Compact
+    val dir = Files.createTempDirectory("compact").toString + "/log"
+    // 30 appends of one tiny file each — the cursor/dead-letter pattern
+    for (i <- 1 to 30)
+      Seq((i.toLong, s"row $i")).toDF("id", "v")
+        .write.mode("append").parquet(dir)
+    val (before, _) = (Compact.stats(dir)._2, ())
+    assert(before >= 30, s"expected >=30 appended files, got $before")
+    // tiny targetBytes still coalesces to 1 file (total is a few KB)
+    val (b, a) = Compact.compact(spark, dir, targetBytes = 128L * 1024 * 1024)
+    assert(b == before && a == 1, s"expected $before -> 1 files, got $b -> $a")
+    val rows = spark.read.parquet(dir).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == (1 to 30).map(i => (i.toLong, s"row $i")),
+      "every row must survive compaction")
+    // idempotent: already-compact table is a no-op
+    assert(Compact.compact(spark, dir) == ((1, 1)))
+  }
+
   test("bucketed MERGE: catalog side never shuffles; view flip commits; counters correct") {
     val wh = Files.createTempDirectory("whmerge").toString
     val spark2 = spark
