@@ -109,30 +109,51 @@ object TextStats {
     * form every production corpus filter needs (a bare boolean can't
     * answer "why did we lose 4% of the crawl"). Rules, in fixed order:
     * too_short / too_long (whitespace tokens), low_alpha (alpha ratio),
-    * high_repetition (duplicate n-gram fraction via [[repetition]]),
-    * pii_heavy (emails+phones). `keep` = no rule fired. All expressions
-    * are scan-side except the repetition aggregate (one shuffle). */
+    * high_repetition (duplicate n-gram fraction), pii_heavy
+    * (emails+phones).  `keep` = no rule fired.
+    *
+    * ONE text scan: the scalar metrics are computed alongside the
+    * token posexplode and carried through the gram aggregate (three
+    * numbers per token row — far cheaper than the second full text
+    * scan a `docs ⋈ repetition(docs)` join would pay; Spark does not
+    * dedupe repeated scans of a subtree). Every doc has at least one
+    * token row (`split` never yields an empty array), so the groupBy
+    * covers sub-n docs with zero grams. */
   def qualityFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String,
                     minTokens: Int = 5, maxTokens: Int = 5000,
                     minAlpha: Double = 0.5, maxDupFraction: Double = 0.3,
-                    maxPii: Int = 5): org.apache.spark.sql.DataFrame = {
-    val rep = repetition(docs, idCol, textCol)
-      .select(col(idCol), col("dup_fraction"))
+                    maxPii: Int = 5, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = col(textCol)
-    val ws = tokenCountWs(t)
     val alpha = when(length(t) === 0, 0.0)
       .otherwise(length(regexp_replace(lower(t), "[^a-z]", "")).cast("double")
         / length(t).cast("double"))
     val pii = piiCounts(t)
+    val base = docs.select(col(idCol).as("id"),
+      tokenCountWs(t).as("_ws"), alpha.as("_alpha"),
+      (pii.getField("n_emails") + pii.getField("n_phones")).as("_pii"),
+      posexplode(tokens(t)).as(Seq("pos", "tk")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).map(j => lead(col("tk"), j).over(w))
+    val gram = when((if (n > 1) leads.last else col("tk")).isNotNull,
+      concat_ws(" ", col("tk") +: leads: _*))
+    val agg = base.select(col("id"), col("_ws"), col("_alpha"), col("_pii"),
+        gram.as("_g"))
+      .groupBy("id")
+      .agg(first(col("_ws")).as("_ws"), first(col("_alpha")).as("_alpha"),
+        first(col("_pii")).as("_pii"),
+        count(col("_g")).as("_n"), countDistinct(col("_g")).as("_d"))
+    val dup = when(col("_n") === 0, 0.0)
+      .otherwise((col("_n") - col("_d")) / col("_n"))
     val reasons = concat_ws(",",
-      when(ws < minTokens, "too_short"),
-      when(ws > maxTokens, "too_long"),
-      when(alpha < minAlpha, "low_alpha"),
-      when(col("dup_fraction") > maxDupFraction, "high_repetition"),
-      when(pii.getField("n_emails") + pii.getField("n_phones") > maxPii, "pii_heavy"))
-    docs.join(rep, Seq(idCol))
-      .select(col(idCol), (reasons === "").as("keep"), reasons.as("reasons"))
+      when(col("_ws") < minTokens, "too_short"),
+      when(col("_ws") > maxTokens, "too_long"),
+      when(col("_alpha") < minAlpha, "low_alpha"),
+      when(dup > maxDupFraction, "high_repetition"),
+      when(col("_pii") > maxPii, "pii_heavy"))
+    agg.select(col("id").as(idCol), (reasons === "").as("keep"),
+      reasons.as("reasons"))
   }
 
   // ------------------------------------------------------------------

@@ -1,7 +1,6 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -294,22 +293,18 @@ object SyncJob {
       limit = limit, pageSize = pageSize, resume = resume,
       sortBy = "vote_count.desc")
 
-  /** State table read; empty-with-template-schema when absent (first run). */
+  /** State table read; empty-with-template-schema when absent (first
+    * run). Heals an interrupted swap first (see [[graft.util.AtomicSwap]]). */
   private def readState(spark: SparkSession, path: String,
-                        template: DataFrame): DataFrame =
+                        template: DataFrame): DataFrame = {
+    graft.util.AtomicSwap.recover(Paths.get(path))
     if (Files.exists(Paths.get(path))) spark.read.parquet(path)
     else template.limit(0)
+  }
 
   /** Parquet MERGE target swap: the local-FS stand-in for an Iceberg/
     * Delta MERGE INTO commit. Spark can't overwrite a parquet dir it is
-    * reading in the same job, hence write-aside + rename. */
-  private def swapState(tmp: String, path: String): Unit = {
-    val p = Paths.get(path)
-    if (Files.exists(p)) deleteRec(p)
-    Files.move(Paths.get(tmp), p)
-  }
-
-  private def deleteRec(p: Path): Unit =
-    Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-      .forEach(f => Files.delete(f))
+    * reading in the same job, hence write-aside + crash-safe swap. */
+  private def swapState(tmp: String, path: String): Unit =
+    graft.util.AtomicSwap.swapIn(Paths.get(tmp), Paths.get(path))
 }

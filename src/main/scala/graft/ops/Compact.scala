@@ -1,9 +1,10 @@
 package graft.ops
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.util.AtomicSwap
 
 /** Small-file compaction for append-heavy parquet tables — the
   * operational chore every incremental pipeline at scale needs: the
@@ -18,9 +19,15 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * Sizing comes from the table's CURRENT on-disk bytes — the only
   * honest estimate that needs no sampling pass; `coalesce` (not
   * `repartition`) keeps the rewrite shuffle-free, at the cost of
-  * accepting the existing row order. Readers of the swapped path see
-  * the old files until the rename (POSIX) — same caveat as the state
-  * swap, declared acceptable for the local-FS stand-in.
+  * accepting the existing row order.
+  *
+  * Contract: SINGLE-WRITER maintenance — run it between batches, never
+  * concurrently with appends to the same path (a file appended during
+  * the rewrite would be lost in the swap; plain parquet has no
+  * transaction log to catch it, which is exactly what the lakehouse
+  * OPTIMIZE adds). A crash mid-swap is recoverable: the swap parks the
+  * old table at `<path>.old` and [[stats]]/[[compact]] heal the
+  * missing-target window on the next call ([[AtomicSwap]]).
   */
 object Compact {
 
@@ -28,10 +35,13 @@ object Compact {
     * metadata only, never data). */
   def stats(path: String): (Long, Int) = {
     val p = Paths.get(path)
+    AtomicSwap.recover(p)
     if (!Files.exists(p)) return (0L, 0)
-    val files = Files.walk(p).filter(f =>
-      f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-      .toArray.map(_.asInstanceOf[Path])
+    val s = Files.walk(p)
+    val files =
+      try s.filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+        .toArray.map(_.asInstanceOf[Path])
+      finally s.close()
     (files.map(Files.size).sum, files.length)
   }
 
@@ -47,15 +57,9 @@ object Compact {
     if (nFiles <= targetFiles + slack) return (nFiles, nFiles)
     val df: DataFrame = spark.read.parquet(path)
     val tmp = path + ".compact"
+    AtomicSwap.deleteRec(Paths.get(tmp)) // stale rewrite from a crashed run
     df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = Paths.get(path)
-    deleteRec(target)
-    Files.move(Paths.get(tmp), target)
+    AtomicSwap.swapIn(Paths.get(tmp), Paths.get(path))
     (nFiles, stats(path)._2)
   }
-
-  private def deleteRec(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
 }

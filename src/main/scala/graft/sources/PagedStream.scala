@@ -17,13 +17,21 @@ case class PageOffset(lastPage: Long) extends Offset {
   * one InputPartition per page through the SAME transports and ST4
   * retry envelope as the batch scan.
   *
-  *  - offline (`path=`): `latestOffset` is the highest `page-<n>.json`
-  *    present, so dropping new page files into the feed directory IS
-  *    the arrival of new data; missing page numbers are skipped.
+  *  - offline (`path=`): `latestOffset` is the highest page of the
+  *    CONTIGUOUS prefix `startPage..p` present on disk — dropping new
+  *    page files into the feed directory is the arrival of new data. A
+  *    paged feed is sequential, so a GAP means the producer hasn't
+  *    finished writing the missing page yet: the stream waits at the
+  *    gap rather than skipping it (a max-page offset would silently
+  *    lose a page that became visible after a higher one — files are
+  *    not ordered-visibility). A page file DELETED after commit is
+  *    out of contract (the feed is append-only).
   *  - live (`url=`): the window is `startPage .. startPage+maxPages-1`
   *    (bounded, as in batch); a scheduler re-running with a grown
   *    `maxPages` continues from the checkpointed page — the monthly
   *    refresh loop with engine-owned resume.
+  *
+  * Both faces honor the same `startPage`/`maxPages` window options.
   *
   * A failed-then-restarted query replans the uncommitted batch from the
   * checkpoint: pages re-fetch (at-least-once) and the idempotent merge
@@ -31,18 +39,24 @@ case class PageOffset(lastPage: Long) extends Offset {
   * as the reference's cursor + upsert pair. */
 class PagedMicroBatchStream(options: Map[String, String]) extends MicroBatchStream {
   private val start = options.getOrElse("startPage", "1").toInt
+  private val maxPages = options.getOrElse("maxPages", Int.MaxValue.toString).toInt
+  /** Last page of the configured window (inclusive). */
+  private def windowEnd: Long =
+    math.min(start.toLong + maxPages.toLong, Int.MaxValue.toLong) - 1L
 
   override def initialOffset(): Offset = PageOffset(start - 1L)
 
   override def latestOffset(): Offset = options.get("url") match {
     case Some(_) =>
-      val maxPages = options.getOrElse("maxPages", Int.MaxValue.toString).toInt
       require(maxPages != Int.MaxValue,
         "live (url=) streaming requires maxPages: the page window is the stream's bound")
-      PageOffset(math.min(start.toLong + maxPages.toLong, Int.MaxValue.toLong) - 1L)
+      PageOffset(windowEnd)
     case None =>
-      PagedSource.pageFiles(options("path")).lastOption
-        .map(f => PageOffset(f._1.toLong)).getOrElse(PageOffset(start - 1L))
+      // contiguous prefix from startPage, capped by the window
+      val present = PagedSource.pageFiles(options("path")).map(_._1).toSet
+      var p = start.toLong
+      while (p <= windowEnd && present.contains(p.toInt)) p += 1
+      PageOffset(p - 1L)
   }
 
   override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] = {

@@ -54,6 +54,26 @@ class PagedStreamSpec extends AnyFunSuite {
       "each id exactly once across both drains")
   }
 
+  test("a gap in page numbers stalls the stream instead of skipping the page") {
+    val root = Files.createTempDirectory("pagedstream3").toString
+    val (feed, ckpt, sink) = (s"$root/feed", s"$root/ckpt", s"$root/sink")
+    Files.createDirectories(Paths.get(feed))
+    // page 4 visible before page 3 (files are not ordered-visibility):
+    // the offset must stop at the contiguous prefix 1..2
+    writePages(feed, 1 to 2, perPage = 4)
+    writePages(feed, 4 to 4, perPage = 4)
+    drain(feed, ckpt, sink)
+    assert(spark.read.parquet(sink).select("_page").distinct()
+      .as[Int].collect().sorted.toSeq == Seq(1, 2),
+      "page 4 must wait for page 3, not be ingested past the gap")
+    // the missing page arrives -> the next drain ingests 3 AND 4
+    writePages(feed, 3 to 3, perPage = 4)
+    drain(feed, ckpt, sink)
+    val all = spark.read.parquet(sink)
+    assert(all.select("_page").distinct().as[Int].collect().sorted.toSeq == (1 to 4))
+    assert(all.count() == 16, "no page ingested twice")
+  }
+
   test("an empty feed yields no batches and a later drain picks up from page 0") {
     val root = Files.createTempDirectory("pagedstream2").toString
     val (feed, ckpt, sink) = (s"$root/feed", s"$root/ckpt", s"$root/sink")

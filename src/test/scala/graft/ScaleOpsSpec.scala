@@ -67,6 +67,14 @@ class ScaleOpsSpec extends AnyFunSuite {
       "every row must survive compaction")
     // idempotent: already-compact table is a no-op
     assert(Compact.compact(spark, dir) == ((1, 1)))
+
+    // crash-window recovery: a swap interrupted between park and
+    // install leaves the table only at <dir>.old — the next stats()
+    // heals it instead of reporting an empty table as success
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir), java.nio.file.Paths.get(dir + ".old"))
+    assert(Compact.stats(dir)._2 == 1, "recover() must restore the parked table")
+    assert(spark.read.parquet(dir).count() == 30)
   }
 
   test("bucketed MERGE: catalog side never shuffles; view flip commits; counters correct") {
