@@ -130,10 +130,15 @@ object TextStats {
       .otherwise(length(regexp_replace(lower(t), "[^a-z]", "")).cast("double")
         / length(t).cast("double"))
     val pii = piiCounts(t)
-    val base = docs.select(col(idCol).as("id"),
+    // TWO selects, deliberately: scalars in their own projection BELOW
+    // the generator. A single select with posexplode plans the scalar
+    // Project ABOVE the Generate — every regex then runs per TOKEN row
+    // instead of per doc (measured 12x on d32).
+    val scalars = docs.select(col(idCol).as("id"), t.as("_text"),
       tokenCountWs(t).as("_ws"), alpha.as("_alpha"),
-      (pii.getField("n_emails") + pii.getField("n_phones")).as("_pii"),
-      posexplode(tokens(t)).as(Seq("pos", "tk")))
+      (pii.getField("n_emails") + pii.getField("n_phones")).as("_pii"))
+    val base = scalars.select(col("id"), col("_ws"), col("_alpha"), col("_pii"),
+      posexplode(tokens(col("_text"))).as(Seq("pos", "tk")))
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("tk"), j).over(w))
     val gram = when((if (n > 1) leads.last else col("tk")).isNotNull,
