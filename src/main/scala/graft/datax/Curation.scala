@@ -1,0 +1,186 @@
+package graft.datax
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for a large-scale training-data pipeline:
+  * boilerplate removal, language-model scoring, stratified balancing,
+  * sequence packing, and source-mixture weighting. These are the steps
+  * that sit BETWEEN dedup (Dedup.scala) and training — the C4/Gopher/
+  * DoReMi family of corpus transforms.
+  *
+  * Oracle-parity rules (hash compare is exact): integer arithmetic until
+  * the final division; float sums fold a SORTED list sequentially from a
+  * 0.0 seed (same order, same doubles in both engines); sampling uses
+  * md5-derived buckets, never rand().
+  */
+object Curation {
+
+  /** C4-style boilerplate removal, chunk-grained. The reference unit in
+    * C4 is a LINE; this corpus is single-line token text, so the unit is
+    * a fixed window of `chunkTokens` consecutive whitespace tokens. A
+    * chunk that appears (exactly) in >= `minDocs` DISTINCT documents is
+    * boilerplate: headers, footers, cookie banners — text shared across
+    * pages. Output per doc: total chunks, kept chunks, and the cleaned
+    * text (kept chunks re-joined in original order).
+    *
+    * Scale shape: one explode + one aggregate on chunk text. Boilerplate
+    * chunks are by definition the high-frequency keys, which is exactly
+    * what two-phase countDistinct partials absorb; the surviving
+    * boilerplate set is SMALL (it's the repeated stuff), so the removal
+    * join broadcasts. Reassembly shuffles once on doc id.
+    */
+  def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
+                        chunkTokens: Int = 3, minDocs: Int = 2): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    // ceil(n/chunk) without float: (n + chunk-1) / chunk on ints is exact
+    // in double for any n <= 2^52, and split() never yields an empty
+    // array, so every doc has >= 1 chunk
+    val nChunks = ((size(toks) + (chunkTokens - 1)) / chunkTokens).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val ch = docs.select(col(idCol).as("id"),
+      posexplode(chunks).as(Seq("pos", "chunk")))
+    val bp = ch.groupBy("chunk")
+      .agg(countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("chunk")
+    val kept = ch.join(broadcast(bp), Seq("chunk"), "left_anti")
+    val re = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      // collect_list order is nondeterministic; the (pos, chunk) struct
+      // sort restores document order before the re-join
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk"))).as("cleaned"))
+    val tot = ch.groupBy("id").agg(count(lit(1)).as("n_chunks"))
+    tot.join(re, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
+  /** Unigram language-model score per document: corpus token frequencies
+    * -> per-token probability -> per-doc mean probability + out-of-vocab
+    * rate against the top-`vocabSize` vocabulary. The cheap proxy for
+    * perplexity-based quality filtering (CCNet-style): low avg_p / high
+    * oov_rate = text unlike the corpus.
+    *
+    * Float determinism: per-doc sum of probabilities folds the SORTED
+    * probability list sequentially from 0.0 — the same additions in the
+    * same order as the DuckDB oracle, so the doubles are bit-identical
+    * (collect_list order itself is nondeterministic; the sort fixes it).
+    *
+    * Scale shape: token counts are one map-side-combined aggregate; the
+    * vocabulary (top-k) is tiny and broadcasts; the per-doc aggregate is
+    * one shuffle on doc id. No driver loop — `total` rides along as a
+    * 1-row cross join, which Spark plans as a broadcast.
+    */
+  def unigramLm(docs: DataFrame, idCol: String, textCol: String,
+                vocabSize: Int = 20): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(TextStats.tokens(col(textCol))).as("t"))
+    val counts = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("t").asc).limit(vocabSize)
+    val probs = vocab.crossJoin(total).select(col("t"),
+      (col("cnt").cast("double") / col("total").cast("double")).as("p"))
+    val agg = tok.join(broadcast(probs), Seq("t"), "left_outer")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_tokens"),
+        count(col("p")).as("n_invocab"),
+        aggregate(array_sort(collect_list(col("p"))), lit(0.0), (a, x) => a + x)
+          .as("_sum_p"))
+    agg.select(col("id").as(idCol), col("n_tokens"), col("n_invocab"),
+      ((col("n_tokens") - col("n_invocab")) / col("n_tokens")).as("oov_rate"),
+      (col("_sum_p") / col("n_tokens")).as("avg_p"))
+  }
+
+  /** Stratified balancing sample: deterministically downsample every
+    * group to (at most) the size of the SMALLEST group — the "balance
+    * the language mix" step. Keep rule: md5-bucket(key) in [0, 10000) <
+    * (10000 * cap) div n_group, so expected kept ~= cap per group and
+    * membership is stable across runs, executors, and cluster sizes
+    * (rand() would reshuffle the corpus every run).
+    *
+    * 8 md5 hex chars = 32 bits, mod 10000: modulo skew < 0.00003 (the
+    * 16-bit variant used for percent splits would skew ~17% at this
+    * modulus). Threshold arithmetic stays integer (DIV) — a double
+    * rounding could disagree with the oracle's floor at exact-integer
+    * quotients. Group counts are one tiny aggregate, broadcast back.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String,
+                       groupCol: String): DataFrame = {
+    val counts = docs.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    val th = counts.crossJoin(counts.agg(min(col("n")).as("cap")))
+      .select(col("g"), expr("CAST((10000 * cap) DIV n AS INT)").as("threshold"))
+    val bucket = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000).cast("int")
+    docs.select(col(idCol).as("id"), col(groupCol).as("g"), bucket.as("bucket"))
+      .join(broadcast(th), Seq("g"))
+      .select(col("id").as(idCol), col("g").as(groupCol), col("bucket"),
+        col("threshold"), (col("bucket") < col("threshold")).as("keep"))
+  }
+
+  /** Greedy next-fit sequence packing: place documents (in id order)
+    * into fixed-token-budget bins — the training-batch packing step.
+    * A doc that would overflow the open bin closes it; a doc larger
+    * than the whole budget gets a bin of its own. Output per doc: the
+    * shard, the bin index within the shard, and the token offset of the
+    * doc inside its bin.
+    *
+    * Packing is inherently sequential (bin state depends on every prior
+    * doc), so it CANNOT be a window/prefix-sum — but it parallelizes
+    * perfectly across independent shards. One shuffle (repartition by
+    * shard), a sort within partitions, and an O(1)-state streaming pass
+    * per partition: no per-shard collect, no driver involvement — this
+    * is the rare case where mapPartitions is the right tool (imperative
+    * per-partition state the Column algebra can't express). At 100 TB,
+    * `shards` scales with the cluster; bins stay budget-sized.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int = 128, shards: Int = 32): DataFrame = {
+    val ss = docs.sparkSession
+    import ss.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      (col(idCol) % shards).cast("int").as("shard"),
+      size(TextStats.tokens(col(textCol))).as("n"))
+    base.repartition(col("shard"))
+      .sortWithinPartitions("shard", "id")
+      .as[(Long, Int, Int)]
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash partitioning on shard),
+        // ordered (shard, id); reset the bin state at each shard edge
+        var shard = Int.MinValue; var bin = 0; var fill = 0
+        it.map { case (id, sh, n) =>
+          if (sh != shard) { shard = sh; bin = 0; fill = 0 }
+          if (fill > 0 && fill + n > budget) { bin += 1; fill = 0 }
+          val off = fill
+          fill += n
+          (id, sh, bin, off, n)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "offset", "n_tokens")
+  }
+
+  /** Source-mixture weights (the DoReMi/domain-reweighting shape): per
+    * source, its token share of the corpus and the sampling weight that
+    * would flatten the mixture to a uniform token share — weight =
+    * target_share / actual_share = total / (n_sources * n_tokens).
+    * Token counts stay scan-side (sum of per-doc sizes, no explode);
+    * the corpus totals ride a 1-row cross join.
+    */
+  def mixWeights(docs: DataFrame, sourceCol: String,
+                 textCol: String): DataFrame = {
+    val per = docs.groupBy(col(sourceCol).as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextStats.tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(tot).select(col("source"), col("n_docs"), col("n_tokens"),
+      (col("n_tokens").cast("double") / col("total").cast("double"))
+        .as("token_share"),
+      (col("total").cast("double")
+        / (col("n_sources") * col("n_tokens")).cast("double")).as("weight"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.datax.{Dedup, Multimodal, Profile, Similarity, TextStats}
+import graft.datax.{Curation, Dedup, Multimodal, Profile, Similarity, TextStats}
 import graft.streaming.StreamOps
 
 /** Scale-extension operators — dedup / similarity search / multimodal /
@@ -889,6 +889,139 @@ object DataxQueries {
                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM sess GROUP BY user_id, session_id
-        ORDER BY user_id, session_id"""))
+        ORDER BY user_id, session_id""")),
+
+    /* C4-style boilerplate removal at chunk grain: a 3-token chunk
+     * appearing in >= 2 distinct docs is boilerplate; docs are
+     * reassembled from their surviving chunks in original order. */
+    QueryDef("d33_boilerplate",
+      (s, dir) => Curation.boilerplateChunks(t(s, dir, "documents"),
+          "doc_id", "text", chunkTokens = 3, minDocs = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $TOKS AS toks FROM documents),
+        ix AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, (len(toks) + 2) // 3)) AS i
+          FROM tk),
+        ch AS (
+          SELECT doc_id, CAST(i AS INT) AS pos,
+                 array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS chunk
+          FROM ix),
+        bp AS (
+          SELECT chunk FROM ch GROUP BY chunk
+          HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (
+          SELECT * FROM ch WHERE chunk NOT IN (SELECT chunk FROM bp)),
+        re AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                 string_agg(chunk, ' ' ORDER BY pos) AS cleaned
+          FROM kept GROUP BY doc_id),
+        tot AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+          FROM ch GROUP BY doc_id)
+        SELECT tot.doc_id, tot.n_chunks,
+               CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+               coalesce(re.cleaned, '') AS cleaned
+        FROM tot LEFT JOIN re USING (doc_id)
+        ORDER BY doc_id""")),
+
+    /* Unigram-LM quality scoring: mean token probability + OOV rate
+     * against the top-20 corpus vocabulary (the cheap stand-in for
+     * perplexity filtering). Per-doc prob sums fold a SORTED list from
+     * 0.0 in both engines -> bit-identical doubles. */
+    QueryDef("d34_unigram_lm",
+      (s, dir) => Curation.unigramLm(t(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 20)
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (
+          SELECT doc_id, unnest($TOKS) AS t FROM documents),
+        c AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t),
+        tt AS (SELECT sum(cnt) AS total FROM c),
+        v AS (SELECT t, cnt FROM c ORDER BY cnt DESC, t ASC LIMIT 20),
+        pr AS (SELECT t, CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS p
+               FROM v, tt),
+        a AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(count(p) AS BIGINT) AS n_invocab,
+                 list_reduce(list_prepend(0.0,
+                     list_sort(list(p) FILTER (WHERE p IS NOT NULL))),
+                   (acc, x) -> acc + x) AS sum_p
+          FROM tok LEFT JOIN pr USING (t) GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_invocab,
+               (n_tokens - n_invocab) / n_tokens AS oov_rate,
+               coalesce(sum_p, 0.0) / n_tokens AS avg_p
+        FROM a ORDER BY doc_id""")),
+
+    /* Stratified balancing sample: every language deterministically
+     * downsampled to ~the smallest language's count via md5 buckets —
+     * integer threshold arithmetic end-to-end. */
+    QueryDef("d35_stratified_sample",
+      (s, dir) => Curation.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH b AS (
+          SELECT doc_id, lang,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)),
+                                     CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) % 10000 AS INT) AS bucket
+          FROM documents),
+        c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        m AS (SELECT min(n) AS cap FROM c),
+        t AS (SELECT lang, CAST((10000 * cap) // n AS INT) AS threshold
+              FROM c, m)
+        SELECT b.doc_id, b.lang, b.bucket, t.threshold,
+               b.bucket < t.threshold AS keep
+        FROM b JOIN t USING (lang) ORDER BY doc_id""")),
+
+    /* Greedy next-fit sequence packing into 128-token bins, parallel
+     * across 32 shards; the oracle replays the sequential fold with a
+     * recursive CTE (packing state can't be a window function). */
+    QueryDef("d36_pack_sequences",
+      (s, dir) => Curation.packSequences(t(s, dir, "documents"),
+          "doc_id", "text", budget = 128, shards = 32)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE tk AS (
+          SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
+                 CAST(len($TOKS) AS INT) AS n
+          FROM documents),
+        r AS (
+          SELECT *, CAST(row_number() OVER (PARTITION BY shard
+                   ORDER BY doc_id) AS INT) AS rn
+          FROM tk),
+        pack(shard, rn, doc_id, n, bin, ofs, fill) AS (
+          SELECT shard, rn, doc_id, n, 0, 0, n FROM r WHERE rn = 1
+          UNION ALL
+          SELECT r.shard, r.rn, r.doc_id, r.n,
+                 CASE WHEN p.fill + r.n > 128 THEN p.bin + 1 ELSE p.bin END,
+                 CASE WHEN p.fill + r.n > 128 THEN 0 ELSE p.fill END,
+                 CASE WHEN p.fill + r.n > 128 THEN r.n ELSE p.fill + r.n END
+          FROM pack p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+        SELECT doc_id, shard, CAST(bin AS INT) AS bin,
+               CAST(ofs AS INT) AS "offset", CAST(n AS INT) AS n_tokens
+        FROM pack ORDER BY doc_id""")),
+
+    /* Source-mixture weights: per-source token share and the uniform-
+     * target reweighting factor (the domain-mixing step). */
+    QueryDef("d37_mix_weights",
+      (s, dir) => Curation.mixWeights(t(s, dir, "documents"),
+          "source", "text")
+        .orderBy("source"),
+      Some(s"""WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT sum(n_tokens) AS total,
+                       CAST(count(*) AS BIGINT) AS n_sources
+                FROM per)
+        SELECT source, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
+               CAST(total AS DOUBLE)
+                 / CAST(n_sources * n_tokens AS DOUBLE) AS weight
+        FROM per, tot ORDER BY source"""))
   )
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.datax.Curation
+
+/** Semantics specs for the corpus-curation operators (boilerplate
+  * removal, unigram-LM scoring, stratified sampling, sequence packing,
+  * mixture weights) on crafted fixtures — the edge cases the synthetic
+  * corpus doesn't exercise. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ---- boilerplate removal ----
+
+  test("boilerplate: shared chunk removed, unique text kept in order") {
+    // chunk size 3: "cookie banner text" opens both docs -> boilerplate
+    val d = docs(
+      1L -> "cookie banner text alpha beta gamma delta epsilon zeta",
+      2L -> "cookie banner text one two three four five six")
+    val r = Curation.boilerplateChunks(d, "doc_id", "text", chunkTokens = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 3L, 2L, "alpha beta gamma delta epsilon zeta")))
+    assert(r(1) == ((2L, 3L, 2L, "one two three four five six")))
+  }
+
+  test("boilerplate: fully-boilerplate doc yields empty cleaned text; unique doc untouched") {
+    val d = docs(
+      1L -> "cookie banner text",
+      2L -> "cookie banner text",
+      3L -> "entirely unique words here")
+    val r = Curation.boilerplateChunks(d, "doc_id", "text", chunkTokens = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(r(0) == ((1L, 1L, 0L, "")))
+    assert(r(1) == ((2L, 1L, 0L, "")))
+    assert(r(2) == ((3L, 2L, 2L, "entirely unique words here")))
+  }
+
+  test("boilerplate: repeats WITHIN one doc don't count as cross-doc") {
+    // same chunk twice in one doc: distinct-doc count is 1 -> kept
+    val d = docs(
+      1L -> "aa bb cc aa bb cc",
+      2L -> "totally different words here")
+    val r = Curation.boilerplateChunks(d, "doc_id", "text", chunkTokens = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 2L, 2L, "aa bb cc aa bb cc")))
+  }
+
+  // ---- unigram LM ----
+
+  test("unigramLm: in-vocab docs score high, OOV docs score zero") {
+    // "the" dominates the corpus; vocabSize=1 -> vocab = {the}
+    val d = docs(
+      1L -> "the the the the",
+      2L -> "zz yy xx ww")
+    val r = Curation.unigramLm(d, "doc_id", "text", vocabSize = 1)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(_._1)
+    val (_, n1, inv1, oov1, p1) = r(0)
+    assert(n1 == 4 && inv1 == 4 && oov1 == 0.0)
+    assert(p1 == 0.5, "p(the) = 4/8 per token, mean = 0.5")
+    val (_, n2, inv2, oov2, p2) = r(1)
+    assert(n2 == 4 && inv2 == 0 && oov2 == 1.0 && p2 == 0.0)
+  }
+
+  test("unigramLm: vocab ties break on token asc; counts include every occurrence") {
+    // aa and bb both count 2 -> vocab of 1 keeps aa (token asc)
+    val d = docs(1L -> "aa bb aa bb")
+    val r = Curation.unigramLm(d, "doc_id", "text", vocabSize = 1)
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    assert(r._3 == 2, "only the two aa occurrences are in-vocab")
+    assert(r._4 == 0.5)
+  }
+
+  // ---- stratified sample ----
+
+  test("stratifiedSample: smallest group keeps everything; larger groups thin toward the cap") {
+    val d = (0L until 40L).map(i => (i, if (i < 4) "rare" else "common"))
+      .toDF("doc_id", "lang")
+    val r = Curation.stratifiedSample(d, "doc_id", "lang")
+      .as[(Long, String, Int, Int, Boolean)].collect()
+    val rare = r.filter(_._2 == "rare")
+    assert(rare.forall(_._4 == 10000), "cap group threshold = 10000")
+    assert(rare.forall(_._5), "smallest group keeps every row")
+    val common = r.filter(_._2 == "common")
+    assert(common.forall(_._4 == (10000 * 4) / 36))
+    assert(common.count(_._5) < common.length, "larger group actually thins")
+    assert(r.forall(x => x._3 >= 0 && x._3 < 10000))
+    // determinism: identical keep set on re-run
+    val again = Curation.stratifiedSample(d, "doc_id", "lang")
+      .as[(Long, String, Int, Int, Boolean)].collect()
+    assert(r.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  // ---- sequence packing ----
+
+  test("packSequences: fills bins to the budget, opens a new bin on overflow") {
+    // one shard (ids all ≡ 1 mod 32): docs of 50,50,50 tokens, budget 128
+    // -> bins [50+50], [50]
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words(50)), (33L, words(50)), (65L, words(50)))
+      .toDF("doc_id", "text")
+    val r = Curation.packSequences(d, "doc_id", "text", budget = 128, shards = 32)
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 1, 0, 0, 50)))
+    assert(r(1) == ((33L, 1, 0, 50, 50)))
+    assert(r(2) == ((65L, 1, 1, 0, 50)), "third doc overflows -> new bin")
+  }
+
+  test("packSequences: oversized doc gets its own bin; shards pack independently") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (0L, words(10)), (32L, words(200)), (64L, words(10)), // shard 0
+      (1L, words(10))) // shard 1
+      .toDF("doc_id", "text")
+    val r = Curation.packSequences(d, "doc_id", "text", budget = 128, shards = 32)
+      .as[(Long, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(r(0) == ((0L, 0, 0, 0, 10)))
+    assert(r(1) == ((1L, 1, 0, 0, 10)), "other shard starts at bin 0")
+    assert(r(2) == ((32L, 0, 1, 0, 200)), "oversized doc alone in its bin")
+    assert(r(3) == ((64L, 0, 2, 0, 10)), "next doc can't join an overfull bin")
+  }
+
+  test("packSequences: no bin exceeds the budget except single-doc bins") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = (0L until 100L).map(i => (i, words(1 + (i % 60).toInt)))
+      .toDF("doc_id", "text")
+    val bins = Curation.packSequences(d, "doc_id", "text", budget = 64, shards = 4)
+      .groupBy("shard", "bin")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("fill"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .as[(Int, Int, Long, Long)].collect()
+    assert(bins.forall(b => b._3 <= 64 || b._4 == 1),
+      s"overfull multi-doc bin: ${bins.filter(b => b._3 > 64 && b._4 > 1).toSeq}")
+  }
+
+  // ---- mixture weights ----
+
+  test("mixWeights: shares sum to 1; uniform corpus gets weight 1") {
+    val d = Seq(
+      (1L, "a b c d", "s1"), (2L, "e f g h", "s1"),
+      (3L, "i j k l m n o p", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.mixWeights(d, "source", "text")
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(r.map(_._4).sum == 1.0)
+    // both sources hold 8 of 16 tokens -> uniform -> weight 1.0
+    assert(r.forall(x => x._4 == 0.5 && x._5 == 1.0))
+    val skewed = Seq((1L, "a b c d e f", "s1"), (2L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val w = Curation.mixWeights(skewed, "source", "text")
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(w(0)._5 < 1.0 && w(1)._5 > 1.0,
+      "over-represented source down-weighted, under-represented up-weighted")
+  }
+}
