@@ -40,32 +40,47 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
         }
+    // Median-of-N timing: single-shot numbers on a contended box moved
+    // sub-second queries 2-4x in both directions between rounds (SCALE.md
+    // straggler-compounding measurement); the median of 3 post-warmup runs
+    // is stable enough to make round-over-round deltas signal. Total is the
+    // sum of per-query medians. SPARK_GRAFT_REPS overrides (1 = old mode).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = queries.map { case (name, fn) =>
       warm(name, fn)
-      // drop any InMemoryRelations the warm run materialized (several
-      // operators .cache() internally): at the same SF the timed plan is
-      // canonically identical, so CacheManager would silently substitute
-      // the cached subtree and the timed number would measure cache
-      // hits, not the pipeline
-      spark.sqlContext.clearCache()
-      val t0 = System.nanoTime()
-      // noop sink materializes every row/column (a bare count() would let
-      // Catalyst prune the query down to a metadata scan)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // a crashing query must not read as a (fast) pass: sentinel -1
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        // drop any InMemoryRelations the previous run materialized (several
+        // operators .cache() internally): at the same SF the timed plan is
+        // canonically identical, so CacheManager would silently substitute
+        // the cached subtree and the timed number would measure cache
+        // hits, not the pipeline
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        // noop sink materializes every row/column (a bare count() would let
+        // Catalyst prune the query down to a metadata scan)
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        // a crashing query must not read as a (fast) pass: sentinel -1
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val good = times.filter(_ >= 0).sorted
+      val median = if (good.isEmpty) -1.0 else good(good.size / 2)
+      (name, median, good)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // per-query [min, max] across the N runs — the spread the medians hide
+    val spread = results.collect { case (k, _, g) if g.nonEmpty =>
+      "\"" + k + "\":[" + g.min + "," + g.max + "]"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout ([info]/[success] lines), which can defeat a
     // line-oriented parse downstream — drop a clean copy next to the build

@@ -26,9 +26,12 @@ object Curation {
     *
     * Scale shape: one explode + one aggregate on chunk text. Boilerplate
     * chunks are by definition the high-frequency keys, which is exactly
-    * what two-phase countDistinct partials absorb; the surviving
-    * boilerplate set is SMALL (it's the repeated stuff), so the removal
-    * join broadcasts. Reassembly shuffles once on doc id.
+    * what two-phase countDistinct partials absorb. The removal join is
+    * NOT hinted broadcast: at `minDocs=2` over a web crawl, "chunks
+    * appearing twice" is not a small set — AQE picks broadcast-hash at
+    * runtime when the materialized set is actually small and falls back
+    * to a shuffled anti join when it isn't. Reassembly shuffles once on
+    * doc id.
     */
   def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int = 3, minDocs: Int = 2): DataFrame = {
@@ -45,7 +48,7 @@ object Curation {
       .agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select("chunk")
-    val kept = ch.join(broadcast(bp), Seq("chunk"), "left_anti")
+    val kept = ch.join(bp, Seq("chunk"), "left_anti")
     val re = kept.groupBy("id").agg(
       count(lit(1)).as("n_kept"),
       // collect_list order is nondeterministic; the (pos, chunk) struct

@@ -25,6 +25,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Session-scoped registry of live shingle caches ([[docShingleRows]]
+    * results). The pair-returning APIs (minhashNearDups, jaccardPairs,
+    * contamination*) return LAZY plans whose actions re-read the cache,
+    * so the cache must outlive the call — composed pipelines
+    * (d05 + d23 + d30 in one session) release them via
+    * [[releaseShingleCaches]] once results are materialized. The EAGER
+    * operators (dedupCorpus, dupClusters) clean up after themselves. */
+  private val liveShingleCaches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Unpersist every shingle cache this object still holds. Safe to call
+    * any time: plans re-execute (correctly, slower) after release. */
+  def releaseShingleCaches(): Unit = {
+    val it = liveShingleCaches.iterator()
+    while (it.hasNext) { it.next().unpersist(); it.remove() }
+  }
+
   /** Distinct word k-shingles from a MATERIALIZED token-array column;
     * empty array when the document has fewer than k tokens (Spark's
     * `sequence(1, n)` is DESCENDING for n<1, so the short-doc case must
@@ -63,7 +80,7 @@ object Dedup {
       posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until k).map(j => lead(col("t"), j).over(w))
-    toks.select(col("id"),
+    val out = toks.select(col("id"),
         concat_ws(" ", col("t") +: leads: _*).as("s"),
         (if (k > 1) leads.last else col("t")).as("_last"))
       .filter(col("_last").isNotNull && col("s") =!= "")
@@ -72,8 +89,11 @@ object Dedup {
       // every consumer (signatures, pair join, size counts, verify)
       // re-executes this subtree otherwise — the standard multi-pass-
       // algorithm cache (as MLlib's LSH does); rows are (id, shingle)
-      // only, far smaller than the source text
-      .cache()
+      // only, far smaller than the source text. Registered in
+      // liveShingleCaches so lifecycle is explicit (see top of file).
+    val cached = out.cache()
+    liveShingleCaches.add(cached)
+    cached
   }
 
   /** The i-th MinHash hash of one shingle: seed i/4 prefixes the md5
@@ -185,7 +205,14 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
-    val exploded = docShingleRows(docs, idCol, textCol, k)
+    minhashNearDupsOn(docShingleRows(docs, idCol, textCol, k),
+      numHashes, bands, threshold)
+  }
+
+  /** [[minhashNearDups]] over an already-built shingle relation — lets
+    * eager callers (dedupCorpus) own the cache lifecycle. */
+  private def minhashNearDupsOn(exploded: DataFrame, numHashes: Int,
+                                bands: Int, threshold: Double): DataFrame = {
     // signatures as codegen'd min-aggregates (bandedSigs); the 16 agg
     // inputs share 4 md5 digests (chunk scheme) — hash-aggregate
     // codegen's subexpression elimination computes each digest once.
@@ -220,16 +247,32 @@ object Dedup {
     * representative dropped by the near-dup rule always leaves a
     * surviving near-dup of its group.
     *
-    * Scale shape: the near-dup drop list is output-sized (tiny next to
-    * the corpus) — a broadcast LEFT ANTI prunes the full corpus scan;
-    * the exact rule is one digest shuffle, the d02 plan. */
+    * Scale shape: the drop list is NOT hinted broadcast — at web-crawl
+    * dup rates (30-80%) it is corpus-order ids, and a forced broadcast
+    * would OOM every executor at 100 TB. The anti join goes to AQE,
+    * which picks broadcast-hash at runtime only when the materialized
+    * drop list is actually small; the shuffled left_anti is the honest
+    * fallback. The exact rule is one digest shuffle, the d02 plan.
+    *
+    * Eager: the pair -> cluster step materializes inside, after which
+    * every internal cache (the shingle relation, the pair list) is
+    * RELEASED — composed pipelines don't accumulate copies, and the
+    * returned frame is a cheap (docs ANTI JOIN small-list) plan. */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 4, numHashes: Int = 16, bands: Int = 4,
                   threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDups(docs, idCol, textCol, k, numHashes, bands, threshold)
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    require(threshold > 0, "zero-intersection pairs are never emitted")
+    val exploded = docShingleRows(docs, idCol, textCol, k)
+    val pairs = minhashNearDupsOn(exploded, numHashes, bands, threshold)
+    // dupClusters is eager (collect or checkpointed loop) and unpersists
+    // the pair cache itself; its output carries no lineage back to
+    // `exploded`, so the shingle cache can be dropped right after
     val nearDrop = dupClusters(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
+    exploded.unpersist()
+    liveShingleCaches.remove(exploded)
     // window, not groupBy+self-join: re-referencing the (scan + md5)
     // subtree would execute it twice — at corpus scale that is two full
     // text scans for one digest
@@ -239,7 +282,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("_fp")))
       .filter(col(idCol) =!= col("_rep"))
       .select(col(idCol))
-    docs.join(broadcast(nearDrop.union(exactDrop)), Seq(idCol), "left_anti")
+    docs.join(nearDrop.union(exactDrop), Seq(idCol), "left_anti")
   }
 
   /** Exact n-gram Jaccard pairs via shared-shingle self-join — the
@@ -359,7 +402,16 @@ object Dedup {
     // plan/compile/job overhead dwarfs the actual work at that size.
     // Bigger graphs take the distributed min-label loop below.
     val nPairs = p.count()
-    if (nPairs <= driverMaxPairs) return driverComponents(p)
+    if (nPairs <= driverMaxPairs) {
+      try return driverComponents(p)
+      finally { p.unpersist(); () }
+    }
+    // loud, once: the fallback changes the cost model (a shuffle per
+    // round instead of one collect), which an operator should be able
+    // to see in the logs rather than infer from runtimes
+    System.err.println(s"[graft-dedup] pair graph has $nPairs edges " +
+      s"(> driverMaxPairs=$driverMaxPairs): switching to distributed " +
+      "min-label propagation")
     val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()
@@ -386,8 +438,18 @@ object Dedup {
       labels = next
       i += 1
     }
-    require(converged, s"label propagation did not converge in $maxIterations iterations")
-    labels.select("id", "cluster")
+    if (!converged) {
+      labels.unpersist(); edges.unpersist(); p.unpersist()
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxIterations iterations")
+    }
+    // cut lineage so every internal cache can be released: the labels
+    // are component ids over the (small) pair-graph node set, and
+    // localCheckpoint materializes them once instead of leaving a plan
+    // that re-reads the caches we are about to drop
+    val out = labels.select("id", "cluster").localCheckpoint(true)
+    labels.unpersist(); edges.unpersist(); p.unpersist()
+    out
   }
 
   /** Driver-side union-find over a collected pair list; cluster = the
@@ -549,10 +611,20 @@ object Dedup {
     * data-independent, so hashing per (row, plane, dim) at runtime would
     * be pure waste. */
   /** The ±1 hyperplane matrix for [[embeddingNearDups]] — exposed so the
-    * oracle SQL can bake the SAME literals into its replay. */
+    * oracle SQL can bake the SAME literals into its replay. Table 0 of
+    * the seeded family (so the single-table construction is literally
+    * the banded one with tables=1). */
   def planeSigns(planes: Int, dim: Int): Array[Array[Double]] =
+    planeSignsSeeded(0, planes, dim)
+
+  /** The ±1 plane matrix of one LSH TABLE: `table` shifts the splitmix
+    * seed by a golden-ratio odd constant, so each table's planes are an
+    * independent pseudo-random draw (table 0 ≡ the legacy
+    * [[planeSigns]] matrix, bit-for-bit). */
+  def planeSignsSeeded(table: Int, planes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(planes, dim)((p, j) =>
-      if ((splitmix64(p.toLong * 1000003L + j) & 1L) == 1L) 1.0 else -1.0)
+      if ((splitmix64(table.toLong * 0x9E3779B97F4A7C15L
+          + p.toLong * 1000003L + j) & 1L) == 1L) 1.0 else -1.0)
 
   /** The plane-count growth rule: with random data, expected bucket
     * occupancy is n/2^planes, so in-bucket pair expansion (quadratic in
@@ -561,17 +633,51 @@ object Dedup {
     * under `targetOccupancy` (floor 4 — fewer buckets than 16 is never
     * worth the hashing savings). A fixed plane count at growing n is the
     * classic LSH scale bug: 2^4 buckets over 10^9 docs is an all-pairs
-    * join in disguise. */
+    * join in disguise.
+    *
+    * RECALL WARNING: cost is only half the trade. A pair at angle θ
+    * collides in ONE table of r planes with probability (1-θ/π)^r — at
+    * r = log2(n/16) and cosine 0.9 that is ~54% at r=4 but ~2% at r=26
+    * (n = 10^9). Growing r without growing the number of TABLES
+    * silently collapses recall; [[bandsFor]] computes the (tables, r)
+    * pair that holds a target recall, and [[embeddingNearDupsBanded]]
+    * is the construction that uses it. The single-table
+    * [[embeddingNearDups]] is the demo/oracle form. */
   def planesFor(n: Long, targetOccupancy: Long = 16L): Int = {
     var p = 1
     while (p < 62 && (n >> p) > targetOccupancy) p += 1
     math.max(p, 4)
   }
 
+  /** The recall-targeted band rule for hyperplane LSH — the S-curve
+    * MinHash gets from its bands, applied to the embedding side. Per
+    * table of r planes a pair at cosine c collides with prob
+    * p_r = (1 - acos(c)/π)^r; over L independent tables the union gives
+    * recall 1-(1-p_r)^L. r comes from [[planesFor]] (cost: bounded
+    * bucket occupancy per table); L is then the smallest count reaching
+    * `targetRecall` for pairs AT the threshold (pairs above it do
+    * better — the S-curve is monotone). Cost scales as L·r dot products
+    * per vector and L bucket rows per vector: the price of recall is
+    * EXPLICIT here, not silently traded away. */
+  def bandsFor(n: Long, threshold: Double = 0.9, targetRecall: Double = 0.9,
+               targetOccupancy: Long = 16L): (Int, Int) = {
+    require(threshold > -1.0 && threshold <= 1.0, s"cosine threshold $threshold out of range")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall $targetRecall must be in (0,1)")
+    val r = planesFor(n, targetOccupancy)
+    val pCollide = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    val pr = math.pow(pCollide, r)
+    val tables =
+      if (pr >= 1.0) 1
+      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt.max(1)
+    (tables, r)
+  }
+
   /** [[embeddingNearDups]] with the plane count derived from the input
     * size via [[planesFor]] — one count pass, then the bucketed join.
     * Callers that already know n should call [[embeddingNearDups]] with
-    * `planesFor(n)` directly and skip the count. */
+    * `planesFor(n)` directly and skip the count. NOTE: single-table —
+    * recall collapses as the plane count grows (see [[planesFor]]);
+    * [[embeddingNearDupsBandedAuto]] is the recall-holding form. */
   def embeddingNearDupsAuto(vectors: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.9): DataFrame =
     embeddingNearDups(vectors, idCol, vecCol, planesFor(vectors.count()), threshold)
@@ -606,5 +712,80 @@ object Dedup {
         (Similarity.dot(col("vec_a"), col("vec_b")) / (col("_na") * col("_nb")))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Banded (multi-table) hyperplane LSH — the scale-AND-recall
+    * construction: L independent tables of r planes each (per-table
+    * [[planeSignsSeeded]] seeds), candidate pairs = the UNION of
+    * per-table bucket collisions, then ONE exact-cosine verify pass.
+    * Exactly the S-curve scheme [[minhashNearDups]] uses for text,
+    * applied to embeddings: r controls per-table cost (bucket occupancy
+    * ~ n/2^r), L buys recall back (1-(1-p^r)^L). Pick (L, r) with
+    * [[bandsFor]] or [[embeddingNearDupsBandedAuto]].
+    *
+    * Plan shape: plane projections are scan-side native-dot products
+    * against literal matrices (no per-pair work); the L bucket ids
+    * posexplode to (id, tbl, bucket) rows; candidates come from bucket
+    * GROUPING (collect ids per bucket, expand sorted in-bucket pairs —
+    * never a self-join that would re-execute the projection subtree);
+    * a distinct collapses multi-table collisions so each candidate is
+    * verified ONCE. Only then do vectors re-enter, by id join, for the
+    * exact cosine. */
+  def embeddingNearDupsBanded(vectors: DataFrame, idCol: String, vecCol: String,
+                              tables: Int = 8, planesPerTable: Int = 8,
+                              threshold: Double = 0.9): DataFrame = {
+    require(tables >= 1 && planesPerTable >= 1,
+      s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
+    val v = vectors.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val dim = vectors.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) // empty input (or empty vectors): no pairs, same schema
+      return v.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
+        lit(0.0).as("cosine"))
+    // one bucket string per table: sign bits of the native dot against
+    // that table's literal plane matrix (graft_dot is codegen'd; the
+    // matrix is data-independent, so it is baked in, never recomputed)
+    val sigCols = (0 until tables).map { tbl =>
+      val signs = planeSignsSeeded(tbl, planesPerTable, dim)
+      val bits = (0 until planesPerTable).map { p =>
+        when(Similarity.dot(col("vec"), lit(signs(p))) >= 0, "1").otherwise("0")
+      }
+      concat_ws("", bits: _*)
+    }
+    val bucketRows = v.select(col("id"),
+      posexplode(array(sigCols: _*)).as(Seq("tbl", "bucket")))
+    val buckets = bucketRows.groupBy("tbl", "bucket")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairCombos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val cand = buckets.select(explode(pairCombos).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    // norms once per vector, not once per candidate pair
+    val withN = v.select(col("id"), col("vec"),
+      Similarity.norm(col("vec")).as("_n"))
+    cand
+      .join(withN.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("_n").as("_na")), "id_a")
+      .join(withN.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("_n").as("_nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("vec_a"), col("vec_b")) / (col("_na") * col("_nb")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** [[embeddingNearDupsBanded]] with (tables, planes) derived from the
+    * input size and a recall target via [[bandsFor]] — the recommended
+    * entry point: cost stays bounded as n grows AND recall at the
+    * threshold stays >= `targetRecall`, with both knobs visible. */
+  def embeddingNearDupsBandedAuto(vectors: DataFrame, idCol: String,
+                                  vecCol: String, threshold: Double = 0.9,
+                                  targetRecall: Double = 0.9): DataFrame = {
+    val (tables, r) = bandsFor(vectors.count(), threshold, targetRecall)
+    embeddingNearDupsBanded(vectors, idCol, vecCol, tables, r, threshold)
   }
 }

@@ -188,6 +188,48 @@ object DataxQueries {
         WHERE cosine >= 0.25 ORDER BY id_a, id_b"""
   }
 
+  /** The BANDED hyperplane-LSH pipeline replayed in DuckDB: per-table
+    * bucket strings (each table's ±1 plane matrix baked as literals from
+    * [[Dedup.planeSignsSeeded]]), union of per-table bucket collisions,
+    * one exact-cosine verify. */
+  private val EmbeddingNearDupBandedSql: String = {
+    val (tables, planes) = (3, 4)
+    def signList(s: Array[Double]) =
+      s.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    def planeDot(s: Array[Double]) =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, len(vec)+1),
+         |              i -> vec[i] * (${signList(s)})[i])), (acc, x) -> acc + x)""".stripMargin
+    def bucketExpr(tbl: Int) = {
+      val signs = Dedup.planeSignsSeeded(tbl, planes, 64)
+      (0 until planes).map(p =>
+        s"(CASE WHEN ${planeDot(signs(p))} >= 0 THEN '1' ELSE '0' END)")
+        .mkString("\n               || ")
+    }
+    val bucketCols = (0 until tables)
+      .map(tbl => s"${bucketExpr(tbl)} AS bucket_t$tbl")
+      .mkString(",\n               ")
+    val caseArms = (0 until tables)
+      .map(tbl => s"WHEN $tbl THEN bucket_t$tbl").mkString(" ")
+    s"""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        b AS (
+          SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS n,
+               $bucketCols
+          FROM v),
+        br AS (
+          SELECT id, tbl, CASE tbl $caseArms END AS bucket
+          FROM b, unnest(range(0, $tables)) AS t(tbl)),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+          FROM br a JOIN br bb
+            ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.id < bb.id),
+        pairs AS (
+          SELECT id_a, id_b, ${dotSql("x.vec", "y.vec")} / (x.n * y.n) AS cosine
+          FROM cand JOIN b x ON cand.id_a = x.id JOIN b y ON cand.id_b = y.id)
+        SELECT id_a, id_b, cosine FROM pairs
+        WHERE cosine >= 0.25 ORDER BY id_a, id_b"""
+  }
+
   /** The full MinHash-LSH pipeline replayed in DuckDB SQL (shared by the
     * d05 pair check and the d21 cluster check, which wraps it in a
     * recursive-CTE connected-components closure). */
@@ -460,6 +502,17 @@ object DataxQueries {
           "vec_id", "embedding", planes = 4, threshold = 0.25)
         .orderBy("id_a", "id_b"),
       Some(EmbeddingNearDupSql)),
+
+    /* Banded (multi-table) hyperplane LSH — the recall-holding scale
+     * form (see SCALE.md): 3 tables x 4 planes, per-table literal
+     * matrices seeded by planeSignsSeeded, union of bucket collisions,
+     * exact-cosine verify. The whole pipeline replays in DuckDB. */
+    QueryDef("d10a_embedding_neardups_banded",
+      (s, dir) => Dedup.embeddingNearDupsBanded(t(s, dir, "embeddings"),
+          "vec_id", "embedding", tables = 3, planesPerTable = 4,
+          threshold = 0.25)
+        .orderBy("id_a", "id_b"),
+      Some(EmbeddingNearDupBandedSql)),
 
     /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
      * (avg() is summation-order-dependent; the id-ordered sequential

@@ -43,16 +43,32 @@ object PageFetch {
     path.startsWith("http://") || path.startsWith("https://")
 
   /** GET one live page; throws HttpStatusError (terminal) on non-2xx,
-    * IOException (retryable network) on connect/read failure. */
-  def http(url: String, requestTimeoutMillis: Long): Seq[JsonNode] = {
+    * IOException (retryable network) on connect/read failure. With
+    * `honorRetryAfter` (source option, default false = reference
+    * parity), a 429 throws [[Retry.RateLimited]] instead — retryable,
+    * paced by the `Retry-After` header (delta-seconds form; the
+    * HTTP-date form and a missing header fall back to the envelope's
+    * linear backoff via -1). */
+  def http(url: String, requestTimeoutMillis: Long,
+           honorRetryAfter: Boolean = false): Seq[JsonNode] = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofMillis(requestTimeoutMillis))
       .header("Accept", "application/json")
       .GET().build()
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 429 && honorRetryAfter)
+      throw Retry.RateLimited(url, retryAfterMillis(resp))
     if (resp.statusCode() / 100 != 2)
       throw Retry.HttpStatusError(resp.statusCode(), url)
     itemsOf(mapper.readTree(resp.body()))
+  }
+
+  /** `Retry-After` delta-seconds -> millis; -1 when absent/unparseable. */
+  private def retryAfterMillis(resp: HttpResponse[String]): Long = {
+    val h = resp.headers().firstValue("Retry-After")
+    if (!h.isPresent) -1L
+    else try math.max(0L, h.get.trim.toLong * 1000L)
+    catch { case _: NumberFormatException => -1L }
   }
 
   /** One offline fixture page: JSON-lines, one item per line. */

@@ -80,10 +80,13 @@ object PagedSource {
     val maxAttempts = options.getOrElse("maxAttempts", "5").toInt
     val backoffMillis = options.getOrElse("backoffMillis", "1000").toLong
     val requestTimeoutMillis = options.getOrElse("requestTimeoutMillis", "30000").toLong
+    // default false = reference parity (tmdb_client.py treats 429 as any
+    // other status error: terminal); true opts into server-paced retries
+    val honorRetryAfter = options.getOrElse("honorRetryAfter", "false").toBoolean
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new PageReader(p.asInstanceOf[PageInputPartition], maxAttempts,
-          backoffMillis, requestTimeoutMillis)
+          backoffMillis, requestTimeoutMillis, honorRetryAfter)
     }
   }
 }
@@ -166,13 +169,15 @@ class PagedScan(options: Map[String, String], limit: Option[Int])
   * planning, schema, pushdown, and this envelope ([[PageFetch]]). */
 class PageReader(part: PageInputPartition, maxAttempts: Int = 5,
                  backoffMillis: Long = 1000L,
-                 requestTimeoutMillis: Long = 30000L)
+                 requestTimeoutMillis: Long = 30000L,
+                 honorRetryAfter: Boolean = false)
     extends PartitionReader[InternalRow] {
   import com.fasterxml.jackson.databind.JsonNode
   private val it: Iterator[JsonNode] =
     Retry.withRetry(maxAttempts, backoffMillis)(Seq.empty[JsonNode]) {
       Retry.Faults.maybeThrow(part.path) // test-only fault injection
-      if (PageFetch.isLive(part.path)) PageFetch.http(part.path, requestTimeoutMillis)
+      if (PageFetch.isLive(part.path))
+        PageFetch.http(part.path, requestTimeoutMillis, honorRetryAfter)
       else PageFetch.file(part.path)
     }.iterator
   private var current: InternalRow = _

@@ -32,10 +32,22 @@ object Retry {
   final case class HttpStatusError(status: Int, url: String)
       extends RuntimeException(s"HTTP $status $url")
 
+  /** A 429 whose `Retry-After` the caller OPTED to honor (the
+    * `honorRetryAfter` source option; default off = reference parity,
+    * which treats every status error as terminal — tmdb_client.py:68-86).
+    * Retryable: the envelope pauses `retryAfterMillis` (the server's
+    * requested delay) instead of the linear backoff; a missing or
+    * unparseable header is carried as -1 and falls back to linear
+    * backoff. Classified `http` for the give-up counters. */
+  final case class RateLimited(url: String, retryAfterMillis: Long)
+      extends RuntimeException(
+        s"HTTP 429 $url (Retry-After ${retryAfterMillis}ms)")
+
   /** The reference's except-clause taxonomy: HTTPStatusError | network
     * (IO) | everything else. */
   def classify(e: Throwable): Kind = e match {
     case _: HttpStatusError => Http
+    case _: RateLimited => Http
     case _: java.io.IOException => Network
     case _ => Other
   }
@@ -62,11 +74,16 @@ object Retry {
         // sit out backoff sleeps
         case scala.util.control.NonFatal(e) =>
           val kind = classify(e)
-          if (kind == Http || attempt >= maxAttempts) {
+          // terminal: any http status error EXCEPT an opted-in 429
+          val terminal = kind == Http && !e.isInstanceOf[RateLimited]
+          if (terminal || attempt >= maxAttempts) {
             onGiveUp(GiveUp(kind.name, attempt, String.valueOf(e.getMessage)))
             return empty
           }
-          sleep(backoffMillis * attempt)
+          sleep(e match {
+            case RateLimited(_, ms) if ms >= 0 => ms // server-paced
+            case _ => backoffMillis * attempt       // linear backoff
+          })
           attempt += 1
       }
     }

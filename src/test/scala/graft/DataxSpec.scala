@@ -320,6 +320,87 @@ class DataxSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("bandsFor: r follows the occupancy rule, L reaches the recall target") {
+    // r must match planesFor (per-table cost bound)
+    assert(Dedup.bandsFor(2000L, 0.9, 0.9)._2 == Dedup.planesFor(2000L))
+    // L is the smallest table count with 1-(1-p^r)^L >= targetRecall
+    val (l, r) = Dedup.bandsFor(1000000L, 0.9, 0.9)
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    def recallAt(tables: Int) = 1.0 - math.pow(1.0 - math.pow(p, r), tables)
+    assert(recallAt(l) >= 0.9, s"(L=$l, r=$r) misses the target")
+    assert(l == 1 || recallAt(l - 1) < 0.9, s"L=$l is not minimal for r=$r")
+    // table 0 of the seeded family IS the legacy matrix (d10 oracle parity)
+    assert(Dedup.planeSignsSeeded(0, 4, 16).toSeq.map(_.toSeq) ==
+      Dedup.planeSigns(4, 16).toSeq.map(_.toSeq))
+    // other tables are genuinely different draws
+    assert(Dedup.planeSignsSeeded(1, 4, 16).toSeq.map(_.toSeq) !=
+      Dedup.planeSigns(4, 16).toSeq.map(_.toSeq))
+  }
+
+  test("banded hyperplane LSH holds recall >= 0.9 at cosine 0.9 as n grows 10x") {
+    val dim = 32
+    // n/2 planted near-dup pairs at cosine ~0.95 (partner = v + noise of
+    // ~1/3 relative norm), rest independent random vectors — the ground
+    // truth is still measured by BRUTE FORCE, not by the plant list
+    def corpus(n: Int, seed: Int) = {
+      val rnd = new scala.util.Random(seed)
+      (1 to n).flatMap { i =>
+        val v = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+        if (i % 2 == 0) {
+          val partner = v.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.33f)
+          Seq((i.toLong, v), (i.toLong + 1000000L, partner))
+        } else Seq((i.toLong, v))
+      }.toDF("vec_id", "embedding")
+    }
+    def bruteForce(vecs: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val v = vecs.select($"vec_id".as("id"),
+        transform($"embedding", x => x.cast("double")).as("vec"))
+      val withN = v.select($"id", $"vec", Similarity.norm($"vec").as("n"))
+      withN.as("a").join(withN.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (Similarity.dot(col("a.vec"), col("b.vec"))
+            / (col("a.n") * col("b.n"))).as("c"))
+        .filter($"c" >= 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    }
+    for (n <- Seq(200, 2000)) {
+      val vecs = corpus(n, seed = 7)
+      val truth = bruteForce(vecs)
+      assert(truth.nonEmpty, s"n=$n: planted pairs must exist")
+      val (tables, r) = Dedup.bandsFor(n.toLong, threshold = 0.9, targetRecall = 0.9)
+      val found = Dedup.embeddingNearDupsBanded(vecs, "vec_id", "embedding",
+          tables, r, threshold = 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(found.subsetOf(truth), s"n=$n: verified pairs can't be false positives")
+      val recall = (found & truth).size.toDouble / truth.size
+      assert(recall >= 0.9,
+        s"n=$n (tables=$tables, r=$r): recall $recall < 0.9 " +
+          s"(${found.size}/${truth.size})")
+    }
+  }
+
+  test("dedupCorpus releases every internal cache; lazy pair APIs release on demand") {
+    spark.sqlContext.clearCache()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated text about spark physical plans here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", bands = 8, threshold = 0.4)
+    assert(kept.count() == 2)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupCorpus must not leak InMemoryRelations after it returns")
+    // a lazy pair API holds its shingle cache (its plan re-reads it) ...
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", bands = 8,
+      threshold = 0.4)
+    assert(pairs.count() == 1)
+    assert(!spark.sharedState.cacheManager.isEmpty, "lazy API keeps its cache alive")
+    // ... until the caller releases it
+    Dedup.releaseShingleCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseShingleCaches must drop every registered shingle cache")
+  }
+
   // ---- similarity search ----
 
   test("bruteForceTopK: self excluded, duplicate vector ranks first with cosine 1") {

@@ -61,6 +61,15 @@ class HttpPagedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
           if (p == 2) respond(ex, 500, """{"status_message": "boom"}""")
           else respond(ex, 200, resultsBody(p, 4))
         case "/throttled" => respond(ex, 429, """{"status_message": "rate limited"}""")
+        case "/limited" =>
+          // first hit rate-limits WITH a Retry-After header; then recovers
+          if (count("/limited") == 1) {
+            ex.getResponseHeaders.add("Retry-After", "0")
+            respond(ex, 429, """{"status_message": "rate limited"}""")
+          } else respond(ex, 200, resultsBody(pageOf(ex), 4))
+        case "/limited-hard" =>
+          ex.getResponseHeaders.add("Retry-After", "0")
+          respond(ex, 429, """{"status_message": "rate limited"}""")
         case "/error500" => respond(ex, 500, """{"status_message": "boom"}""")
         case "/slow" =>
           Thread.sleep(600) // beyond the request timeout below
@@ -116,6 +125,20 @@ class HttpPagedSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = read("/throttled", maxPages = 2)
     assert(df.count() == 0)
     assert(count("/throttled") == 2, "one request per page, no retry on 429")
+  }
+
+  test("honorRetryAfter: a 429 with Retry-After is retried after the delay and recovers") {
+    val df = read("/limited", maxPages = 1,
+      extra = Map("honorRetryAfter" -> "true"))
+    assert(df.count() == 4, "the page recovers on the paced retry")
+    assert(count("/limited") == 2, "one 429, one successful retry")
+  }
+
+  test("honorRetryAfter: a persistent 429 burns the attempt budget, then empties") {
+    val df = read("/limited-hard", maxPages = 1,
+      extra = Map("honorRetryAfter" -> "true"))
+    assert(df.count() == 0)
+    assert(count("/limited-hard") == 3, "retried up to maxAttempts, unlike the terminal default")
   }
 
   test("timeouts are network errors: retried maxAttempts times, then empty") {

@@ -51,6 +51,34 @@ class RetrySpec extends AnyFunSuite {
     assert(giveUp.exists(g => g.kind == "http" && g.attempts == 1))
   }
 
+  test("an opted-in 429 retries after the SERVER-specified pause, not the backoff") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val got = Retry.withRetry(maxAttempts = 4, backoffMillis = 1000L,
+        sleep = sleeps += _)(Seq.empty[Int]) {
+      calls += 1
+      if (calls == 1) throw Retry.RateLimited("/p", 7000L)      // Retry-After: 7
+      else if (calls == 2) throw Retry.RateLimited("/p", -1L)    // header missing
+      else Seq(1)
+    }
+    assert(got == Seq(1) && calls == 3)
+    assert(sleeps.toSeq == Seq(7000L, 2000L),
+      "server pause first; missing header falls back to linear backoff (attempt 2)")
+    assert(Retry.classify(Retry.RateLimited("u", 1)).name == "http")
+  }
+
+  test("a persistent opted-in 429 burns the attempt budget, then empties") {
+    var giveUp: Option[Retry.GiveUp] = None
+    var calls = 0
+    val got = Retry.withRetry(maxAttempts = 3, backoffMillis = 10L,
+        sleep = _ => (), onGiveUp = g => giveUp = Some(g))(Seq.empty[Int]) {
+      calls += 1
+      throw Retry.RateLimited("/p", 0L)
+    }
+    assert(got.isEmpty && calls == 3)
+    assert(giveUp.exists(g => g.kind == "http" && g.attempts == 3))
+  }
+
   test("error taxonomy matches the reference's skipped_* counters") {
     assert(Retry.classify(new java.io.IOException).name == "network")
     assert(Retry.classify(new java.net.SocketTimeoutException).name == "network")

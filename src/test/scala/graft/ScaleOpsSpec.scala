@@ -139,6 +139,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupCorpus and boilerplate removal: identical results on the shuffled (non-broadcast) path") {
+    // the drop-list/boilerplate-set anti joins carry NO broadcast hint —
+    // at 100 TB those sets are corpus-order and a forced broadcast OOMs.
+    // With broadcasts disabled entirely, the shuffled left_anti fallback
+    // must produce byte-identical results (AQE merely picks the cheaper
+    // physical join when the set happens to be small).
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    import graft.datax.{Curation, Dedup}
+    def run(): (Seq[Long], Seq[(Long, Long, Long)]) = {
+      val kept = Dedup.dedupCorpus(docs, "doc_id", "text", bands = 8,
+          threshold = 0.4)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val bp = Curation.boilerplateChunks(docs, "doc_id", "text",
+          chunkTokens = 3, minDocs = 2)
+        .select("doc_id", "n_chunks", "n_kept")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      (kept, bp)
+    }
+    val broadcastOn = run()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val shuffled = try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      run()
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(shuffled == broadcastOn,
+      "shuffled anti-join path must agree with the broadcast path")
+    assert(broadcastOn._1.nonEmpty && broadcastOn._2.nonEmpty)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     // external-table paths: warehouse.dir is static config, but bucketed
     // metadata only needs the catalog entry, not the warehouse location
