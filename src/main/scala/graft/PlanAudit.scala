@@ -21,7 +21,9 @@ object PlanAudit {
       "j01_enrich_join", "w01_argmax_backdrop", "d02_exact_dedup",
       "d05_minhash_neardups", "d08_cosine_topk", "k01_salted_agg",
       "a01_reports_stats", "d23_contamination", "d24_pii_scan",
-      "h05_rollup_summary", "d17_json_props", "d16_sessionize")
+      "h05_rollup_summary", "d17_json_props", "d16_sessionize",
+      "d30_dedup_corpus", "d10a_embedding_neardups_banded",
+      "d33_boilerplate")
     for (name <- interesting) {
       println(s"\n##### $name")
       val df = SparkEntry.queries(name)(spark, dir)

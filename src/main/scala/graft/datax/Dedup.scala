@@ -366,6 +366,35 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** End-to-end benchmark DECONTAMINATION — the pipeline step the d23
+    * scan exists for: drop every corpus document whose containment of
+    * any benchmark document reaches `threshold`; benchmark rows are not
+    * part of the output (they are held-out eval data, not training
+    * corpus). Single-table face, split by `isBench` on the id — builds
+    * (and releases) ONE shingle relation for both sides, like
+    * [[contaminationWithin]].
+    *
+    * Eager, like [[dedupCorpus]]: the contaminated-id list materializes
+    * inside (localCheckpoint cuts its lineage), the shingle cache is
+    * released before returning, and the returned frame is a cheap
+    * (corpus ANTI JOIN small-list) plan with NO forced broadcast — AQE
+    * picks the join strategy from the list's actual size. At 100 TB,
+    * swap the exact containment for [[contaminationLsh]]'s band
+    * prefilter; the drop rule is unchanged. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    isBench: Column => Column, k: Int = 4,
+                    threshold: Double = 0.5): DataFrame = {
+    val sh = docShingleRows(docs, idCol, textCol, k)
+    val bad = contaminationSides(sh.filter(!isBench(col("id"))),
+        sh.filter(isBench(col("id"))), threshold)
+      .select(col("corpus_id").as(idCol)).distinct()
+      .localCheckpoint(true)
+    sh.unpersist()
+    liveShingleCaches.remove(sh)
+    docs.filter(!isBench(col(idCol)))
+      .join(bad, Seq(idCol), "left_anti")
+  }
+
   private def contaminationSides(cs: DataFrame, bs: DataFrame,
                                  threshold: Double): DataFrame = {
     val inter = bs.as("b").join(cs.as("c"), col("b.s") === col("c.s"))

@@ -661,6 +661,34 @@ object DataxQueries {
         WHERE len(list_intersect(b.sh, c.sh)) / len(b.sh) >= 0.5
         ORDER BY bench_id, corpus_id""")),
 
+    /* End-to-end decontamination — d23's drop step: corpus docs whose
+     * containment of any benchmark doc reaches 50% are removed;
+     * benchmark rows are excluded from the output (held-out data, not
+     * training corpus). Sub-k docs have no shingles, can't be
+     * contaminated, and pass through. */
+    QueryDef("d38_decontaminate",
+      (s, dir) => Dedup.decontaminate(t(s, dir, "documents"),
+          "doc_id", "text", isBench = _ % 29 === 0, k = 4, threshold = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(
+                   list_transform(range(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+3], ' ')),
+                   x -> x <> '')) AS sh
+          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+          WHERE len(toks) >= 4),
+        bench AS (SELECT * FROM sh WHERE id % 29 = 0 AND len(sh) > 0),
+        corpus AS (SELECT * FROM sh WHERE id % 29 <> 0 AND len(sh) > 0),
+        bad AS (
+          SELECT DISTINCT c.id
+          FROM bench b JOIN corpus c ON len(list_intersect(b.sh, c.sh)) > 0
+          WHERE len(list_intersect(b.sh, c.sh)) / len(b.sh) >= 0.5)
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % 29 <> 0 AND doc_id NOT IN (SELECT id FROM bad)
+        ORDER BY doc_id""")),
+
     /* PII pattern scan + deterministic redaction (fingerprint of the
      * redacted text keeps the compare exact without shipping full text). */
     QueryDef("d24_pii_scan",

@@ -74,6 +74,22 @@ class DataxSpec extends AnyFunSuite {
     assert(lsh.map(h => (h._1, h._2)).toSet.subsetOf(exhaustive))
   }
 
+  test("decontaminate drops contaminated corpus docs, keeps clean + sub-k ones, excludes bench") {
+    spark.sqlContext.clearCache()
+    val d = docs(
+      10L -> "alpha beta gamma delta epsilon zeta eta theta plus lots of extra words here",
+      11L -> "totally unrelated content with nothing shared at all right",
+      12L -> "tiny doc", // sub-k: no shingles, cannot be contaminated
+      29L -> "alpha beta gamma delta epsilon zeta eta theta") // bench (id % 29 == 0)
+    val kept = Dedup.decontaminate(d, "doc_id", "text",
+        isBench = _ % 29 === 0, k = 4, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 12L),
+      "10 swallowed the bench doc -> dropped; bench row 29 excluded from output")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "decontaminate must release its shingle cache")
+  }
+
   test("contaminationLsh ⊆ exhaustive contamination on real documents") {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val corpus = d.filter($"doc_id" % 29 =!= 0)
