@@ -53,7 +53,10 @@ object Bench {
         // operators .cache() internally): at the same SF the timed plan is
         // canonically identical, so CacheManager would silently substitute
         // the cached subtree and the timed number would measure cache
-        // hits, not the pipeline
+        // hits, not the pipeline. releaseShingleCaches additionally clears
+        // the dedup cache REGISTRY (clearCache unpersists the data but
+        // would leave stale registry entries accumulating per rep)
+        graft.datax.Dedup.releaseShingleCaches()
         spark.sqlContext.clearCache()
         val t0 = System.nanoTime()
         // noop sink materializes every row/column (a bare count() would let
@@ -77,7 +80,9 @@ object Bench {
     val spread = results.collect { case (k, _, g) if g.nonEmpty =>
       "\"" + k + "\":[" + g.min + "," + g.max + "]"
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
+    // ANY failed rep marks the query failed — an intermittent crash must
+    // not read as a healthy median computed from the surviving runs
+    val failed = results.collect { case (k, _, g) if g.size < reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""

@@ -31,16 +31,31 @@ object Dedup {
     * so the cache must outlive the call — composed pipelines
     * (d05 + d23 + d30 in one session) release them via
     * [[releaseShingleCaches]] once results are materialized. The EAGER
-    * operators (dedupCorpus, dupClusters) clean up after themselves. */
-  private val liveShingleCaches =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+    * operators (dedupCorpus, decontaminate, dupClusters) clean up after
+    * themselves (try/finally — error paths included). WEAK references:
+    * a caller that never releases leaks the cached data only until its
+    * DataFrame is unreachable, not registry entries for the JVM's life. */
+  private val liveShingleCaches: java.util.Set[DataFrame] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[DataFrame, java.lang.Boolean]()))
 
   /** Unpersist every shingle cache this object still holds. Safe to call
     * any time: plans re-execute (correctly, slower) after release. */
-  def releaseShingleCaches(): Unit = {
+  def releaseShingleCaches(): Unit = liveShingleCaches.synchronized {
     val it = liveShingleCaches.iterator()
     while (it.hasNext) { it.next().unpersist(); it.remove() }
   }
+
+  /** Materialize `df` once and cut its lineage so upstream caches can be
+    * released. Uses a RELIABLE checkpoint when the session has a
+    * checkpoint dir configured (the cluster setting — survives executor
+    * loss); falls back to a localCheckpoint otherwise (this harness's
+    * single-JVM mode, where executor loss ≡ JVM death anyway). */
+  private def cutLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
   /** Distinct word k-shingles from a MATERIALIZED token-array column;
     * empty array when the document has fewer than k tokens (Spark's
@@ -209,28 +224,35 @@ object Dedup {
       numHashes, bands, threshold)
   }
 
+  /** Distinct sorted candidate pairs from (bucket-key..., id) rows: the
+    * bucket-GROUPING construction every LSH here shares — collect each
+    * bucket's member ids (bounded by bucket size, LSH's intrinsic skew
+    * unit), expand to sorted in-bucket (id_a < id_b) pairs, distinct
+    * across buckets. Grouping, never a self-join: a self-join would
+    * execute the (expensive) signature subtree once per side. */
+  private def bucketCandidatePairs(rows: DataFrame,
+                                   bucketCols: Seq[String]): DataFrame = {
+    val buckets = rows.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairCombos = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    buckets.select(explode(pairCombos).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
   /** [[minhashNearDups]] over an already-built shingle relation — lets
     * eager callers (dedupCorpus) own the cache lifecycle. */
   private def minhashNearDupsOn(exploded: DataFrame, numHashes: Int,
                                 bands: Int, threshold: Double): DataFrame = {
     // signatures as codegen'd min-aggregates (bandedSigs); the 16 agg
     // inputs share 4 md5 digests (chunk scheme) — hash-aggregate
-    // codegen's subexpression elimination computes each digest once.
-    // Candidates via bucket GROUPING, not a banded self-join: a self-join
-    // would execute the signature subtree once per side. Buckets collect
-    // their member ids (bounded by bucket size — LSH's intrinsic skew
-    // unit) and expand to sorted in-bucket pairs.
+    // codegen's subexpression elimination computes each digest once
     val banded = bandedSigs(exploded, numHashes, bands)
-    val buckets = banded.groupBy("band", "bsig")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairCombos = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-    val cand = buckets.select(explode(pairCombos).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
-    verifyJaccard(cand, exploded, threshold)
+    verifyJaccard(bucketCandidatePairs(banded, Seq("band", "bsig")),
+      exploded, threshold)
   }
 
   /** End-to-end corpus deduplication — THE training-data pipeline step
@@ -264,15 +286,16 @@ object Dedup {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     val exploded = docShingleRows(docs, idCol, textCol, k)
-    val pairs = minhashNearDupsOn(exploded, numHashes, bands, threshold)
     // dupClusters is eager (collect or checkpointed loop) and unpersists
     // the pair cache itself; its output carries no lineage back to
-    // `exploded`, so the shingle cache can be dropped right after
-    val nearDrop = dupClusters(pairs)
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
-    exploded.unpersist()
-    liveShingleCaches.remove(exploded)
+    // `exploded`, so the shingle cache is dropped right after —
+    // try/finally so an error path (non-convergence, task failure)
+    // doesn't leak the cache either
+    val nearDrop =
+      try dupClusters(minhashNearDupsOn(exploded, numHashes, bands, threshold))
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as(idCol))
+      finally { exploded.unpersist(); liveShingleCaches.remove(exploded); () }
     // window, not groupBy+self-join: re-referencing the (scan + md5)
     // subtree would execute it twice — at corpus scale that is two full
     // text scans for one digest
@@ -385,12 +408,12 @@ object Dedup {
                     isBench: Column => Column, k: Int = 4,
                     threshold: Double = 0.5): DataFrame = {
     val sh = docShingleRows(docs, idCol, textCol, k)
-    val bad = contaminationSides(sh.filter(!isBench(col("id"))),
-        sh.filter(isBench(col("id"))), threshold)
-      .select(col("corpus_id").as(idCol)).distinct()
-      .localCheckpoint(true)
-    sh.unpersist()
-    liveShingleCaches.remove(sh)
+    val bad =
+      try cutLineage(
+        contaminationSides(sh.filter(!isBench(col("id"))),
+            sh.filter(isBench(col("id"))), threshold)
+          .select(col("corpus_id").as(idCol)).distinct())
+      finally { sh.unpersist(); liveShingleCaches.remove(sh); () }
     docs.filter(!isBench(col(idCol)))
       .join(bad, Seq(idCol), "left_anti")
   }
@@ -473,10 +496,10 @@ object Dedup {
         s"label propagation did not converge in $maxIterations iterations")
     }
     // cut lineage so every internal cache can be released: the labels
-    // are component ids over the (small) pair-graph node set, and
-    // localCheckpoint materializes them once instead of leaving a plan
-    // that re-reads the caches we are about to drop
-    val out = labels.select("id", "cluster").localCheckpoint(true)
+    // are component ids over the (small) pair-graph node set,
+    // materialized once instead of leaving a plan that re-reads the
+    // caches we are about to drop
+    val out = cutLineage(labels.select("id", "cluster"))
     labels.unpersist(); edges.unpersist(); p.unpersist()
     out
   }
@@ -689,15 +712,32 @@ object Dedup {
     * per vector and L bucket rows per vector: the price of recall is
     * EXPLICIT here, not silently traded away. */
   def bandsFor(n: Long, threshold: Double = 0.9, targetRecall: Double = 0.9,
-               targetOccupancy: Long = 16L): (Int, Int) = {
+               targetOccupancy: Long = 16L, maxTables: Int = 64): (Int, Int) = {
     require(threshold > -1.0 && threshold <= 1.0, s"cosine threshold $threshold out of range")
     require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall $targetRecall must be in (0,1)")
+    require(maxTables >= 1, s"maxTables=$maxTables must be >= 1")
     val r = planesFor(n, targetOccupancy)
     val pCollide = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
     val pr = math.pow(pCollide, r)
-    val tables =
-      if (pr >= 1.0) 1
-      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).toInt.max(1)
+    // the unclamped table count stays a double until AFTER the min():
+    // at low thresholds ceil() exceeds Int range and a bare .toInt
+    // would pin to Int.MaxValue tables
+    val exact =
+      if (pr >= 1.0) 1.0
+      else math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).max(1.0)
+    val tables = math.min(exact, maxTables.toDouble).toInt
+    if (exact > maxTables) {
+      // loud: an unbounded L is its own scale bug (10^4+ literal plane
+      // matrices in one projection = driver/codegen OOM). The clamp
+      // trades recall for a buildable plan and SAYS SO.
+      val achieved = 1.0 - math.pow(1.0 - pr, tables.toDouble)
+      System.err.println(
+        f"[graft-dedup] bandsFor(n=$n%d, threshold=$threshold%.2f): recall " +
+          f"target $targetRecall%.2f needs $exact%.0f tables; clamped to " +
+          f"maxTables=$maxTables%d (achieved recall at threshold ~= " +
+          f"$achieved%.3f). Raise maxTables, lower targetRecall, or raise " +
+          "the threshold.")
+    }
     (tables, r)
   }
 
@@ -711,15 +751,26 @@ object Dedup {
                             threshold: Double = 0.9): DataFrame =
     embeddingNearDups(vectors, idCol, vecCol, planesFor(vectors.count()), threshold)
 
+  /** Dimension of the FIRST non-null, non-empty vector (0 when none
+    * exist). Probing `limit(1)` without the null filter either NPEs on
+    * a null first row or — under legacy sizeOfNull — reads -1 and
+    * degrades every bucket to one all-pairs bucket. */
+  private def probeDim(vectors: DataFrame, vecCol: String): Int =
+    vectors.select(size(col(vecCol)).as("_d")).filter(col("_d") > 0)
+      .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
+
+  /** Empty (id_a, id_b, cosine) result with `v`'s id type. */
+  private def emptyPairFrame(v: DataFrame): DataFrame =
+    v.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
+      lit(0.0).as("cosine"))
+
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         planes: Int = 8, threshold: Double = 0.9): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val dim = vectors.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    if (dim == 0) // empty input (or empty vectors): no pairs, same schema
-      return v.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
-        lit(0.0).as("cosine"))
+    val dim = probeDim(vectors, vecCol)
+    if (dim == 0) // no usable vectors: no pairs, same schema
+      return emptyPairFrame(v)
     val signs: Array[Array[Double]] = planeSigns(planes, dim)
     val sigExprs = (0 until planes).map { p =>
       val dot = aggregate(
@@ -767,11 +818,9 @@ object Dedup {
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val dim = vectors.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    if (dim == 0) // empty input (or empty vectors): no pairs, same schema
-      return v.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
-        lit(0.0).as("cosine"))
+    val dim = probeDim(vectors, vecCol)
+    if (dim == 0) // no usable vectors: no pairs, same schema
+      return emptyPairFrame(v)
     // one bucket string per table: sign bits of the native dot against
     // that table's literal plane matrix (graft_dot is codegen'd; the
     // matrix is data-independent, so it is baked in, never recomputed)
@@ -784,15 +833,7 @@ object Dedup {
     }
     val bucketRows = v.select(col("id"),
       posexplode(array(sigCols: _*)).as(Seq("tbl", "bucket")))
-    val buckets = bucketRows.groupBy("tbl", "bucket")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-    val pairCombos = flatten(transform(col("ids"), (x, i) =>
-      transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(x.as("id_a"), y.as("id_b")))))
-    val cand = buckets.select(explode(pairCombos).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"))
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("_n"))

@@ -63,12 +63,18 @@ object PageFetch {
     itemsOf(mapper.readTree(resp.body()))
   }
 
-  /** `Retry-After` delta-seconds -> millis; -1 when absent/unparseable. */
+  /** `Retry-After` delta-seconds -> millis; -1 when absent/unparseable.
+    * Negative values are treated as unparseable; huge values are clamped
+    * BEFORE the *1000 (a parseable astronomic header must not overflow
+    * Long into an instant retry) — the envelope caps the actual pause at
+    * [[Retry.MaxPauseMillis]] anyway. */
   private def retryAfterMillis(resp: HttpResponse[String]): Long = {
     val h = resp.headers().firstValue("Retry-After")
     if (!h.isPresent) -1L
-    else try math.max(0L, h.get.trim.toLong * 1000L)
-    catch { case _: NumberFormatException => -1L }
+    else try {
+      val s = h.get.trim.toLong
+      if (s < 0) -1L else math.min(s, Retry.MaxPauseMillis / 1000L) * 1000L
+    } catch { case _: NumberFormatException => -1L }
   }
 
   /** One offline fixture page: JSON-lines, one item per line. */

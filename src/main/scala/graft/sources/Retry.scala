@@ -22,6 +22,9 @@ package graft.sources
   */
 object Retry {
 
+  /** Upper bound on any single server-requested pause (5 min). */
+  val MaxPauseMillis: Long = 300000L
+
   sealed abstract class Kind(val name: String)
   case object Network extends Kind("network")
   case object Http extends Kind("http")
@@ -81,7 +84,9 @@ object Retry {
             return empty
           }
           sleep(e match {
-            case RateLimited(_, ms) if ms >= 0 => ms // server-paced
+            // server-paced, but CAPPED: a hostile/buggy Retry-After must
+            // not pin an executor task thread for hours
+            case RateLimited(_, ms) if ms >= 0 => math.min(ms, MaxPauseMillis)
             case _ => backoffMillis * attempt       // linear backoff
           })
           attempt += 1

@@ -345,6 +345,14 @@ class DataxSpec extends AnyFunSuite {
     def recallAt(tables: Int) = 1.0 - math.pow(1.0 - math.pow(p, r), tables)
     assert(recallAt(l) >= 0.9, s"(L=$l, r=$r) misses the target")
     assert(l == 1 || recallAt(l - 1) < 0.9, s"L=$l is not minimal for r=$r")
+    // an unreachable recall target clamps L to maxTables (loudly) instead
+    // of building an astronomic plan or overflowing Int
+    val (lClamped, _) = Dedup.bandsFor(1000000000L, threshold = 0.5,
+      targetRecall = 0.9, maxTables = 64)
+    assert(lClamped == 64, s"expected clamp to 64 tables, got $lClamped")
+    val (lNeg, _) = Dedup.bandsFor(1000000000L, threshold = -0.99,
+      targetRecall = 0.999)
+    assert(lNeg == 64, "near--1 thresholds must clamp, not overflow toInt")
     // table 0 of the seeded family IS the legacy matrix (d10 oracle parity)
     assert(Dedup.planeSignsSeeded(0, 4, 16).toSeq.map(_.toSeq) ==
       Dedup.planeSigns(4, 16).toSeq.map(_.toSeq))

@@ -67,6 +67,18 @@ class RetrySpec extends AnyFunSuite {
     assert(Retry.classify(Retry.RateLimited("u", 1)).name == "http")
   }
 
+  test("a hostile Retry-After is capped: no multi-hour task-thread stalls") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    Retry.withRetry(maxAttempts = 2, backoffMillis = 10L,
+        sleep = sleeps += _)(Seq.empty[Int]) {
+      calls += 1
+      if (calls == 1) throw Retry.RateLimited("/p", 86400000L) // 24h
+      Seq(1)
+    }
+    assert(sleeps.toSeq == Seq(Retry.MaxPauseMillis), "pause clamps to the 5-min cap")
+  }
+
   test("a persistent opted-in 429 burns the attempt budget, then empties") {
     var giveUp: Option[Retry.GiveUp] = None
     var calls = 0
