@@ -166,6 +166,90 @@ object Curation {
       .toDF("doc_id", "shard", "bin", "offset", "n_tokens")
   }
 
+  /** Per-source document cap: keep at most `maxPerGroup` docs per source,
+    * preferring the highest-quality ones — the "no domain dominates the
+    * mix" rule of crawl curation (C4 caps pages per host the same way).
+    * Rank = row_number over (quality desc, id asc); output carries the
+    * rank and the keep flag so the drop is auditable.
+    *
+    * Scale shape: quality is scan-side ([[TextStats.qualityScore]] — pure
+    * column algebra, no tokens materialized); the window is ONE shuffle
+    * on the group key. Hot groups (a group >> task memory) are the window
+    * operator's intrinsic skew unit: since ranks beyond `maxPerGroup`
+    * only feed the keep flag, the scale mitigation is a two-phase top-k
+    * (per-partition `limit maxPerGroup` partials, then the window over
+    * candidates ~ nGroups x cap) — same output, bounded state. */
+  def domainCap(docs: DataFrame, idCol: String, groupCol: String,
+                textCol: String, maxPerGroup: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    docs.select(col(idCol), col(groupCol),
+        TextStats.qualityScore(col(textCol)).as("quality"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("keep", col("rank") <= maxPerGroup)
+  }
+
+  /** Deterministic corpus shuffle: a reproducible global permutation for
+    * training order — every doc gets a shard and a position within that
+    * shard, keyed by md5(seed:id). Same seed -> same order on any
+    * cluster, any partitioning, any run (rand() gives none of that);
+    * changing the seed reshuffles.
+    *
+    * Scale shape: the md5 key is scan-side; sharding is ONE hash
+    * exchange; positions are a within-shard sort (shards are
+    * independent, so there is NO global total-order sort — the usual
+    * orderBy-everything shuffle-order implementation serializes on a
+    * range exchange and a single merge). `nShards` scales with the
+    * cluster; readers consume shards in parallel and concatenate in
+    * (shard, pos) order. */
+  def corpusShuffle(docs: DataFrame, idCol: String, seed: String,
+                    nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    // first 8 hex chars = 32 bits — the d35-proven portable bucket
+    val shard = (conv(substring(col("_key"), 1, 8), 16, 10).cast("long")
+      % nShards).cast("int")
+    docs.select(col(idCol).as("id"), key.as("_key"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("_key").asc, col("id").asc)))
+      .select(col("id").as(idCol), col("shard"), col("pos"))
+  }
+
+  /** Overlapping fixed-window chunking: split each document's tokens into
+    * windows of `windowTokens` every `strideTokens` (stride < window =
+    * overlap), plus a final partial window covering the tail — the
+    * training-sequence preparation step (RAG indexing uses the same
+    * shape). Output per chunk: (id, chunk_id, start, n_tokens, chunk).
+    *
+    * Chunk starts are i*stride for i in 0..K with K = ceil((n-W)/S) (0
+    * when the doc fits one window) — integer arithmetic, no floats. The
+    * whole operator is scan-side: tokens -> per-row sequence -> one
+    * posexplode; no shuffle at all, so it scales with the scan. */
+  def chunkSequences(docs: DataFrame, idCol: String, textCol: String,
+                     windowTokens: Int = 16, strideTokens: Int = 8): DataFrame = {
+    require(strideTokens >= 1 && windowTokens >= strideTokens,
+      s"need 1 <= stride <= window, got stride=$strideTokens window=$windowTokens")
+    val toks = TextStats.tokens(col(textCol))
+    val n = size(toks)
+    // Column./ is double division; exact for these magnitudes (d33 note),
+    // and cast truncates = floor on non-negatives
+    val kMax = when(n > windowTokens,
+      ((n - windowTokens + (strideTokens - 1)) / strideTokens).cast("int"))
+      .otherwise(0)
+    val chunks = transform(sequence(lit(0), kMax),
+      i => struct(
+        i.cast("int").as("chunk_id"),
+        (i * strideTokens).cast("int").as("start"),
+        slice(toks, i * strideTokens + 1, lit(windowTokens)).as("toks")))
+    docs.select(col(idCol), explode(chunks).as("_c"))
+      .select(col(idCol),
+        col("_c.chunk_id"), col("_c.start"),
+        size(col("_c.toks")).as("n_tokens"),
+        concat_ws(" ", col("_c.toks")).as("chunk"))
+  }
+
   /** Source-mixture weights (the DoReMi/domain-reweighting shape): per
     * source, its token share of the corpus and the sampling weight that
     * would flatten the mixture to a uniform token share — weight =

@@ -195,6 +195,44 @@ object Similarity {
         (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
           / col("_n")).as("_m"))
 
+  /** Semantic dedup (the SemDeDup shape): cluster the embeddings with the
+    * deterministic IVF coarse quantizer, then compare pairs ONLY within a
+    * cluster — cosine >= `threshold` marks a semantic duplicate, and of
+    * each duplicate pair the larger id is dropped (so the kept set is the
+    * ids not dominated by any smaller-id near-twin in their cluster).
+    * Output per vector: (vec_id, centroid_id, keep).
+    *
+    * This is the trick that makes embedding-level dedup feasible at
+    * corpus scale: all-pairs is O(n^2); within-cluster pairs are
+    * O(sum b_i^2), and with n/K-sized balanced buckets that is n^2/K —
+    * the clustering IS the candidate generation. The pair join shuffles
+    * both sides once on centroid_id; norms are computed scan-side before
+    * the join (once per vector, not per pair). A pathologically hot
+    * cluster is the residual risk — cap bucket width by raising K with n
+    * (K ~ sqrt(n) keeps expected per-bucket pair work ~ n), or run the
+    * banded hyperplane LSH ([[Dedup.embeddingNearDupsBanded]]) INSIDE
+    * oversized clusters. Unlike LSH, within-cluster comparison is
+    * recall-lossy only across cluster boundaries (near-twins almost
+    * always share a nearest centroid; SemDeDup accepts exactly that). */
+  def semanticDedup(vectors: DataFrame, nCentroids: Int = 16,
+                    threshold: Double = 0.3,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (_, assigned) = ivfIndex(vectors, nCentroids, idCol, vecCol)
+    val a = assigned.withColumn("_n", norm(col("vec")))
+    val x = a.select(col("centroid_id"), col("id").as("_ida"),
+      col("vec").as("_va"), col("_n").as("_na"))
+    val y = a.select(col("centroid_id"), col("id").as("_idb"),
+      col("vec").as("_vb"), col("_n").as("_nb"))
+    val dropped = x.join(y, Seq("centroid_id"))
+      .filter(col("_ida") < col("_idb"))
+      .filter(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))
+        >= threshold)
+      .select(col("_idb").as("id")).distinct()
+    assigned.join(dropped.withColumn("_dropped", lit(true)), Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("centroid_id"),
+        col("_dropped").isNull.as("keep"))
+  }
+
   /** IVF-probed approximate top-k: per query, search only the `nProbe`
     * nearest centroids' buckets. At 100 TB the assigned table is written
     * partitioned by centroid_id, so a probe is a partition-pruned scan. */

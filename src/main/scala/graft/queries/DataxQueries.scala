@@ -1103,6 +1103,149 @@ object DataxQueries {
                CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS token_share,
                CAST(total AS DOUBLE)
                  / CAST(n_sources * n_tokens AS DOUBLE) AS weight
-        FROM per, tot ORDER BY source"""))
+        FROM per, tot ORDER BY source""")),
+
+    /* Semantic dedup (SemDeDup shape): deterministic IVF clustering as
+     * candidate generation, cosine >= threshold within a cluster marks a
+     * duplicate, larger id of each pair dropped. The oracle replays the
+     * stride-seeded assignment (the d09 pattern) and the within-cluster
+     * pair scan. */
+    QueryDef("d39_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+          nCentroids = 16, threshold = 0.3)
+        .orderBy("vec_id"),
+      Some(s"""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        c AS (
+          SELECT id AS centroid_id, vec AS cvec FROM v, st
+          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        asg AS (
+          SELECT id, vec, centroid_id FROM (
+            SELECT v.id, v.vec, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+            FROM v CROSS JOIN c) WHERE rn = 1),
+        nn AS (
+          SELECT id, centroid_id, vec, sqrt(${dotSql("vec", "vec")}) AS n
+          FROM asg),
+        drops AS (
+          SELECT DISTINCT y.id AS id
+          FROM nn x JOIN nn y
+            ON x.centroid_id = y.centroid_id AND x.id < y.id
+          WHERE ${dotSql("x.vec", "y.vec")} / (x.n * y.n) >= 0.3)
+        SELECT asg.id AS vec_id, asg.centroid_id,
+               (drops.id IS NULL) AS keep
+        FROM asg LEFT JOIN drops ON asg.id = drops.id
+        ORDER BY vec_id""")),
+
+    /* As-of join: each click picks the latest SAME-USER view at or
+     * before it (point-in-time lookup). Spark resolves it with a union +
+     * one window pass (no join at all — see StreamOps.asofJoin); the
+     * oracle is DuckDB's native ASOF LEFT JOIN. Views are deduped to one
+     * per (user, ts) first — "the" as-of row is undefined otherwise. */
+    QueryDef("d40_asof_join",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+          .withColumn("view_ts", col("ts"))
+        StreamOps.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+            Map("view_id" -> "view_id", "view_ts" -> "view_ts"))
+          .select(col("user_id"), col("click_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+            col("view_id"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"))
+          .orderBy("user_id", "click_id")
+      },
+      Some("""WITH v AS (
+          SELECT user_id, ts, max(event_id) AS view_id FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+        c AS (
+          SELECT user_id, event_id AS click_id, ts FROM events
+          WHERE event_type = 'click')
+        SELECT c.user_id, c.click_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+               v.view_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+        FROM c ASOF LEFT JOIN v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+        ORDER BY c.user_id, c.click_id""")),
+
+    /* Per-source cap: keep the `maxPerGroup` highest-quality docs per
+     * source (the C4 "cap pages per host" rule) — rank + keep flag so
+     * the drop is auditable. */
+    QueryDef("d41_domain_cap",
+      (s, dir) => Curation.domainCap(t(s, dir, "documents"),
+          "doc_id", "source", "text", maxPerGroup = 100)
+        .select("doc_id", "source", "rank", "keep")
+        .orderBy("doc_id"),
+      Some(s"""WITH q AS (
+          SELECT doc_id, source,
+            CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                 / length(text)::DOUBLE) * 0.5
+              + least(($en::DOUBLE / len($TOKS)::DOUBLE) * 5.0, 1.0) * 0.2
+              + (CASE WHEN (length(text)::DOUBLE - (len($TOKS)::DOUBLE - 1.0))
+                             / len($TOKS)::DOUBLE BETWEEN 3.0 AND 10.0
+                      THEN 1.0 ELSE 0.5 END) * 0.3
+            END AS quality
+          FROM documents),
+        r AS (
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY quality DESC, doc_id ASC) AS INT) AS rank
+          FROM q)
+        SELECT doc_id, source, rank, rank <= 100 AS keep
+        FROM r ORDER BY doc_id""")),
+
+    /* Deterministic corpus shuffle: md5(seed:id) keys a reproducible
+     * global permutation — shard via the 32-bit bucket (the d35
+     * pattern), position via within-shard sort. No global sort. */
+    QueryDef("d42_corpus_shuffle",
+      (s, dir) => Curation.corpusShuffle(t(s, dir, "documents"),
+          "doc_id", seed = "s42", nShards = 8)
+        .orderBy("doc_id"),
+      Some("""WITH k AS (
+          SELECT doc_id,
+                 md5('s42:' || CAST(doc_id AS VARCHAR)) AS key
+          FROM documents),
+        s AS (
+          SELECT doc_id, key,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                              substr(key, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) % 8 AS INT) AS shard
+          FROM k)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                 ORDER BY key ASC, doc_id ASC) AS INT) AS pos
+        FROM s ORDER BY doc_id""")),
+
+    /* Overlapping fixed-window chunking (training-sequence prep): 16-token
+     * windows every 8 tokens plus a tail window — scan-side, no shuffle. */
+    QueryDef("d43_chunk_sequences",
+      (s, dir) => Curation.chunkSequences(t(s, dir, "documents"),
+          "doc_id", "text", windowTokens = 16, strideTokens = 8)
+        .withColumnRenamed("start", "chunk_start")
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $TOKS AS toks FROM documents),
+        k AS (
+          SELECT doc_id, toks,
+                 CASE WHEN len(toks) > 16
+                      THEN CAST((len(toks) - 16 + 7) // 8 AS INT)
+                      ELSE 0 END AS kmax
+          FROM tk),
+        ix AS (
+          SELECT doc_id, toks, unnest(range(0, kmax + 1)) AS i FROM k)
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               CAST(i * 8 AS INT) AS chunk_start,
+               CAST(len(toks[(i*8+1):(i*8+16)]) AS INT) AS n_tokens,
+               array_to_string(toks[(i*8+1):(i*8+16)], ' ') AS chunk
+        FROM ix ORDER BY doc_id, chunk_id"""))
   )
 }

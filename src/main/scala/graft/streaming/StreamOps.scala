@@ -107,6 +107,54 @@ object StreamOps {
         col("view_ts"), col("click_ts"))
   }
 
+  /** As-of join: for each left row, the single most recent right row with
+    * the same keys and `right.ts <= left.ts` (the point-in-time lookup of
+    * feature stores / tick data — "the latest view before this click").
+    *
+    * NOT implemented as a range join: Spark plans `r.ts <= l.ts` as a
+    * broadcast/shuffled join with a per-key cartesian filter — O(n_l x
+    * n_r) per key — and then still needs a max per left row. Instead the
+    * two sides are UNIONED and resolved with ONE window pass: tag rows,
+    * sort each key group by (ts, side) — right rows first on equal ts, so
+    * `<=` holds — and carry the last non-null right payload forward
+    * (`last(..., ignoreNulls)` over an unbounded-preceding frame).
+    * One shuffle on the keys, O(n log n) per key, no join state at all.
+    *
+    * Right rows must be unique per (keys, rightTs) — with duplicates
+    * "the" as-of row is undefined; callers dedup first (the d40 query
+    * keeps max event_id per (user, ts)). Streaming face: the same union +
+    * `flatMapGroupsWithState` ordered-state pass; the batch plan here is
+    * the oracle-checkable semantics.
+    *
+    * `rightCols` are the right payload columns to carry (renamed as
+    * given); left columns pass through unchanged. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightCols: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val rightSide = right.select(
+      keyCols ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side")) ++
+        rightCols.map { case (from, to) => col(from).as(s"_r_$to") } ++
+        left.columns.filterNot(keys.contains).map(c => lit(null).as(s"_l_$c")): _*)
+    val leftSide = left.select(
+      keyCols ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
+        rightCols.map { case (_, to) => lit(null).as(s"_r_$to") } ++
+        left.columns.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")): _*)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val resolved = rightSide.unionByName(leftSide)
+      .select(keyCols ++ Seq(col("_ts"), col("_side")) ++
+        left.columns.filterNot(keys.contains).map(c => col(s"_l_$c")) ++
+        rightCols.map { case (_, to) =>
+          last(col(s"_r_$to"), ignoreNulls = true).over(w).as(to) }: _*)
+      .filter(col("_side") === 1)
+    resolved.select(
+      keyCols ++
+        left.columns.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
+        rightCols.values.map(col).toSeq: _*)
+  }
+
   /** Per-user session windows: events within `gapMinutes` of the previous
     * event share a session (classic gaps-and-islands via a lag + running
     * sum — one shuffle on user_id). Batch analogue of

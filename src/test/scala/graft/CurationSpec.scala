@@ -137,6 +137,88 @@ class CurationSpec extends AnyFunSuite {
       s"overfull multi-doc bin: ${bins.filter(b => b._3 > 64 && b._4 > 1).toSeq}")
   }
 
+  // ---- per-source cap ----
+
+  test("domainCap ranks by quality desc within source, caps keep at maxPerGroup") {
+    // source A: 3 docs, cap 2 -> the worst-quality one is dropped.
+    // "zzzz 1234 !!!!" is all-non-alpha-heavy garbage -> lowest quality.
+    val d = Seq(
+      (1L, "the cat sat on the mat and then it slept", "A"),
+      (2L, "the dog ran in the park and then it ate", "A"),
+      (3L, "zzzz 1234 !!!! ???? 0000", "A"),
+      (4L, "only doc in this source", "B"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.domainCap(d, "doc_id", "source", "text", maxPerGroup = 2)
+      .select("doc_id", "source", "rank", "keep")
+      .as[(Long, String, Int, Boolean)].collect().sortBy(_._1)
+    assert(r.filter(_._2 == "A").count(_._4) == 2, "cap of 2 kept in A")
+    assert(!r(2)._4 && r(2)._3 == 3, "garbage doc ranked last and dropped")
+    assert(r(3)._4 && r(3)._3 == 1, "singleton source keeps its doc")
+  }
+
+  test("domainCap ties break by doc_id asc (identical text -> identical quality)") {
+    val d = Seq((5L, "same words here", "A"), (2L, "same words here", "A"))
+      .toDF("doc_id", "text", "source")
+    val r = Curation.domainCap(d, "doc_id", "source", "text", maxPerGroup = 1)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    assert(r(2L) == 1 && r(5L) == 2)
+  }
+
+  // ---- deterministic shuffle ----
+
+  test("corpusShuffle: a permutation — contiguous positions per shard, deterministic, seed-sensitive") {
+    val d = (0L until 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val r = Curation.corpusShuffle(d, "doc_id", seed = "s1", nShards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(r.length == 200 && r.map(_._1).distinct.length == 200)
+    assert(r.forall(x => x._2 >= 0 && x._2 < 4))
+    // positions within a shard are 1..n with no gaps
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    val again = Curation.corpusShuffle(d, "doc_id", seed = "s1", nShards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(r.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq, "same seed, same order")
+    val other = Curation.corpusShuffle(d, "doc_id", seed = "s2", nShards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(r.sortBy(_._1).toSeq != other.sortBy(_._1).toSeq, "new seed reshuffles")
+    // the order is not the identity (md5 actually scrambles)
+    val inOrder = r.filter(_._2 == r(0)._2).sortBy(_._3).map(_._1).toSeq
+    assert(inOrder != inOrder.sorted, "shard order differs from id order")
+  }
+
+  // ---- overlapping chunking ----
+
+  test("chunkSequences: stride windows cover the doc, tail partial, short doc = one chunk") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 20 tokens, window 8, stride 4: starts 0,4,8,12 (ceil((20-8)/4)=3)
+    val d = Seq((1L, words(20)), (2L, words(5))).toDF("doc_id", "text")
+    val r = Curation.chunkSequences(d, "doc_id", "text",
+        windowTokens = 8, strideTokens = 4)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(x => (x._1, x._2))
+    val doc1 = r.filter(_._1 == 1L)
+    assert(doc1.map(x => (x._3, x._4)).toSeq ==
+      Seq((0, 8), (4, 8), (8, 8), (12, 8)), "starts 0,4,8,12 all full-width")
+    assert(doc1.head._5 == (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(doc1.last._5 == (13 to 20).map(i => s"w$i").mkString(" "))
+    val doc2 = r.filter(_._1 == 2L)
+    assert(doc2.map(x => (x._3, x._4)).toSeq == Seq((0, 5)),
+      "doc within one window -> single partial chunk")
+    // every token position is covered by some chunk
+    assert(doc1.flatMap(x => x._3 until (x._3 + x._4)).distinct.length == 20)
+  }
+
+  test("chunkSequences: tail shorter than the window is emitted partial") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 10 tokens, window 8, stride 8 -> starts 0 (8 toks), 8 (2 toks)
+    val d = Seq((1L, words(10))).toDF("doc_id", "text")
+    val r = Curation.chunkSequences(d, "doc_id", "text",
+        windowTokens = 8, strideTokens = 8)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._2)
+    assert(r.map(x => (x._3, x._4)).toSeq == Seq((0, 8), (8, 2)))
+    assert(r.last._5 == "w9 w10")
+  }
+
   // ---- mixture weights ----
 
   test("mixWeights: shares sum to 1; uniform corpus gets weight 1") {

@@ -483,6 +483,28 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup drops the larger id of a within-cluster near-twin pair") {
+    // 1 and 2 are near-identical (cosine ~1) -> same cluster, 2 dropped;
+    // 3 is orthogonal-ish -> kept; every vector appears exactly once
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), // id 0 is also the stride-0 centroid seed
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(-0.9f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(vecs, nCentroids = 2, threshold = 0.95)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), "one row per vector")
+    val keep = r.map(x => x._1 -> x._3).toMap
+    assert(keep(1L), "smaller id of the twin pair is kept")
+    assert(!keep(2L), "larger id of the twin pair is dropped")
+    assert(keep(3L), "non-duplicate kept")
+    // within-cluster only: same keep decisions must be reproducible
+    val again = Similarity.semanticDedup(vecs, nCentroids = 2, threshold = 0.95)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r.toSeq == again.toSeq)
+  }
+
   test("kmeans-refined IVF centroids tighten the quantizer (objective >= stride seed)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     // objective: mean cosine of each vector to its assigned centroid

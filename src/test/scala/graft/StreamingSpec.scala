@@ -217,6 +217,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoin picks the latest right row at-or-before each left row, per key") {
+    val clicks = Seq(
+      (100L, 10L, ts("2026-01-01 10:30:00")),
+      (100L, 11L, ts("2026-01-01 12:00:00")),
+      (200L, 12L, ts("2026-01-01 09:00:00"))) // before any view -> null
+      .toDF("user_id", "click_id", "ts")
+    val views = Seq(
+      (100L, 1L, ts("2026-01-01 10:00:00")),
+      (100L, 2L, ts("2026-01-01 10:30:00")), // equal ts: <= holds, matches
+      (100L, 3L, ts("2026-01-01 11:00:00")),
+      (200L, 4L, ts("2026-01-01 10:00:00")))
+      .toDF("user_id", "view_id", "ts")
+    val r = StreamOps.asofJoin(clicks, views, Seq("user_id"), "ts", "ts",
+        Map("view_id" -> "view_id"))
+      .select("user_id", "click_id", "view_id")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._2)
+    assert(r(0) == ((100L, 10L, Some(2L))), "equal-ts view wins over the earlier one")
+    assert(r(1) == ((100L, 11L, Some(3L))), "latest prior view, not the first")
+    assert(r(2) == ((200L, 12L, None)), "no prior view -> null (left join)")
+  }
+
+  test("asofJoin: left payload passes through; right payload renames") {
+    val left = Seq((1L, "a", ts("2026-01-01 10:00:00")))
+      .toDF("k", "payload", "ts")
+    val right = Seq((1L, 7.5, ts("2026-01-01 09:00:00")))
+      .toDF("k", "price", "ts")
+    val r = StreamOps.asofJoin(left, right, Seq("k"), "ts", "ts",
+        Map("price" -> "last_price"))
+    assert(r.columns.toSeq == Seq("k", "payload", "ts", "last_price"))
+    val row = r.as[(Long, String, Timestamp, Double)].collect().head
+    assert(row == ((1L, "a", ts("2026-01-01 10:00:00"), 7.5)))
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     val out = StreamOps.sessionize(batchDf, gapMinutes = 60)
       .orderBy("user_id", "session_id")
