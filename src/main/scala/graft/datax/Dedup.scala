@@ -47,6 +47,12 @@ object Dedup {
     while (it.hasNext) { it.next().unpersist(); it.remove() }
   }
 
+  /** Register a non-shingle internal cache under the same lifecycle
+    * (one release hook for every datax operator's internal cache —
+    * [[Similarity.semanticDedup]]'s assignment cache uses this). */
+  private[datax] def registerCache(df: DataFrame): Unit =
+    liveShingleCaches.add(df)
+
   /** Materialize `df` once and cut its lineage so upstream caches can be
     * released. Uses a RELIABLE checkpoint when the session has a
     * checkpoint dir configured (the cluster setting — survives executor

@@ -217,7 +217,20 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, nCentroids: Int = 16,
                     threshold: Double = 0.3,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (_, assigned) = ivfIndex(vectors, nCentroids, idCol, vecCol)
+    val ss = vectors.sparkSession
+    import ss.implicits._
+    // The K centroid vectors are tiny: collect them to a LITERAL frame
+    // (the lloyd-driver pattern) so the three consumers below don't each
+    // re-run the centroid-selection scan; values are byte-identical.
+    val centroids = ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+      .as[(Long, Seq[Double])].collect().toSeq
+      .toDF("centroid_id", "cvec")
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    // Both self-join sides and the output read the assignment: cache it
+    // (released via Dedup.releaseShingleCaches — at corpus scale the
+    // assignment is persisted storage, exactly as ivfTopK documents).
+    val assigned = assign(v, centroids).cache()
+    Dedup.registerCache(assigned)
     val a = assigned.withColumn("_n", norm(col("vec")))
     val x = a.select(col("centroid_id"), col("id").as("_ida"),
       col("vec").as("_va"), col("_n").as("_na"))

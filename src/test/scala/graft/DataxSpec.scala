@@ -484,6 +484,7 @@ class DataxSpec extends AnyFunSuite {
   }
 
   test("semanticDedup drops the larger id of a within-cluster near-twin pair") {
+    spark.sqlContext.clearCache() // isolate the cache-lifecycle asserts below
     // 1 and 2 are near-identical (cosine ~1) -> same cluster, 2 dropped;
     // 3 is orthogonal-ish -> kept; every vector appears exactly once
     val vecs = Seq(
@@ -503,6 +504,12 @@ class DataxSpec extends AnyFunSuite {
     val again = Similarity.semanticDedup(vecs, nCentroids = 2, threshold = 0.95)
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(r.toSeq == again.toSeq)
+    // the internal assignment cache follows the shared datax lifecycle
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "semanticDedup keeps its assignment cache alive for the lazy plan")
+    Dedup.releaseShingleCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseShingleCaches drops the assignment cache too")
   }
 
   test("kmeans-refined IVF centroids tighten the quantizer (objective >= stride seed)") {
