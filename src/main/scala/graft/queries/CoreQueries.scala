@@ -785,6 +785,76 @@ object CoreQueries {
         GROUP BY n_name, o_year
         ORDER BY n_name ASC, o_year DESC""")),
 
+    /* TPC-H Q17 shape: revenue lost to small-quantity orders of one
+     * brand — the CORRELATED SCALAR SUBQUERY (per-part avg quantity)
+     * decorrelated by hand into an aggregate + join, which is exactly
+     * what Catalyst's RewriteCorrelatedScalarSubquery produces. The
+     * comparison `qty < 0.2 * avg` is restated as `5*qty*cnt < sum`:
+     * l_quantity is integer-valued, so every product and partial sum is
+     * an exact double — no engine-order float divergence. Both the
+     * brand prune and the per-part aggregate are data-PROPORTIONAL
+     * (|part|/brands), so neither is hint-broadcast; AQE decides.
+     * Lineitem is scanned twice (probe + aggregate) — the canonical
+     * Q17 plan. */
+    QueryDef("h07_small_qty_revenue",
+      (s, dir) => {
+        val pk = t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#1").select("p_partkey")
+        val li = t(s, dir, "lineitem")
+          .join(pk, col("l_partkey") === col("p_partkey"))
+        val perPart = li.groupBy(col("l_partkey").as("pk"))
+          .agg(sum("l_quantity").as("s"), count(lit(1)).as("c"))
+        li.join(perPart, col("l_partkey") === col("pk"))
+          .filter(lit(5) * col("l_quantity") * col("c") < col("s"))
+          .agg(
+            (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              / 7.0).as("avg_yearly"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        a AS (
+          SELECT l_partkey AS pk, sum(l_quantity) AS s, count(*) AS c
+          FROM lineitem JOIN p ON l_partkey = p_partkey GROUP BY 1)
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN p ON l_partkey = p_partkey
+        JOIN a ON l_partkey = pk
+        WHERE 5 * l_quantity * c < s""")),
+
+    /* TPC-H Q18 shape: customers with very large orders — a HAVING-
+     * filtered aggregate used as a semi-join prune on orders, then the
+     * customer enrichment, then a top-100 by order value. The final
+     * sort+limit plans as TakeOrderedAndProject (per-partition top-k,
+     * single driver merge of 100-row heaps — never a global sort).
+     * sum(l_quantity) is exact in double (integer-valued), so the
+     * HAVING threshold cannot flip across engines; ties on o_totalprice
+     * break by unique o_orderkey. */
+    QueryDef("h08_large_orders",
+      (s, dir) => {
+        val sums = t(s, dir, "lineitem").groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 250)
+        t(s, dir, "orders")
+          .join(sums, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+            col("o_orderdate"),
+            col("o_totalprice").cast("double").as("o_totalprice"),
+            col("sum_qty").cast("double").as("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250) s
+          ON o_orderkey = s.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100""")),
+
     /* Headline window-function shape: per-customer running totals and
      * order ranks — one shuffle on the partition key, sort within
      * partitions, no global sort. DECIMAL keeps the running sum exact
