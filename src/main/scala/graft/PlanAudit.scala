@@ -25,7 +25,8 @@ object PlanAudit {
       "d30_dedup_corpus", "d10a_embedding_neardups_banded",
       "d33_boilerplate", "d39_semantic_dedup", "d40_asof_join",
       "d41_domain_cap", "d42_corpus_shuffle", "d43_chunk_sequences",
-      "h07_small_qty_revenue", "h08_large_orders")
+      "h07_small_qty_revenue", "h08_large_orders",
+      "d23a_contamination_bloom")
     for (name <- interesting) {
       println(s"\n##### $name")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -395,6 +395,46 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** [[contaminationWithin]] with a BLOOM prefilter on the corpus side —
+    * the scan-side 100 TB path. A bloom sketch of the benchmark's
+    * shingle hashes (one aggregate over the SMALL side) is collected and
+    * inlined as a literal predicate on the corpus shingle scan — Spark's
+    * own runtime-join-filtering shape, via its own
+    * `BloomFilterAggregate`/`BloomFilterMightContain` expressions
+    * ([[graft.functions.BloomSketch]]).
+    *
+    * LOSSLESS, unlike the LSH prefilter: a corpus shingle the bloom
+    * drops is definitely absent from the benchmark set (no false
+    * negatives), so it could never have joined; a false positive merely
+    * survives to the exact shared-shingle join and dies there. Output is
+    * therefore EXACTLY [[contaminationWithin]]'s — same oracle — while
+    * the containment join's corpus input shrinks from "every shingle in
+    * the corpus" to "shingles that (probably) appear in the benchmark".
+    * Sketch size is bench-proportional (the small side by definition);
+    * `bitsPerItem` tunes the FP rate (~20 bits ≈ 0.07% FP). */
+  def contaminationBloomWithin(docs: DataFrame, idCol: String, textCol: String,
+                               isBench: Column => Column, k: Int = 4,
+                               threshold: Double = 0.5,
+                               bitsPerItem: Long = 20L): DataFrame = {
+    val sh = docShingleRows(docs, idCol, textCol, k)
+    val bs = sh.filter(isBench(col("id")))
+    val nBench = bs.count()
+    if (nBench == 0) {
+      // no benchmark shingles -> nothing can be contaminated; keep the
+      // output shape without building a degenerate sketch
+      return contaminationSides(sh.filter(!isBench(col("id"))).limit(0), bs,
+        threshold)
+    }
+    val numBits = math.max(64L, nBench * bitsPerItem)
+    val sketch = bs
+      .select(graft.functions.BloomSketch
+        .bloomAgg(xxhash64(col("s")), nBench, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val cs = sh.filter(!isBench(col("id")))
+      .filter(graft.functions.BloomSketch.mightContain(sketch, xxhash64(col("s"))))
+    contaminationSides(cs, bs, threshold)
+  }
+
   /** End-to-end benchmark DECONTAMINATION — the pipeline step the d23
     * scan exists for: drop every corpus document whose containment of
     * any benchmark document reaches `threshold`; benchmark rows are not

@@ -266,6 +266,24 @@ object DataxQueries {
                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.3
         ORDER BY id_a, id_b"""
 
+  /** Exact shingle-containment contamination scan, shared verbatim by
+    * d23 (exhaustive) and d23a (bloom-prefiltered, lossless). */
+  private val ContaminationSql: String = s"""WITH sh AS (
+          SELECT doc_id AS id,
+                 list_distinct(list_filter(
+                   list_transform(range(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+3], ' ')),
+                   x -> x <> '')) AS sh
+          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
+          WHERE len(toks) >= 4),
+        bench AS (SELECT * FROM sh WHERE id % 29 = 0 AND len(sh) > 0),
+        corpus AS (SELECT * FROM sh WHERE id % 29 <> 0 AND len(sh) > 0)
+        SELECT b.id AS bench_id, c.id AS corpus_id,
+               len(list_intersect(b.sh, c.sh)) / len(b.sh) AS containment
+        FROM bench b JOIN corpus c ON len(list_intersect(b.sh, c.sh)) > 0
+        WHERE len(list_intersect(b.sh, c.sh)) / len(b.sh) >= 0.5
+        ORDER BY bench_id, corpus_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------
@@ -645,21 +663,18 @@ object DataxQueries {
       (s, dir) => Dedup.contaminationWithin(t(s, dir, "documents"),
           "doc_id", "text", isBench = _ % 29 === 0, k = 4, threshold = 0.5)
         .orderBy("bench_id", "corpus_id"),
-      Some(s"""WITH sh AS (
-          SELECT doc_id AS id,
-                 list_distinct(list_filter(
-                   list_transform(range(1, len(toks) - 2),
-                     i -> array_to_string(toks[i:i+3], ' ')),
-                   x -> x <> '')) AS sh
-          FROM (SELECT doc_id, $TOKS AS toks FROM documents)
-          WHERE len(toks) >= 4),
-        bench AS (SELECT * FROM sh WHERE id % 29 = 0 AND len(sh) > 0),
-        corpus AS (SELECT * FROM sh WHERE id % 29 <> 0 AND len(sh) > 0)
-        SELECT b.id AS bench_id, c.id AS corpus_id,
-               len(list_intersect(b.sh, c.sh)) / len(b.sh) AS containment
-        FROM bench b JOIN corpus c ON len(list_intersect(b.sh, c.sh)) > 0
-        WHERE len(list_intersect(b.sh, c.sh)) / len(b.sh) >= 0.5
-        ORDER BY bench_id, corpus_id""")),
+      Some(ContaminationSql)),
+
+    /* The bloom-prefiltered twin: benchmark shingles -> one sketch
+     * aggregate -> scan-side might_contain on the corpus shingles ->
+     * the SAME exact containment join. Lossless by construction (bloom
+     * has no false negatives; false positives die in the exact join),
+     * so unlike the d19a/d28a sketch twins it shares d23's full oracle. */
+    QueryDef("d23a_contamination_bloom",
+      (s, dir) => Dedup.contaminationBloomWithin(t(s, dir, "documents"),
+          "doc_id", "text", isBench = _ % 29 === 0, k = 4, threshold = 0.5)
+        .orderBy("bench_id", "corpus_id"),
+      Some(ContaminationSql)),
 
     /* End-to-end decontamination — d23's drop step: corpus docs whose
      * containment of any benchmark doc reaches 50% are removed;

@@ -90,6 +90,24 @@ class DataxSpec extends AnyFunSuite {
       "decontaminate must release its shingle cache")
   }
 
+  test("bloom-prefiltered contamination == exhaustive (lossless), empty bench safe") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Dedup.contaminationWithin(docs, "doc_id", "text",
+        isBench = _ % 29 === 0, k = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val bloom = Dedup.contaminationBloomWithin(docs, "doc_id", "text",
+        isBench = _ % 29 === 0, k = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(bloom == exact,
+      "bloom prefilter must be lossless — no false negatives, FPs die in the exact join")
+    assert(exact.nonEmpty, "fixture must actually exercise the pipeline")
+    // no benchmark rows at all -> empty result, not a crash
+    val none = Dedup.contaminationBloomWithin(docs, "doc_id", "text",
+        isBench = _ => lit(false), k = 4, threshold = 0.5)
+    assert(none.count() == 0)
+    Dedup.releaseShingleCaches()
+  }
+
   test("contaminationLsh ⊆ exhaustive contamination on real documents") {
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val corpus = d.filter($"doc_id" % 29 =!= 0)
