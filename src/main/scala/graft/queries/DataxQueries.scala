@@ -965,6 +965,21 @@ object DataxQueries {
          AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
         ORDER BY v.user_id, view_id, click_id""")),
 
+    /* Event-time RANGE frame: per-event trailing 30-minute stats for the
+     * same user. Microsecond frame arithmetic on both sides (the
+     * timestamps carry micros; a seconds cast would shift boundaries). */
+    QueryDef("d44_trailing_window",
+      (s, dir) => StreamOps.trailingStats(t(s, dir, "events"), minutes = 30)
+        .orderBy("user_id", "event_id"),
+      Some("""SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+               max(value) OVER w AS max_value_trailing
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id""")),
+
     /* Gaps-and-islands sessionization (batch analogue of
      * session_window): one shuffle on user_id. */
     QueryDef("d16_sessionize",

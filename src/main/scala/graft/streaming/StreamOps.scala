@@ -122,9 +122,9 @@ object StreamOps {
     *
     * Right rows must be unique per (keys, rightTs) — with duplicates
     * "the" as-of row is undefined; callers dedup first (the d40 query
-    * keeps max event_id per (user, ts)). Streaming face: the same union +
-    * `flatMapGroupsWithState` ordered-state pass; the batch plan here is
-    * the oracle-checkable semantics.
+    * keeps max event_id per (user, ts)). Streaming face:
+    * [[asofJoinStream]] — the same union resolved through watermarked
+    * keyed state; the batch plan here is the oracle-checkable semantics.
     *
     * `rightCols` are the right payload columns to carry (renamed as
     * given); left columns pass through unchanged. */
@@ -153,6 +153,98 @@ object StreamOps {
       keyCols ++
         left.columns.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
         rightCols.values.map(col).toSeq: _*)
+  }
+
+  /** Per-event trailing-window stats: for every event, the count and max
+    * value of the SAME user's events in the preceding `minutes` — the
+    * event-time RANGE frame (velocity/fraud features: "how many events
+    * did this user fire in the last 30 minutes"). Distinct from the d14
+    * grid windows: the frame is anchored at each ROW, not at wall-clock
+    * buckets.
+    *
+    * The frame orders by `unix_micros(ts)`, not a seconds cast: these
+    * timestamps carry microseconds, and a truncating cast would shift
+    * frame boundaries relative to any engine doing exact interval
+    * arithmetic. Only order-independent aggregates (count/max) — a
+    * windowed double sum would be frame-order-dependent. One shuffle on
+    * user_id; Spark evaluates sliding range frames with two pointers,
+    * O(n) per partition after the sort. */
+  def trailingStats(events: DataFrame, minutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      .rangeBetween(-minutes * 60L * 1000000L, 0)
+    events.select(col("user_id"), col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+      count(lit(1)).over(w).as("n_trailing"),
+      max(col("value")).over(w).as("max_value_trailing"))
+  }
+
+  final case class AsOfRow(key: Long, ts: java.sql.Timestamp, id: Long,
+                           is_left: Boolean)
+  final case class AsOfState(lefts: List[(Long, Long)],
+                             rights: List[(Long, Long)])
+  final case class AsOfMatch(key: Long, left_id: Long,
+                             left_ts: java.sql.Timestamp,
+                             right_id: Option[Long],
+                             right_ts: Option[java.sql.Timestamp])
+
+  /** STREAMING face of [[asofJoin]] — the same union resolved through
+    * ordered keyed state instead of a window. Event-time correct under
+    * out-of-order arrival ACROSS micro-batches (the case a naive
+    * last-value stream gets wrong): rows buffer in per-key state, and a
+    * left row is resolved only once the watermark passes its event time
+    * — at that point every right row at-or-before it has arrived (later
+    * ones would be late beyond the watermark and dropped by the engine).
+    * State is pruned to (rows above the watermark) + (the single latest
+    * right at-or-below it), so per-key state is bounded by the
+    * watermark delay x arrival rate, exactly like the engine's own
+    * stream-stream join state.
+    *
+    * Concrete (key, ts, id) row shape: the mechanics under test are the
+    * buffering/watermark contract, not schema plumbing; production
+    * would genericize the payload with encoders. Inputs must carry
+    * `withWatermark` on ts before the call (their union watermark is
+    * the min, as with any multi-input stateful op). Left rows forever
+    * below a stalled watermark emit when it finally advances. */
+  def asofJoinStream(left: DataFrame, right: DataFrame): Dataset[AsOfMatch] = {
+    val ss = left.sparkSession
+    import ss.implicits._
+    val tag = (df: DataFrame, isLeft: Boolean) => df.select(
+      col("key").cast("long"), col("ts"), col("id").cast("long"),
+      lit(isLeft).as("is_left")).as[AsOfRow]
+    tag(left, true).unionByName(tag(right, false))
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[AsOfRow], state: GroupState[AsOfState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val (newL, newR) = rows.toList.partition(_.is_left)
+          val lefts = prev.lefts ++ newL.map(r => (r.ts.getTime, r.id))
+          val rights = (prev.rights ++ newR.map(r => (r.ts.getTime, r.id)))
+            .sortBy(r => (r._1, r._2))
+          // resolve every left at-or-below the watermark: all of its
+          // candidate rights have arrived by the watermark contract
+          val (ripe, pendingL) = lefts.partition(_._1 <= wm)
+          val out = ripe.sortBy(l => (l._1, l._2)).map { case (lts, lid) =>
+            val m = rights.filter(_._1 <= lts).lastOption
+            AsOfMatch(key, lid, new java.sql.Timestamp(lts),
+              m.map(_._2), m.map(x => new java.sql.Timestamp(x._1)))
+          }
+          // prune rights: everything above the watermark is still in
+          // play; below it only the LATEST can serve a future left
+          val (ripeR, pendingR) = rights.partition(_._1 <= wm)
+          val kept = ripeR.lastOption.toList ++ pendingR
+          if (pendingL.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(pendingL, kept))
+            // wake the group when the watermark passes its oldest
+            // pending left, even if no further rows arrive for the key
+            if (pendingL.nonEmpty)
+              state.setTimeoutTimestamp(pendingL.map(_._1).min)
+          }
+          out.iterator
+      }(Encoders.product[AsOfState], Encoders.product[AsOfMatch])
   }
 
   /** Per-user session windows: events within `gapMinutes` of the previous

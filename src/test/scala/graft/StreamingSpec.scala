@@ -250,6 +250,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(row == ((1L, "a", ts("2026-01-01 10:00:00"), 7.5)))
   }
 
+  test("trailingStats: row-anchored range frame, inclusive at exactly the horizon") {
+    val e = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 100L, "view", 5.0),
+      (2L, ts("2026-01-01 10:20:00"), 100L, "view", 2.0),
+      (3L, ts("2026-01-01 10:45:00"), 100L, "view", 1.0),
+      (4L, ts("2026-01-01 10:30:00"), 200L, "view", 7.0)) // exactly 30m after nothing
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = StreamOps.trailingStats(e, minutes = 30)
+      .select("event_id", "n_trailing", "max_value_trailing")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r(0) == ((1L, 1L, 5.0)))
+    assert(r(1) == ((2L, 2L, 5.0)), "10:20 sees 10:00 (within 30m)")
+    assert(r(2) == ((3L, 2L, 2.0)), "10:45 sees 10:20 but NOT 10:00 (45m ago)")
+    assert(r(3) == ((4L, 1L, 7.0)), "other user isolated")
+    // boundary: exactly `minutes` apart is INCLUDED (closed frame)
+    val b = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 1L, "view", 9.0),
+      (2L, ts("2026-01-01 10:30:00"), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rb = StreamOps.trailingStats(b, minutes = 30)
+      .select("event_id", "n_trailing").as[(Long, Long)].collect().sortBy(_._1)
+    assert(rb(1) == ((2L, 2L)), "closed lower bound at exactly 30 minutes")
+  }
+
+  test("asofJoinStream buffers until the watermark: cross-batch out-of-order right still wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("key", "ts", "id").withWatermark("ts", "10 minutes")
+    val q = StreamOps.asofJoinStream(named(lMem), named(rMem))
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: the left row arrives FIRST; an early right exists
+      lMem.addData((1L, ts("2026-01-01 10:30:00"), 100L))
+      rMem.addData((1L, ts("2026-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      assert(spark.table("asof_stream").count() == 0,
+        "left must NOT resolve before the watermark passes it")
+      // batch 2: a BETTER right for the same left arrives later (out of
+      // order across batches, still below the left's ts) + a left with
+      // no right at all. High-ts rows go to BOTH inputs: the global
+      // watermark is the MIN of the per-input watermarks, so each side
+      // must advance for anything to ripen (the multi-input contract).
+      rMem.addData((1L, ts("2026-01-01 10:25:00"), 2L),
+        (2L, ts("2026-01-01 11:00:00"), 9L))
+      lMem.addData((3L, ts("2026-01-01 10:40:00"), 300L),
+        (99L, ts("2026-01-01 11:00:00"), 999L))
+      q.processAllAvailable()
+      val out = spark.table("asof_stream")
+        .as[(Long, Long, Timestamp, Option[Long], Option[Timestamp])]
+        .collect().sortBy(_._2)
+      assert(out.map(x => (x._1, x._2, x._4)).toSeq ==
+        Seq((1L, 100L, Some(2L)), (3L, 300L, None)),
+        s"got ${out.toSeq}")
+      assert(out(0)._5.contains(ts("2026-01-01 10:25:00")),
+        "the late-arriving 10:25 view wins over the batch-1 10:00 one")
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     val out = StreamOps.sessionize(batchDf, gapMinutes = 60)
       .orderBy("user_id", "session_id")
