@@ -46,6 +46,27 @@ object Bench {
     // is stable enough to make round-over-round deltas signal. Total is the
     // sum of per-query medians. SPARK_GRAFT_REPS overrides (1 = old mode).
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // ENVIRONMENT CANARY: a fixed synthetic pipeline (no table reads, one
+    // shuffle, a couple of md5-heavy projections — enough to exercise
+    // codegen compile + task dispatch, the two paths that stretch 10-50x
+    // in this box's intermittent degraded windows; SCALE.md "bench
+    // trustworthiness"). Timed before and after the suite; absolute query
+    // numbers are only comparable across runs/rounds AFTER dividing out
+    // canary drift. Median of 3, same as the queries.
+    def canary(): Double = {
+      import org.apache.spark.sql.functions._
+      val ts = (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        spark.range(2000000).toDF("id")
+          .select(col("id"), md5(concat(lit(s"c$i:"), col("id").cast("string"))).as("h"))
+          .groupBy(substring(col("h"), 1, 2).as("b"))
+          .agg(count(lit(1)).as("n"), max("h").as("m"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val canaryStart = canary()
     val results = queries.map { case (name, fn) =>
       warm(name, fn)
       val times = (1 to reps).map { _ =>
@@ -85,7 +106,8 @@ object Bench {
     val failed = results.collect { case (k, _, g) if g.size < reps => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+    val canaryEnd = canary()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"canary":[$canaryStart,$canaryEnd],"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout ([info]/[success] lines), which can defeat a
     // line-oriented parse downstream — drop a clean copy next to the build

@@ -26,7 +26,8 @@ object PlanAudit {
       "d33_boilerplate", "d39_semantic_dedup", "d40_asof_join",
       "d41_domain_cap", "d42_corpus_shuffle", "d43_chunk_sequences",
       "h07_small_qty_revenue", "h08_large_orders",
-      "d23a_contamination_bloom")
+      "d23a_contamination_bloom", "d45_importance_weights",
+      "d46_token_budget", "h09_custdist", "d47_source_overlap")
     for (name <- interesting) {
       println(s"\n##### $name")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -1,6 +1,6 @@
 package graft.datax
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for a large-scale training-data pipeline:
@@ -248,6 +248,117 @@ object Curation {
         col("_c.chunk_id"), col("_c.start"),
         size(col("_c.toks")).as("n_tokens"),
         concat_ws(" ", col("_c.toks")).as("chunk"))
+  }
+
+  /** Importance weights for data selection (the DSIR shape — Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score each document by how much more likely its hashed-ngram
+    * features are under a TARGET distribution (docs matching `isTarget`,
+    * e.g. a high-quality or in-domain subset) than under the raw corpus.
+    * Features are bigrams hashed into `buckets` counting buckets; both
+    * distributions get add-1 smoothing. DSIR proper sums LOG ratios;
+    * this sums the ratios themselves — same ordering signal, but every
+    * arithmetic step (integer counts, one division per side, one
+    * division per feature, sorted sequential sum) is IEEE-exact and
+    * bit-reproducible in any engine, where log() is libm-dependent and
+    * would break the oracle hash compare. Output per doc: feature count,
+    * mean likelihood ratio, and `target_like` (mean >= 1).
+    *
+    * Scale shape: bigram rows come from posexplode + window lead (the
+    * d31 pattern — codegen, one shuffle on id); bucket counts for BOTH
+    * distributions fall out of ONE aggregate over `buckets` keys
+    * (conditional count for the target side) with map-side partials;
+    * the bucket->ratio table is `buckets` rows and broadcasts; the
+    * per-doc aggregate is one shuffle on id. The sorted-fold sum is
+    * per-doc-bounded (d34 note). Nothing here grows with corpus size
+    * except the two id-keyed shuffles. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"), isTarget.as("_tgt"),
+      posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val next = lead(col("t"), 1).over(w)
+    val grams = toks.select(col("id"), col("_tgt"),
+        concat_ws(" ", col("t"), next).as("g"), next.as("_last"))
+      .filter(col("_last").isNotNull)
+    // the (id, target, bucket) relation feeds BOTH the bucket-count
+    // aggregate and the per-doc aggregate — cached so the text scan +
+    // window shuffle run once, registered under the shared datax cache
+    // lifecycle (release via Dedup.releaseShingleCaches; Bench clears
+    // per rep). Rows are (id, bool, int) — far smaller than the text.
+    val gb = grams.select(col("id"), col("_tgt"),
+      (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
+        .cast("int").as("b"))
+      .cache()
+    Dedup.registerCache(gb)
+    // raw + target counts in ONE pass; totals ride a 1-row cross join
+    val cnt = gb.groupBy("b").agg(
+      count(lit(1)).as("cnt_r"),
+      count(when(col("_tgt"), lit(1))).as("cnt_t"))
+    val tot = cnt.agg(sum("cnt_r").as("total_r"), sum("cnt_t").as("total_t"))
+    val ratio = cnt.crossJoin(tot).select(col("b"),
+      (((col("cnt_t") + 1).cast("double") / (col("total_t") + buckets).cast("double"))
+        / ((col("cnt_r") + 1).cast("double") / (col("total_r") + buckets).cast("double")))
+        .as("r"))
+    val agg = gb.join(broadcast(ratio), Seq("b"))
+      .groupBy("id").agg(
+        count(lit(1)).as("n_feats"),
+        aggregate(array_sort(collect_list(col("r"))), lit(0.0), (a, x) => a + x)
+          .as("_sum_r"))
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        when(coalesce(col("n_feats"), lit(0L)) === 0, 0.0)
+          .otherwise(col("_sum_r") / col("n_feats")).as("avg_ratio"),
+        (coalesce(col("n_feats"), lit(0L)) > 0 &&
+          col("_sum_r") / col("n_feats") >= 1.0).as("target_like"))
+  }
+
+  /** Token-budget corpus selection: walk documents in (quality desc, id)
+    * order and keep them until a token budget is exhausted — the "best
+    * N tokens" selection step that follows scoring. Output per doc: its
+    * token count, the INCLUSIVE running token total at its position in
+    * the quality order, and the keep flag (running total <= budget).
+    *
+    * The running total is a GLOBAL prefix sum — the one window shape
+    * that cannot ship as-is at scale (a single ORDER BY window is one
+    * partition holding the corpus). This is the two-phase form: bucket
+    * docs into `bands` quality bands (band = floor((1-q) * bands),
+    * monotone in q, so band order ≡ quality order); per-band token
+    * totals (a `bands`-row aggregate) get exclusive prefix offsets via
+    * a window over that TINY relation (the legitimate single-partition
+    * window — `bands` rows, not corpus rows); the within-band cumsum is
+    * a window partitioned by band (parallel across bands); the global
+    * prefix is band offset + within-band cumsum. All-integer arithmetic
+    * — exact equality with the oracle's naive global window, at any
+    * scale. Ties: quality ties stay inside one band and break by id,
+    * identical to the global (quality desc, id) order. */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String, textCol: String,
+                        budgetTokens: Long, bands: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bands >= 1, s"bands=$bands must be >= 1")
+    // scored projection feeds BOTH the band-totals aggregate and the
+    // final join — cached (3 narrow columns, no text) so the corpus
+    // text is scanned once; same shared release lifecycle as d45/dedup
+    val base = docs.select(col(idCol).as("id"),
+        TextStats.qualityScore(col(textCol)).as("quality"),
+        size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("band", ((lit(1.0) - col("quality")) * bands).cast("int"))
+      .cache()
+    Dedup.registerCache(base)
+    val bandTot = base.groupBy("band").agg(sum("n_tokens").as("_bt"))
+    val offsets = bandTot.select(col("band"),
+      coalesce(sum(col("_bt")).over(
+          Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("_off"))
+    val within = Window.partitionBy("band")
+      .orderBy(col("quality").desc, col("id").asc)
+    base.join(broadcast(offsets), Seq("band"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("_off") + sum(col("n_tokens")).over(within)).as("cum_tokens"))
+      .withColumn("keep", col("cum_tokens") <= budgetTokens)
   }
 
   /** Source-mixture weights (the DoReMi/domain-reweighting shape): per

@@ -314,6 +314,33 @@ object Dedup {
     docs.join(nearDrop.union(exactDrop), Seq(idCol), "left_anti")
   }
 
+  /** Cross-source duplication matrix — the "how much does source A
+    * duplicate source B" question that decides which crawl snapshots /
+    * dumps are worth ingesting: near-dup pairs ([[minhashNearDups]])
+    * rolled up to unordered (source_a <= source_b) pair counts. The
+    * diagonal is within-source near-duplication.
+    *
+    * Scale shape: the pair list is detection OUTPUT (small next to the
+    * corpus); the two source lookups are id-keyed joins where AQE
+    * broadcasts the pair side, and the final rollup shuffles on the
+    * (tiny) source-pair domain. No new corpus-sized work beyond the
+    * d05 pipeline itself. Pair counts only — a cross-engine-stable
+    * integer; mean jaccard would hash-diverge on summation order. */
+  def sourceOverlap(docs: DataFrame, idCol: String, srcCol: String,
+                    textCol: String, k: Int = 4, numHashes: Int = 16,
+                    bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(docs, idCol, textCol, k, numHashes, bands,
+      threshold)
+    val src = docs.select(col(idCol).as("_sid"), col(srcCol).as("_src"))
+    pairs
+      .join(src.select(col("_sid").as("id_a"), col("_src").as("_sa")), "id_a")
+      .join(src.select(col("_sid").as("id_b"), col("_src").as("_sb")), "id_b")
+      .select(least(col("_sa"), col("_sb")).as("source_a"),
+        greatest(col("_sa"), col("_sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Exact n-gram Jaccard pairs via shared-shingle self-join — the
     * exhaustive baseline MinHash approximates. Quadratic in bucket size;
     * use minhashNearDups at scale. */

@@ -877,6 +877,31 @@ object CoreQueries {
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend
         FROM orders WHERE o_custkey % 10 = 0
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        ORDER BY o_custkey, order_seq"""))
+        ORDER BY o_custkey, order_seq""")),
+
+    /* TPC-H Q13 shape: order-count distribution per customer through a
+     * PREDICATED left outer join (the predicate lives in the join
+     * condition, not a WHERE — customers with zero surviving orders must
+     * survive with c_count = 0). Two-phase aggregation: custkey shuffle
+     * for the per-customer count, then a tiny c_count-domain shuffle for
+     * the distribution. */
+    QueryDef("h09_custdist",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+          SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
   )
 }

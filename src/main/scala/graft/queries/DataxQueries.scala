@@ -1276,6 +1276,91 @@ object DataxQueries {
                CAST(i * 8 AS INT) AS chunk_start,
                CAST(len(toks[(i*8+1):(i*8+16)]) AS INT) AS n_tokens,
                array_to_string(toks[(i*8+1):(i*8+16)], ' ') AS chunk
-        FROM ix ORDER BY doc_id, chunk_id"""))
+        FROM ix ORDER BY doc_id, chunk_id""")),
+
+    /* DSIR-shape importance weights: hashed-bigram likelihood ratios of
+     * a target subset (lang='en') vs the raw corpus, add-1 smoothed,
+     * summed per doc as a sorted fold (ratios not logs — libm-free, so
+     * the hash compare is exact). */
+    QueryDef("d45_importance_weights",
+      (s, dir) => Curation.importanceWeights(t(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", buckets = 64)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+        g AS (SELECT doc_id, lang,
+                unnest(list_transform(range(1, len(toks)),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS g
+              FROM tk),
+        gb AS (SELECT doc_id, lang,
+                 CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(1, 9),
+                       i -> CAST(strpos('0123456789abcdef',
+                              substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                   (acc, x) -> acc * 16 + x) % 64 AS INT) AS b
+               FROM g),
+        cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt_r,
+                  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS cnt_t
+                FROM gb GROUP BY b),
+        tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS total_r,
+                       CAST(sum(cnt_t) AS BIGINT) AS total_t FROM cnt),
+        ratio AS (SELECT cnt.b,
+                    ((cnt.cnt_t + 1)::DOUBLE / (tot.total_t + 64)::DOUBLE)
+                      / ((cnt.cnt_r + 1)::DOUBLE / (tot.total_r + 64)::DOUBLE) AS r
+                  FROM cnt CROSS JOIN tot),
+        agg AS (SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                  list_reduce(list_prepend(0.0::DOUBLE, list_sort(list(ratio.r))),
+                    (acc, x) -> acc + x) AS sum_r
+                FROM gb JOIN ratio USING (b) GROUP BY gb.doc_id)
+        SELECT d.doc_id, CAST(coalesce(a.n_feats, 0) AS BIGINT) AS n_feats,
+               CASE WHEN coalesce(a.n_feats, 0) = 0 THEN 0.0
+                    ELSE a.sum_r / a.n_feats END AS avg_ratio,
+               coalesce(a.n_feats, 0) > 0 AND a.sum_r / a.n_feats >= 1.0 AS target_like
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id""")),
+
+    /* Token-budget selection: keep best-quality docs until a 10k-token
+     * budget runs out. The Spark side is the two-phase banded prefix sum
+     * (no global-window single partition); the oracle is the naive
+     * global window — all-integer arithmetic makes them exactly equal. */
+    QueryDef("d46_token_budget",
+      (s, dir) => Curation.tokenBudgetSelect(t(s, dir, "documents"),
+          "doc_id", "text", budgetTokens = 10000L)
+        .orderBy("doc_id"),
+      Some(s"""WITH q AS (
+          SELECT doc_id,
+            CASE WHEN length(text) = 0 THEN 0.0 ELSE
+              (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                 / length(text)::DOUBLE) * 0.5
+              + least(($en::DOUBLE / len($TOKS)::DOUBLE) * 5.0, 1.0) * 0.2
+              + (CASE WHEN (length(text)::DOUBLE - (len($TOKS)::DOUBLE - 1.0))
+                             / len($TOKS)::DOUBLE BETWEEN 3.0 AND 10.0
+                      THEN 1.0 ELSE 0.5 END) * 0.3
+            END AS quality,
+            CAST(len($TOKS) AS BIGINT) AS n_tokens
+          FROM documents)
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT)
+                 AS cum_tokens,
+               sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) <= 10000 AS keep
+        FROM q ORDER BY doc_id""")),
+
+    /* Cross-source duplication matrix: d05's near-dup pairs rolled up
+     * to unordered source-pair counts — which dumps duplicate which.
+     * Integer counts only (mean jaccard would hash-diverge on
+     * summation order). */
+    QueryDef("d47_source_overlap",
+      (s, dir) => Dedup.sourceOverlap(t(s, dir, "documents"),
+          "doc_id", "source", "text",
+          k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+        .orderBy("source_a", "source_b"),
+      Some(s"""WITH p AS ($MinhashPairsSql),
+        s AS (SELECT doc_id, source FROM documents),
+        ps AS (SELECT least(sa.source, sb.source) AS source_a,
+                      greatest(sa.source, sb.source) AS source_b
+               FROM p JOIN s sa ON p.id_a = sa.doc_id
+                      JOIN s sb ON p.id_b = sb.doc_id)
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM ps GROUP BY source_a, source_b
+        ORDER BY source_a, source_b"""))
   )
 }

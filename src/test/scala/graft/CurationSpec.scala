@@ -238,4 +238,68 @@ class CurationSpec extends AnyFunSuite {
     assert(w(0)._5 < 1.0 && w(1)._5 > 1.0,
       "over-represented source down-weighted, under-represented up-weighted")
   }
+
+  // ---- importance weights (DSIR shape) ----
+
+  test("importanceWeights: target-like text outranks off-target text; short docs get zero") {
+    import org.apache.spark.sql.functions.col
+    // target docs (1, 2) share a bigram vocabulary disjoint from the
+    // non-target docs; doc 3 repeats the target's bigrams, doc 4 the
+    // off-target ones, doc 5 is too short for any bigram
+    val d = Seq(
+      (1L, "aa bb aa bb aa"), (2L, "aa bb cc aa bb"),
+      (3L, "aa bb aa bb"), (4L, "xx yy xx yy"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Curation.importanceWeights(d, "doc_id", "text",
+        isTarget = col("doc_id") <= 2, buckets = 64)
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val byId = r.map(x => x._1 -> x).toMap
+    assert(byId(3L)._3 > byId(4L)._3,
+      "doc repeating target bigrams must outscore doc repeating off-target bigrams")
+    // NOTE: no absolute target_like assertion for doc 3 — on a
+    // 14-bigram corpus the add-1 smoothing terms (+1, +buckets)
+    // dominate the ratios and push everything below 1; the threshold
+    // only separates at corpus scale (253/500 fire at sf0.01). The
+    // ORDERING is the fixture-scale invariant.
+    assert(!byId(4L)._4, "off-target doc must never read as target-like")
+    assert(byId(5L) == ((5L, 0L, 0.0, false)), "sub-bigram doc: zero features")
+    assert(byId(1L)._2 == 4L, "n bigrams = n tokens - 1")
+  }
+
+  // ---- token-budget selection ----
+
+  test("tokenBudgetSelect: banded cum_tokens is the exact global prefix sum; keep is a quality-order prefix") {
+    // enough docs with varied quality to span multiple bands even at
+    // bands=4 — the band-offset arithmetic is what's under test
+    val d = (1L to 40L).map { i =>
+      val junk = Seq.fill((i % 7).toInt)("!!!").mkString(" ")
+      (i, s"the quick brown fox number $i jumps over the lazy dog $junk")
+    }.toDF("doc_id", "text")
+    val budget = 200L
+    val r = Curation.tokenBudgetSelect(d, "doc_id", "text", budget, bands = 4)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(r.length == 40)
+    // cum_tokens sorted ascending IS the quality-desc walk: its values
+    // must be the running sum of n_tokens in that same order
+    val walk = r.sortBy(_._3)
+    var run = 0L
+    walk.foreach { case (_, n, cum, keep) =>
+      run += n
+      assert(cum == run, s"banded prefix sum diverged at cum=$cum (expect $run)")
+      assert(keep == (cum <= budget))
+    }
+    val kept = r.filter(_._4).map(_._2).sum
+    assert(kept <= budget && kept > 0)
+  }
+
+  test("tokenBudgetSelect: budget below the best doc keeps nothing; huge budget keeps all") {
+    val d = Seq((1L, "one two three"), (2L, "four five six seven"))
+      .toDF("doc_id", "text")
+    val none = Curation.tokenBudgetSelect(d, "doc_id", "text", 2L)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(none.forall(!_._4))
+    val all = Curation.tokenBudgetSelect(d, "doc_id", "text", 100L)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(all.forall(_._4) && all.map(_._3).max == 7L)
+  }
 }

@@ -199,6 +199,25 @@ class DataxSpec extends AnyFunSuite {
     assert(!exact.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("sourceOverlap rolls near-dup pairs up to unordered source-pair counts") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (1L, base, "wiki"),              // dup cluster {1,2,3}
+      (2L, base, "crawl"),             //  across wiki/crawl/crawl
+      (3L, base + " lambda", "crawl"),
+      (4L, "totally different words entirely unrelated content here", "wiki"))
+      .toDF("doc_id", "text", "source")
+    val m = Dedup.sourceOverlap(d, "doc_id", "source", "text",
+        k = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .as[(String, String, Long)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    Dedup.releaseShingleCaches()
+    // pairs: (1,2) wiki-crawl, (1,3) wiki-crawl, (2,3) crawl-crawl
+    assert(m(("crawl", "wiki")) == 2L)
+    assert(m(("crawl", "crawl")) == 1L)
+    assert(m.size == 2, "unrelated doc 4 must contribute no row")
+  }
+
   test("dupClusters: chain components collapse to the min-id representative") {
     val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L), (9L, 4L))
       .toDF("id_a", "id_b")
