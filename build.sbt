@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// All suites share one SparkSession (TestSpark); the cache-lifecycle
+// specs assert cacheManager.isEmpty, which RACES with a concurrently
+// running suite's legitimate internal caches. Suites run sequentially
+// so those assertions are deterministic, not scheduling luck.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

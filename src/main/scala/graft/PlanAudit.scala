@@ -27,7 +27,8 @@ object PlanAudit {
       "d41_domain_cap", "d42_corpus_shuffle", "d43_chunk_sequences",
       "h07_small_qty_revenue", "h08_large_orders",
       "d23a_contamination_bloom", "d45_importance_weights",
-      "d46_token_budget", "h09_custdist", "d47_source_overlap")
+      "d46_token_budget", "h09_custdist", "d47_source_overlap",
+      "d48_dup_spans", "d49_incremental_dedup")
     for (name <- interesting) {
       println(s"\n##### $name")
       val df = SparkEntry.queries(name)(spark, dir)

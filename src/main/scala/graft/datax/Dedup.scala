@@ -32,13 +32,17 @@ object Dedup {
     * (d05 + d23 + d30 in one session) release them via
     * [[releaseShingleCaches]] once results are materialized. The EAGER
     * operators (dedupCorpus, decontaminate, dupClusters) clean up after
-    * themselves (try/finally — error paths included). WEAK references:
-    * a caller that never releases leaks the cached data only until its
-    * DataFrame is unreachable, not registry entries for the JVM's life. */
+    * themselves (try/finally — error paths included). STRONG references,
+    * deliberately: Spark's CacheManager keeps cached data alive until an
+    * explicit unpersist REGARDLESS of whether the DataFrame wrapper is
+    * reachable, so a weak registry would free nothing — it would only
+    * let GC erase the entry and make releaseShingleCaches silently miss
+    * the cache (observed under heap pressure). Entries are removed on
+    * release; a caller that never releases holds registry entries for
+    * the session's life, which is exactly the cached data's life. */
   private val liveShingleCaches: java.util.Set[DataFrame] =
     java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[DataFrame, java.lang.Boolean]()))
+      new java.util.LinkedHashSet[DataFrame]())
 
   /** Unpersist every shingle cache this object still holds. Safe to call
     * any time: plans re-execute (correctly, slower) after release. */
@@ -193,8 +197,17 @@ object Dedup {
     * subtree per reference. `threshold` must be > 0 (pairs with empty
     * intersection don't reach the output). */
   private def verifyJaccard(cand: DataFrame, exploded: DataFrame,
-                            threshold: Double): DataFrame = {
-    val sz = shingleCounts(exploded)
+                            threshold: Double): DataFrame =
+    verifyJaccardSides(cand, exploded, exploded, threshold)
+
+  /** [[verifyJaccard]] generalized to candidate pairs whose two sides
+    * come from DIFFERENT shingle relations (id_a ∈ expA, id_b ∈ expB) —
+    * the incremental new-batch-vs-index case. Identical plan shape; the
+    * self-join case passes the same relation twice. */
+  private def verifyJaccardSides(cand: DataFrame, expA: DataFrame,
+                                 expB: DataFrame,
+                                 threshold: Double): DataFrame = {
+    def sz(e: DataFrame) = shingleCounts(e)
     // Size-ratio prune BEFORE the shared-shingle join: with |A| <= |B|,
     // J(A,B) = |A∩B|/|A∪B| <= |A|/|B|, so a pair whose count ratio falls
     // outside [t, 1/t] provably cannot reach threshold t. The counts are
@@ -204,13 +217,13 @@ object Dedup {
     // this is the difference between verifying every LSH collision and
     // verifying only same-scale ones.
     val sized = cand
-      .join(sz.select(col("id").as("id_a"), col("n").as("_na")), "id_a")
-      .join(sz.select(col("id").as("id_b"), col("n").as("_nb")), "id_b")
+      .join(sz(expA).select(col("id").as("id_a"), col("n").as("_na")), "id_a")
+      .join(sz(expB).select(col("id").as("id_b"), col("n").as("_nb")), "id_b")
       .filter(col("_na") >= col("_nb") * threshold &&
         col("_nb") >= col("_na") * threshold)
     sized
-      .join(exploded.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
-      .join(exploded.select(col("id").as("_idb"), col("s").as("s_b")),
+      .join(expA.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(expB.select(col("id").as("_idb"), col("s").as("s_b")),
         col("id_b") === col("_idb") && col("s_a") === col("s_b"))
       .groupBy("id_a", "id_b", "_na", "_nb").agg(count(lit(1)).as("_inter"))
       .select(col("id_a"), col("id_b"),
@@ -339,6 +352,145 @@ object Dedup {
         greatest(col("_sa"), col("_sb")).as("source_b"))
       .groupBy("source_a", "source_b")
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** INCREMENTAL near-duplicate detection: MinHash-LSH pairs between a
+    * NEW batch and an EXISTING corpus/index — the operational shape at
+    * 100 TB, where a new crawl snapshot is deduplicated against the
+    * standing corpus without ever re-pairing the corpus with itself.
+    * Returns (id_a = new-batch id, id_b = index id, jaccard >= threshold).
+    *
+    * Scale shape: both sides reduce to (id, band, bsig) rows via the
+    * SAME band construction as [[minhashNearDups]] (so an index's band
+    * table can be PRECOMPUTED and stored bucketed by (band, bsig) —
+    * only the new batch's signatures are built per increment); the
+    * candidate join is new-bands × index-bands on (band, bsig), where
+    * AQE broadcasts the batch side when it is small (the normal case:
+    * batch ≪ corpus). Verification is the count-based exact Jaccard
+    * with the lossless size-ratio prune, across the two shingle
+    * relations. Within-batch duplicates are [[dedupCorpus]]'s job —
+    * see [[dedupIncrement]] for the composed step. */
+  def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String, k: Int = 4,
+                          numHashes: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    require(threshold > 0, "zero-intersection pairs are never emitted")
+    incrementalNearDupsOn(docShingleRows(newDocs, idCol, textCol, k),
+      docShingleRows(index, idCol, textCol, k), numHashes, bands, threshold)
+  }
+
+  /** [[incrementalNearDups]] over already-built shingle relations — lets
+    * eager callers (dedupIncrement) own the cache lifecycle. */
+  private def incrementalNearDupsOn(ne: DataFrame, ie: DataFrame,
+                                    numHashes: Int, bands: Int,
+                                    threshold: Double): DataFrame = {
+    val cand = bandedSigs(ne, numHashes, bands)
+      .select(col("band"), col("bsig"), col("id").as("id_a"))
+      .join(bandedSigs(ie, numHashes, bands)
+          .select(col("band"), col("bsig"), col("id").as("id_b")),
+        Seq("band", "bsig"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccardSides(cand, ne, ie, threshold)
+  }
+
+  /** End-to-end INCREMENTAL dedup: the new-batch rows that survive both
+    * (a) near-dup / exact-fingerprint dedup WITHIN the batch
+    * ([[dedupCorpus]] on the batch alone — the standing corpus is
+    * already deduplicated, by induction) and (b) near-dup or
+    * exact-fingerprint collision AGAINST the index
+    * ([[incrementalNearDups]] + a digest semi join for sub-k docs that
+    * are invisible to MinHash). Append the result to the corpus and the
+    * invariant "no two near-dup docs in the corpus" is maintained
+    * without ever re-pairing corpus×corpus.
+    *
+    * Eager like [[dedupCorpus]]: the cross-match id list materializes
+    * inside and every shingle cache is released before returning; the
+    * returned plan is batch ANTI JOIN small-list with no forced
+    * broadcast (AQE decides from the list's real size). */
+  def dedupIncrement(newDocs: DataFrame, index: DataFrame, idCol: String,
+                     textCol: String, k: Int = 4, numHashes: Int = 16,
+                     bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    require(threshold > 0, "zero-intersection pairs are never emitted")
+    val ne = docShingleRows(newDocs, idCol, textCol, k)
+    val ie = docShingleRows(index, idCol, textCol, k)
+    val crossHit =
+      try cutLineage(
+        incrementalNearDupsOn(ne, ie, numHashes, bands, threshold)
+          .select(col("id_a").as(idCol)).distinct())
+      finally Seq(ne, ie).foreach { e =>
+        e.unpersist(); liveShingleCaches.remove(e)
+      }
+    // sub-k-token docs produce no shingles: exact-fingerprint collisions
+    // against the index catch them (same rule dedupCorpus applies
+    // within one table). A digest is 16 bytes/doc — the semi join
+    // shuffles fingerprints, never text.
+    val exactHit = newDocs
+      .select(col(idCol), TextStats.fingerprint(col(textCol)).as("_fp"))
+      .join(index.select(TextStats.fingerprint(col(textCol)).as("_fp")),
+        Seq("_fp"), "left_semi")
+      .select(col(idCol))
+    dedupCorpus(newDocs, idCol, textCol, k, numHashes, bands, threshold)
+      .join(crossHit.union(exactHit), Seq(idCol), "left_anti")
+  }
+
+  /** Duplicate n-gram SPAN removal — the exact-substring dedup shape of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"), at k-token-gram granularity: every k-gram occurring at
+    * least `minCount` times across the corpus (within-document repeats
+    * included) marks its k token positions as duplicated; marked tokens
+    * are removed and each document is re-assembled from the survivors.
+    * Returns one row per input document (documents with NULL text
+    * produce no tokens and are absent): idCol, `clean_fp` (md5 of the
+    * cleaned text — the compare-friendly digest, as d24 does for
+    * redaction), `n_tokens`, `n_dropped`.
+    *
+    * Scale shape: gram rows are built exactly like [[docShingleRows]]
+    * (posexplode + window lead — codegen, ONE shuffle on id) but keep
+    * their POSITION and are not distinct'd; the duplicate-gram set is
+    * one map-side-combined count shuffle; cover expansion is a bounded
+    * k-fold explode; re-assembly is one groupBy(id) whose collect_list
+    * is bounded by document length (the same per-doc bound the LSH
+    * bucket expansion accepts). Token and gram relations are cached —
+    * both are consumed twice — and registered for
+    * [[releaseShingleCaches]] like every lazy dedup API here. */
+  def dupSpanRemoval(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, minCount: Long = 2): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(minCount >= 2, s"minCount=$minCount: below 2 every gram is a duplicate")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+      .cache()
+    registerCache(toks)
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until k).map(j => lead(col("t"), j).over(w))
+    val grams = toks.select(col("id"), col("pos"),
+        md5(concat_ws(" ", col("t") +: leads: _*)).as("g"),
+        (if (k > 1) leads.last else col("t")).as("_last"))
+      .filter(col("_last").isNotNull)
+      .select("id", "pos", "g")
+      .cache()
+    registerCache(grams)
+    val dupg = grams.groupBy("g").agg(count(lit(1)).as("_n"))
+      .filter(col("_n") >= minCount).select("g")
+    val covered = grams.join(dupg, "g")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val flagged = toks.join(covered.withColumn("_c", lit(true)),
+      Seq("id", "pos"), "left")
+    val kept = filter(
+      array_sort(collect_list(struct(col("pos"), col("t"),
+        coalesce(col("_c"), lit(false)).as("c")))),
+      x => !x.getField("c"))
+    flagged.groupBy("id").agg(
+        md5(concat_ws(" ", transform(kept, x => x.getField("t")))).as("clean_fp"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(coalesce(col("_c"), lit(false)), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumnRenamed("id", idCol)
   }
 
   /** Exact n-gram Jaccard pairs via shared-shingle self-join — the

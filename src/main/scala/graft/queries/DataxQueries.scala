@@ -230,10 +230,11 @@ object DataxQueries {
         WHERE cosine >= 0.25 ORDER BY id_a, id_b"""
   }
 
-  /** The full MinHash-LSH pipeline replayed in DuckDB SQL (shared by the
-    * d05 pair check and the d21 cluster check, which wraps it in a
-    * recursive-CTE connected-components closure). */
-  private val MinhashPairsSql: String = s"""WITH docs AS (
+  /** The full MinHash-LSH pipeline replayed in DuckDB SQL, with the
+    * pair-join condition a parameter: `a.id < b.id` gives the d05
+    * all-pairs form; a side-splitting predicate gives the d49
+    * new-batch-vs-index form. */
+  private def minhashPairsSqlCond(pairCond: String): String = s"""WITH docs AS (
           SELECT doc_id AS id,
                  list_distinct(list_filter(
                    list_transform(range(1, len(toks) - 2),
@@ -257,7 +258,7 @@ object DataxQueries {
         pairs AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
           FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
-           AND a.id < b.id)
+           AND $pairCond)
         SELECT id_a, id_b,
                len(list_intersect(sh_a, sh_b))
                  / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
@@ -265,6 +266,42 @@ object DataxQueries {
         WHERE len(list_intersect(sh_a, sh_b))
                 / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.3
         ORDER BY id_a, id_b"""
+
+  /** Shared by the d05 pair check and the d21/d30 cluster closures. */
+  private val MinhashPairsSql: String = minhashPairsSqlCond("a.id < b.id")
+
+  /** d49: new batch = ids ≡ 0 (mod 3), index = the rest. */
+  private val IncrementalPairsSql: String =
+    minhashPairsSqlCond("a.id % 3 = 0 AND b.id % 3 <> 0")
+
+  /** d48: duplicate k-gram span removal replayed in DuckDB — positioned
+    * gram rows, duplicated-gram set (count >= 2), k-position cover,
+    * anti-marked re-assembly via ordered string_agg. Mirrors
+    * [[graft.datax.Dedup.dupSpanRemoval]] at k=4. */
+  private val DupSpansSql: String = s"""WITH toks AS (
+          SELECT doc_id AS id, $TOKS AS tk FROM documents),
+        tok AS (
+          SELECT id, unnest(list_transform(range(1, len(tk) + 1),
+                   i -> {'pos': CAST(i - 1 AS INT), 't': tk[i]}),
+                   recursive := true)
+          FROM toks),
+        g AS (
+          SELECT id, unnest(list_transform(range(1, len(tk) - 2),
+                   i -> {'pos': CAST(i - 1 AS INT),
+                         'g': md5(array_to_string(tk[i:i+3], ' '))}),
+                   recursive := true)
+          FROM toks WHERE len(tk) >= 4),
+        dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        cov AS (SELECT DISTINCT g.id, g.pos + CAST(j AS INT) AS pos
+                FROM g JOIN dup USING (g), range(0, 4) r(j)),
+        fl AS (SELECT tok.id, tok.pos, tok.t, cov.pos IS NOT NULL AS c
+               FROM tok LEFT JOIN cov ON tok.id = cov.id AND tok.pos = cov.pos)
+        SELECT id AS doc_id,
+               md5(coalesce(string_agg(CASE WHEN NOT c THEN t END, ' '
+                                       ORDER BY pos), '')) AS clean_fp,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE c) AS BIGINT) AS n_dropped
+        FROM fl GROUP BY id ORDER BY doc_id"""
 
   /** Exact shingle-containment contamination scan, shared verbatim by
     * d23 (exhaustive) and d23a (bloom-prefiltered, lossless). */
@@ -400,6 +437,33 @@ object DataxQueries {
         WHERE doc_id NOT IN (SELECT id FROM dropped
                              UNION SELECT id FROM exact_dropped)
         ORDER BY doc_id""")),
+
+    /* INCREMENTAL dedup: new-batch-vs-index near-dup pairs — the
+     * operational 100 TB shape (a new snapshot dedups against the
+     * standing corpus; corpus×corpus is never re-paired). Batch = ids
+     * ≡ 0 (mod 3); same LSH parameters as d05, so the index band table
+     * is the one a store would keep precomputed. */
+    QueryDef("d49_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalNearDups(
+            docs.filter(col("doc_id") % 3 === 0),
+            docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+            k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(IncrementalPairsSql)),
+
+    /* Duplicate n-gram SPAN removal (the Lee et al. 2022
+     * exact-substring-dedup shape): corpus-duplicated k-grams mark their
+     * token positions, marked tokens are dropped, documents re-assemble
+     * from the survivors. clean_fp = md5(cleaned text) keeps the
+     * compare exact without shipping full text (the d24 pattern). */
+    QueryDef("d48_dup_spans",
+      (s, dir) => Dedup.dupSpanRemoval(t(s, dir, "documents"), "doc_id",
+          "text", k = 4, minCount = 2)
+        .orderBy("doc_id"),
+      Some(DupSpansSql)),
 
     /* Exhaustive n-gram Jaccard — the exact baseline MinHash approximates
      * (shared-shingle join in Spark; small-n cross join in the oracle). */

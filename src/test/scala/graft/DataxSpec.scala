@@ -462,6 +462,72 @@ class DataxSpec extends AnyFunSuite {
       "releaseShingleCaches must drop every registered shingle cache")
   }
 
+  test("dupSpanRemoval drops corpus-duplicated k-gram spans, keeps the rest") {
+    spark.sqlContext.clearCache()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val d = docs(
+      0L -> "a b c d e f a b c d x", // "a b c d" repeats WITHIN the doc
+      1L -> "a b c d q r s t", // shares "a b c d" with doc 0 (cross-doc)
+      2L -> "zz", // sub-k: no grams, untouched
+      3L -> "unique words only here never repeated",
+      4L -> "p q r s p q r s") // every position covered -> empty survivor
+    val r = Dedup.dupSpanRemoval(d, "doc_id", "text", k = 4, minCount = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(r(0) == ((0L, md5hex("e f x"), 11L, 8L)),
+      "within-doc repeat covers both occurrences")
+    assert(r(1) == ((1L, md5hex("q r s t"), 8L, 4L)),
+      "cross-doc duplicated prefix is removed")
+    assert(r(2) == ((2L, md5hex("zz"), 1L, 0L)), "sub-k docs pass through")
+    assert(r(3) == ((3L, md5hex("unique words only here never repeated"), 6L, 0L)))
+    assert(r(4) == ((4L, md5hex(""), 8L, 8L)),
+      "a fully-duplicated doc reduces to the empty string, not a missing row")
+    Dedup.releaseShingleCaches()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("incrementalNearDups pairs the batch against the index only") {
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog tonight",
+      11L -> "an utterly different batch document about query planners",
+      12L -> "an utterly different batch document about query planners")
+    val index = docs(
+      1L -> "the quick brown fox jumps over the lazy dog at dawn today",
+      2L -> "standing corpus text with no relation to anything above",
+      3L -> "standing corpus text with no relation to anything above at all")
+    val pairs = Dedup.incrementalNearDups(batch, index, "doc_id", "text",
+        bands = 8, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 1L)),
+      "batch->index pairs only: batch-batch (11,12) and index-index (2,3) " +
+        "duplicates never pair in the incremental face")
+    Dedup.releaseShingleCaches()
+  }
+
+  test("dedupIncrement keeps only append-safe batch rows and releases caches") {
+    spark.sqlContext.clearCache()
+    val index = docs(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "standing corpus text with no relation to anything above",
+      3L -> "tiny doc")
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog at dawn today", // near-dups index 1
+      11L -> "a brand new batch document with entirely fresh content",
+      12L -> "a brand new batch document with entirely fresh content today yes", // near-dups 11
+      13L -> "tiny  DOC", // sub-k exact fingerprint dup of index 3
+      14L -> "wholly unrelated singleton appended to the corpus now")
+    val kept = Dedup.dedupIncrement(batch, index, "doc_id", "text",
+        bands = 8, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L, 14L),
+      "10 drops against the index, {11,12} collapses within-batch to 11, " +
+        "13 drops via the cross fingerprint rule, 14 survives")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedupIncrement is eager and must release every internal cache")
+  }
+
   // ---- similarity search ----
 
   test("bruteForceTopK: self excluded, duplicate vector ranks first with cosine 1") {
