@@ -902,6 +902,53 @@ object CoreQueries {
           FROM customer c LEFT JOIN orders o
             ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
           GROUP BY c.c_custkey)
-        GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    /* TPC-H Q21-SHAPE anchor (adapted to this schema: "returned" stands
+     * in for "late"): per returned lineitem of supplier s in a finished
+     * order, EXISTS another supplier in the order and NOT EXISTS another
+     * supplier with a returned item. The classic double-correlated-
+     * subquery stressor — and the Spark-first point: BOTH subqueries
+     * decorrelate into ONE aggregate over lineitem (distinct-supplier
+     * count, distinct returning-supplier count, the sole returner, its
+     * returned-row count), so the plan is semi join + one aggregation
+     * pass — no self-joins at all. The oracle keeps the faithful
+     * EXISTS/NOT-EXISTS form; the hash compare proves the
+     * decorrelation equivalent. */
+    QueryDef("h10_sole_return_supplier",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val fOrders = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select("o_orderkey")
+        val perOrder = li
+          .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_orderkey")
+          .agg(
+            countDistinct(col("l_suppkey")).as("_ns"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("_nrs"),
+            min(when(col("l_returnflag") === "R", col("l_suppkey")))
+              .as("_rsupp"),
+            count(when(col("l_returnflag") === "R", lit(1))).as("_rrows"))
+          .filter(col("_ns") >= 2 && col("_nrs") === 1)
+        val byS = perOrder.groupBy(col("_rsupp").as("s_suppkey"))
+          .agg(sum("_rrows").as("_w"))
+        t(s, dir, "supplier").join(byS, "s_suppkey")
+          .groupBy("s_name").agg(sum("_w").cast("long").as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT * FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT * FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"""))
   )
 }

@@ -321,4 +321,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((100L, 1L, 2L), (100L, 2L, 1L),
       (200L, 1L, 1L), (200L, 2L, 1L)))
   }
+
+  test("DedupStream: the index grows only by novel docs; redelivery appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val idx = s"$dir/index"
+    def indexIds = spark.read.parquet(idx)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docsStream = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DedupStream
+      .writer(docsStream, idx, "doc_id", "text", bands = 8, threshold = 0.4)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      // batch 1 bootstraps the index: within-batch exact dup collapses
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "the quick brown fox jumps over the lazy dog tonight"))
+      q.processAllAvailable()
+      assert(indexIds == Seq(1L), "bootstrap batch dedups within itself")
+      // batch 2: near-dup of indexed 1 drops; within-batch pair {11,12}
+      // collapses to 11; only novel content appends
+      mem.addData(
+        (10L, "the quick brown fox jumps over the lazy dog at dawn today"),
+        (11L, "a brand new batch document with entirely fresh content"),
+        (12L, "a brand new batch document with entirely fresh content today yes"))
+      q.processAllAvailable()
+      assert(indexIds == Seq(1L, 11L),
+        "10 drops against the index, {11,12} collapses, 11 appends")
+      // redelivery of an already-accepted doc: the cross fingerprint
+      // rule makes it a no-op — replay-idempotence WITHOUT a batch guard
+      mem.addData((11L, "a brand new batch document with entirely fresh content"))
+      q.processAllAvailable()
+      assert(indexIds == Seq(1L, 11L), "redelivered row appends nothing")
+    } finally q.stop()
+  }
 }
