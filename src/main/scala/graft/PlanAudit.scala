@@ -28,7 +28,8 @@ object PlanAudit {
       "h07_small_qty_revenue", "h08_large_orders",
       "d23a_contamination_bloom", "d45_importance_weights",
       "d46_token_budget", "h09_custdist", "d47_source_overlap",
-      "d48_dup_spans", "d49_incremental_dedup")
+      "d48_dup_spans", "d49_incremental_dedup",
+      "h10_sole_return_supplier", "d50_snapshot_diff", "d51_data_card")
     for (name <- interesting) {
       println(s"\n##### $name")
       val df = SparkEntry.queries(name)(spark, dir)

@@ -381,4 +381,43 @@ object Curation {
       (col("total").cast("double")
         / (col("n_sources") * col("n_tokens")).cast("double")).as("weight"))
   }
+
+  /** Snapshot DIFF — the incremental-crawl bookkeeping step: per doc id,
+    * whether it was `added`, `removed`, `changed` (normalized-text
+    * fingerprints differ), or `unchanged` between two corpus snapshots.
+    * Feeding the added+changed slice to [[graft.datax.Dedup.dedupIncrement]]
+    * is the standard "process only what moved" loop.
+    *
+    * Scale shape: each side reduces scan-side to (id, 16-byte digest) —
+    * text never rides the join — then ONE full-outer hash join on id.
+    * On a lakehouse this maps to table-version diffing; the operator is
+    * the engine-level form. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val a = prev.select(col(idCol).as("id"),
+      TextStats.fingerprint(col(textCol)).as("_fpa"))
+    val b = cur.select(col(idCol).as("id"),
+      TextStats.fingerprint(col(textCol)).as("_fpb"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("_fpa").isNull, "added")
+          .when(col("_fpb").isNull, "removed")
+          .when(col("_fpa") =!= col("_fpb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Dataset CARD rollup: doc and token counts across EVERY combination
+    * of the grouping dims (CUBE — per source, per lang, per pair, and
+    * the grand total in one pass), the summary table a corpus release
+    * ships with. Token counts stay scan-side; Spark's partial/final
+    * HashAggregate handles the 2^dims expansion map-side, one shuffle. */
+  def dataCard(docs: DataFrame, textCol: String,
+               dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "dataCard needs at least one grouping dim")
+    docs
+      .select(dims.map(col) :+
+        TextStats.tokenCountWs(col(textCol)).cast("long").as("_nt"): _*)
+      .cube(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
+  }
 }

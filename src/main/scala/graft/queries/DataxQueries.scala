@@ -1425,6 +1425,53 @@ object DataxQueries {
                       JOIN s sb ON p.id_b = sb.doc_id)
         SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
         FROM ps GROUP BY source_a, source_b
-        ORDER BY source_a, source_b"""))
+        ORDER BY source_a, source_b""")),
+
+    /* Snapshot DIFF: added/removed/changed/unchanged per doc id between
+     * two corpus snapshots, by scan-side 16-byte fingerprints + ONE
+     * full-outer id join (text never rides the join). Snapshots are
+     * simulated from the one table: prev drops ids ≡4 (mod 5), cur
+     * drops ids ≡0 (mod 5) and edits text for ids ≡0 (mod 7). */
+    QueryDef("d50_snapshot_diff",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val prev = docs.filter(col("doc_id") % 5 =!= 4)
+          .select(col("doc_id"), col("text"))
+        val cur = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Curation.snapshotDiff(prev, cur, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH prev AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fpa
+          FROM documents WHERE doc_id % 5 <> 4),
+        cur AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(
+                   CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END),
+                   '\s+', ' ', 'g'))) AS fpb
+          FROM documents WHERE doc_id % 5 <> 0)
+        SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
+               CASE WHEN prev.doc_id IS NULL THEN 'added'
+                    WHEN cur.doc_id IS NULL THEN 'removed'
+                    WHEN fpa <> fpb THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
+        ORDER BY doc_id""")),
+
+    /* Dataset CARD: doc/token counts across every (source, lang)
+     * combination in one CUBE pass — per source, per lang, per pair,
+     * grand total (h05 anchors ROLLUP; this anchors CUBE). */
+    QueryDef("d51_data_card",
+      (s, dir) => Curation.dataCard(t(s, dir, "documents"), "text",
+          Seq("source", "lang"))
+        .orderBy("source", "lang"),
+      Some("""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY CUBE (source, lang)
+        ORDER BY source, lang"""))
   )
 }

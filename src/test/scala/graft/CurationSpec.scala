@@ -302,4 +302,33 @@ class CurationSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Boolean)].collect()
     assert(all.forall(_._4) && all.map(_._3).max == 7L)
   }
+
+  // ---- snapshot diff / data card ----
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by normalized fingerprint") {
+    val prev = docs(1L -> "gone forever", 2L -> "stable doc", 3L -> "old body")
+    val cur = docs(2L -> "STABLE   doc", 3L -> "new body", 4L -> "fresh doc")
+    val r = Curation.snapshotDiff(prev, cur, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"),
+      "case/whitespace-only edits are UNCHANGED (normalized fingerprint), " +
+        "real edits are changed")
+  }
+
+  test("dataCard: one CUBE pass yields per-dim slices and the grand total") {
+    val d = Seq(
+      (1L, "web", "en", "one two three"),
+      (2L, "web", "de", "eins zwei"),
+      (3L, "books", "en", "a b c d"))
+      .toDF("doc_id", "source", "lang", "text")
+    val card = Curation.dataCard(d, "text", Seq("source", "lang"))
+      .as[(Option[String], Option[String], Long, Long)].collect()
+      .map(x => (x._1.getOrElse("*"), x._2.getOrElse("*"), x._3, x._4)).toSet
+    assert(card == Set(
+      ("web", "en", 1L, 3L), ("web", "de", 1L, 2L), ("books", "en", 1L, 4L),
+      ("web", "*", 2L, 5L), ("books", "*", 1L, 4L),
+      ("*", "en", 2L, 7L), ("*", "de", 1L, 2L),
+      ("*", "*", 3L, 9L)))
+  }
 }
