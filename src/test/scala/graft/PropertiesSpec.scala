@@ -99,4 +99,97 @@ class PropertiesSpec extends AnyFunSuite {
       coalesce(f.getField("width"), lit(0)).as("w")))
     assert(df.filter(keys =!= reverse(array_sort(keys))).count() == 0)
   }
+
+  // ---- datax operator invariants (round 4) ----
+
+  /** Random word-soup corpus over a SMALL vocabulary — small so that
+    * duplicate k-grams actually occur across documents. */
+  private def genDocs(n: Int, seed: Long, maxLen: Int): DataFrame = {
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val gen = for {
+      len <- Gen.choose(0, maxLen)
+      ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val rows = (0 until n).map(i =>
+      Row(i.toLong, gen(Gen.Parameters.default, Seed(seed + i)).get))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  test("dupSpanRemoval: conservation, bounds, determinism, minCount monotone, oversize-k no-op") {
+    import graft.datax.{Dedup, TextStats}
+    val d = genDocs(80, 7L, maxLen = 12)
+    def run(k: Int, minCount: Long) = {
+      val r = Dedup.dupSpanRemoval(d, "doc_id", "text", k, minCount)
+        .collect().map(x => x.getLong(0) ->
+          ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+      Dedup.releaseShingleCaches()
+      r
+    }
+    val r = run(3, 2)
+    assert(r.size == 80, "one output row per input doc")
+    assert(r.values.forall(x => x._3 >= 0 && x._3 <= x._2),
+      "0 <= n_dropped <= n_tokens")
+    val expected = d.select(col("doc_id"),
+        size(TextStats.tokens(col("text"))).cast("long"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.forall { case (id, x) => x._2 == expected(id) },
+      "n_tokens is the input token count")
+    assert(run(3, 2) == r, "deterministic across runs")
+    val stricter = run(3, 3)
+    assert(r.keys.forall(id => stricter(id)._3 <= r(id)._3),
+      "raising minCount can only shrink per-doc drops")
+    assert(run(20, 2).values.forall(_._3 == 0L),
+      "k beyond every doc length drops nothing")
+  }
+
+  test("incrementalNearDups == the cross-side slice of minhashNearDups on the union") {
+    import graft.datax.Dedup
+    // base docs 0..29 plus a near-copy of each at id+31: (i+31) % 3 ==
+    // (i+1) % 3, so copies land on the OTHER side of the %3 split for
+    // 2/3 of the pairs — cross-side near-dups are guaranteed, not left
+    // to random-text luck
+    val base = genDocs(30, 11L, maxLen = 12)
+    val d = base.union(base.select((col("doc_id") + 31).as("doc_id"),
+      concat(col("text"), lit(" extraword")).as("text")))
+    val sorted = (p: (Long, Long)) => (math.min(p._1, p._2), math.max(p._1, p._2))
+    val inc = Dedup.incrementalNearDups(
+        d.filter(col("doc_id") % 3 === 0), d.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", k = 3, numHashes = 16, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b")
+      .collect().map(x => sorted((x.getLong(0), x.getLong(1)))).toSet
+    Dedup.releaseShingleCaches()
+    val all = Dedup.minhashNearDups(d, "doc_id", "text",
+        k = 3, numHashes = 16, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    Dedup.releaseShingleCaches()
+    val cross = all.filter(p => (p._1 % 3 == 0) != (p._2 % 3 == 0))
+    assert(inc == cross,
+      "the two-sided band join + verify finds EXACTLY the union " +
+        "pipeline's cross pairs — no extra, none missing")
+    assert(cross.nonEmpty, "vacuous run: vocabulary too large for dups")
+  }
+
+  test("snapshotDiff: ids = union of snapshots; status determined by membership + fingerprint") {
+    import graft.datax.Curation
+    val d = genDocs(60, 23L, maxLen = 8)
+    val prev = d.filter(col("doc_id") % 4 =!= 0)
+    val cur = d.filter(col("doc_id") % 4 =!= 1)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val got = Curation.snapshotDiff(prev, cur, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val expect = (0L until 60L).map { id =>
+      id -> (if (id % 4 == 0) "added" // absent from prev
+        else if (id % 4 == 1) "removed" // absent from cur
+        else if (id % 5 == 0) "changed" // ' v2' always changes the tokens
+        else "unchanged")
+    }.toMap
+    assert(got == expect)
+  }
 }
