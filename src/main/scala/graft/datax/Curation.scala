@@ -394,15 +394,19 @@ object Curation {
     * the engine-level form. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
+    // membership is tested via explicit presence markers, NOT fingerprint
+    // nullness: a doc present in both snapshots with NULL text has a NULL
+    // fingerprint and must compare as unchanged (null-safe <=>), not as
+    // added/removed
     val a = prev.select(col(idCol).as("id"),
-      TextStats.fingerprint(col(textCol)).as("_fpa"))
+      TextStats.fingerprint(col(textCol)).as("_fpa"), lit(true).as("_ina"))
     val b = cur.select(col(idCol).as("id"),
-      TextStats.fingerprint(col(textCol)).as("_fpb"))
+      TextStats.fingerprint(col(textCol)).as("_fpb"), lit(true).as("_inb"))
     a.join(b, Seq("id"), "full_outer")
       .select(col("id").as(idCol),
-        when(col("_fpa").isNull, "added")
-          .when(col("_fpb").isNull, "removed")
-          .when(col("_fpa") =!= col("_fpb"), "changed")
+        when(col("_ina").isNull, "added")
+          .when(col("_inb").isNull, "removed")
+          .when(!(col("_fpa") <=> col("_fpb")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

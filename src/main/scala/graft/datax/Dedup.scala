@@ -99,7 +99,7 @@ object Dedup {
     * id; the per-doc `distinct` reuses that partitioning (no second
     * exchange), as do all downstream per-id aggregations. */
   private def docShingleRows(docs: DataFrame, idCol: String, textCol: String,
-                             k: Int): DataFrame = {
+                             k: Int, cache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
       posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
@@ -111,15 +111,41 @@ object Dedup {
       .filter(col("_last").isNotNull && col("s") =!= "")
       .select("id", "s")
       .distinct()
-      // every consumer (signatures, pair join, size counts, verify)
-      // re-executes this subtree otherwise — the standard multi-pass-
-      // algorithm cache (as MLlib's LSH does); rows are (id, shingle)
-      // only, far smaller than the source text. Registered in
-      // liveShingleCaches so lifecycle is explicit (see top of file).
+    // single-consumer callers (bandSignatures writing a sidecar) skip
+    // the cache entirely
+    if (!cache) return out
+    // every consumer (signatures, pair join, size counts, verify)
+    // re-executes this subtree otherwise — the standard multi-pass-
+    // algorithm cache (as MLlib's LSH does); rows are (id, shingle)
+    // only, far smaller than the source text. Registered in
+    // liveShingleCaches so lifecycle is explicit (see top of file).
     val cached = out.cache()
     liveShingleCaches.add(cached)
     cached
   }
+
+  /** The storable (id, band, bsig) BAND TABLE of a corpus — the index
+    * sidecar the incremental-dedup loop keeps alongside the documents
+    * (bucketed/partitioned by (band, bsig) on a lakehouse) so an
+    * increment never recomputes corpus-side signatures
+    * ([[incrementalNearDupsPrebanded]]). `bands` rows per document,
+    * regardless of document size. Uncached: the one consumer is the
+    * sidecar write. */
+  def bandSignatures(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 4, numHashes: Int = 16,
+                     bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    bandedSigs(docShingleRows(docs, idCol, textCol, k, cache = false),
+      numHashes, bands)
+  }
+
+  /** The storable (id, fp) FINGERPRINT TABLE — 16 bytes per document;
+    * the exact-duplicate side of the same index sidecar (sub-k docs have
+    * no bands, so exact collisions need their own lookup). */
+  def fingerprintTable(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      TextStats.fingerprint(col(textCol)).as("fp"))
 
   /** The i-th MinHash hash of one shingle: seed i/4 prefixes the md5
     * input, and the digest's four 8-hex-char substrings are four
@@ -305,16 +331,27 @@ object Dedup {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     val exploded = docShingleRows(docs, idCol, textCol, k)
-    // dupClusters is eager (collect or checkpointed loop) and unpersists
-    // the pair cache itself; its output carries no lineage back to
-    // `exploded`, so the shingle cache is dropped right after —
-    // try/finally so an error path (non-convergence, task failure)
-    // doesn't leak the cache either
+    // dupClusters (inside dedupCorpusOn) is eager and its output carries
+    // no lineage back to `exploded`, so the shingle cache is dropped
+    // right after — try/finally so an error path (non-convergence, task
+    // failure) doesn't leak the cache either
+    try dedupCorpusOn(docs, exploded, idCol, textCol, numHashes, bands,
+      threshold)
+    finally { exploded.unpersist(); liveShingleCaches.remove(exploded); () }
+  }
+
+  /** [[dedupCorpus]] over an already-built shingle relation — lets
+    * dedupIncrement reuse the batch's cached shingles instead of
+    * re-deriving them. The caller owns `exploded`'s lifecycle; the
+    * near-dup drop list materializes inside (dupClusters is eager), so
+    * releasing `exploded` right after this returns is safe. */
+  private def dedupCorpusOn(docs: DataFrame, exploded: DataFrame,
+                            idCol: String, textCol: String, numHashes: Int,
+                            bands: Int, threshold: Double): DataFrame = {
     val nearDrop =
-      try dupClusters(minhashNearDupsOn(exploded, numHashes, bands, threshold))
+      dupClusters(minhashNearDupsOn(exploded, numHashes, bands, threshold))
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as(idCol))
-      finally { exploded.unpersist(); liveShingleCaches.remove(exploded); () }
     // window, not groupBy+self-join: re-referencing the (scan + md5)
     // subtree would execute it twice — at corpus scale that is two full
     // text scans for one digest
@@ -394,6 +431,40 @@ object Dedup {
     verifyJaccardSides(cand, ne, ie, threshold)
   }
 
+  /** [[incrementalNearDups]] against a PRECOMPUTED index band table
+    * ([[bandSignatures]], stored alongside the corpus) — the steady-state
+    * increment: corpus-side signatures are never recomputed, and
+    * corpus-side shingles are rebuilt only for the (candidate-sized)
+    * slice of index documents that actually collided with the batch.
+    * Per increment the corpus-sized work drops from tokenize + window +
+    * 16 min-aggregates over every index document to one band join
+    * (batch side broadcast) plus a semi-join text fetch of the touched
+    * docs. Output ≡ [[incrementalNearDups]] with the same parameters
+    * (DataxSpec pins the equality). */
+  def incrementalNearDupsPrebanded(newDocs: DataFrame, index: DataFrame,
+                                   indexBands: DataFrame, idCol: String,
+                                   textCol: String, k: Int = 4,
+                                   numHashes: Int = 16, bands: Int = 4,
+                                   threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    require(threshold > 0, "zero-intersection pairs are never emitted")
+    val ne = docShingleRows(newDocs, idCol, textCol, k)
+    val cand = bandedSigs(ne, numHashes, bands)
+      .select(col("band"), col("bsig"), col("id").as("id_a"))
+      .join(indexBands.select(col("band"), col("bsig"), col("id").as("id_b")),
+        Seq("band", "bsig"))
+      .select("id_a", "id_b").distinct()
+      // consumed three times below (verify join x2 + size join); tiny
+      // (collision pairs), and caching prevents re-running the band join
+      .cache()
+    registerCache(cand)
+    // re-shingle ONLY the index docs that collided — candidate-sized
+    val touched = index.join(cand.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val ie = docShingleRows(touched, idCol, textCol, k)
+    verifyJaccardSides(cand, ne, ie, threshold)
+  }
+
   /** End-to-end INCREMENTAL dedup: the new-batch rows that survive both
     * (a) near-dup / exact-fingerprint dedup WITHIN the batch
     * ([[dedupCorpus]] on the batch alone — the standing corpus is
@@ -410,29 +481,59 @@ object Dedup {
     * broadcast (AQE decides from the list's real size). */
   def dedupIncrement(newDocs: DataFrame, index: DataFrame, idCol: String,
                      textCol: String, k: Int = 4, numHashes: Int = 16,
-                     bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                     bands: Int = 4, threshold: Double = 0.5,
+                     indexBands: Option[DataFrame] = None,
+                     indexFps: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
-    val ne = docShingleRows(newDocs, idCol, textCol, k)
-    val ie = docShingleRows(index, idCol, textCol, k)
-    val crossHit =
-      try cutLineage(
-        incrementalNearDupsOn(ne, ie, numHashes, bands, threshold)
-          .select(col("id_a").as(idCol)).distinct())
-      finally Seq(ne, ie).foreach { e =>
-        e.unpersist(); liveShingleCaches.remove(e)
+    // the batch's shingle relation is built ONCE and feeds both the
+    // cross-index pass and the within-batch dedup; every cache this call
+    // creates is tracked and released (eager contract: a composing
+    // caller's OTHER live caches stay untouched)
+    val created = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def track(df: DataFrame): DataFrame = { created += df; df }
+    val ne = track(docShingleRows(newDocs, idCol, textCol, k))
+    try {
+      val crossPairs = indexBands match {
+        // steady state: the stored band table replaces corpus-side
+        // signature work ([[incrementalNearDupsPrebanded]]'s shape,
+        // inlined here so `ne` is shared)
+        case Some(ib) =>
+          val cand = bandedSigs(ne, numHashes, bands)
+            .select(col("band"), col("bsig"), col("id").as("id_a"))
+            .join(ib.select(col("band"), col("bsig"), col("id").as("id_b")),
+              Seq("band", "bsig"))
+            .select("id_a", "id_b").distinct().cache()
+          registerCache(track(cand))
+          val touched = index.join(cand.select(col("id_b").as(idCol)).distinct(),
+            Seq(idCol), "left_semi")
+          verifyJaccardSides(cand, ne,
+            track(docShingleRows(touched, idCol, textCol, k)), threshold)
+        case None =>
+          incrementalNearDupsOn(ne,
+            track(docShingleRows(index, idCol, textCol, k)),
+            numHashes, bands, threshold)
       }
-    // sub-k-token docs produce no shingles: exact-fingerprint collisions
-    // against the index catch them (same rule dedupCorpus applies
-    // within one table). A digest is 16 bytes/doc — the semi join
-    // shuffles fingerprints, never text.
-    val exactHit = newDocs
-      .select(col(idCol), TextStats.fingerprint(col(textCol)).as("_fp"))
-      .join(index.select(TextStats.fingerprint(col(textCol)).as("_fp")),
-        Seq("_fp"), "left_semi")
-      .select(col(idCol))
-    dedupCorpus(newDocs, idCol, textCol, k, numHashes, bands, threshold)
-      .join(crossHit.union(exactHit), Seq(idCol), "left_anti")
+      val crossHit = cutLineage(crossPairs.select(col("id_a").as(idCol)).distinct())
+      // sub-k-token docs produce no shingles: exact-fingerprint collisions
+      // against the index catch them (same rule dedupCorpus applies
+      // within one table). A digest is 16 bytes/doc — the semi join
+      // shuffles fingerprints, never text; the stored fingerprint table
+      // replaces the index text scan when provided.
+      val fps = indexFps.getOrElse(fingerprintTable(index, idCol, textCol))
+        .select(col("fp").as("_fp"))
+      val exactHit = newDocs
+        .select(col(idCol), TextStats.fingerprint(col(textCol)).as("_fp"))
+        .join(fps, Seq("_fp"), "left_semi")
+        .select(col(idCol))
+      // dedupCorpusOn's drop list materializes here (dupClusters is
+      // eager), so after this line no internal cache is referenced by
+      // the returned plan and the finally can release them all
+      dedupCorpusOn(newDocs, ne, idCol, textCol, numHashes, bands, threshold)
+        .join(crossHit.union(exactHit), Seq(idCol), "left_anti")
+    } finally created.foreach { e =>
+      e.unpersist(); liveShingleCaches.remove(e)
+    }
   }
 
   /** Duplicate n-gram SPAN removal — the exact-substring dedup shape of

@@ -1457,7 +1457,7 @@ object DataxQueries {
         SELECT coalesce(prev.doc_id, cur.doc_id) AS doc_id,
                CASE WHEN prev.doc_id IS NULL THEN 'added'
                     WHEN cur.doc_id IS NULL THEN 'removed'
-                    WHEN fpa <> fpb THEN 'changed'
+                    WHEN fpa IS DISTINCT FROM fpb THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM prev FULL OUTER JOIN cur ON prev.doc_id = cur.doc_id
         ORDER BY doc_id""")),
@@ -1468,7 +1468,9 @@ object DataxQueries {
     QueryDef("d51_data_card",
       (s, dir) => Curation.dataCard(t(s, dir, "documents"), "text",
           Seq("source", "lang"))
-        .orderBy("source", "lang"),
+        // CUBE subtotal rows carry NULL keys: Spark sorts NULLS FIRST by
+        // default, DuckDB NULLS LAST — spell it out (the r01/r02 rule)
+        .orderBy(col("source").asc_nulls_last, col("lang").asc_nulls_last),
       Some("""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
         FROM documents GROUP BY CUBE (source, lang)

@@ -314,6 +314,13 @@ class CurationSpec extends AnyFunSuite {
       4L -> "added"),
       "case/whitespace-only edits are UNCHANGED (normalized fingerprint), " +
         "real edits are changed")
+    // membership is presence, not fingerprint nullness: a NULL-text doc
+    // present in both snapshots is unchanged; null -> text is changed
+    val p2 = Seq((7L, null: String), (8L, null: String)).toDF("doc_id", "text")
+    val c2 = Seq((7L, null: String), (8L, "now has text")).toDF("doc_id", "text")
+    val r2 = Curation.snapshotDiff(p2, c2, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(r2 == Seq(7L -> "unchanged", 8L -> "changed"))
   }
 
   test("dataCard: one CUBE pass yields per-dim slices and the grand total") {

@@ -506,6 +506,40 @@ class DataxSpec extends AnyFunSuite {
     Dedup.releaseShingleCaches()
   }
 
+  test("prebanded incremental dedup == direct form; sidecars replace corpus-side work") {
+    spark.sqlContext.clearCache()
+    val batch = docs(
+      10L -> "the quick brown fox jumps over the lazy dog tonight",
+      11L -> "an utterly different batch document about query planners")
+    val index = docs(
+      1L -> "the quick brown fox jumps over the lazy dog at dawn today",
+      2L -> "standing corpus text with no relation to anything above")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val direct = collectPairs(Dedup.incrementalNearDups(batch, index,
+      "doc_id", "text", bands = 8, threshold = 0.4))
+    Dedup.releaseShingleCaches()
+    // the stored band table (what a deployment keeps next to the corpus)
+    val stored = Dedup.bandSignatures(index, "doc_id", "text", bands = 8)
+    val pre = collectPairs(Dedup.incrementalNearDupsPrebanded(batch, index,
+      stored, "doc_id", "text", bands = 8, threshold = 0.4))
+    Dedup.releaseShingleCaches()
+    assert(pre == direct && direct.nonEmpty,
+      "precomputed bands give bit-identical pairs (same jaccard values)")
+    // dedupIncrement with sidecars == without
+    val plain = Dedup.dedupIncrement(batch, index, "doc_id", "text",
+      bands = 8, threshold = 0.4).select("doc_id").as[Long].collect().sorted.toSeq
+    val withSidecars = Dedup.dedupIncrement(batch, index, "doc_id", "text",
+        bands = 8, threshold = 0.4,
+        indexBands = Some(stored),
+        indexFps = Some(Dedup.fingerprintTable(index, "doc_id", "text")))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(withSidecars == plain)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "the sidecar path releases every internal cache too")
+  }
+
   test("dedupIncrement keeps only append-safe batch rows and releases caches") {
     spark.sqlContext.clearCache()
     val index = docs(

@@ -324,14 +324,14 @@ class StreamingSpec extends AnyFunSuite {
 
   test("DedupStream: the index grows only by novel docs; redelivery appends nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
-    val idx = s"$dir/index"
-    def indexIds = spark.read.parquet(idx)
+    val root = s"$dir/index"
+    def indexIds = spark.read.parquet(s"$root/docs")
       .select("doc_id").as[Long].collect().sorted.toSeq
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
     val docsStream = mem.toDF().toDF("doc_id", "text")
     val q = graft.streaming.DedupStream
-      .writer(docsStream, idx, "doc_id", "text", bands = 8, threshold = 0.4)
+      .writer(docsStream, root, "doc_id", "text", bands = 8, threshold = 0.4)
       .option("checkpointLocation", s"$dir/ckpt")
       .start()
     try {
@@ -341,8 +341,9 @@ class StreamingSpec extends AnyFunSuite {
         (2L, "the quick brown fox jumps over the lazy dog tonight"))
       q.processAllAvailable()
       assert(indexIds == Seq(1L), "bootstrap batch dedups within itself")
-      // batch 2: near-dup of indexed 1 drops; within-batch pair {11,12}
-      // collapses to 11; only novel content appends
+      // batch 2: near-dup of indexed 1 drops (via the STORED band
+      // table, not recomputed corpus signatures); within-batch pair
+      // {11,12} collapses to 11; only novel content appends
       mem.addData(
         (10L, "the quick brown fox jumps over the lazy dog at dawn today"),
         (11L, "a brand new batch document with entirely fresh content"),
@@ -350,11 +351,19 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(indexIds == Seq(1L, 11L),
         "10 drops against the index, {11,12} collapses, 11 appends")
-      // redelivery of an already-accepted doc: the cross fingerprint
-      // rule makes it a no-op — replay-idempotence WITHOUT a batch guard
+      // redelivery of an already-accepted doc: the stored fingerprint
+      // table makes it a no-op — replay-idempotence WITHOUT a batch guard
       mem.addData((11L, "a brand new batch document with entirely fresh content"))
       q.processAllAvailable()
       assert(indexIds == Seq(1L, 11L), "redelivered row appends nothing")
+      // sidecars track the docs table exactly: 8 bands/doc, 1 fp/doc
+      val nDocs = indexIds.size
+      assert(spark.read.parquet(s"$root/bands")
+        .select("id").distinct().count() == nDocs)
+      assert(spark.read.parquet(s"$root/bands").count() == 8L * nDocs)
+      val fps = spark.read.parquet(s"$root/fps")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(fps == indexIds, "one fingerprint per indexed doc")
     } finally q.stop()
   }
 }
