@@ -83,4 +83,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,16)]"),
       s"query-side filter must reach the scan:\n$p")
   }
+
+  test("h10: decorrelated to aggregates — no lineitem self-join, top-k fused") {
+    val p = plan("h10_sole_return_supplier")
+    // the EXISTS/NOT-EXISTS pair must NOT plan as lineitem x lineitem:
+    // exactly one lineitem scan feeds one per-order aggregation pass
+    assert("Scan parquet [^\n]*lineitem".r.findAllIn(p).size == 1,
+      s"lineitem must be scanned exactly once:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)"),
+      s"order-status filter must reach the orders scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "limit must not global-sort")
+  }
+
+  test("d48: one gram build feeds both consumers (exchange reused, no cartesian)") {
+    val df = SparkEntry.queries("d48_dup_spans")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian in span removal:\n$p")
+    // the window-lead gram pipeline is cached: the duplicate-gram count
+    // and the cover join must read the SAME InMemoryRelation, so at most
+    // one id-partitioned window Exchange exists pre-cache
+    assert(p.contains("InMemoryTableScan"),
+      s"gram relation must be cache-shared, not recomputed:\n$p")
+    graft.datax.Dedup.releaseShingleCaches()
+  }
+
+  test("d50: digests computed scan-side — text never rides the diff join") {
+    val df = SparkEntry.queries("d50_snapshot_diff")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val joinIdx = p.linesIterator.indexWhere(_.contains("SortMergeJoin"))
+    assert(joinIdx >= 0, "full-outer diff joins by shuffle (cannot broadcast)")
+    // the join keys/payload are (id, md5 digest): no `text` attribute
+    // may appear in the join operator's own line
+    val joinLine = p.linesIterator.toSeq(joinIdx)
+    assert(!joinLine.contains("text"), s"text must not ride the join:\n$joinLine")
+  }
 }
