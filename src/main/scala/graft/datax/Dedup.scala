@@ -543,9 +543,8 @@ object Dedup {
     * included) marks its k token positions as duplicated; marked tokens
     * are removed and each document is re-assembled from the survivors.
     * Returns one row per input document (documents with NULL text
-    * produce no tokens and are absent): idCol, `clean_fp` (md5 of the
-    * cleaned text — the compare-friendly digest, as d24 does for
-    * redaction), `n_tokens`, `n_dropped`.
+    * produce no tokens and are absent): idCol, `text_clean` (the
+    * re-assembled surviving text), `n_tokens`, `n_dropped`.
     *
     * Scale shape: gram rows are built exactly like [[docShingleRows]]
     * (posexplode + window lead — codegen, ONE shuffle on id) but keep
@@ -587,7 +586,7 @@ object Dedup {
         coalesce(col("_c"), lit(false)).as("c")))),
       x => !x.getField("c"))
     flagged.groupBy("id").agg(
-        md5(concat_ws(" ", transform(kept, x => x.getField("t")))).as("clean_fp"),
+        concat_ws(" ", transform(kept, x => x.getField("t"))).as("text_clean"),
         count(lit(1)).as("n_tokens"),
         sum(when(coalesce(col("_c"), lit(false)), 1L).otherwise(0L))
           .as("n_dropped"))

@@ -462,6 +462,8 @@ object DataxQueries {
     QueryDef("d48_dup_spans",
       (s, dir) => Dedup.dupSpanRemoval(t(s, dir, "documents"), "doc_id",
           "text", k = 4, minCount = 2)
+        .select(col("doc_id"), md5(col("text_clean")).as("clean_fp"),
+          col("n_tokens"), col("n_dropped"))
         .orderBy("doc_id"),
       Some(DupSpansSql)),
 

@@ -464,9 +464,6 @@ class DataxSpec extends AnyFunSuite {
 
   test("dupSpanRemoval drops corpus-duplicated k-gram spans, keeps the rest") {
     spark.sqlContext.clearCache()
-    def md5hex(s: String): String =
-      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val d = docs(
       0L -> "a b c d e f a b c d x", // "a b c d" repeats WITHIN the doc
       1L -> "a b c d q r s t", // shares "a b c d" with doc 0 (cross-doc)
@@ -476,13 +473,13 @@ class DataxSpec extends AnyFunSuite {
     val r = Dedup.dupSpanRemoval(d, "doc_id", "text", k = 4, minCount = 2)
       .orderBy("doc_id")
       .as[(Long, String, Long, Long)].collect()
-    assert(r(0) == ((0L, md5hex("e f x"), 11L, 8L)),
+    assert(r(0) == ((0L, "e f x", 11L, 8L)),
       "within-doc repeat covers both occurrences")
-    assert(r(1) == ((1L, md5hex("q r s t"), 8L, 4L)),
+    assert(r(1) == ((1L, "q r s t", 8L, 4L)),
       "cross-doc duplicated prefix is removed")
-    assert(r(2) == ((2L, md5hex("zz"), 1L, 0L)), "sub-k docs pass through")
-    assert(r(3) == ((3L, md5hex("unique words only here never repeated"), 6L, 0L)))
-    assert(r(4) == ((4L, md5hex(""), 8L, 8L)),
+    assert(r(2) == ((2L, "zz", 1L, 0L)), "sub-k docs pass through")
+    assert(r(3) == ((3L, "unique words only here never repeated", 6L, 0L)))
+    assert(r(4) == ((4L, "", 8L, 8L)),
       "a fully-duplicated doc reduces to the empty string, not a missing row")
     Dedup.releaseShingleCaches()
     assert(spark.sharedState.cacheManager.isEmpty)
