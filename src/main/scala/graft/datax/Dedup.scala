@@ -137,7 +137,31 @@ object Dedup {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     bandedSigs(docShingleRows(docs, idCol, textCol, k, cache = false),
       numHashes, bands)
+      // self-describing: band signatures built with different (k,
+      // numHashes, bands) NEVER collide, so a parameter mismatch between
+      // the stored table and an increment call would silently find zero
+      // candidates and let near-dups into the corpus — the consumers
+      // fail fast on this column instead
+      .withColumn("params", lit(sidecarParams(k, numHashes, bands)))
   }
+
+  private def sidecarParams(k: Int, numHashes: Int, bands: Int): String =
+    s"k=$k,h=$numHashes,b=$bands"
+
+  /** Fail fast when a stored band table's parameters disagree with the
+    * increment call's. Tolerates tables without the params column
+    * (hand-built); reads ONE row. */
+  private def validateBandSidecar(ib: DataFrame, k: Int, numHashes: Int,
+                                  bands: Int): Unit =
+    if (ib.columns.contains("params")) {
+      val expect = sidecarParams(k, numHashes, bands)
+      ib.select("params").head(1).foreach { r =>
+        val got = r.getString(0)
+        require(got == expect, s"index band table was built with [$got] " +
+          s"but the increment call uses [$expect]; rebuild the sidecar or " +
+          "match the parameters")
+      }
+    }
 
   /** The storable (id, fp) FINGERPRINT TABLE — 16 bytes per document;
     * the exact-duplicate side of the same index sidecar (sub-k docs have
@@ -448,7 +472,21 @@ object Dedup {
                                    threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
-    val ne = docShingleRows(newDocs, idCol, textCol, k)
+    prebandedPairsOn(docShingleRows(newDocs, idCol, textCol, k), index,
+      indexBands, idCol, textCol, k, numHashes, bands, threshold)._1
+  }
+
+  /** The prebanded candidate + verify pipeline over an already-built
+    * batch shingle relation — shared by [[incrementalNearDupsPrebanded]]
+    * (lazy, registry-released) and [[dedupIncrement]] (eager, tracked).
+    * Returns the verified pairs plus the caches this call created so
+    * eager callers can release them precisely. */
+  private def prebandedPairsOn(ne: DataFrame, index: DataFrame,
+                               indexBands: DataFrame, idCol: String,
+                               textCol: String, k: Int, numHashes: Int,
+                               bands: Int,
+                               threshold: Double): (DataFrame, Seq[DataFrame]) = {
+    validateBandSidecar(indexBands, k, numHashes, bands)
     val cand = bandedSigs(ne, numHashes, bands)
       .select(col("band"), col("bsig"), col("id").as("id_a"))
       .join(indexBands.select(col("band"), col("bsig"), col("id").as("id_b")),
@@ -462,7 +500,7 @@ object Dedup {
     val touched = index.join(cand.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_semi")
     val ie = docShingleRows(touched, idCol, textCol, k)
-    verifyJaccardSides(cand, ne, ie, threshold)
+    (verifyJaccardSides(cand, ne, ie, threshold), Seq(cand, ie))
   }
 
   /** End-to-end INCREMENTAL dedup: the new-batch rows that survive both
@@ -496,19 +534,12 @@ object Dedup {
     try {
       val crossPairs = indexBands match {
         // steady state: the stored band table replaces corpus-side
-        // signature work ([[incrementalNearDupsPrebanded]]'s shape,
-        // inlined here so `ne` is shared)
+        // signature work
         case Some(ib) =>
-          val cand = bandedSigs(ne, numHashes, bands)
-            .select(col("band"), col("bsig"), col("id").as("id_a"))
-            .join(ib.select(col("band"), col("bsig"), col("id").as("id_b")),
-              Seq("band", "bsig"))
-            .select("id_a", "id_b").distinct().cache()
-          registerCache(track(cand))
-          val touched = index.join(cand.select(col("id_b").as(idCol)).distinct(),
-            Seq(idCol), "left_semi")
-          verifyJaccardSides(cand, ne,
-            track(docShingleRows(touched, idCol, textCol, k)), threshold)
+          val (pairs, caches) = prebandedPairsOn(ne, index, ib, idCol,
+            textCol, k, numHashes, bands, threshold)
+          caches.foreach(track)
+          pairs
         case None =>
           incrementalNearDupsOn(ne,
             track(docShingleRows(index, idCol, textCol, k)),
@@ -519,12 +550,15 @@ object Dedup {
       // against the index catch them (same rule dedupCorpus applies
       // within one table). A digest is 16 bytes/doc — the semi join
       // shuffles fingerprints, never text; the stored fingerprint table
-      // replaces the index text scan when provided.
+      // replaces the index text scan when provided. NULL-SAFE equality:
+      // fingerprint(NULL text) is NULL, and the within-batch exact rule
+      // (a fp-partitioned window) groups NULLs together — the cross rule
+      // must match it, or a redelivered NULL-text doc re-appends forever.
       val fps = indexFps.getOrElse(fingerprintTable(index, idCol, textCol))
-        .select(col("fp").as("_fp"))
+        .select(col("fp").as("_ifp"))
       val exactHit = newDocs
         .select(col(idCol), TextStats.fingerprint(col(textCol)).as("_fp"))
-        .join(fps, Seq("_fp"), "left_semi")
+        .join(fps, col("_fp") <=> col("_ifp"), "left_semi")
         .select(col(idCol))
       // dedupCorpusOn's drop list materializes here (dupClusters is
       // eager), so after this line no internal cache is referenced by

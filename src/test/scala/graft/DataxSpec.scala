@@ -535,6 +535,31 @@ class DataxSpec extends AnyFunSuite {
     assert(withSidecars == plain)
     assert(spark.sharedState.cacheManager.isEmpty,
       "the sidecar path releases every internal cache too")
+    // a parameter mismatch against the stored table fails FAST — silent
+    // near-zero candidate counts would let near-dups into the corpus
+    val err = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupsPrebanded(batch, index, stored, "doc_id",
+        "text", bands = 4, threshold = 0.4)
+    }
+    assert(err.getMessage.contains("band table was built with"))
+    Dedup.releaseShingleCaches()
+  }
+
+  test("dedupIncrement: NULL-text docs follow the null-safe exact rule (replay-idempotent)") {
+    spark.sqlContext.clearCache()
+    val index = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, null: String)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, null: String), // exact dup of indexed NULL-text doc 2
+      (11L, "fresh unique content entirely new here")).toDF("doc_id", "text")
+    val kept = Dedup.dedupIncrement(batch, index, "doc_id", "text",
+        bands = 8, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(11L),
+      "a NULL-text batch doc matches the indexed NULL-text doc via the " +
+        "null-safe fingerprint rule — redelivery can never re-append it")
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("dedupIncrement keeps only append-safe batch rows and releases caches") {
