@@ -14,28 +14,31 @@ import graft.datax.Dedup
   * ever re-pairing corpus × corpus — the continuous-ingest shape a
   * 100 TB crawl pipeline actually runs.
   *
-  * The index is THREE tables under one root (parquet dirs here; a
-  * lakehouse makes the three appends one transaction):
+  * The index is THREE tables under one root, each partitioned by
+  * micro-batch id (`batch=N` dirs):
   *   - `docs`  — the surviving documents themselves;
-  *   - `bands` — the (id, band, bsig) table ([[Dedup.bandSignatures]]),
-  *     so steady-state batches never recompute corpus-side MinHash
-  *     signatures: the batch's bands join the STORED table, and corpus
-  *     shingles are rebuilt only for the candidate-sized slice of
-  *     colliding docs;
+  *   - `bands` — the (id, band, bsig, params) table
+  *     ([[Dedup.bandSignatures]]), so steady-state batches never
+  *     recompute corpus-side MinHash signatures: the batch's bands join
+  *     the STORED table, and corpus shingles are rebuilt only for the
+  *     candidate-sized slice of colliding docs;
   *   - `fps`   — the (id, fp) fingerprint table, the exact-duplicate
   *     lookup (16 bytes/doc; sub-k docs have no bands, so exact
   *     collisions need their own side).
-  * Every append is batch-survivor-sized; per-batch corpus-side work is
-  * one band join plus a semi-join fetch of touched docs' text.
   *
-  * Replay-idempotent WITHOUT a batchId guard, by the operator's OWN
-  * semantics: a redelivered batch's rows are either exact copies of docs
-  * already appended (dropped by the fingerprint lookup), near-dups of
-  * appended docs (dropped by the cross near-dup rule), or rows the
-  * original processing dropped — which drop again for the original
-  * reason. Pinned in StreamingSpec. Crash-BETWEEN-appends atomicity is
-  * the lakehouse transaction's job, exactly as for the batch sinks
-  * (SCALE.md).
+  * EXACTLY-ONCE-IN-EFFECT without a transaction log: each batch
+  * OVERWRITES its own `batch=N` partition in all three tables, and the
+  * index is read EXCLUDING the current batch's partitions. A crash
+  * between the three writes followed by Structured Streaming's replay
+  * of the same batch therefore REWRITES the partial partitions instead
+  * of double-appending (plain appends would duplicate docs) or
+  * self-deduping against its own partial previous attempt (which would
+  * silently drop the whole batch). At-least-once delivery × idempotent
+  * per-batch overwrite = the ST2 contract, file-level. Redelivered ROWS
+  * inside later batches are additionally dropped by the operator's own
+  * rules (fingerprint/near-dup against the index) — pinned in
+  * StreamingSpec. On a lakehouse the three writes become one
+  * transaction and the partition dance is unnecessary but harmless.
   */
 object DedupStream {
 
@@ -46,35 +49,56 @@ object DedupStream {
              bands: Int = 8, threshold: Double = 0.5): DataStreamWriter[Row] =
     incoming.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val (docsDir, bandsDir, fpsDir) =
-          (s"$indexRoot/docs", s"$indexRoot/bands", s"$indexRoot/fps")
-        // the batch frame re-executes its source per action; the dedup
-        // pipeline reads it several times
-        val b = batch.persist()
-        try {
-          val survivors = (if (hasData(spark, docsDir)) {
-            val index = spark.read.parquet(docsDir)
-              .select(batch.columns.map(col): _*)
-            Dedup.dedupIncrement(b, index, idCol, textCol, k, numHashes,
-              bands, threshold,
-              indexBands = Some(spark.read.parquet(bandsDir)),
-              indexFps = Some(spark.read.parquet(fpsDir)))
-          } else { // first batch: the index does not exist yet
-            Dedup.dedupCorpus(b, idCol, textCol, k, numHashes, bands,
-              threshold)
-          }).persist()
-          try {
-            survivors.write.mode("append").parquet(docsDir)
-            Dedup.bandSignatures(survivors, idCol, textCol, k, numHashes,
-              bands).write.mode("append").parquet(bandsDir)
-            Dedup.fingerprintTable(survivors, idCol, textCol)
-              .write.mode("append").parquet(fpsDir)
-          } finally { survivors.unpersist(); () }
-        } finally { b.unpersist(); () }
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexRoot, idCol, textCol, k,
+          numHashes, bands, threshold)
       }
+
+  /** One micro-batch of the loop — public so the crash-replay contract
+    * is directly testable: calling it again with the SAME batchId (the
+    * replay case, including after a crash that left only some of the
+    * three partitions written) rewrites that batch's partitions and
+    * leaves the index exactly as a single clean run would. */
+  def processBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+                   idCol: String, textCol: String, k: Int = 4,
+                   numHashes: Int = 16, bands: Int = 8,
+                   threshold: Double = 0.5): Unit = {
+    val spark = batch.sparkSession
+    val (docsDir, bandsDir, fpsDir) =
+      (s"$indexRoot/docs", s"$indexRoot/bands", s"$indexRoot/fps")
+    // a partition possibly half-written by a crashed attempt of THIS
+    // batch must not count as index (the batch would dedup against its
+    // own rows and vanish)
+    def priorOnly(dir: String): Option[DataFrame] =
+      if (hasData(spark, dir))
+        Some(spark.read.parquet(dir).filter(col("batch") =!= batchId))
+      else None
+    // the batch frame re-executes its source per action; the dedup
+    // pipeline reads it several times
+    val b = batch.persist()
+    try {
+      val survivors = (priorOnly(docsDir) match {
+        case Some(index) =>
+          Dedup.dedupIncrement(b,
+            index.select(batch.columns.map(col): _*),
+            idCol, textCol, k, numHashes, bands, threshold,
+            indexBands = priorOnly(bandsDir),
+            indexFps = priorOnly(fpsDir))
+        case None => // first batch: the index does not exist yet
+          Dedup.dedupCorpus(b, idCol, textCol, k, numHashes, bands,
+            threshold)
+      }).persist()
+      try {
+        survivors.write.mode("overwrite")
+          .parquet(s"$docsDir/batch=$batchId")
+        Dedup.bandSignatures(survivors, idCol, textCol, k, numHashes,
+          bands).write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")
+        Dedup.fingerprintTable(survivors, idCol, textCol)
+          .write.mode("overwrite").parquet(s"$fpsDir/batch=$batchId")
+      } finally { survivors.unpersist(); () }
+    } finally { b.unpersist(); () }
+    ()
+  }
 
   /** One-shot convenience: drain everything available, then stop. */
   def runAvailableNow(incoming: DataFrame, indexRoot: String, idCol: String,
@@ -89,13 +113,14 @@ object DedupStream {
     q.awaitTermination()
   }
 
-  /** True when the dir exists and holds at least one parquet file
-    * (spark.read.parquet on a missing or empty dir cannot infer a
-    * schema and fails instead of returning an empty frame). */
+  /** True when the table root holds at least one batch partition with a
+    * parquet file (spark.read.parquet on a missing or empty dir cannot
+    * infer a schema and fails instead of returning an empty frame). */
   private def hasData(spark: SparkSession, dir: String): Boolean = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(path) && fs.listStatus(path)
-      .exists(_.getPath.getName.endsWith(".parquet"))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(root) && Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(dir, "batch=*/*.parquet")))
+      .exists(_.nonEmpty)
   }
 }

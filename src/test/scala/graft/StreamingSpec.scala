@@ -366,4 +366,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(fps == indexIds, "one fingerprint per indexed doc")
     } finally q.stop()
   }
+
+  test("DedupStream.processBatch: crash-replay of a batch rewrites, never double-appends or self-dedups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-replay").toString
+    val root = s"$dir/index"
+    def indexIds = spark.read.parquet(s"$root/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely unrelated text about spark physical plans here"))
+      .toDF("doc_id", "text")
+    graft.streaming.DedupStream.processBatch(b0, 0L, root, "doc_id", "text",
+      bands = 8, threshold = 0.4)
+    assert(indexIds == Seq(1L, 2L))
+    // full replay of the SAME batch id: the batch must not dedup against
+    // its own previous attempt (that would empty the partition and lose
+    // the batch) nor append duplicates — the overwrite leaves the index
+    // exactly as one clean run would
+    graft.streaming.DedupStream.processBatch(b0, 0L, root, "doc_id", "text",
+      bands = 8, threshold = 0.4)
+    assert(indexIds == Seq(1L, 2L), "replay is a clean rewrite")
+    // crash BETWEEN the three writes: simulate by deleting the bands
+    // partition of batch 0, then replaying — the rewrite restores it
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/bands/batch=0"), true)
+    graft.streaming.DedupStream.processBatch(b0, 0L, root, "doc_id", "text",
+      bands = 8, threshold = 0.4)
+    assert(indexIds == Seq(1L, 2L))
+    assert(spark.read.parquet(s"$root/bands").select("id").distinct()
+      .count() == 2, "replay restores the missing sidecar partition")
+    // a LATER batch still dedups against batch 0 normally
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog at dawn today"),
+      (11L, "fresh new content appearing for the first time right here"))
+      .toDF("doc_id", "text")
+    graft.streaming.DedupStream.processBatch(b1, 1L, root, "doc_id", "text",
+      bands = 8, threshold = 0.4)
+    assert(indexIds == Seq(1L, 2L, 11L),
+      "10 near-dups indexed 1 and drops; 11 appends")
+  }
 }
