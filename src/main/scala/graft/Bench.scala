@@ -1,6 +1,10 @@
 package graft
 
 object Bench {
+
+  /** Per-query timing: post-warmup medians plus the raw (successful) reps. */
+  private case class QRes(name: String, median: Double, good: Seq[Double], failedReps: Int)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,15 +54,15 @@ object Bench {
     // shuffle, a couple of md5-heavy projections — enough to exercise
     // codegen compile + task dispatch, the two paths that stretch 10-50x
     // in this box's intermittent degraded windows; SCALE.md "bench
-    // trustworthiness"). Timed before and after the suite; absolute query
-    // numbers are only comparable across runs/rounds AFTER dividing out
-    // canary drift. Median of 3, same as the queries.
+    // trustworthiness"). Median of 3, same as the queries.
+    var canarySeq = 0
     def canary(): Double = {
       import org.apache.spark.sql.functions._
       val ts = (1 to 3).map { i =>
+        canarySeq += 1
         val t0 = System.nanoTime()
         spark.range(2000000).toDF("id")
-          .select(col("id"), md5(concat(lit(s"c$i:"), col("id").cast("string"))).as("h"))
+          .select(col("id"), md5(concat(lit(s"c$canarySeq:$i:"), col("id").cast("string"))).as("h"))
           .groupBy(substring(col("h"), 1, 2).as("b"))
           .agg(count(lit(1)).as("n"), max("h").as("m"))
           .write.format("noop").mode("overwrite").save()
@@ -66,8 +70,8 @@ object Bench {
       }.sorted
       ts(1)
     }
-    val canaryStart = canary()
-    val results = queries.map { case (name, fn) =>
+
+    def timeQuery(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): QRes = {
       warm(name, fn)
       val times = (1 to reps).map { _ =>
         // drop any InMemoryRelations the previous run materialized (several
@@ -93,21 +97,90 @@ object Bench {
       }
       val good = times.filter(_ >= 0).sorted
       val median = if (good.isEmpty) -1.0 else good(good.size / 2)
-      (name, median, good)
+      QRes(name, median, good, times.size - good.size)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+
+    // CANARY GATE (round 5; SCALE.md "bench trustworthiness"): the box has
+    // minutes-long degraded windows that stretch compile-heavy queries
+    // 10-50x (measured: ~50% kernel time, Janino KeyLock serialization).
+    // Start/end canaries alone proved insufficient in r4 — the run STARTED
+    // degraded, so the alphabetically-early heavy queries (d06-d17) shipped
+    // uncertifiable numbers. Now canaries are interleaved every
+    // CANARY_EVERY queries; a query's measurement is HEALTHY iff both
+    // canaries bracketing its segment are within CANARY_TOL x of the best
+    // canary seen anywhere in the run (relative, not absolute — the best
+    // canary is the run's evidence of the healthy-host floor). Queries
+    // from unhealthy segments are re-run in later passes (canaries
+    // re-measured around them) until healthy or MAX_PASSES is exhausted;
+    // a run that cannot certify every query emits trusted:false plus the
+    // untrusted query list, so a downstream reader never mistakes
+    // degraded-window noise for a regression. A run degraded for its
+    // ENTIRE duration is indistinguishable from a healthy one by the
+    // relative rule; the full canary trace is emitted so a reader can
+    // compare absolute floors across rounds.
+    val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "10").toInt.max(1)
+    val canaryTol = sys.env.getOrElse("SPARK_GRAFT_CANARY_TOL", "2.0").toDouble
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_MAX_PASSES", "3").toInt.max(1)
+    val allCanaries = scala.collection.mutable.ArrayBuffer[Double]()
+    // name -> (result, canaryBefore, canaryAfter)
+    val results = scala.collection.mutable.LinkedHashMap[String, (QRes, Double, Double)]()
+
+    def runSegmented(qs: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                     adopt: (String, (QRes, Double, Double)) => Unit): Unit = {
+      if (qs.isEmpty) return
+      var cBefore = canary(); allCanaries += cBefore
+      qs.grouped(canaryEvery).foreach { seg =>
+        val rs = seg.map { case (n, fn) => timeQuery(n, fn) }
+        val cAfter = canary(); allCanaries += cAfter
+        rs.foreach(r => adopt(r.name, (r, cBefore, cAfter)))
+        cBefore = cAfter
+      }
+    }
+
+    def healthy(e: (QRes, Double, Double)): Boolean =
+      allCanaries.nonEmpty && math.max(e._2, e._3) <= canaryTol * allCanaries.min
+
+    runSegmented(queries, (n, e) => results(n) = e)
+    var pass = 1
+    var suspects = queries.filter { case (n, _) => !healthy(results(n)) }
+    while (suspects.nonEmpty && pass < maxPasses) {
+      pass += 1
+      System.err.println(s"[bench] canary gate: re-running ${suspects.size} queries (pass $pass): " +
+        suspects.map(_._1).mkString(","))
+      runSegmented(suspects, { (n, e) =>
+        val old = results(n)
+        // prefer a healthy measurement; between two unhealthy ones keep the
+        // faster (degradation only ever inflates — the lower sample is the
+        // closer bound on truth)
+        val keep =
+          if (healthy(e) && !healthy(old)) e
+          else if (healthy(e) == healthy(old) &&
+                   e._1.median >= 0 && (old._1.median < 0 || e._1.median < old._1.median)) e
+          else old
+        results(n) = keep
+      })
+      // a retry pass can discover a LOWER canary floor, retroactively
+      // un-certifying earlier segments — recompute over all queries
+      suspects = queries.filter { case (n, _) => !healthy(results(n)) }
+    }
+    val untrusted = suspects.map(_._1)
+
+    val ordered = queries.map { case (n, _) => (n, results(n)) }
+    val qs = ordered.map { case (k, (r, _, _)) => "\"" + k + "\":" + r.median }
       .mkString("{", ",", "}")
     // per-query [min, max] across the N runs — the spread the medians hide
-    val spread = results.collect { case (k, _, g) if g.nonEmpty =>
-      "\"" + k + "\":[" + g.min + "," + g.max + "]"
+    val spread = ordered.collect { case (k, (r, _, _)) if r.good.nonEmpty =>
+      "\"" + k + "\":[" + r.good.min + "," + r.good.max + "]"
     }.mkString("{", ",", "}")
-    // ANY failed rep marks the query failed — an intermittent crash must
-    // not read as a healthy median computed from the surviving runs
-    val failed = results.collect { case (k, _, g) if g.size < reps => "\"" + k + "\"" }
+    // ANY failed rep in the adopted measurement marks the query failed — an
+    // intermittent crash must not read as a healthy median from survivors
+    val failed = ordered.collect { case (k, (r, _, _)) if r.failedReps > 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val canaryEnd = canary()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"canary":[$canaryStart,$canaryEnd],"sf":"$sfDir"}"""
+    val total = ordered.map(_._2._1.median).filter(_ >= 0).sum
+    val trusted = untrusted.isEmpty
+    val untrustedJson = untrusted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val canariesJson = allCanaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"canary":[${allCanaries.head},${allCanaries.last}],"canaries":$canariesJson,"trusted":$trusted,"untrusted":$untrustedJson,"passes":$pass,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout ([info]/[success] lines), which can defeat a
     // line-oriented parse downstream — drop a clean copy next to the build

@@ -175,10 +175,8 @@ object Curation {
     * Scale shape: quality is scan-side ([[TextStats.qualityScore]] — pure
     * column algebra, no tokens materialized); the window is ONE shuffle
     * on the group key. Hot groups (a group >> task memory) are the window
-    * operator's intrinsic skew unit: since ranks beyond `maxPerGroup`
-    * only feed the keep flag, the scale mitigation is a two-phase top-k
-    * (per-partition `limit maxPerGroup` partials, then the window over
-    * candidates ~ nGroups x cap) — same output, bounded state. */
+    * operator's intrinsic skew unit — [[domainCapBanded]] is the bounded
+    * variant (identical output, window state divided by `bands`). */
   def domainCap(docs: DataFrame, idCol: String, groupCol: String,
                 textCol: String, maxPerGroup: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -188,6 +186,47 @@ object Curation {
         TextStats.qualityScore(col(textCol)).as("quality"))
       .withColumn("rank", row_number().over(w))
       .withColumn("keep", col("rank") <= maxPerGroup)
+  }
+
+  /** [[domainCap]] with BOUNDED window state for hot groups — the
+    * [[tokenBudgetSelect]] two-phase banding applied to ranking. A naive
+    * per-group window holds the whole group in one window partition; a
+    * single mega-host (the exact case domainCap exists for) makes that
+    * partition corpus-sized. Here quality bands split each group:
+    * band = floor((1-q) * bands) is MONOTONE in quality, so global
+    * per-group rank = (count of the group's rows in earlier bands) +
+    * (row_number within the (group, band) partition). Band counts are a
+    * tiny (group, band)-grained aggregate whose exclusive prefix runs in
+    * a window over <= `bands` rows per group; the corpus-sized window is
+    * partitioned by (group, band) — per-partition width divided by the
+    * band count. Quality ties always land in ONE band and break by id
+    * there, identical to the global (quality desc, id) order, so ranks —
+    * and therefore output — are EXACTLY domainCap's. Residual skew:
+    * ties themselves (a group where most docs share one quality value
+    * collapse into one band); raise `bands` for resolution elsewhere,
+    * but tie mass is irreducible by any order-preserving split. */
+  def domainCapBanded(docs: DataFrame, idCol: String, groupCol: String,
+                      textCol: String, maxPerGroup: Int = 100,
+                      bands: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bands >= 1, s"bands=$bands must be >= 1")
+    val base = docs.select(col(idCol), col(groupCol),
+        TextStats.qualityScore(col(textCol)).as("quality"))
+      .withColumn("_band", ((lit(1.0) - col("quality")) * bands).cast("int"))
+    val bandCnt = base.groupBy(col(groupCol), col("_band"))
+      .agg(count(lit(1)).as("_bn"))
+    val offsets = bandCnt.select(col(groupCol), col("_band"),
+      coalesce(sum(col("_bn")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("_band"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)).as("_off"))
+    val within = Window.partitionBy(col(groupCol), col("_band"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    base.join(offsets, Seq(groupCol, "_band"))
+      .withColumn("rank",
+        (col("_off") + row_number().over(within)).cast("int"))
+      .withColumn("keep", col("rank") <= maxPerGroup)
+      .select(col(idCol), col(groupCol), col("quality"), col("rank"), col("keep"))
   }
 
   /** Deterministic corpus shuffle: a reproducible global permutation for
@@ -391,7 +430,16 @@ object Curation {
     * Scale shape: each side reduces scan-side to (id, 16-byte digest) —
     * text never rides the join — then ONE full-outer hash join on id.
     * On a lakehouse this maps to table-version diffing; the operator is
-    * the engine-level form. */
+    * the engine-level form.
+    *
+    * PRECONDITION: `idCol` is unique within each snapshot (the defining
+    * property of a snapshot keyed by id). Duplicate ids fan out through
+    * the full-outer join — m x n rows per id, possibly with CONFLICTING
+    * statuses (one text copy matching, another not). The check is not
+    * performed here (an extra corpus-sized aggregate per call for an
+    * invariant the writer owns); run `exactDupGroups` on the id column —
+    * or any count-distinct probe — when ingesting from a source that
+    * cannot guarantee it. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
     // membership is tested via explicit presence markers, NOT fingerprint
@@ -414,14 +462,26 @@ object Curation {
     * of the grouping dims (CUBE — per source, per lang, per pair, and
     * the grand total in one pass), the summary table a corpus release
     * ships with. Token counts stay scan-side; Spark's partial/final
-    * HashAggregate handles the 2^dims expansion map-side, one shuffle. */
+    * HashAggregate handles the 2^dims expansion map-side, one shuffle.
+    *
+    * Each dim gets a `g_<dim>` GROUPING marker (1 = the dim is
+    * aggregated away on this row, 0 = it is a real group key): a CUBE
+    * subtotal row carries NULL in the aggregated dims, which is
+    * otherwise indistinguishable from a group whose dim value is
+    * GENUINELY NULL — docs with NULL lang would silently merge into the
+    * per-source subtotal line in the released summary. SQL's GROUPING()
+    * exists precisely for this; the marker keys disambiguate without
+    * rewriting dim values (a sentinel like 'ALL' could itself collide
+    * with real data). */
   def dataCard(docs: DataFrame, textCol: String,
                dims: Seq[String]): DataFrame = {
     require(dims.nonEmpty, "dataCard needs at least one grouping dim")
+    val aggs = count(lit(1)).as("n_docs") +: sum("_nt").as("n_tokens") +:
+      dims.map(d => grouping(col(d)).cast("long").as(s"g_$d"))
     docs
       .select(dims.map(col) :+
         TextStats.tokenCountWs(col(textCol)).cast("long").as("_nt"): _*)
       .cube(dims.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"), sum("_nt").as("n_tokens"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -150,17 +150,25 @@ object Dedup {
 
   /** Fail fast when a stored band table's parameters disagree with the
     * increment call's. Tolerates tables without the params column
-    * (hand-built); reads ONE row. */
+    * (hand-built). Validates EVERY distinct params value, not a sampled
+    * row: a sidecar accumulated across stream restarts with changed
+    * parameters holds mixed values, and a one-row probe could match the
+    * current call while other partitions mismatch — silently finding
+    * zero candidates for those partitions and admitting near-dups, the
+    * exact failure this column exists to prevent. The distinct is one
+    * partial-aggregated pass over a single string column (a handful of
+    * rows in any non-broken sidecar). */
   private def validateBandSidecar(ib: DataFrame, k: Int, numHashes: Int,
                                   bands: Int): Unit =
     if (ib.columns.contains("params")) {
       val expect = sidecarParams(k, numHashes, bands)
-      ib.select("params").head(1).foreach { r =>
-        val got = r.getString(0)
-        require(got == expect, s"index band table was built with [$got] " +
-          s"but the increment call uses [$expect]; rebuild the sidecar or " +
-          "match the parameters")
-      }
+      val got = ib.select("params").distinct().collect().map(_.getString(0))
+      val bad = got.filterNot(_ == expect)
+      require(bad.isEmpty, s"index band table holds params " +
+        s"[${bad.mkString("; ")}] but the increment call uses [$expect]" +
+        (if (got.length > 1) " (mixed-parameter sidecar — likely " +
+          "accumulated across restarts with changed settings)" else "") +
+        "; rebuild the sidecar or match the parameters")
     }
 
   /** The storable (id, fp) FINGERPRINT TABLE — 16 bytes per document;
@@ -545,7 +553,6 @@ object Dedup {
             track(docShingleRows(index, idCol, textCol, k)),
             numHashes, bands, threshold)
       }
-      val crossHit = cutLineage(crossPairs.select(col("id_a").as(idCol)).distinct())
       // sub-k-token docs produce no shingles: exact-fingerprint collisions
       // against the index catch them (same rule dedupCorpus applies
       // within one table). A digest is 16 bytes/doc — the semi join
@@ -560,11 +567,18 @@ object Dedup {
         .select(col(idCol), TextStats.fingerprint(col(textCol)).as("_fp"))
         .join(fps, col("_fp") <=> col("_ifp"), "left_semi")
         .select(col(idCol))
+      // BOTH cross-index hit lists inside one lineage cut: the returned
+      // plan really is batch ANTI JOIN small-list — re-running an action
+      // on it must not repeat the fingerprint semi join (a full index
+      // text scan when no indexFps sidecar was provided), and the
+      // release in the finally must leave nothing the plan still needs
+      val hit = cutLineage(
+        crossPairs.select(col("id_a").as(idCol)).union(exactHit).distinct())
       // dedupCorpusOn's drop list materializes here (dupClusters is
       // eager), so after this line no internal cache is referenced by
       // the returned plan and the finally can release them all
       dedupCorpusOn(newDocs, ne, idCol, textCol, numHashes, bands, threshold)
-        .join(crossHit.union(exactHit), Seq(idCol), "left_anti")
+        .join(hit, Seq(idCol), "left_anti")
     } finally created.foreach { e =>
       e.unpersist(); liveShingleCaches.remove(e)
     }

@@ -74,22 +74,55 @@ object Similarity {
     * double sum would depend on partition order, and decimal element
     * casts can round-tie differently across engines (observed: 1 cell in
     * 64k). Per-group lists are bounded by class size; for unbounded
-    * classes at scale, chunk ids into fixed ranges and fold the partial
-    * sums in range order — still deterministic, still partial-agged. */
+    * classes at scale pass `chunkIds` > 0 — ids are chunked into fixed
+    * ranges of that many id VALUES, each chunk folds its members in id
+    * order, and the per-chunk partial sums fold in chunk order: per-group
+    * collected state drops from the class width to max(chunkIds, width /
+    * chunkIds) rows (chunkIds ~ sqrt(width) balances the two levels).
+    * Chunking is keyed on id VALUES, so the grouping — and the result —
+    * is independent of run, partitioning, and cluster size: the chunked
+    * fold is exactly as deterministic as the flat one. It is NOT
+    * bit-identical to the flat fold on arbitrary data (float addition is
+    * not associative; the chunk seams re-associate), which is why the
+    * flat fold stays the default oracle face: chunked is the scale face,
+    * reproducible against ITSELF at any partitioning (spec-pinned), and
+    * equal to flat wherever the sums are exact. Requires non-negative
+    * ids (cast truncation toward zero would fold negative ids out of
+    * order). */
   def labelCentroids(vectors: DataFrame, labelCol: String = "label",
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    vectors
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     chunkIds: Long = 0L): DataFrame = {
+    val ex = vectors
       .select(col(labelCol).as("label"), col(idCol).as("id"),
         posexplode(toDouble(col(vecCol))).as(Seq("dim", "_x")))
-      .groupBy("label", "dim")
-      .agg(
-        sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
-          .as("_sx"),
-        count(lit(1)).cast("long").as("n_vectors"))
-      .select(col("label"), col("dim"),
-        (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
-          / col("n_vectors")).as("centroid"),
-        col("n_vectors"))
+    if (chunkIds <= 0L)
+      ex.groupBy("label", "dim")
+        .agg(
+          sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
+            .as("_sx"),
+          count(lit(1)).cast("long").as("n_vectors"))
+        .select(col("label"), col("dim"),
+          (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
+            / col("n_vectors")).as("centroid"),
+          col("n_vectors"))
+    else
+      ex.withColumn("_chunk", expr(s"id DIV ${chunkIds}L")) // integer DIV: exact at any id magnitude
+        .groupBy("label", "dim", "_chunk")
+        .agg(
+          aggregate(
+            sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x")))),
+            lit(0.0), (a, s) => a + s.getField("x")).as("_ps"),
+          count(lit(1)).cast("long").as("_n"))
+        .groupBy("label", "dim")
+        .agg(
+          aggregate(
+            sort_array(collect_list(struct(col("_chunk").as("c"), col("_ps").as("s")))),
+            lit(0.0), (a, s) => a + s.getField("s")).as("_sum"),
+          sum("_n").as("n_vectors"))
+        .select(col("label"), col("dim"),
+          (col("_sum") / col("n_vectors")).as("centroid"),
+          col("n_vectors"))
+  }
 
   /** IVF index: deterministic centroid sample (every `stride`-th vector)
     * + nearest-centroid assignment. Returns (centroids, assigned). */
@@ -167,15 +200,21 @@ object Similarity {
     *
     * Scale note: collect_list carries every member value through the
     * shuffle (vs avg's map-side partials) — at unbounded cluster sizes
-    * use [[ivfIndexKMeans]] or chunk ids into fixed ranges and fold the
-    * partials in range order (see [[labelCentroids]]). */
+    * use [[ivfIndexKMeans]] or pass `chunkIds` > 0 for the chunked-range
+    * ordered fold (the [[labelCentroids]] mitigation: per-group state
+    * bounded at max(chunkIds, width/chunkIds); deterministic at any
+    * partitioning; bit-equal to the flat fold only where sums are
+    * exact, so the flat fold stays the oracle face). */
   def kmeansCentroidsOrdered(vectors: DataFrame, nCentroids: Int,
                              iterations: Int = 2,
                              idCol: String = "vec_id",
-                             vecCol: String = "embedding"): DataFrame = {
+                             vecCol: String = "embedding",
+                             chunkIds: Long = 0L): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val means = if (chunkIds > 0L) orderedMeansChunked(chunkIds) _
+                else orderedMeans _
     lloyd(v, ivfIndex(vectors, nCentroids, idCol, vecCol)._1,
-        iterations, orderedMeans)
+        iterations, means)
       .select(col("centroid_id"),
         posexplode(col("cvec")).as(Seq("dim", "value")))
   }
@@ -195,6 +234,68 @@ object Similarity {
         (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
           / col("_n")).as("_m"))
 
+  /** [[orderedMeans]] with the chunked-range two-level fold (the
+    * [[labelCentroids]] `chunkIds` mitigation): per-chunk id-ordered
+    * partials, then partials folded in chunk order — collected state
+    * bounded, result independent of partitioning. */
+  private def orderedMeansChunked(chunkIds: Long)(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("centroid_id"), col("id"), posexplode(col("vec")).as(Seq("_d", "_x")))
+      .withColumn("_chunk", expr(s"id DIV ${chunkIds}L")) // integer DIV: exact at any id magnitude
+      .groupBy("centroid_id", "_d", "_chunk")
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x")))),
+          lit(0.0), (a, s) => a + s.getField("x")).as("_ps"),
+        count(lit(1)).as("_n"))
+      .groupBy("centroid_id", "_d")
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("_chunk").as("c"), col("_ps").as("s")))),
+          lit(0.0), (a, s) => a + s.getField("s")).as("_sum"),
+        sum("_n").as("_nn"))
+      .select(col("centroid_id"), col("_d"),
+        (col("_sum") / col("_nn")).as("_m"))
+
+  /** The centroid-count growth rule for [[semanticDedup]] — the d10
+    * `planesFor` lesson applied to clustering-as-candidate-generation.
+    * Assignment costs n*K dot products (broadcast centroids against every
+    * vector); within-cluster pair expansion costs ~n^2/K with balanced
+    * clusters. The sum n*K + n^2/K is minimized at K = sqrt(n) — a FIXED
+    * K at growing n is an all-pairs join in disguise (n^2/16 at the old
+    * default), while K growing faster than sqrt(n) pays it back in
+    * assignment work. Floor 16 (fewer buckets is never worth it), clamp
+    * at `maxCentroids` — the centroid table is collected to the driver
+    * and broadcast, so an unbounded K is its own scale bug (10^6 centroid
+    * vectors = a GB-scale broadcast and an O(n*10^6) assignment). The
+    * clamp is LOUD, because past it the per-cluster width grows again and
+    * the caller should rely on the hot-cluster guard (or pre-partition
+    * the corpus and dedup per partition). */
+  def centroidsFor(n: Long, maxCentroids: Int = 4096): Int = {
+    require(maxCentroids >= 1, s"maxCentroids=$maxCentroids must be >= 1")
+    val exact = math.ceil(math.sqrt(math.max(0L, n).toDouble)).max(16.0)
+    val k = math.min(exact, maxCentroids.toDouble).toInt
+    if (exact > maxCentroids)
+      System.err.println(
+        f"[graft-similarity] centroidsFor(n=$n%d): sqrt rule wants " +
+          f"$exact%.0f centroids; clamped to maxCentroids=$maxCentroids%d " +
+          "(expected cluster width grows past sqrt(n) — the hot-cluster " +
+          "guard in semanticDedup reroutes oversized clusters through " +
+          "banded LSH).")
+    k
+  }
+
+  /** [[semanticDedup]] with K derived from the input size via
+    * [[centroidsFor]] — one count pass, then the clustered dedup. The
+    * recommended entry point for callers that don't know n: pair work
+    * stays ~n^1.5 total (vs n^2/16 with the fixed default) and the
+    * hot-cluster guard is on (auto width). */
+  def semanticDedupAuto(vectors: DataFrame, threshold: Double = 0.3,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        maxCentroids: Int = 4096): DataFrame =
+    semanticDedup(vectors, centroidsFor(vectors.count(), maxCentroids),
+      threshold, idCol, vecCol)
+
   /** Semantic dedup (the SemDeDup shape): cluster the embeddings with the
     * deterministic IVF coarse quantizer, then compare pairs ONLY within a
     * cluster — cosine >= `threshold` marks a semantic duplicate, and of
@@ -207,16 +308,31 @@ object Similarity {
     * O(sum b_i^2), and with n/K-sized balanced buckets that is n^2/K —
     * the clustering IS the candidate generation. The pair join shuffles
     * both sides once on centroid_id; norms are computed scan-side before
-    * the join (once per vector, not per pair). A pathologically hot
-    * cluster is the residual risk — cap bucket width by raising K with n
-    * (K ~ sqrt(n) keeps expected per-bucket pair work ~ n), or run the
-    * banded hyperplane LSH ([[Dedup.embeddingNearDupsBanded]]) INSIDE
-    * oversized clusters. Unlike LSH, within-cluster comparison is
-    * recall-lossy only across cluster boundaries (near-twins almost
-    * always share a nearest centroid; SemDeDup accepts exactly that). */
+    * the join (once per vector, not per pair). Pick K with
+    * [[centroidsFor]] (or call [[semanticDedupAuto]]): a fixed K at
+    * growing n is an all-pairs join in disguise. Unlike LSH,
+    * within-cluster comparison is recall-lossy only across cluster
+    * boundaries (near-twins almost always share a nearest centroid;
+    * SemDeDup accepts exactly that).
+    *
+    * HOT-CLUSTER GUARD: real corpora are not balanced — one mega-cluster
+    * (boilerplate, templated text) can hold most of the corpus, and its
+    * all-pairs expansion alone breaks the n^2/K bound no K rule can
+    * save. Clusters wider than `maxClusterWidth` (0 = auto: 16x the
+    * mean width, floor 4096; Long.MaxValue disables) are rerouted
+    * through the banded hyperplane LSH
+    * ([[Dedup.embeddingNearDupsBanded]], (L, r) from [[Dedup.bandsFor]]
+    * at the hot row count) with candidates restricted back to
+    * same-cluster pairs — within-bucket expansion bounded by the LSH
+    * cost rule instead of cluster width. The reroute is LOUD and trades
+    * the exact within-cluster comparison for LSH recall (>= the
+    * bandsFor target at the threshold) ONLY on the oversized clusters;
+    * cold clusters keep the exact path, and at test scale the auto
+    * width never engages, so oracle results are unchanged. */
   def semanticDedup(vectors: DataFrame, nCentroids: Int = 16,
                     threshold: Double = 0.3,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    maxClusterWidth: Long = 0L): DataFrame = {
     val ss = vectors.sparkSession
     import ss.implicits._
     // The K centroid vectors are tiny: collect them to a LITERAL frame
@@ -231,16 +347,54 @@ object Similarity {
     // assignment is persisted storage, exactly as ivfTopK documents).
     val assigned = assign(v, centroids).cache()
     Dedup.registerCache(assigned)
+    // Cluster widths: one aggregate over the cached assignment, K rows.
+    // Driver-held by construction (K is bounded by centroidsFor's clamp).
+    val widths = assigned.groupBy("centroid_id").agg(count(lit(1)).as("_w"))
+      .as[(Long, Long)].collect()
+    val width =
+      if (maxClusterWidth > 0L) maxClusterWidth
+      else {
+        val mean = if (widths.isEmpty) 0.0
+                   else widths.map(_._2).sum.toDouble / widths.length
+        math.max(4096L, math.ceil(16.0 * mean).toLong)
+      }
+    val hot = widths.filter(_._2 > width).map(_._1)
     val a = assigned.withColumn("_n", norm(col("vec")))
-    val x = a.select(col("centroid_id"), col("id").as("_ida"),
-      col("vec").as("_va"), col("_n").as("_na"))
-    val y = a.select(col("centroid_id"), col("id").as("_idb"),
-      col("vec").as("_vb"), col("_n").as("_nb"))
-    val dropped = x.join(y, Seq("centroid_id"))
-      .filter(col("_ida") < col("_idb"))
-      .filter(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))
-        >= threshold)
-      .select(col("_idb").as("id")).distinct()
+    def pairsOf(side: DataFrame): DataFrame = {
+      val x = side.select(col("centroid_id"), col("id").as("_ida"),
+        col("vec").as("_va"), col("_n").as("_na"))
+      val y = side.select(col("centroid_id"), col("id").as("_idb"),
+        col("vec").as("_vb"), col("_n").as("_nb"))
+      x.join(y, Seq("centroid_id"))
+        .filter(col("_ida") < col("_idb"))
+        .filter(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb"))
+          >= threshold)
+        .select(col("_idb").as("id"))
+    }
+    val dropped = (if (hot.isEmpty) pairsOf(a)
+    else {
+      val hotRows = widths.filter(w => hot.contains(w._1)).map(_._2).sum
+      System.err.println(
+        s"[graft-similarity] semanticDedup: ${hot.length} cluster(s) wider " +
+          s"than $width ($hotRows rows total) rerouted through banded LSH " +
+          "— exact within-cluster comparison kept for the others.")
+      val cold = pairsOf(a.filter(!col("centroid_id").isin(hot: _*)))
+      // Banded LSH over ALL hot rows at once (one run, not one per
+      // cluster); candidates that straddle two hot clusters are then
+      // dropped by the same-cluster filter, preserving the SemDeDup
+      // contract that only within-cluster pairs count.
+      val hotV = assigned.filter(col("centroid_id").isin(hot: _*))
+      val (tables, r) = Dedup.bandsFor(hotRows, threshold)
+      val hotPairs = Dedup.embeddingNearDupsBanded(
+          hotV.select(col("id"), col("vec")), "id", "vec", tables, r, threshold)
+      val asg = assigned.select(col("id"), col("centroid_id"))
+      val hotDropped = hotPairs
+        .join(asg.select(col("id").as("id_a"), col("centroid_id").as("_ca")), "id_a")
+        .join(asg.select(col("id").as("id_b"), col("centroid_id").as("_cb")), "id_b")
+        .filter(col("_ca") === col("_cb"))
+        .select(col("id_b").as("id"))
+      cold.union(hotDropped)
+    }).distinct()
     assigned.join(dropped.withColumn("_dropped", lit(true)), Seq("id"), "left_outer")
       .select(col("id").as(idCol), col("centroid_id"),
         col("_dropped").isNull.as("keep"))

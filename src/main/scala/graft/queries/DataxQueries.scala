@@ -1466,16 +1466,22 @@ object DataxQueries {
 
     /* Dataset CARD: doc/token counts across every (source, lang)
      * combination in one CUBE pass — per source, per lang, per pair,
-     * grand total (h05 anchors ROLLUP; this anchors CUBE). */
+     * grand total (h05 anchors ROLLUP; this anchors CUBE). The g_source/
+     * g_lang GROUPING markers disambiguate subtotal rows from groups
+     * whose dim value is genuinely NULL — both engines emit them, so
+     * the hash compare pins the disambiguation itself. */
     QueryDef("d51_data_card",
       (s, dir) => Curation.dataCard(t(s, dir, "documents"), "text",
           Seq("source", "lang"))
         // CUBE subtotal rows carry NULL keys: Spark sorts NULLS FIRST by
         // default, DuckDB NULLS LAST — spell it out (the r01/r02 rule)
-        .orderBy(col("source").asc_nulls_last, col("lang").asc_nulls_last),
+        .orderBy(col("source").asc_nulls_last, col("lang").asc_nulls_last,
+          col("g_source"), col("g_lang")),
       Some("""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+               CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+               CAST(GROUPING(source) AS BIGINT) AS g_source,
+               CAST(GROUPING(lang) AS BIGINT) AS g_lang
         FROM documents GROUP BY CUBE (source, lang)
-        ORDER BY source, lang"""))
+        ORDER BY source, lang, g_source, g_lang"""))
   )
 }

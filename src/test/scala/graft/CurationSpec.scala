@@ -164,6 +164,28 @@ class CurationSpec extends AnyFunSuite {
     assert(r(2L) == 1 && r(5L) == 2)
   }
 
+  test("domainCapBanded: identical output to domainCap, hot group included") {
+    // one pathologically hot group (350 of 400 docs) with varied quality,
+    // plus small groups — the banded path must reproduce domainCap's
+    // ranks EXACTLY, including quality ties (same band, id order)
+    val d = (0 until 400).map { i =>
+      val g = if (i < 350) "hot.example" else s"g${i % 5}.example"
+      // vary length/punctuation so quality spreads across bands, with
+      // repeats (i % 40) so ties exist inside the hot group
+      val words = (0 to (i % 40) % 23).map(j => s"w$j").mkString(" ")
+      (i.toLong, g, if (i % 3 == 0) words + " !!" else words)
+    }.toDF("doc_id", "source", "text")
+    val exact = Curation.domainCap(d, "doc_id", "source", "text", maxPerGroup = 7)
+      .as[(Long, String, Double, Int, Boolean)].collect().toSet
+    for (bands <- Seq(1, 16, 256)) {
+      val banded = Curation.domainCapBanded(d, "doc_id", "source", "text",
+          maxPerGroup = 7, bands = bands)
+        .as[(Long, String, Double, Int, Boolean)].collect().toSet
+      assert(banded == exact,
+        s"bands=$bands diverged: ${(exact diff banded) ++ (banded diff exact)}")
+    }
+  }
+
   // ---- deterministic shuffle ----
 
   test("corpusShuffle: a permutation — contiguous positions per shard, deterministic, seed-sensitive") {
@@ -330,12 +352,34 @@ class CurationSpec extends AnyFunSuite {
       (3L, "books", "en", "a b c d"))
       .toDF("doc_id", "source", "lang", "text")
     val card = Curation.dataCard(d, "text", Seq("source", "lang"))
-      .as[(Option[String], Option[String], Long, Long)].collect()
-      .map(x => (x._1.getOrElse("*"), x._2.getOrElse("*"), x._3, x._4)).toSet
+      .as[(Option[String], Option[String], Long, Long, Long, Long)].collect()
+      .map(x => (x._1.getOrElse("*"), x._2.getOrElse("*"), x._3, x._4, x._5, x._6))
+      .toSet
     assert(card == Set(
-      ("web", "en", 1L, 3L), ("web", "de", 1L, 2L), ("books", "en", 1L, 4L),
-      ("web", "*", 2L, 5L), ("books", "*", 1L, 4L),
-      ("*", "en", 2L, 7L), ("*", "de", 1L, 2L),
-      ("*", "*", 3L, 9L)))
+      ("web", "en", 1L, 3L, 0L, 0L), ("web", "de", 1L, 2L, 0L, 0L),
+      ("books", "en", 1L, 4L, 0L, 0L),
+      ("web", "*", 2L, 5L, 0L, 1L), ("books", "*", 1L, 4L, 0L, 1L),
+      ("*", "en", 2L, 7L, 1L, 0L), ("*", "de", 1L, 2L, 1L, 0L),
+      ("*", "*", 3L, 9L, 1L, 1L)))
+  }
+
+  test("dataCard: GROUPING markers distinguish a genuinely-NULL dim from a subtotal") {
+    // two docs with NULL lang: the (web, NULL-lang) GROUP and the (web,
+    // all-langs) SUBTOTAL produce rows identical in every dim — only
+    // g_lang tells them apart (the released-summary ambiguity this
+    // operator's markers exist for)
+    val d = Seq(
+      (1L, "web", null: String, "one two"),
+      (2L, "web", null: String, "three"),
+      (3L, "web", "en", "four five six"))
+      .toDF("doc_id", "source", "lang", "text")
+    val rows = Curation.dataCard(d, "text", Seq("source", "lang"))
+      .filter($"source" === "web" && $"lang".isNull)
+      .as[(Option[String], Option[String], Long, Long, Long, Long)].collect()
+      .map(x => (x._5, x._6, x._3, x._4)).toSet
+    assert(rows == Set(
+      (0L, 0L, 2L, 3L),  // the real NULL-lang group: 2 docs, 3 tokens
+      (0L, 1L, 3L, 6L)), // the per-source subtotal: all 3 docs, 6 tokens
+      s"got $rows")
   }
 }

@@ -541,7 +541,19 @@ class DataxSpec extends AnyFunSuite {
       Dedup.incrementalNearDupsPrebanded(batch, index, stored, "doc_id",
         "text", bands = 4, threshold = 0.4)
     }
-    assert(err.getMessage.contains("band table was built with"))
+    assert(err.getMessage.contains("index band table holds params"))
+    // a MIXED-parameter sidecar (accumulated across restarts with
+    // changed settings) also fails fast, even when ONE partition's
+    // params happen to match the call — the one-row probe this replaced
+    // would have silently found zero candidates for the other partitions
+    val mixed = stored.unionByName(
+      Dedup.bandSignatures(index, "doc_id", "text", numHashes = 8, bands = 8)
+        .limit(1))
+    val errMixed = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupsPrebanded(batch, index, mixed, "doc_id",
+        "text", bands = 8, threshold = 0.4)
+    }
+    assert(errMixed.getMessage.contains("mixed-parameter sidecar"))
     Dedup.releaseShingleCaches()
   }
 
@@ -669,6 +681,98 @@ class DataxSpec extends AnyFunSuite {
     Dedup.releaseShingleCaches()
     assert(spark.sharedState.cacheManager.isEmpty,
       "releaseShingleCaches drops the assignment cache too")
+  }
+
+  test("centroidsFor: sqrt growth rule with floor 16 and loud clamp") {
+    assert(datax.Similarity.centroidsFor(0L) == 16)
+    assert(datax.Similarity.centroidsFor(100L) == 16) // sqrt below the floor
+    assert(datax.Similarity.centroidsFor(10000L) == 100)
+    assert(datax.Similarity.centroidsFor(1000000L) == 1000)
+    assert(datax.Similarity.centroidsFor(100000000L) == 4096, "clamped")
+    assert(datax.Similarity.centroidsFor(1000000L, maxCentroids = 500) == 500)
+  }
+
+  test("semanticDedupAuto bounds per-doc candidate load as n grows 10x") {
+    // Pair-work proxy (the planesFor-spec pattern): sum over clusters of
+    // width^2, per doc. Fixed K=16 grows it ~n (all-pairs in disguise);
+    // the sqrt rule holds growth to ~sqrt(n).
+    def mkVecs(n: Int) = (0 until n).map { i =>
+      val angle = (i % 97).toDouble / 97.0 * math.Pi
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        ((i % 7).toDouble / 7.0).toFloat))
+    }.toDF("vec_id", "embedding")
+    def load(n: Int, fixedK: Option[Int]): Double = {
+      val out = fixedK match {
+        case Some(k) => datax.Similarity.semanticDedup(mkVecs(n), k, threshold = 0.999)
+        case None    => datax.Similarity.semanticDedupAuto(mkVecs(n), threshold = 0.999)
+      }
+      val w = out.groupBy("centroid_id").count().as[(Long, Long)].collect()
+      datax.Dedup.releaseShingleCaches()
+      w.map(x => x._2.toDouble * x._2).sum / n
+    }
+    val (n1, n2) = (300, 3000)
+    val autoGrowth = load(n2, None) / load(n1, None)
+    val fixedGrowth = load(n2, Some(16)) / load(n1, Some(16))
+    assert(fixedGrowth > 6.0, s"fixed K should grow ~10x, got $fixedGrowth")
+    assert(autoGrowth < 5.0, s"sqrt rule should grow ~sqrt(10)x, got $autoGrowth")
+    assert(autoGrowth < fixedGrowth / 1.8,
+      s"auto $autoGrowth not clearly bounded vs fixed $fixedGrowth")
+  }
+
+  test("semanticDedup hot-cluster guard: rerouted output matches the exact path") {
+    spark.sqlContext.clearCache()
+    // Two 60-wide clusters of 5 directions each; duplicate pairs are
+    // IDENTICAL vectors (banded LSH recall is deterministically 1: same
+    // sign pattern in every table), non-identical same-cluster pairs sit
+    // at cosine <= 0.9993, below the 0.9999 threshold.
+    val vecs = (0 until 120).map { i =>
+      val j = i % 5
+      val base = if (i < 60) Array(1.0f, 0.01f * j, 0.0f)
+                 else Array(0.0f, 0.01f * j, 1.0f)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    def run(widthCap: Long) =
+      datax.Similarity.semanticDedup(vecs, nCentroids = 2, threshold = 0.9999,
+          maxClusterWidth = widthCap)
+        .as[(Long, Long, Boolean)].collect().toSet
+    val exact = run(Long.MaxValue) // guard off: all-pairs within cluster
+    val guarded = run(10L)         // both clusters hot: banded LSH path
+    datax.Dedup.releaseShingleCaches()
+    assert(exact == guarded,
+      s"guarded path diverged: ${(exact diff guarded) ++ (guarded diff exact)}")
+    // sanity: the dataset actually exercises both keeps and drops
+    assert(exact.exists(_._3) && exact.exists(!_._3))
+  }
+
+  test("chunked-range ordered folds: bit-equal to flat on exact sums, partition-invariant") {
+    // dyadic values (multiples of 2^-10, bounded magnitude): every partial
+    // sum is exactly representable, so the chunk-seam re-association
+    // cannot round — chunked MUST equal flat bitwise here. On arbitrary
+    // data the contract is partition-invariance (second assert), not
+    // flat-equality.
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, s"l${i % 3}", Array(
+        (i % 17).toFloat / 1024f, ((i * 7) % 13).toFloat / 64f))
+    }.toDF("vec_id", "label", "embedding")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getInt(1))
+    val flat = datax.Similarity.labelCentroids(vecs).collect()
+      .map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    val chunked = datax.Similarity.labelCentroids(vecs, chunkIds = 16L).collect()
+      .map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(chunked == flat, "chunked fold diverged from flat on exact sums")
+    val reparted = datax.Similarity.labelCentroids(vecs.repartition(7), chunkIds = 16L)
+      .collect().map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(reparted == chunked, "chunked fold depends on partitioning")
+    // same contract for the Lloyd-refined ordered centroids: each round's
+    // fold runs over the original (dyadic) member values, so chunked and
+    // flat rounds stay bit-identical end to end
+    val kFlat = datax.Similarity.kmeansCentroidsOrdered(vecs, nCentroids = 4,
+        iterations = 2)
+      .as[(Long, Int, Double)].collect().toSet
+    val kChunked = datax.Similarity.kmeansCentroidsOrdered(vecs, nCentroids = 4,
+        iterations = 2, chunkIds = 16L)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(kChunked == kFlat, "chunked kmeans fold diverged on exact sums")
   }
 
   test("kmeans-refined IVF centroids tighten the quantizer (objective >= stride seed)") {

@@ -367,6 +367,80 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compactIndex: folds old batches, preserves index state and the replay contract") {
+    import graft.streaming.DedupStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-compact").toString
+    val root = s"$dir/index"
+    // the committed view (raw read.parquet would also see dirs that are
+    // invisible during compaction crash windows — that invisibility is
+    // itself under test below)
+    def docIds = DedupStream.visibleIndex(spark, s"$root/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def state = (docIds,
+      DedupStream.visibleIndex(spark, s"$root/bands").select("id", "band", "bsig")
+        .as[(Long, Int, String)].collect().toSet,
+      DedupStream.visibleIndex(spark, s"$root/fps")
+        .select("id").as[Long].collect().sorted.toSeq)
+    def proc(b: org.apache.spark.sql.DataFrame, id: Long) =
+      DedupStream.processBatch(b, id, root, "doc_id", "text",
+        bands = 8, threshold = 0.4)
+    proc(Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text"), 0L)
+    proc(Seq((2L, "completely unrelated text about spark physical plans here"))
+      .toDF("doc_id", "text"), 1L)
+    val b2 = Seq((3L, "a third novel document with its own fresh words"))
+      .toDF("doc_id", "text")
+    proc(b2, 2L)
+    val before = state
+    assert(before._1 == Seq(1L, 2L, 3L))
+    // compact batches 0..1 (keep the in-flight batch 2 replayable)
+    assert(DedupStream.compactIndex(spark, root) == Some(1L))
+    assert(state == before, "compaction is layout-only: same visible rows")
+    assert(DedupStream.compactedUpTo(s"$root/docs") == Some(1L))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for (t <- Seq("docs", "bands", "fps")) {
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/batch=0")) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/batch=1")),
+        s"$t: folded batch dirs are garbage-collected")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/batch=-3")),
+        s"$t: epoch dir for cutoff 1 exists")
+    }
+    // replay of the in-flight batch AFTER compaction: still a clean
+    // rewrite (its partition survived compaction as its own dir)
+    proc(b2, 2L)
+    assert(state == before, "replay after compaction leaves the index identical")
+    // a stale UNCOMMITTED epoch dir (crash simulation: compaction died
+    // before its marker flip) is invisible: duplicate rows in it must
+    // not reach the verify pass or the index reads
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$root/docs/batch=-3"), fs,
+      new org.apache.hadoop.fs.Path(s"$root/docs/batch=-9"), false,
+      spark.sessionState.newHadoopConf())
+    // near-dup of compacted doc 1 must drop; novel doc appends — against
+    // the epoch-visible index, unaffected by the stale dir
+    proc(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog at dawn today"),
+      (11L, "fresh new content appearing for the first time right here"))
+      .toDF("doc_id", "text"), 3L)
+    assert(docIds == Seq(1L, 2L, 3L, 11L),
+      "10 near-dups compacted doc 1 and drops; 11 appends")
+    // gc removes the stale epoch; a second compaction supersedes -3 with -4
+    DedupStream.gcIndexTable(s"$root/docs")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs/batch=-9")))
+    val snap2 = state
+    assert(DedupStream.compactIndex(spark, root) == Some(2L))
+    assert(state == snap2, "second compaction also layout-only")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs/batch=-4")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs/batch=-3")),
+      "superseded epoch replaced and collected")
+    // the loop keeps working on the doubly-compacted index
+    proc(Seq((20L, "fresh new content appearing for the first time right here today"))
+      .toDF("doc_id", "text"), 4L)
+    assert(docIds == Seq(1L, 2L, 3L, 11L),
+      "20 near-dups 11 (now inside epoch -4) and drops")
+  }
+
   test("DedupStream.processBatch: crash-replay of a batch rewrites, never double-appends or self-dedups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-replay").toString
     val root = s"$dir/index"
