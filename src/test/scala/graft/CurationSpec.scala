@@ -345,6 +345,20 @@ class CurationSpec extends AnyFunSuite {
     assert(r2 == Seq(7L -> "unchanged", 8L -> "changed"))
   }
 
+  test("curation caches follow the shared datax release lifecycle (d45/d46)") {
+    spark.sqlContext.clearCache() // isolate from other suites' leftovers
+    val d = (0 until 60).map { i =>
+      (i.toLong, s"alpha beta w$i gamma delta", i % 2 == 0)
+    }.toDF("doc_id", "text", "tgt")
+    Curation.importanceWeights(d, "doc_id", "text", $"tgt").collect()
+    Curation.tokenBudgetSelect(d, "doc_id", "text", budgetTokens = 100L).collect()
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "importanceWeights/tokenBudgetSelect cache their reused relations")
+    graft.datax.Dedup.releaseShingleCaches()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseShingleCaches drops the curation-registered caches too")
+  }
+
   test("dataCard: one CUBE pass yields per-dim slices and the grand total") {
     val d = Seq(
       (1L, "web", "en", "one two three"),
