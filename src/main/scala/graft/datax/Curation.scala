@@ -30,8 +30,12 @@ object Curation {
     * NOT hinted broadcast: at `minDocs=2` over a web crawl, "chunks
     * appearing twice" is not a small set — AQE picks broadcast-hash at
     * runtime when the materialized set is actually small and falls back
-    * to a shuffled anti join when it isn't. Reassembly shuffles once on
-    * doc id.
+    * to a shuffled join when it isn't. Marking boilerplate with a LEFT
+    * join (not anti) lets ONE groupBy(id) pass produce totals, kept
+    * counts, and the reassembled text together — the anti-join form
+    * needs a second full aggregate over the exploded chunks for totals
+    * plus an id-join to stitch them, i.e. one extra shuffle+agg pass
+    * over the largest relation in the pipeline.
     */
   def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int = 3, minDocs: Int = 2): DataFrame = {
@@ -47,20 +51,21 @@ object Curation {
     val bp = ch.groupBy("chunk")
       .agg(countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-      .select("chunk")
-    val kept = ch.join(bp, Seq("chunk"), "left_anti")
-    val re = kept.groupBy("id").agg(
-      count(lit(1)).as("n_kept"),
-      // collect_list order is nondeterministic; the (pos, chunk) struct
-      // sort restores document order before the re-join
-      concat_ws(" ",
-        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
-          x => x.getField("chunk"))).as("cleaned"))
-    val tot = ch.groupBy("id").agg(count(lit(1)).as("n_chunks"))
-    tot.join(re, Seq("id"), "left_outer")
-      .select(col("id").as(idCol), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .select(col("chunk"), lit(true).as("is_bp"))
+    // collect_list skips the NULLed boilerplate rows, and the (pos,
+    // chunk) struct sort restores document order (collect_list order
+    // itself is nondeterministic); zero kept chunks -> empty list ->
+    // concat_ws "" — same contract as the old coalesce
+    ch.join(bp, Seq("chunk"), "left_outer")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("is_bp").isNull, 1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(
+            when(col("is_bp").isNull, struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk"))).as("cleaned"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_kept"),
+        col("cleaned"))
   }
 
   /** Unigram language-model score per document: corpus token frequencies
