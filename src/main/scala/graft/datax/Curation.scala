@@ -80,8 +80,10 @@ object Curation {
     * (collect_list order itself is nondeterministic; the sort fixes it).
     *
     * Scale shape: token counts are one map-side-combined aggregate; the
-    * vocabulary (top-k) is tiny and broadcasts; the per-doc aggregate is
-    * one shuffle on doc id. No driver loop — `total` rides along as a
+    * vocabulary `orderBy(...).limit(k)` plans as TakeOrderedAndProject
+    * (per-partition top-k heaps merged on the driver, NOT a global
+    * sort), is tiny, and broadcasts; the per-doc aggregate is one
+    * shuffle on doc id. No driver loop — `total` rides along as a
     * 1-row cross join, which Spark plans as a broadcast.
     */
   def unigramLm(docs: DataFrame, idCol: String, textCol: String,
