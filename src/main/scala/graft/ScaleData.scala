@@ -2,26 +2,44 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** BENCH-ONLY synthetic scale-up of the `documents` table: writes an
-  * N-times-larger copy so the heavy dedup family can be timed at a data
-  * size where execution dominates compile/dispatch (SCALE.md notes the
-  * sf0.1 MinHash timings measure codegen as much as data; the driver
-  * testdata tops out at sf0.1 in this sandbox).
+/** BENCH-ONLY synthetic scale-up of the `documents`, `events`, and
+  * `embeddings` tables: writes N-times-larger copies so the heavy
+  * operator families can be timed at a data size where execution
+  * dominates compile/dispatch (SCALE.md notes the sf0.1 MinHash timings
+  * measure codegen as much as data; the driver testdata tops out at
+  * sf0.1 in this sandbox).
   *
-  * Construction preserves the BASE corpus's duplicate structure instead
-  * of distorting it: copy `c` remaps ids to id*N+c and suffixes every
-  * whitespace token with `_c<c>`. Token spaces of different copies are
-  * therefore DISJOINT (no cross-copy shingle or fingerprint collisions,
-  * which plain duplication would create — every doc would gain N-1
-  * exact twins and the pair count would explode quadratically), while
-  * within one copy the token renaming is a bijection, so each copy's
-  * shingle-set relations — and hence its dup pairs — are exactly the
-  * base's. Result: N x rows, N x duplicate pairs, N x candidate load —
-  * a clean linear scale-up for ratio measurements, NOT a correctness
-  * fixture (oracle queries never run against it).
+  * Construction preserves each BASE table's pair/group structure
+  * instead of distorting it — copy `c` of N:
+  *   - `documents`: ids remap to id*N+c and every whitespace token gets
+  *     a `_c<c>` suffix. Token spaces of different copies are DISJOINT
+  *     (no cross-copy shingle or fingerprint collisions, which plain
+  *     duplication would create — every doc would gain N-1 exact twins
+  *     and the pair count would explode quadratically), while within
+  *     one copy the renaming is a bijection, so each copy's shingle-set
+  *     relations — and hence its dup pairs — are exactly the base's.
+  *     N x rows, N x duplicate pairs, N x candidate load.
+  *   - `events`: event and user ids remap to id*N+c; timestamps,
+  *     types, values unchanged. Every keyed operator (tumbling/sliding
+  *     per (window, user), sessionize, trailing stats, as-of, interval
+  *     join) partitions on user, so disjoint user spaces mean N x
+  *     groups at the base's per-group density — no cross-copy joins or
+  *     sessions, linear by construction.
+  *   - `embeddings`: vec ids remap to id*N+c; copy c multiplies
+  *     element i by a deterministic sign (murmur3(c, i) parity) — a
+  *     DIAGONAL ORTHOGONAL transform, so every within-copy cosine (and
+  *     norm) is bit-exactly the base's and each copy carries the base's
+  *     near-dup pair set, while cross-copy cosines decorrelate toward 0
+  *     (plain duplication would give every vector N-1 cosine-1.0 twins
+  *     and quadratic pair blow-up). Labels keep their values: N x rows
+  *     per label class. Sign flips cannot make cross-copy cosines
+  *     exactly zero, so high-threshold candidate joins may see a few
+  *     straggler cross-copy pairs — fine for ratio measurement, which
+  *     is all this table is for (oracle queries never run against it).
   *
   * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_SCALE
-  * (default 10), SPARK_GRAFT_SCALE_OUT (default /tmp/graft_scale_<N>x).
+  * (default 10), SPARK_GRAFT_SCALE_OUT (default /tmp/graft_scale_<N>x),
+  * SPARK_GRAFT_SCALE_TABLES (default documents,events,embeddings).
   * Usage: build once, then point the canary-gated Bench at it:
   *   SPARK_GRAFT_SF_DIR=/tmp/graft_scale_10x \
   *   SPARK_GRAFT_ONLY=d05_...,d07_... sbt "runMain graft.Bench"
@@ -31,6 +49,8 @@ object ScaleData {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", s"/tmp/graft_scale_${n}x")
+    val tables = sys.env.getOrElse("SPARK_GRAFT_SCALE_TABLES",
+      "documents,events,embeddings").split(",").map(_.trim).toSet
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions",
@@ -39,18 +59,32 @@ object ScaleData {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    val copies = (0 until n).map { c =>
+
+    def write(table: String, copy: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Unit = {
+      if (!tables.contains(table)) return
+      val df = spark.read.parquet(s"$base/$table.parquet")
+      (0 until n).map(copy(df, _)).reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"""{"scaled":"$out/$table.parquet","factor":$n,"rows":${spark.read.parquet(s"$out/$table.parquet").count()}}""")
+    }
+
+    write("documents", (docs, c) =>
       docs
         .withColumn("doc_id", col("doc_id") * n + c)
         // suffix every token: bijective within a copy, disjoint across
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_c$c"))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-    }
-    copies.reduce(_ unionByName _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    println(s"""{"scaled":"$out","factor":$n,"rows":${spark.read.parquet(s"$out/documents.parquet").count()}}""")
+        .withColumn("n_chars", length(col("text")).cast("long")))
+
+    write("events", (ev, c) =>
+      ev.withColumn("event_id", col("event_id") * n + c)
+        .withColumn("user_id", col("user_id") * n + c))
+
+    write("embeddings", (em, c) =>
+      em.withColumn("vec_id", col("vec_id") * n + c)
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => when(pmod(hash(lit(c), i), lit(2)) === 0, x).otherwise(-x))))
+
     spark.stop()
   }
 }

@@ -1235,6 +1235,45 @@ object DataxQueries {
         FROM asg LEFT JOIN drops ON asg.id = drops.id
         ORDER BY vec_id""")),
 
+    /* The AUTO twin of d39 — the form a 100 TB caller should run:
+     * K = centroidsFor(n) (sqrt rule, floor 16, clamp 4096) instead of a
+     * fixed count, so pair work stays ~n^1.5 as the corpus grows. Fully
+     * oracle-gated: DuckDB recomputes the same K from count(*) (the
+     * clamp is unreachable at test scale, and the hot-cluster guard's
+     * auto width never engages below ~4k-wide clusters, so the exact
+     * within-cluster scan is replayed 1:1). */
+    QueryDef("d39a_semantic_dedup_auto",
+      (s, dir) => Similarity.semanticDedupAuto(t(s, dir, "embeddings"),
+          threshold = 0.3)
+        .orderBy("vec_id"),
+      Some(s"""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        k AS (SELECT least(4096, greatest(16,
+                CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM v),
+        st AS (SELECT greatest(1, count(*) // (SELECT k FROM k)) AS stride
+               FROM v),
+        c AS (
+          SELECT id AS centroid_id, vec AS cvec FROM v, st
+          WHERE id % stride = 0 ORDER BY id LIMIT (SELECT k FROM k)),
+        asg AS (
+          SELECT id, vec, centroid_id FROM (
+            SELECT v.id, v.vec, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+            FROM v CROSS JOIN c) WHERE rn = 1),
+        nn AS (
+          SELECT id, centroid_id, vec, sqrt(${dotSql("vec", "vec")}) AS n
+          FROM asg),
+        drops AS (
+          SELECT DISTINCT y.id AS id
+          FROM nn x JOIN nn y
+            ON x.centroid_id = y.centroid_id AND x.id < y.id
+          WHERE ${dotSql("x.vec", "y.vec")} / (x.n * y.n) >= 0.3)
+        SELECT asg.id AS vec_id, asg.centroid_id,
+               (drops.id IS NULL) AS keep
+        FROM asg LEFT JOIN drops ON asg.id = drops.id
+        ORDER BY vec_id""")),
+
     /* As-of join: each click picks the latest SAME-USER view at or
      * before it (point-in-time lookup). Spark resolves it with a union +
      * one window pass (no join at all — see StreamOps.asofJoin); the
