@@ -1194,18 +1194,19 @@ object Dedup {
     val dim = probeDim(vectors, vecCol)
     if (dim == 0) // no usable vectors: no pairs, same schema
       return emptyPairFrame(v)
-    // one bucket string per table: sign bits of the native dot against
-    // that table's literal plane matrix (graft_dot is codegen'd; the
-    // matrix is data-independent, so it is baked in, never recomputed)
-    val sigCols = (0 until tables).map { tbl =>
-      val signs = planeSignsSeeded(tbl, planesPerTable, dim)
-      val bits = (0 until planesPerTable).map { p =>
-        when(Similarity.dot(col("vec"), lit(signs(p))) >= 0, "1").otherwise("0")
-      }
-      concat_ws("", bits: _*)
+    // one bucket string per table: sign bits against the seeded plane
+    // matrices, all L tables in ONE native expression (BandSignatures)
+    // whose plane tensor rides as a codegen reference object. The
+    // previous per-table literal-dot composition generated code growing
+    // with L x r and hit Janino's InternalCompilerException at the
+    // bandsFor clamp (64 tables); this form is O(1) plan size in both,
+    // bit-identical buckets (same dot order, same sign rule).
+    val allPlanes: Seq[Seq[Seq[Double]]] = (0 until tables).map { tbl =>
+      planeSignsSeeded(tbl, planesPerTable, dim).map(_.toSeq).toSeq
     }
     val bucketRows = v.select(col("id"),
-      posexplode(array(sigCols: _*)).as(Seq("tbl", "bucket")))
+      posexplode(graft.functions.BandSignatures.sigs(col("vec"), allPlanes))
+        .as(Seq("tbl", "bucket")))
     val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"))
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),

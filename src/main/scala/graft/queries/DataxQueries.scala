@@ -598,6 +598,29 @@ object DataxQueries {
         .orderBy("id_a", "id_b"),
       Some(EmbeddingNearDupBandedSql)),
 
+    /* The AUTO twin of d10a — (L, r) from bandsFor(count) instead of
+     * fixed literals, i.e. the form that holds per-bucket occupancy and
+     * table count bounded as n grows; d10a's fixed 3x4 at 10x the
+     * vectors measured 74 s where the auto form stays single-digit at
+     * the same threshold (SCALE.md). Threshold 0.4: the HIGHEST level
+     * at which the near-orthogonal synthetic embeddings have pairs at
+     * all (max pairwise cosine is 0.51 at sf0.01 / 0.60 at sf0.1 — the
+     * 0.9 design default returns an honest empty set here), and one
+     * where bandsFor stays un-clamped at the driver SFs (14 / 57
+     * tables). SCALE.md records the regime boundary this skirts: at low
+     * thresholds and big n the recall rule clamps loudly and semantic
+     * dedup (d39a) is the right tool. `no_oracle` by construction, same
+     * as d19a/d28a: the plane matrices depend on the runtime count, so
+     * there are no literal matrices to bake into replay SQL;
+     * correctness of the auto rule is spec-pinned instead (DataxSpec:
+     * recall >= target vs brute force as n grows 10x, bounded candidate
+     * load, BandSignatures == the literal composition). */
+    QueryDef("d10b_embedding_neardups_banded_auto",
+      (s, dir) => Dedup.embeddingNearDupsBandedAuto(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b"),
+      None),
+
     /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
      * (avg() is summation-order-dependent; the id-ordered sequential
      * fold is not) — promotes k-means from spec-only to a full hash

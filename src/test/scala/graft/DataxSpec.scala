@@ -611,6 +611,35 @@ class DataxSpec extends AnyFunSuite {
     assert(!top.exists(_._3 == 1L))
   }
 
+  test("native BandSignatures == the literal per-plane dot composition") {
+    // the composition BandSignatures replaced (concat_ws of sign bits of
+    // graft_dot against each literal plane) — must stay bit-identical
+    val planes: Seq[Seq[Seq[Double]]] = (0 until 3).map { t =>
+      Dedup.planeSignsSeeded(t, 4, 5).map(_.toSeq).toSeq
+    }
+    val vecs = Seq(
+      (1L, Array(0.3, -1.2, 4.0, 0.0, -0.7)),
+      (2L, Array(-2.0, 2.0, -2.0, 2.0, -2.0)),
+      (3L, Array(0.0, 0.0, 0.0, 0.0, 0.0)),   // all-zero: dot 0 -> '1'
+      (4L, Array(1.5, 0.5)))                   // short vec: min(len) rule
+      .toDF("id", "vec")
+    val composed = planes.map { tp =>
+      concat_ws("", tp.map(p =>
+        when(graft.functions.DotProduct.dotp($"vec", lit(p.toArray)) >= 0,
+          "1").otherwise("0")): _*)
+    }
+    val rows = vecs.select(
+        graft.functions.BandSignatures.sigs($"vec", planes).as("native"),
+        array(composed: _*).as("composed"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (n, c) => assert(n == c) }
+    // null vector -> null result (DotProduct convention)
+    val nulls = Seq((1L, null: Array[Double])).toDF("id", "vec")
+      .select(graft.functions.BandSignatures.sigs($"vec", planes).as("s"))
+      .collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("native DotProduct == HOF fold, and registers as SQL graft_dot") {
     val vecs = Seq(
       (1L, Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.25)),
