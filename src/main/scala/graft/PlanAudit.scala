@@ -23,6 +23,7 @@ object PlanAudit {
       "a01_reports_stats", "d23_contamination", "d24_pii_scan",
       "h05_rollup_summary", "d17_json_props", "d16_sessionize",
       "d30_dedup_corpus", "d10a_embedding_neardups_banded",
+      "d10b_embedding_neardups_banded_auto",
       "d33_boilerplate", "d39_semantic_dedup", "d40_asof_join",
       "d41_domain_cap", "d42_corpus_shuffle", "d43_chunk_sequences",
       "h07_small_qty_revenue", "h08_large_orders",
