@@ -640,6 +640,42 @@ class DataxSpec extends AnyFunSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("BandSignatures: interpreted eval == codegen path == Scala reference on random vectors") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val planes: Seq[Seq[Seq[Double]]] = (0 until 5).map { t =>
+      Dedup.planeSignsSeeded(t, 3, 8).map(_.toSeq).toSeq
+    }
+    // same accumulation order as the expression: ascending index,
+    // min(len) elements, 0.0 seed -> bit-identical doubles
+    def ref(v: Array[Double]): Seq[String] = planes.map { tp =>
+      tp.map { p =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(p.length, v.length)
+        while (i < n) { acc += v(i) * p(i); i += 1 }
+        if (acc >= 0.0) "1" else "0"
+      }.mkString
+    }
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 64).map(_ => Array.fill(8)(rnd.nextGaussian() * 3))
+    // interpreted path: direct eval on a literal child
+    vecs.foreach { v =>
+      val out = graft.functions.BandSignatures(
+          Literal.create(v, ArrayType(DoubleType)), planes)
+        .eval(null).asInstanceOf[ArrayData]
+      val got = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      assert(got == ref(v))
+    }
+    // codegen path: through a projection on a real DataFrame
+    val viaDf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+      .select($"id", graft.functions.BandSignatures.sigs($"vec", planes).as("s"))
+      .as[(Long, Seq[String])].collect().sortBy(_._1)
+    viaDf.foreach { case (i, got) => assert(got == ref(vecs(i.toInt))) }
+  }
+
   test("native DotProduct == HOF fold, and registers as SQL graft_dot") {
     val vecs = Seq(
       (1L, Array(1.5, -2.0, 3.25), Array(0.5, 4.0, -1.25)),
