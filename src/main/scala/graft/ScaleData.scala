@@ -37,9 +37,16 @@ import org.apache.spark.sql.functions._
   *     straggler cross-copy pairs — fine for ratio measurement, which
   *     is all this table is for (oracle queries never run against it).
   *
+  * The relational tables (customer/supplier/part/orders/lineitem)
+  * scale like dbgen SF — every fact key remaps k*N+c so joins stay 1:1
+  * per copy, while nation/region stay fixed (real dims grow slower
+  * than facts; the audited broadcast sides stay broadcast-sized).
+  *
   * Env: SPARK_GRAFT_SF_DIR (base, default sf0.1), SPARK_GRAFT_SCALE
   * (default 10), SPARK_GRAFT_SCALE_OUT (default /tmp/graft_scale_<N>x),
-  * SPARK_GRAFT_SCALE_TABLES (default documents,events,embeddings).
+  * SPARK_GRAFT_SCALE_TABLES (default documents,events,embeddings; add
+  * customer,supplier,part,orders,lineitem for the relational family —
+  * nation/region then copy through unscaled so joins resolve).
   * Usage: build once, then point the canary-gated Bench at it:
   *   SPARK_GRAFT_SF_DIR=/tmp/graft_scale_10x \
   *   SPARK_GRAFT_ONLY=d05_...,d07_... sbt "runMain graft.Bench"
@@ -84,6 +91,26 @@ object ScaleData {
       em.withColumn("vec_id", col("vec_id") * n + c)
         .withColumn("embedding", transform(col("embedding"),
           (x, i) => when(pmod(hash(lit(c), i), lit(2)) === 0, x).otherwise(-x))))
+
+    // Relational facts scale like dbgen SF: every fact/dim KEY remaps
+    // consistently (k*N+c), so joins stay 1:1 per copy and per-key
+    // groups multiply; nation/region (the genuinely fixed dims) are NOT
+    // scaled — at higher SF real dims grow slower than facts, and the
+    // broadcast sides of the audited plans stay broadcast-sized.
+    def remap(cols: String*)(df: org.apache.spark.sql.DataFrame, c: Int) =
+      cols.foldLeft(df)((d, k) => d.withColumn(k, col(k) * n + c))
+    write("customer", remap("c_custkey"))
+    write("supplier", remap("s_suppkey"))
+    write("part", remap("p_partkey"))
+    write("orders", remap("o_orderkey", "o_custkey"))
+    write("lineitem", remap("l_orderkey", "l_partkey", "l_suppkey"))
+    if (Seq("customer", "supplier", "part", "orders", "lineitem")
+        .exists(tables.contains)) {
+      Seq("nation", "region").foreach { t =>
+        spark.read.parquet(s"$base/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    }
 
     spark.stop()
   }
