@@ -1100,9 +1100,11 @@ object Dedup {
       else math.ceil(math.log1p(-targetRecall) / math.log1p(-pr)).max(1.0)
     val tables = math.min(exact, maxTables.toDouble).toInt
     if (exact > maxTables) {
-      // loud: an unbounded L is its own scale bug (10^4+ literal plane
-      // matrices in one projection = driver/codegen OOM). The clamp
-      // trades recall for a buildable plan and SAYS SO.
+      // loud: an unbounded L is its own scale bug — L x n signature
+      // rows of work and an L x r x dim driver-held tensor (the
+      // BandSignatures reference object keeps the PLAN O(1) in L, but
+      // the work is real). The clamp trades recall for a bounded build
+      // and SAYS SO.
       val achieved = 1.0 - math.pow(1.0 - pr, tables.toDouble)
       System.err.println(
         f"[graft-dedup] bandsFor(n=$n%d, threshold=$threshold%.2f): recall " +
@@ -1176,8 +1178,10 @@ object Dedup {
     * ~ n/2^r), L buys recall back (1-(1-p^r)^L). Pick (L, r) with
     * [[bandsFor]] or [[embeddingNearDupsBandedAuto]].
     *
-    * Plan shape: plane projections are scan-side native-dot products
-    * against literal matrices (no per-pair work); the L bucket ids
+    * Plan shape: plane projections are scan-side — ONE native
+    * [[graft.functions.BandSignatures]] call yields all L bucket
+    * strings with the plane tensor as a codegen reference object
+    * (generated code O(1) in L and r; no per-pair work); the L bucket ids
     * posexplode to (id, tbl, bucket) rows; candidates come from bucket
     * GROUPING (collect ids per bucket, expand sorted in-bucket pairs —
     * never a self-join that would re-execute the projection subtree);
