@@ -211,7 +211,15 @@ object Curation {
     * and therefore output — are EXACTLY domainCap's. Residual skew:
     * ties themselves (a group where most docs share one quality value
     * collapse into one band); raise `bands` for resolution elsewhere,
-    * but tie mass is irreducible by any order-preserving split. */
+    * but tie mass is irreducible by any order-preserving split.
+    *
+    * NULLs keep the contract too: a NULL text makes quality NULL, which
+    * `desc` ordering places last — so NULL-quality rows get the sentinel
+    * band `bands + 1`, strictly after every real band, and tie-break by
+    * id there exactly as domainCap's global order does. A NULL group is
+    * one group to groupBy/window alike; the offsets join is null-safe on
+    * the group key (`<=>`) so those rows rank instead of silently
+    * vanishing through an equi-join. */
   def domainCapBanded(docs: DataFrame, idCol: String, groupCol: String,
                       textCol: String, maxPerGroup: Int = 100,
                       bands: Int = 256): DataFrame = {
@@ -219,17 +227,20 @@ object Curation {
     require(bands >= 1, s"bands=$bands must be >= 1")
     val base = docs.select(col(idCol), col(groupCol),
         TextStats.qualityScore(col(textCol)).as("quality"))
-      .withColumn("_band", ((lit(1.0) - col("quality")) * bands).cast("int"))
+      .withColumn("_band",
+        when(col("quality").isNull, lit(bands + 1))
+          .otherwise(((lit(1.0) - col("quality")) * bands).cast("int")))
     val bandCnt = base.groupBy(col(groupCol), col("_band"))
       .agg(count(lit(1)).as("_bn"))
-    val offsets = bandCnt.select(col(groupCol), col("_band"),
+    val offsets = bandCnt.select(col(groupCol).as("_g"), col("_band").as("_b"),
       coalesce(sum(col("_bn")).over(
           Window.partitionBy(col(groupCol)).orderBy(col("_band"))
             .rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)).as("_off"))
     val within = Window.partitionBy(col(groupCol), col("_band"))
       .orderBy(col("quality").desc, col(idCol).asc)
-    base.join(offsets, Seq(groupCol, "_band"))
+    base.join(offsets,
+        col(groupCol) <=> col("_g") && col("_band") === col("_b"))
       .withColumn("rank",
         (col("_off") + row_number().over(within)).cast("int"))
       .withColumn("keep", col("rank") <= maxPerGroup)

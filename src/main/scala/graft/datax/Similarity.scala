@@ -349,8 +349,12 @@ object Similarity {
     Dedup.registerCache(assigned)
     // Cluster widths: one aggregate over the cached assignment, K rows.
     // Driver-held by construction (K is bounded by centroidsFor's clamp).
-    val widths = assigned.groupBy("centroid_id").agg(count(lit(1)).as("_w"))
-      .as[(Long, Long)].collect()
+    // Long.MaxValue disables the guard entirely — no cluster can exceed
+    // the bound, so the full pass over the assignment is skipped.
+    val widths: Array[(Long, Long)] =
+      if (maxClusterWidth == Long.MaxValue) Array.empty
+      else assigned.groupBy("centroid_id").agg(count(lit(1)).as("_w"))
+        .as[(Long, Long)].collect()
     val width =
       if (maxClusterWidth > 0L) maxClusterWidth
       else {

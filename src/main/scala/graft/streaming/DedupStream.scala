@@ -43,7 +43,9 @@ import graft.datax.Dedup
   * RETENTION: continuous ingest accumulates one `batch=N` partition per
   * micro-batch per table — thousands of small files at steady state.
   * [[compactIndex]] consolidates old batches without breaking the
-  * replay contract (see its doc for the epoch/marker commit protocol).
+  * replay contract (see its doc for the epoch/marker commit protocol),
+  * and [[expireIndex]] drops the consolidated generation — together
+  * the retention policy of a long-running deployment.
   */
 object DedupStream {
 
@@ -155,12 +157,33 @@ object DedupStream {
 
   private val MarkerName = "_compact_upto" // "_" prefix: invisible to parquet reads
 
+  // ALL maintenance I/O goes through the Hadoop FileSystem resolved from
+  // the path (as the parquet reads/writes already do): on a non-local
+  // indexRoot (hdfs://, s3a://) java.nio would silently see nothing —
+  // compactedUpTo would return None and visibleIndex's `batch >= 0`
+  // filter would hide a committed epoch partition, re-admitting
+  // near-dups with no error.
+  private def hfs(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   /** Committed compaction cutoff of one index table, if any. */
-  def compactedUpTo(dir: String): Option[Long] = {
-    val p = java.nio.file.Paths.get(dir, MarkerName)
-    if (java.nio.file.Files.exists(p))
-      Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
-    else None
+  def compactedUpTo(spark: SparkSession, dir: String): Option[Long] = {
+    val (fs, root) = hfs(spark, dir)
+    val m = new org.apache.hadoop.fs.Path(root, MarkerName)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](256)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(out.toByteArray, "UTF-8").trim.toLong)
+      } finally in.close()
+    }
   }
 
   /** The committed row set of one index table: the consolidated epoch
@@ -172,7 +195,7 @@ object DedupStream {
     * compaction windows. */
   def visibleIndex(spark: SparkSession, dir: String): DataFrame = {
     val df = spark.read.parquet(dir)
-    compactedUpTo(dir) match {
+    compactedUpTo(spark, dir) match {
       case Some(c) => df.filter(col("batch") === lit(-(c + 2)) || col("batch") > c)
       case None    => df.filter(col("batch") >= 0)
     }
@@ -195,39 +218,93 @@ object DedupStream {
     }.headOption
   }
 
-  private def batchDirs(dir: String): Seq[(java.nio.file.Path, Long)] = {
-    val root = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
-    val s = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.flatMap { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("batch="))
-          scala.util.Try(n.stripPrefix("batch=").toLong).toOption.map(p -> _)
-        else None
-      }.toList
-    } finally s.close()
+  /** RETENTION (round 6): FORGET the consolidated generation — delete
+    * each table's committed epoch partition (every row at or below the
+    * compaction cutoff), keeping all plain batches above it. Composed
+    * with [[compactIndex]] this is the generational policy a 100 TB
+    * deployment runs: `compactIndex(keepLastBatches = N)` folds
+    * everything older than the newest N batches into one epoch, and
+    * `expireIndex` drops that epoch — net effect "retain only the last
+    * N ingest batches", without ever touching a replayable partition
+    * (compaction already refuses to fold the in-flight batch).
+    *
+    * Forgetting is the SEMANTICS, not a defect: a future document that
+    * near-duplicates only expired corpus rows is admitted (the corpus
+    * chose to stop remembering them); the no-near-dup invariant
+    * continues to hold among the RETAINED docs, because expiry removes
+    * whole (doc, bands, fps) generations together, never one side of a
+    * surviving doc's index entries.
+    *
+    * Crash-safety needs NO new protocol state: the marker stays at the
+    * cutoff `c`, and [[visibleIndex]]'s `batch == -(c+2) OR batch > c`
+    * reads identically through every intermediate state — epoch present
+    * (pre-expiry), partially deleted (transiently fewer old rows — a
+    * delete is the one operation where that is acceptable), or absent
+    * (post-expiry). The delete IS the commit; re-running after a crash
+    * that expired only some of the three tables finishes the job
+    * (idempotent), and the transient doc/bands asymmetry can only
+    * affect pairs involving rows already chosen for deletion.
+    *
+    * Returns the expired cutoff (from the docs table), or None when
+    * there is no committed epoch to drop. */
+  def expireIndex(spark: SparkSession, indexRoot: String): Option[Long] =
+    Seq("docs", "bands", "fps").flatMap { t =>
+      val dir = s"$indexRoot/$t"
+      gcIndexTable(spark, dir) // heal any crashed compaction first
+      compactedUpTo(spark, dir).flatMap { c =>
+        val (fs, root) = hfs(spark, dir)
+        val epoch = new org.apache.hadoop.fs.Path(root, s"batch=${-(c + 2)}")
+        if (fs.exists(epoch)) { fs.delete(epoch, true); Some(c) } else None
+      }
+    }.headOption
+
+  private def batchDirs(spark: SparkSession, dir: String)
+      : Seq[(org.apache.hadoop.fs.Path, Long)] = {
+    val (fs, root) = hfs(spark, dir)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Seq.empty
+    fs.listStatus(root).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch="))
+        scala.util.Try(n.stripPrefix("batch=").toLong).toOption.map(st.getPath -> _)
+      else None
+    }
   }
 
   /** Delete dirs made invisible by the committed marker (old batches at
     * or below the cutoff; stale epoch dirs from superseded or
     * uncommitted compactions). Safe any time: only invisible data. */
-  def gcIndexTable(dir: String): Unit = {
-    val keepEpoch = compactedUpTo(dir).map(c => -(c + 2))
-    val cutoff = compactedUpTo(dir).getOrElse(-1L)
-    batchDirs(dir).foreach { case (p, b) =>
+  def gcIndexTable(spark: SparkSession, dir: String): Unit = {
+    val (fs, _) = hfs(spark, dir)
+    val keepEpoch = compactedUpTo(spark, dir).map(c => -(c + 2))
+    val cutoff = compactedUpTo(spark, dir).getOrElse(-1L)
+    batchDirs(spark, dir).foreach { case (p, b) =>
       val stale = (b >= 0 && b <= cutoff) || (b < 0 && !keepEpoch.contains(b))
-      if (stale) graft.util.AtomicSwap.deleteRec(p)
+      if (stale) { fs.delete(p, true); () }
     }
+  }
+
+  /** COMMIT a new marker value: write to a `.tmp` sibling, then an
+    * atomic overwrite-rename via FileContext (plain FileSystem.rename
+    * does not overwrite, and delete-then-rename would open a window
+    * where readers see NO marker and hide the committed epoch). */
+  private def commitMarker(spark: SparkSession, dir: String, cutoff: Long): Unit = {
+    val (fs, root) = hfs(spark, dir)
+    val mtmp = new org.apache.hadoop.fs.Path(root, MarkerName + ".tmp")
+    val out = fs.create(mtmp, true)
+    try out.write(cutoff.toString.getBytes("UTF-8")) finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      root.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(mtmp, new org.apache.hadoop.fs.Path(root, MarkerName),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def compactIndexTable(spark: SparkSession, dir: String,
                                 keepLastBatches: Int,
                                 targetBytes: Long): Option[Long] = {
-    gcIndexTable(dir) // heal leftovers from any crashed prior run
-    val prev = compactedUpTo(dir)
-    val real = batchDirs(dir).map(_._2).filter(_ >= 0)
+    gcIndexTable(spark, dir) // heal leftovers from any crashed prior run
+    val (fs, root) = hfs(spark, dir)
+    val prev = compactedUpTo(spark, dir)
+    val real = batchDirs(spark, dir).map(_._2).filter(_ >= 0)
     if (real.isEmpty) return None
     val cutoff = real.max - keepLastBatches
     val toFold = real.filter(_ <= cutoff)
@@ -235,34 +312,24 @@ object DedupStream {
     // visible rows at or below the cutoff = previous epoch + old batches
     val folded = visibleIndex(spark, dir).filter(col("batch") <= cutoff)
       .drop("batch") // partition value lives in the dir name, not the files
-    val bytes = toFold.map(b => dirBytes(s"$dir/batch=$b")).sum +
-      prev.map(c => dirBytes(s"$dir/batch=${-(c + 2)}")).getOrElse(0L)
+    val bytes = toFold.map(b => dirBytes(spark, s"$dir/batch=$b")).sum +
+      prev.map(c => dirBytes(spark, s"$dir/batch=${-(c + 2)}")).getOrElse(0L)
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val tmp = java.nio.file.Paths.get(dir, "_compact_tmp") // "_": invisible
-    graft.util.AtomicSwap.deleteRec(tmp) // stale rewrite from a crashed run
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp") // "_": invisible
+    fs.delete(tmp, true) // stale rewrite from a crashed run
     folded.coalesce(nFiles).write.parquet(tmp.toString)
-    val epoch = java.nio.file.Paths.get(dir, s"batch=${-(cutoff + 2)}")
-    graft.util.AtomicSwap.deleteRec(epoch) // uncommitted partial attempt
-    java.nio.file.Files.move(tmp, epoch)
+    val epoch = new org.apache.hadoop.fs.Path(root, s"batch=${-(cutoff + 2)}")
+    fs.delete(epoch, true) // uncommitted partial attempt
+    fs.rename(tmp, epoch)
     // COMMIT: atomic marker flip — readers switch epochs here
-    val mtmp = java.nio.file.Paths.get(dir, MarkerName + ".tmp")
-    java.nio.file.Files.write(mtmp, cutoff.toString.getBytes("UTF-8"))
-    java.nio.file.Files.move(mtmp, java.nio.file.Paths.get(dir, MarkerName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    gcIndexTable(dir) // old batches + superseded epoch are now invisible
+    commitMarker(spark, dir, cutoff)
+    gcIndexTable(spark, dir) // old batches + superseded epoch now invisible
     Some(cutoff)
   }
 
-  private def dirBytes(dir: String): Long = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.exists(p)) return 0L
-    val s = java.nio.file.Files.walk(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala
-        .filter(f => java.nio.file.Files.isRegularFile(f)).map(java.nio.file.Files.size).sum
-    } finally s.close()
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
   }
 
   /** True when the table root holds at least one committed partition

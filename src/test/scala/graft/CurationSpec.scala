@@ -186,6 +186,30 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("domainCapBanded: NULL group and NULL text rank identically to domainCap") {
+    // NULL text -> NULL quality -> sentinel band (after every real band,
+    // matching desc-nulls-last); NULL group -> one group, null-safe join.
+    // Before round 6 the equi-join silently DROPPED all four null rows.
+    val d = Seq(
+      (1L, Option("the cat sat on the mat"), Option("A")),
+      (2L, Option("the dog ran in the park today"), Option("A")),
+      (3L, None: Option[String], Option("A")),      // null text, real group
+      (4L, Option("only doc with a null group"), None: Option[String]),
+      (5L, None: Option[String], None: Option[String]), // both null
+      (6L, Option("second doc in the null group"), None: Option[String]))
+      .toDF("doc_id", "text", "source")
+    val exact = Curation.domainCap(d, "doc_id", "source", "text", maxPerGroup = 2)
+      .as[(Long, Option[String], Option[Double], Int, Boolean)].collect().toSet
+    assert(exact.size == 6, "domainCap ranks every row, nulls included")
+    for (bands <- Seq(1, 256)) {
+      val banded = Curation.domainCapBanded(d, "doc_id", "source", "text",
+          maxPerGroup = 2, bands = bands)
+        .as[(Long, Option[String], Option[Double], Int, Boolean)].collect().toSet
+      assert(banded == exact,
+        s"bands=$bands diverged: ${(exact diff banded) ++ (banded diff exact)}")
+    }
+  }
+
   // ---- deterministic shuffle ----
 
   test("corpusShuffle: a permutation — contiguous positions per shard, deterministic, seed-sensitive") {

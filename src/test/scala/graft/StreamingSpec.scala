@@ -396,7 +396,7 @@ class StreamingSpec extends AnyFunSuite {
     // compact batches 0..1 (keep the in-flight batch 2 replayable)
     assert(DedupStream.compactIndex(spark, root) == Some(1L))
     assert(state == before, "compaction is layout-only: same visible rows")
-    assert(DedupStream.compactedUpTo(s"$root/docs") == Some(1L))
+    assert(DedupStream.compactedUpTo(spark, s"$root/docs") == Some(1L))
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     for (t <- Seq("docs", "bands", "fps")) {
@@ -426,7 +426,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(docIds == Seq(1L, 2L, 3L, 11L),
       "10 near-dups compacted doc 1 and drops; 11 appends")
     // gc removes the stale epoch; a second compaction supersedes -3 with -4
-    DedupStream.gcIndexTable(s"$root/docs")
+    DedupStream.gcIndexTable(spark, s"$root/docs")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs/batch=-9")))
     val snap2 = state
     assert(DedupStream.compactIndex(spark, root) == Some(2L))
@@ -439,6 +439,57 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text"), 4L)
     assert(docIds == Seq(1L, 2L, 3L, 11L),
       "20 near-dups 11 (now inside epoch -4) and drops")
+  }
+
+  test("expireIndex: drops the consolidated generation; replay and the invariant for RETAINED docs hold") {
+    import graft.streaming.DedupStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-expire").toString
+    val root = s"$dir/index"
+    def docIds = DedupStream.visibleIndex(spark, s"$root/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def proc(b: org.apache.spark.sql.DataFrame, id: Long) =
+      DedupStream.processBatch(b, id, root, "doc_id", "text",
+        bands = 8, threshold = 0.4)
+    proc(Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text"), 0L)
+    proc(Seq((2L, "completely unrelated text about spark physical plans here"))
+      .toDF("doc_id", "text"), 1L)
+    val b2 = Seq((3L, "fresh new content appearing for the first time right here"))
+      .toDF("doc_id", "text")
+    proc(b2, 2L)
+    // nothing to expire before a compaction exists (no committed epoch)
+    assert(DedupStream.expireIndex(spark, root).isEmpty)
+    assert(DedupStream.compactIndex(spark, root) == Some(1L))
+    // RETENTION: forget the consolidated generation (batches 0..1)
+    assert(DedupStream.expireIndex(spark, root) == Some(1L))
+    assert(docIds == Seq(3L), "only the retained batch remains visible")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    for (t <- Seq("docs", "bands", "fps")) {
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/batch=-3")),
+        s"$t: expired epoch dir deleted")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$root/$t/batch=2")),
+        s"$t: retained batch untouched")
+    }
+    // marker unchanged: cutoff 1 with no epoch = "everything <= 1 forgotten"
+    assert(DedupStream.compactedUpTo(spark, s"$root/docs") == Some(1L))
+    // idempotent: a second expiry finds nothing to drop
+    assert(DedupStream.expireIndex(spark, root).isEmpty)
+    // REPLAY of the newest (replayable) batch after retention: clean rewrite
+    proc(b2, 2L)
+    assert(docIds == Seq(3L), "replay after expiry leaves the index identical")
+    // the no-near-dup invariant holds for RETAINED docs (30 drops), while
+    // a near-dup of an EXPIRED doc is re-admitted — that forgetting is the
+    // retention semantics, not a defect
+    proc(Seq(
+      (30L, "fresh new content appearing for the first time right here today"),
+      (31L, "the quick brown fox jumps over the lazy dog at dawn today"))
+      .toDF("doc_id", "text"), 3L)
+    assert(docIds == Seq(3L, 31L),
+      "30 near-dups retained doc 3 and drops; 31 matches only expired doc 1 and is admitted")
+    // the loop keeps compacting normally on the expired index
+    assert(DedupStream.compactIndex(spark, root) == Some(2L))
+    assert(docIds == Seq(3L, 31L))
   }
 
   test("DedupStream.processBatch: crash-replay of a batch rewrites, never double-appends or self-dedups") {
