@@ -52,6 +52,36 @@ import org.apache.spark.sql.functions._
   *   SPARK_GRAFT_ONLY=d05_...,d07_... sbt "runMain graft.Bench"
   */
 object ScaleData {
+
+  /** Plant deterministic near-duplicate partners into an embeddings
+    * table: every `every`-th id (by pmod) gets a twin at `id +
+    * idOffset` whose vector is the original plus per-element hash
+    * noise of `alpha` x the vector's RMS — expected cosine ~=
+    * 1/sqrt(1 + alpha^2/3) (~0.96 at the 0.5 default), spread either
+    * side of it. The synthetic embeddings are near-orthogonal (max
+    * pairwise cosine ~0.5-0.6, SCALE.md), so WITHOUT planting there is
+    * nothing above an 0.9 threshold and LSH recall at the design point
+    * is unmeasurable on them; ground truth on planted data still comes
+    * from brute force, never from the plant list (a plant whose noise
+    * draw lands below the threshold simply isn't truth). Fully
+    * column-deterministic: same input -> same plants on any cluster. */
+  def plantNearDups(em: org.apache.spark.sql.DataFrame, idCol: String,
+                    vecCol: String, every: Int = 50, alpha: Double = 0.5,
+                    idOffset: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    require(every >= 1 && alpha > 0.0, s"need every>=1, alpha>0; got $every, $alpha")
+    val planted = em.filter(pmod(col(idCol), lit(every)) === 0)
+      .withColumn("_rms", sqrt(aggregate(col(vecCol), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+        / size(col(vecCol))))
+      .withColumn(vecCol, transform(col(vecCol), (x, i) =>
+        (x.cast("double")
+          + (pmod(hash(col(idCol), i, lit("plant")), lit(2001)) - lit(1000))
+            .cast("double") / 1000.0 * alpha * col("_rms")).cast("float")))
+      .withColumn(idCol, col(idCol) + idOffset)
+      .drop("_rms")
+    em.unionByName(planted.select(em.columns.map(col).toIndexedSeq: _*))
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -87,8 +117,18 @@ object ScaleData {
       ev.withColumn("event_id", col("event_id") * n + c)
         .withColumn("user_id", col("user_id") * n + c))
 
+    // PLANT near-dup partners on the BASE ids (1/50 of rows, cosine
+    // ~0.96 expected, evenly spread across copies), THEN remap and
+    // sign-transform plant and original alike — the element-wise flip
+    // preserves their cosine exactly. The base embeddings are
+    // near-orthogonal, so un-planted scaled corpora have nothing above
+    // an 0.9 threshold and d10a/d10b recall at the design point could
+    // only be measured at artificially low thresholds. Planted base
+    // ids sit at +1M, so after remap they stay far above any organic
+    // scaled id (maxBase*N+N ~ tens of k).
     write("embeddings", (em, c) =>
-      em.withColumn("vec_id", col("vec_id") * n + c)
+      plantNearDups(em, "vec_id", "embedding")
+        .withColumn("vec_id", col("vec_id") * n + c)
         .withColumn("embedding", transform(col("embedding"),
           (x, i) => when(pmod(hash(lit(c), i), lit(2)) === 0, x).otherwise(-x))))
 

@@ -440,6 +440,38 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("planted near-dups on the REAL embeddings table: bandsFor recall >= 0.9 at cosine 0.9") {
+    // The synthetic embeddings are near-orthogonal (max pairwise cosine
+    // ~0.5), so the r5 recall claims at the 0.9 design point were only
+    // verifiable on hand-rolled vectors. ScaleData.plantNearDups is the
+    // shared fixture: partners at expected cosine ~0.96 planted into the
+    // real table; truth is BRUTE FORCE over the planted corpus, not the
+    // plant list (a noise draw landing under 0.9 isn't truth).
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val planted = ScaleData.plantNearDups(emb, "vec_id", "embedding",
+      every = 5, alpha = 0.5)
+    val v = planted.select($"vec_id".as("id"),
+      transform($"embedding", x => x.cast("double")).as("vec"))
+    val withN = v.select($"id", $"vec", Similarity.norm($"vec").as("n"))
+    val truth = withN.as("a").join(withN.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (Similarity.dot(col("a.vec"), col("b.vec"))
+          / (col("a.n") * col("b.n"))).as("c"))
+      .filter($"c" >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 50, s"plants must create real >=0.9 pairs, got ${truth.size}")
+    val (tables, r) = Dedup.bandsFor(planted.count(), threshold = 0.9,
+      targetRecall = 0.9)
+    val found = Dedup.embeddingNearDupsBanded(planted, "vec_id", "embedding",
+        tables, r, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.subsetOf(truth), "verified pairs can't be false positives")
+    val recall = (found & truth).size.toDouble / truth.size
+    assert(recall >= 0.9,
+      s"(tables=$tables, r=$r): recall $recall < 0.9 (${found.size}/${truth.size})")
+  }
+
   test("dedupCorpus releases every internal cache; lazy pair APIs release on demand") {
     spark.sqlContext.clearCache()
     val docs = Seq(
