@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.datax.{Curation, Dedup, Multimodal, Profile, Similarity, TextStats}
-import graft.streaming.StreamOps
+import graft.streaming.{DedupStream, StreamOps}
 
 /** Scale-extension operators — dedup / similarity search / multimodal /
   * text analysis / event-time windows — over the `documents`,

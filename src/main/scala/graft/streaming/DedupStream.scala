@@ -130,6 +130,32 @@ object DedupStream {
     q.awaitTermination()
   }
 
+  /** BATCH-DRIVE face (bench entry d52 + one-shot backfills): stream the
+    * parquet files under `sourceDir` through the index loop —
+    * `maxFilesPerTrigger` files per micro-batch under AvailableNow, so a
+    * multi-file table exercises the REAL cross-batch incremental path
+    * (batch N dedups against the index batches 0..N-1 built, stored
+    * band signatures and all), not just the first-batch dedupCorpus
+    * case — and return the surviving index docs with lineage CUT
+    * (localCheckpoint), so the caller may delete `indexRoot` and
+    * `checkpointDir` the moment this returns. */
+  def ingestAvailableNow(spark: SparkSession, sourceDir: String,
+                         indexRoot: String, checkpointDir: String,
+                         idCol: String, textCol: String, k: Int = 4,
+                         numHashes: Int = 16, bands: Int = 8,
+                         threshold: Double = 0.5,
+                         maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val incoming = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    runAvailableNow(incoming, indexRoot, idCol, textCol, checkpointDir,
+      k, numHashes, bands, threshold)
+    visibleIndex(spark, s"$indexRoot/docs")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .localCheckpoint(eager = true)
+  }
+
   // ---- index retention / compaction ----------------------------------
   //
   // Epoch/marker protocol (a file-level stand-in for a lakehouse

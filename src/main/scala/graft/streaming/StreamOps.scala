@@ -247,6 +247,45 @@ object StreamOps {
       }(Encoders.product[AsOfState], Encoders.product[AsOfMatch])
   }
 
+  /** BATCH-DRIVE face of [[asofJoinStream]] (bench entry d53 + one-shot
+    * backfills): feed two (key, ts, id) parquet dirs through the
+    * streaming as-of as AvailableNow file micro-batches
+    * (`maxFilesPerTrigger` per batch — a multi-file input advances the
+    * watermark batch over batch, exercising the cross-batch buffering
+    * the operator exists for) and return the emitted matches from an
+    * in-memory sink, lineage cut and the sink deregistered before
+    * returning (the caller may delete the inputs and checkpoint).
+    *
+    * Output covers every left row RIPE by the final watermark — the
+    * streaming contract; lefts above it stay pending in (discarded)
+    * state. Each emitted match equals the batch [[asofJoin]] row for
+    * that left (StreamingSpec pins the equivalence). */
+  def asofJoinStreamFiles(spark: org.apache.spark.sql.SparkSession,
+                          leftDir: String, rightDir: String,
+                          checkpointDir: String,
+                          delay: String = "10 minutes",
+                          maxFilesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    def src(dir: String) = {
+      val schema = spark.read.parquet(dir).schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir)
+        .withWatermark("ts", delay)
+    }
+    val sink = "graft_asof_sink_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = asofJoinStream(src(leftDir), src(rightDir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table(sink).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(sink)
+    out
+  }
+
   /** Per-user session windows: events within `gapMinutes` of the previous
     * event share a session (classic gaps-and-islands via a lag + running
     * sum — one shuffle on user_id). Batch analogue of
