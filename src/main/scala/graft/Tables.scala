@@ -16,15 +16,25 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    // nanos-epoch long (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    // every session here). The data is micro-aligned, so converting to a
-    // regular TimestampType is lossless. `div` = integer division (a
-    // double roundtrip would lose precision above 2^53 nanos).
+    // events.ts has shipped in several physical encodings across testdata
+    // generations; normalize every one of them to a plain TimestampType so
+    // downstream operators see ONE type:
+    //  - TIMESTAMP(NANOS): Spark only reads it as a nanos-epoch long
+    //    (spark.sql.legacy.parquet.nanosAsLong=true, set in every session
+    //    here). Micro-aligned data, so the conversion is lossless. `div` =
+    //    integer division (a double roundtrip loses precision > 2^53 ns).
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+    //    TIMESTAMP_NTZ, which rejects cast-to-numeric and unix_micros.
+    //    Session TZ is pinned UTC everywhere here, so casting to
+    //    TimestampType keeps the same instant — and the DuckDB oracle,
+    //    which reads the same file as naive timestamps, still agrees.
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (d, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        d.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case (d, _) => d
     }
   }

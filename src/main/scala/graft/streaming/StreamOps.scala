@@ -18,6 +18,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Normalize an event-time column to plain TimestampType. A no-op on
+    * TimestampType; on TIMESTAMP_NTZ (what Spark infers for parquet
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false)) the cast interprets the
+    * wall-clock in the session time zone — pinned UTC in every session
+    * here, so the instant is unchanged. Used by the operators that need
+    * numeric time arithmetic (cast-to-long / unix_micros), both of which
+    * Spark 4 refuses directly on NTZ. */
+  private def normTs(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.TimestampType)
+
   /** Tumbling event-time window stats per event_type. Order-independent
     * aggregates only (count/min/max) — sums of doubles are not
     * reproducible across engines/retries at scale.
@@ -171,7 +181,11 @@ object StreamOps {
     * O(n) per partition after the sort. */
   def trailingStats(events: DataFrame, minutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+    // normTs: unix_micros requires TimestampType and rejects
+    // TIMESTAMP_NTZ; the cast is a no-op on TimestampType and, under the
+    // pinned-UTC sessions used everywhere here, instant-preserving on NTZ
+    // — so the operator survives upstream parquet type drift either way.
+    val w = Window.partitionBy("user_id").orderBy(unix_micros(normTs(col("ts"))))
       .rangeBetween(-minutes * 60L * 1000000L, 0)
     events.select(col("user_id"), col("event_id"),
       date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
@@ -294,9 +308,12 @@ object StreamOps {
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts")
+    // Gap in whole seconds (timestamp→long floors to epoch seconds,
+    // matching the oracle's date_diff('second',...) truncation); normTs
+    // first because Spark 4 rejects cast-to-numeric on TIMESTAMP_NTZ.
     val newSession = when(
-      col("ts").cast("long") -
-        lag(col("ts"), 1).over(byUser).cast("long") > gapMinutes * 60L, 1)
+      normTs(col("ts")).cast("long") -
+        lag(normTs(col("ts")), 1).over(byUser).cast("long") > gapMinutes * 60L, 1)
       .otherwise(0)
     events
       .withColumn("_new", newSession)

@@ -311,6 +311,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize and trailingStats accept TIMESTAMP_NTZ inputs (upstream type drift)") {
+    // The r8 testdata regeneration shipped events.ts as parquet
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ,
+    // which rejects cast-to-numeric and unix_micros. These two operators
+    // must survive that WITHOUT Tables.load's normalization (this frame
+    // never passes through the loader).
+    val ntz = batchDf.withColumn("ts",
+      col("ts").cast(org.apache.spark.sql.types.TimestampNTZType))
+    assert(ntz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val sessLtz = StreamOps.sessionize(batchDf, gapMinutes = 60)
+      .orderBy("user_id", "session_id").collect().toSeq
+    val sessNtz = StreamOps.sessionize(ntz, gapMinutes = 60)
+      .orderBy("user_id", "session_id").collect().toSeq
+    assert(sessNtz == sessLtz, "NTZ input yields identical sessions (UTC session)")
+    val trailLtz = StreamOps.trailingStats(batchDf, minutes = 30)
+      .orderBy("user_id", "event_id").collect().toSeq
+    val trailNtz = StreamOps.trailingStats(ntz, minutes = 30)
+      .orderBy("user_id", "event_id").collect().toSeq
+    assert(trailNtz == trailLtz, "NTZ input yields identical trailing stats")
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     val out = StreamOps.sessionize(batchDf, gapMinutes = 60)
       .orderBy("user_id", "session_id")
