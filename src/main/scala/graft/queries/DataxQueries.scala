@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.datax.{Curation, Dedup, Multimodal, Profile, Similarity, TextStats}
-import graft.streaming.{DedupStream, StreamOps}
+import graft.streaming.{BatchFiles, DedupStream, StreamOps}
 
 /** Scale-extension operators — dedup / similarity search / multimodal /
   * text analysis / event-time windows — over the `documents`,
@@ -24,6 +24,15 @@ object DataxQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Scratch-dir cleanup for the streaming batch-drive entries (d52/d53):
+    * both return lineage-cut frames, so their inputs/checkpoints are
+    * deletable the moment the operator returns. */
+  private def rmrf(s: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+    ()
+  }
 
   // marker lists must match TextStats.* exactly (quoted into the SQL)
   private def sqlList(xs: Array[String]): String =
@@ -453,6 +462,32 @@ object DataxQueries {
           .orderBy("id_a", "id_b")
       },
       Some(IncrementalPairsSql)),
+
+    /* STREAMING ingest drive — the d49 loop under Structured Streaming:
+     * the documents table replayed as 4 single-file AvailableNow
+     * micro-batches (BatchFiles pins replay order) through the dedup
+     * index loop, so batch N dedups against the index batches 0..N-1
+     * built — stored band signatures and fingerprints, the continuous-
+     * crawl shape a 100 TB pipeline runs. Rows-only entry (d10b
+     * pattern): there is no SQL replay of a stateful multi-batch run;
+     * StreamingSpec pins the multi-file output ≡ the sequential
+     * processBatch composition, and the per-batch pair semantics carry
+     * the d49 oracle. Inputs/index/checkpoint are scratch dirs, deleted
+     * before returning (the result is lineage-cut). */
+    QueryDef("d52_streaming_ingest",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d52").toString
+        try {
+          BatchFiles.write(t(s, dir, "documents").select("doc_id", "text", "lang"),
+            s"$tmp/src", "doc_id", splits = 4)
+          DedupStream.ingestAvailableNow(s, s"$tmp/src", s"$tmp/index",
+              s"$tmp/ckpt", "doc_id", "text",
+              k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+            .select("doc_id", "lang")
+            .orderBy("doc_id")
+        } finally rmrf(s, tmp)
+      },
+      None),
 
     /* Duplicate n-gram SPAN removal (the Lee et al. 2022
      * exact-substring-dedup shape): corpus-duplicated k-grams mark their
@@ -1331,6 +1366,35 @@ object DataxQueries {
         FROM c ASOF LEFT JOIN v
           ON c.user_id = v.user_id AND v.ts <= c.ts
         ORDER BY c.user_id, c.click_id""")),
+
+    /* STREAMING as-of drive — d40's lookup through the watermarked
+     * keyed-state operator, fed as AvailableNow file micro-batches
+     * (2 files per side, BatchFiles pins replay order): the watermark
+     * advances batch over batch, exercising the cross-batch buffering
+     * asofJoinStream exists for. Rows-only entry (d10b pattern): output
+     * covers the lefts RIPE by the final watermark — a streaming-
+     * contract subset no batch SQL replays; StreamingSpec pins it ≡ the
+     * batch asofJoin restricted to those lefts. Scratch dirs deleted
+     * before returning (the result is lineage-cut). */
+    QueryDef("d53_streaming_asof",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d53").toString
+        try {
+          val e = t(s, dir, "events")
+          val clicks = e.filter(col("event_type") === "click")
+            .select(col("user_id").as("key"), col("ts"),
+              col("event_id").as("id"))
+          val views = e.filter(col("event_type") === "view")
+            .groupBy("user_id", "ts").agg(max("event_id").as("id"))
+            .select(col("user_id").as("key"), col("ts"), col("id"))
+          BatchFiles.write(clicks, s"$tmp/left", "id", splits = 2)
+          BatchFiles.write(views, s"$tmp/right", "id", splits = 2)
+          StreamOps.asofJoinStreamFiles(s, s"$tmp/left", s"$tmp/right",
+              s"$tmp/ckpt", delay = "10 minutes", maxFilesPerTrigger = 1)
+            .orderBy("key", "left_id")
+        } finally rmrf(s, tmp)
+      },
+      None),
 
     /* Per-source cap: keep the `maxPerGroup` highest-quality docs per
      * source (the C4 "cap pages per host" rule) — rank + keep flag so

@@ -130,7 +130,9 @@ object DedupStream {
     q.awaitTermination()
   }
 
-  /** BATCH-DRIVE face (bench entry d52 + one-shot backfills): stream the
+  /** BATCH-DRIVE face (bench/verify entry d52_streaming_ingest +
+    * one-shot backfills; StreamingSpec pins the multi-file output ==
+    * the sequential processBatch composition): stream the
     * parquet files under `sourceDir` through the index loop —
     * `maxFilesPerTrigger` files per micro-batch under AvailableNow, so a
     * multi-file table exercises the REAL cross-batch incremental path

@@ -261,8 +261,9 @@ object StreamOps {
       }(Encoders.product[AsOfState], Encoders.product[AsOfMatch])
   }
 
-  /** BATCH-DRIVE face of [[asofJoinStream]] (bench entry d53 + one-shot
-    * backfills): feed two (key, ts, id) parquet dirs through the
+  /** BATCH-DRIVE face of [[asofJoinStream]] (bench/verify entry
+    * d53_streaming_asof + one-shot backfills): feed two (key, ts, id)
+    * parquet dirs through the
     * streaming as-of as AvailableNow file micro-batches
     * (`maxFilesPerTrigger` per batch — a multi-file input advances the
     * watermark batch over batch, exercising the cross-batch buffering

@@ -514,6 +514,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(docIds == Seq(3L, 31L))
   }
 
+  test("ingestAvailableNow: multi-file AvailableNow drive == the sequential processBatch composition") {
+    import graft.streaming.{BatchFiles, DedupStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-d52-spec").toString
+    // ids chosen so pmod(id, 3) splits give: batch0 = {3, 6, 9},
+    // batch1 = {1, 4, 7}, batch2 = {2, 5, 8}; doc 1 near-dups doc 3
+    // (CROSS-batch drop via the stored index), doc 8 near-dups doc 4
+    // (also cross-batch), doc 7 exact-dups doc 6 cross-batch, and
+    // {5, 2} is a within-batch near-dup pair (min id 2 survives).
+    val docs = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (6L, "completely unrelated text about spark physical plans here"),
+      (9L, "a totally different document concerning streaming watermarks"),
+      (1L, "the quick brown fox jumps over the lazy dog at dawn today"),
+      (4L, "a brand new batch document with entirely fresh content"),
+      (7L, "completely unrelated text about spark physical plans here"),
+      (2L, "yet another novel piece of text with its own special words"),
+      (5L, "yet another novel piece of text with its own special words indeed"),
+      (8L, "a brand new batch document with entirely fresh content today yes"))
+      .toDF("doc_id", "text")
+    BatchFiles.write(docs, s"$dir/src", "doc_id", splits = 3)
+    val streamed = DedupStream.ingestAvailableNow(spark, s"$dir/src",
+        s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+        bands = 8, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // the same splits driven through processBatch by hand, in order
+    val root2 = s"$dir/index2"
+    (0 until 3).foreach { i =>
+      DedupStream.processBatch(
+        docs.filter(pmod($"doc_id", lit(3)) === i), i.toLong, root2,
+        "doc_id", "text", bands = 8, threshold = 0.4)
+    }
+    val composed = DedupStream.visibleIndex(spark, s"$root2/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == composed, "AvailableNow drive == batch composition")
+    // and the cross-batch index path was genuinely exercised
+    assert(streamed == Seq(2L, 3L, 4L, 6L, 9L),
+      "1, 7, 8 drop against EARLIER batches' index; 5 drops within-batch")
+  }
+
+  test("asofJoinStreamFiles: AvailableNow file drive == batch asofJoin on watermark-ripe lefts") {
+    import graft.streaming.BatchFiles
+    // even ids -> file b00 (first batch), odd ids -> b01 (second):
+    // early rows ride batch 0; the 12:00 watermark-pushers ride batch 1
+    // on BOTH sides (the global watermark is the min across inputs), so
+    // the final watermark lands at 11:50 — lefts at/below it are ripe.
+    val lefts = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 2L),
+      (1L, ts("2026-01-01 10:05:00"), 4L),
+      (1L, ts("2026-01-01 11:55:00"), 5L),  // above final wm: stays pending
+      (9L, ts("2026-01-01 12:00:00"), 7L))  // wm pusher, itself pending
+      .toDF("key", "ts", "id")
+    val rights = Seq(
+      (1L, ts("2026-01-01 09:58:00"), 2L),
+      (1L, ts("2026-01-01 10:03:00"), 4L),
+      (9L, ts("2026-01-01 12:00:00"), 3L))  // wm pusher
+      .toDF("key", "ts", "id")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d53-spec").toString
+    BatchFiles.write(lefts, s"$dir/left", "id", splits = 2)
+    BatchFiles.write(rights, s"$dir/right", "id", splits = 2)
+    val streamed = StreamOps.asofJoinStreamFiles(spark, s"$dir/left",
+        s"$dir/right", s"$dir/ckpt", delay = "10 minutes",
+        maxFilesPerTrigger = 1)
+      .select("key", "left_id", "right_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    // batch equivalence on the ripe lefts (ts <= 11:50), full right side
+    val ripe = lefts.filter($"ts" <= lit(ts("2026-01-01 11:50:00")))
+    val batch = StreamOps.asofJoin(
+        ripe.withColumnRenamed("id", "left_id"),
+        rights.withColumnRenamed("id", "right_id"),
+        Seq("key"), "ts", "ts", Map("right_id" -> "right_id"))
+      .select("key", "left_id", "right_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed == Set((1L, 2L, Some(2L)), (1L, 4L, Some(4L))),
+      "each ripe click pairs with its latest prior view; pending lefts withheld")
+  }
+
   test("DedupStream.processBatch: crash-replay of a batch rewrites, never double-appends or self-dedups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-replay").toString
     val root = s"$dir/index"
