@@ -814,9 +814,15 @@ object Dedup {
     * loop converges in O(diameter) joins; each iteration is one shuffle
     * of the (small) pair-graph node set, with a driver-side convergence
     * check. `maxIterations` bounds pathological chains; the method
-    * throws rather than return a half-converged clustering. */
+    * throws rather than return a half-converged clustering.
+    *
+    * `driverMaxPairs` default is MEASURED, not guessed (CrossoverProbe,
+    * SCALE.md "components crossover"): on dup-shaped graphs the driver
+    * union-find costs ~8 s per 1M collected edges while the distributed
+    * loop's fixed per-round overhead is ~4-7 s regardless of size —
+    * the curves cross at ~0.5M edges. */
   def dupClusters(pairs: DataFrame, maxIterations: Int = 15,
-                  driverMaxPairs: Long = 1000000L): DataFrame = {
+                  driverMaxPairs: Long = 500000L): DataFrame = {
     // cache the pair list BEFORE mirroring: the union's two branches
     // would otherwise each execute the (expensive) pair-producing plan
     val p = pairs.select("id_a", "id_b").cache()

@@ -591,6 +591,66 @@ class StreamingSpec extends AnyFunSuite {
       "each ripe click pairs with its latest prior view; pending lefts withheld")
   }
 
+  test("retention stress: compact -> ingest -> compact -> expire with a crash mid-expire keeps visibleIndex parity") {
+    import graft.streaming.DedupStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-retention-stress").toString
+    val root = s"$dir/index"
+    def visIds(table: String, idc: String) =
+      DedupStream.visibleIndex(spark, s"$root/$table")
+        .select(idc).distinct().as[Long].collect().sorted.toSeq
+    // parity = the three tables describe the SAME doc set
+    def assertParity(expect: Seq[Long], clue: String): Unit = {
+      assert(visIds("docs", "doc_id") == expect, s"$clue: docs")
+      assert(visIds("bands", "id") == expect, s"$clue: bands")
+      assert(visIds("fps", "id") == expect, s"$clue: fps")
+    }
+    def proc(b: org.apache.spark.sql.DataFrame, id: Long) =
+      DedupStream.processBatch(b, id, root, "doc_id", "text",
+        bands = 8, threshold = 0.4)
+    proc(Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text"), 0L)
+    proc(Seq((2L, "completely unrelated text about spark physical plans here"))
+      .toDF("doc_id", "text"), 1L)
+    proc(Seq((3L, "a totally different document concerning streaming watermarks"))
+      .toDF("doc_id", "text"), 2L)
+    assert(DedupStream.compactIndex(spark, root) == Some(1L))
+    assertParity(Seq(1L, 2L, 3L), "after first compaction")
+    // ingest ON TOP of the compacted index, then compact again: the
+    // second epoch (-4) folds the first epoch (-3) + batch 2 together
+    proc(Seq((4L, "yet another novel piece of text with its own special words"))
+      .toDF("doc_id", "text"), 3L)
+    assert(DedupStream.compactIndex(spark, root) == Some(2L))
+    assertParity(Seq(1L, 2L, 3L, 4L), "after second compaction")
+    // CRASH MID-EXPIRE: expireIndex deletes per table docs->bands->fps;
+    // simulate dying after the first delete — docs' epoch gone, bands/
+    // fps epochs still present. Every table must still READ cleanly
+    // through the same marker (the delete is the commit; transient
+    // cross-table asymmetry only affects rows already chosen to die).
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/docs/batch=-4"), true)
+    assert(visIds("docs", "doc_id") == Seq(4L),
+      "docs reads post-delete state cleanly")
+    assert(visIds("bands", "id") == Seq(1L, 2L, 3L, 4L) &&
+      visIds("fps", "id") == Seq(1L, 2L, 3L, 4L),
+      "undeleted tables keep reading the committed epoch")
+    // RE-RUN heals: the docs epoch is already gone (no-op there), the
+    // bands/fps epochs drop now — idempotent completion, not an error
+    assert(DedupStream.expireIndex(spark, root) == Some(2L))
+    assertParity(Seq(4L), "after healed expiry")
+    // the loop continues correctly on the healed index: a near-dup of
+    // RETAINED doc 4 drops, a near-dup of EXPIRED doc 1 is re-admitted
+    // (forgetting is the retention semantics)
+    proc(Seq(
+      (40L, "yet another novel piece of text with its own special words indeed"),
+      (41L, "the quick brown fox jumps over the lazy dog at dawn today"))
+      .toDF("doc_id", "text"), 4L)
+    assertParity(Seq(4L, 41L), "ingest after crash-healed expiry")
+    // and a further compaction generation still commits
+    assert(DedupStream.compactIndex(spark, root) == Some(3L))
+    assertParity(Seq(4L, 41L), "final compaction is layout-only")
+  }
+
   test("DedupStream.processBatch: crash-replay of a batch rewrites, never double-appends or self-dedups") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-replay").toString
     val root = s"$dir/index"
