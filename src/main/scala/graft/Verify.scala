@@ -25,13 +25,21 @@ object Verify {
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 restricts the dump (driver runs full)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+    // Per-query status manifest: a query that CRASHES must leave an
+    // explicit error row, not silently vanish from the artifacts (the
+    // r8 lesson: two crashed queries simply dropped out of the
+    // correctness file and every JSON consumer saw an all-green round).
+    val status = scala.collection.mutable.LinkedHashMap[String, String]()
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          status(name) = "ok"
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          status(name) = s"error: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(300)}"
         }
       }
     // under SPARK_GRAFT_ONLY, MERGE into an existing oracle map instead
@@ -52,6 +60,21 @@ object Verify {
       .map { case (k, v) => s"${JsonEscape.quote(k)}: ${JsonEscape.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(oraclePath, json)
+    // status manifest (same SPARK_GRAFT_ONLY merge rule as the oracle
+    // map); additive — the driver ignores it, oracle_check.py gates on
+    // it so a crashed rows-only query cannot silently disappear
+    val statusPath = Paths.get(s"$outDir/verify_status.json")
+    val existingStatus: Map[String, String] =
+      if (only.isDefined && Files.exists(statusPath)) {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(Files.readString(statusPath))
+        import scala.jdk.CollectionConverters._
+        node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      } else Map.empty
+    val mergedStatus = existingStatus ++ status
+    Files.writeString(statusPath, mergedStatus.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${JsonEscape.quote(k)}: ${JsonEscape.quote(v)}" }
+      .mkString("{", ",", "}"))
     spark.stop()
   }
 }

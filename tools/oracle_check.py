@@ -88,6 +88,21 @@ def main(sf_dir, out_dir):
     for m in missing:
         failures += 1
         print(f"  {m:28s} !! oracle SQL present but no spark result dir")
+    # the status manifest catches what the dir scan cannot: a CRASHED
+    # rows-only query has no dump dir AND no oracle entry (the r8
+    # failure mode — crashed queries silently absent from all artifacts)
+    status_path = os.path.join(out_dir, "verify_status.json")
+    if os.path.exists(status_path):
+        status = json.load(open(status_path))
+        for name, st in sorted(status.items()):
+            if st != "ok":
+                failures += 1
+                print(f"  {name:28s} !! crashed in Verify: {st[:160]}")
+        unlisted = sorted(set(status) - set(names) -
+                          {n for n, s in status.items() if s != "ok"})
+        for m in unlisted:
+            failures += 1
+            print(f"  {m:28s} !! status ok but no result dir")
     print(f"{'FAIL' if failures else 'PASS'}: {len(names)} queries, {failures} failures")
     return 1 if failures else 0
 
