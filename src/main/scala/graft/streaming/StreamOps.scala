@@ -28,6 +28,21 @@ object StreamOps {
   private def normTs(c: Column): Column =
     c.cast(org.apache.spark.sql.types.TimestampType)
 
+  /** Schema-aware variant for the Timestamp-ENCODING streaming operators
+    * (userActivity, asofJoinStream): cast ONLY when the column really is
+    * NTZ. An unconditional cast — even the TimestampType->TimestampType
+    * no-op — rewrites the watermarked attribute, and the
+    * flatMapGroupsWithState event-time-timeout check no longer
+    * recognizes the column as carrying the watermark. (A WATERMARKED
+    * NTZ input would still lose its watermark to the cast and fail that
+    * check loudly at analysis — callers stream NTZ sources through a
+    * TimestampType normalization before the watermark, as Tables.load
+    * does.) */
+  private def normTsIfNtz(df: DataFrame, name: String): Column =
+    if (df.schema(name).dataType == org.apache.spark.sql.types.TimestampNTZType)
+      normTs(col(name)).as(name)
+    else col(name)
+
   /** Tumbling event-time window stats per event_type. Order-independent
     * aggregates only (count/min/max) — sums of doubles are not
     * reproducible across engines/retries at scale.
@@ -72,7 +87,7 @@ object StreamOps {
     * mapGroups/timeout machinery arbitrary stateful pipelines hang off.
     * Rows: (user_id, ts, value); requires a watermark for the timeout. */
   def userActivity(events: DataFrame, idleMinutes: Int = 120): Dataset[UserActivity] = {
-    val typed = events.select(col("user_id").cast("long"), col("ts"),
+    val typed = events.select(col("user_id").cast("long"), normTsIfNtz(events, "ts"),
       col("value").cast("double"))
       .as[(Long, java.sql.Timestamp, Double)](
         Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble))
@@ -224,7 +239,7 @@ object StreamOps {
     val ss = left.sparkSession
     import ss.implicits._
     val tag = (df: DataFrame, isLeft: Boolean) => df.select(
-      col("key").cast("long"), col("ts"), col("id").cast("long"),
+      col("key").cast("long"), normTsIfNtz(df, "ts"), col("id").cast("long"),
       lit(isLeft).as("is_left")).as[AsOfRow]
     tag(left, true).unionByName(tag(right, false))
       .groupByKey(_.key)

@@ -331,6 +331,15 @@ class StreamingSpec extends AnyFunSuite {
     val trailNtz = StreamOps.trailingStats(ntz, minutes = 30)
       .orderBy("user_id", "event_id").collect().toSeq
     assert(trailNtz == trailLtz, "NTZ input yields identical trailing stats")
+    // the Timestamp-ENCODING operators must also survive NTZ (an
+    // encoder for java.sql.Timestamp rejects a timestamp_ntz column at
+    // analysis time without normalization): forcing .schema analyzes
+    assert(StreamOps.userActivity(ntz).schema.fieldNames
+      .contains("n_events"))
+    val ntzKeyed = ntz.select(col("user_id").as("key"), col("ts"),
+      col("event_id").as("id"))
+    assert(StreamOps.asofJoinStream(ntzKeyed, ntzKeyed).schema.fieldNames
+      .contains("left_id"))
   }
 
   test("sessionize splits on gaps > threshold per user") {
