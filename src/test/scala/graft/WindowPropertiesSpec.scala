@@ -90,6 +90,65 @@ class WindowPropertiesSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("tumblingStats/slidingCounts == brute-force bucket math on random streams") {
+    val rows = events(300, seed = 71L)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val typed = rows.map(e => (e._1, e._2, e._3, if (e._3 % 2 == 0) "view" else "click", e._4))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val hourUs = 3600L * 1000000L
+    def bucket(m: Long, width: Long): Long = m - java.lang.Math.floorMod(m, width)
+    // tumbling: one bucket per event, count/min/max per (bucket, type)
+    val gotT = StreamOps.tumblingStats(typed)
+      .select("window_start", "event_type", "n_events", "min_value", "max_value")
+      .as[(String, String, Long, Double, Double)].collect().toSeq.sorted
+    val expT = rows.map(e => (e._1, e._2, e._3, if (e._3 % 2 == 0) "view" else "click", e._4))
+      .groupBy(e => (bucket(micros(e._2), hourUs), e._4)).toSeq
+      .map { case ((b, ty), es) =>
+        (fmt.format(new java.util.Date(b / 1000)), ty, es.size.toLong,
+          es.map(_._5).min, es.map(_._5).max)
+      }.sorted
+    assert(gotT == expT)
+    // sliding (1h window, 30m slide): each event lands in the 2 windows
+    // whose [start, start+1h) covers it, starts on the 30m grid
+    val slideUs = 1800L * 1000000L
+    val gotS = StreamOps.slidingCounts(typed)
+      .select("window_start", "event_type", "n_events")
+      .as[(String, String, Long)].collect().toSeq.sorted
+    val expS = rows.map(e => (e._1, e._2, e._3, if (e._3 % 2 == 0) "view" else "click", e._4))
+      .flatMap { e =>
+        val m = micros(e._2)
+        val lastStart = bucket(m, slideUs)
+        Seq(lastStart - slideUs, lastStart).filter(s => m < s + hourUs)
+          .map(s => (s, e._4))
+      }
+      .groupBy(identity).toSeq
+      .map { case ((s, ty), hits) =>
+        (fmt.format(new java.util.Date(s / 1000)), ty, hits.size.toLong)
+      }.sorted
+    assert(gotS == expS)
+  }
+
+  test("intervalJoin == brute-force range scan on random streams") {
+    val vrows = events(150, seed = 83L)
+    val crows = events(150, seed = 97L)
+    val views = vrows.toDF("event_id", "ts", "user_id", "value")
+    val clicks = crows.map(e => (e._1 + 10000L, e._2, e._3, e._4))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = StreamOps.intervalJoin(views, clicks, withinMinutes = 30)
+      .select("view_id", "click_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val horizon = 30L * 60 * 1000000L
+    val byUser = vrows.groupBy(_._3)
+    val expect = crows.flatMap { c =>
+      val m = micros(c._2)
+      byUser.getOrElse(c._3, Seq.empty)
+        .filter(v => micros(v._2) <= m && micros(v._2) >= m - horizon)
+        .map(v => (v._1, c._1 + 10000L))
+    }.sorted
+    assert(got == expect)
+  }
+
   test("asofJoin == brute-force latest-at-or-before on random streams") {
     val lrows = events(200, seed = 37L)
     // rights unique per (key, ts) — the operator's documented
