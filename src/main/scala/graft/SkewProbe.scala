@@ -2,7 +2,7 @@ package graft
 
 import scala.collection.mutable
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Dev probe (SCALE.md "h10 skew evidence"): runs a registered query at
   * a given SF dir and reports PER-STAGE task-time spread from a
@@ -30,8 +30,17 @@ object SkewProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // (stageId, attempt) -> (runtimeMs, shuffleReadBytes, recordsRead)
-    val tasks = mutable.Map[Int, mutable.ArrayBuffer[(Long, Long, Long)]]()
+    // (stageId, stageAttemptId) -> (runtimeMs, shuffleReadBytes, recordsRead)
+    // — keyed per attempt so stage retries / speculative attempts report
+    // their own distributions instead of merging into one
+    val tasks = mutable.Map[(Int, Int), mutable.ArrayBuffer[(Long, Long, Long)]]()
+    // job start/end counters: the listener bus delivers asynchronously,
+    // so after the (synchronous) action returns the tail TaskEnd events
+    // may still be queued; JobEnd is posted after a job's task events
+    // and the bus is FIFO per listener, so started == ended means every
+    // task event of those jobs has been delivered
+    val jobsStarted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobsEnded = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
         val m = te.taskMetrics
@@ -40,9 +49,16 @@ object SkewProbe {
             m.shuffleReadMetrics.totalBytesRead else 0L
           val rr = if (m.shuffleReadMetrics != null)
             m.shuffleReadMetrics.recordsRead else 0L
-          tasks.getOrElseUpdate(te.stageId, mutable.ArrayBuffer.empty)
+          tasks.getOrElseUpdate((te.stageId, te.stageAttemptId),
+              mutable.ArrayBuffer.empty)
             .append((m.executorRunTime, sr, rr))
         }
+      }
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobsStarted.incrementAndGet(); ()
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        jobsEnded.incrementAndGet(); ()
       }
     }
 
@@ -55,12 +71,19 @@ object SkewProbe {
     val t0 = System.nanoTime()
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
+    // drain: wait (bounded) until every started job's end event arrived,
+    // then one settle tick — without this the measured job's tail task
+    // events can be silently missed (async bus)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while ((jobsStarted.get() == 0 || jobsEnded.get() < jobsStarted.get()) &&
+           System.nanoTime() < deadline) Thread.sleep(20)
+    Thread.sleep(200)
     spark.sparkContext.removeSparkListener(listener)
 
     def pct(xs: Seq[Long], p: Double): Long =
       if (xs.isEmpty) 0L else xs.sorted.apply(((xs.size - 1) * p).toInt)
     var worst = 0.0
-    tasks.toSeq.sortBy(_._1).foreach { case (stage, ts) =>
+    tasks.toSeq.sortBy(_._1).foreach { case ((stage, attempt), ts) =>
       val times = ts.map(_._1).toSeq
       val maxT = times.max
       if (ts.size >= 4 && maxT >= 50) {
@@ -69,7 +92,7 @@ object SkewProbe {
         worst = worst.max(ratio)
         val srs = ts.map(_._2).toSeq
         val rrs = ts.map(_._3).toSeq
-        println(f"""{"probe":"task_skew","query":"$qname","stage":$stage,"tasks":${ts.size},"med_ms":$medT,"p95_ms":${pct(times, 0.95)},"max_ms":$maxT,"max_over_med":$ratio%.2f,"med_shuffle_mb":${pct(srs, 0.5) / 1048576},"max_shuffle_mb":${srs.max / 1048576},"med_rows":${pct(rrs, 0.5)},"max_rows":${rrs.max}}""")
+        println(f"""{"probe":"task_skew","query":"$qname","stage":$stage,"attempt":$attempt,"tasks":${ts.size},"med_ms":$medT,"p95_ms":${pct(times, 0.95)},"max_ms":$maxT,"max_over_med":$ratio%.2f,"med_shuffle_mb":${pct(srs, 0.5) / 1048576},"max_shuffle_mb":${srs.max / 1048576},"med_rows":${pct(rrs, 0.5)},"max_rows":${rrs.max}}""")
       }
     }
     println(f"""{"probe":"task_skew_summary","query":"$qname","sf":"$sfDir","wall_sec":$wall%.2f,"worst_max_over_med":$worst%.2f}""")

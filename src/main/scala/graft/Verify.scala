@@ -54,8 +54,12 @@ object Verify {
         import scala.jdk.CollectionConverters._
         node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       } else Map.empty
-    val merged = existing ++ SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    // drop entries for queries no longer registered: a renamed/removed
+    // query would otherwise leave a stale oracle/status key that trips a
+    // false "no result dir" failure on the next restricted run
+    val merged = (existing ++ SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) })
+      .filter { case (k, _) => SparkEntry.oracleSql.contains(k) }
     val json = merged
       .map { case (k, v) => s"${JsonEscape.quote(k)}: ${JsonEscape.quote(v)}" }
       .mkString("{", ",", "}")
@@ -71,7 +75,8 @@ object Verify {
         import scala.jdk.CollectionConverters._
         node.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
       } else Map.empty
-    val mergedStatus = existingStatus ++ status
+    val mergedStatus = (existingStatus ++ status)
+      .filter { case (k, _) => SparkEntry.queries.contains(k) } // same staleness rule
     Files.writeString(statusPath, mergedStatus.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${JsonEscape.quote(k)}: ${JsonEscape.quote(v)}" }
       .mkString("{", ",", "}"))

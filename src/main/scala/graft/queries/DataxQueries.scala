@@ -464,16 +464,21 @@ object DataxQueries {
       Some(IncrementalPairsSql)),
 
     /* STREAMING ingest drive — the d49 loop under Structured Streaming:
-     * the documents table replayed as 4 single-file AvailableNow
-     * micro-batches (BatchFiles pins replay order) through the dedup
-     * index loop, so batch N dedups against the index batches 0..N-1
-     * built — stored band signatures and fingerprints, the continuous-
-     * crawl shape a 100 TB pipeline runs. Rows-only entry (d10b
-     * pattern): there is no SQL replay of a stateful multi-batch run;
-     * StreamingSpec pins the multi-file output ≡ the sequential
-     * processBatch composition, and the per-batch pair semantics carry
-     * the d49 oracle. Inputs/index/checkpoint are scratch dirs, deleted
-     * before returning (the result is lineage-cut). */
+     * the documents table replayed as 4 single-file splits (BatchFiles
+     * pins replay order), drained as 2 AvailableNow micro-batches of 2
+     * files each (maxFilesPerTrigger=2 — the bench-cost floor of this
+     * entry is ~3-4 s of fixed micro-batch machinery PER BATCH, measured
+     * flat in index size; 2 batches still exercise the cross-batch
+     * index path, SCALE.md "streaming-drive bench cost"), so batch 1
+     * dedups against the index batch 0 built — stored band signatures
+     * and fingerprints, the continuous-crawl shape a 100 TB pipeline
+     * runs. Rows-only entry (d10b pattern): there is no SQL replay of a
+     * stateful multi-batch run; StreamingSpec pins the multi-file
+     * output ≡ the sequential processBatch composition AND ≡ the
+     * fold-wise d49 dedupIncrement over the same splits, and the
+     * per-batch pair semantics carry the d49 oracle. Inputs/index/
+     * checkpoint are scratch dirs, deleted before returning (the result
+     * is lineage-cut). */
     QueryDef("d52_streaming_ingest",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-d52").toString
@@ -482,7 +487,8 @@ object DataxQueries {
             s"$tmp/src", "doc_id", splits = 4)
           DedupStream.ingestAvailableNow(s, s"$tmp/src", s"$tmp/index",
               s"$tmp/ckpt", "doc_id", "text",
-              k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+              k = 4, numHashes = 16, bands = 8, threshold = 0.3,
+              maxFilesPerTrigger = 2)
             .select("doc_id", "lang")
             .orderBy("doc_id")
         } finally rmrf(s, tmp)
@@ -1371,27 +1377,43 @@ object DataxQueries {
      * keyed-state operator, fed as AvailableNow file micro-batches
      * (2 files per side, BatchFiles pins replay order): the watermark
      * advances batch over batch, exercising the cross-batch buffering
-     * asofJoinStream exists for. Rows-only entry (d10b pattern): output
-     * covers the lefts RIPE by the final watermark — a streaming-
-     * contract subset no batch SQL replays; StreamingSpec pins it ≡ the
-     * batch asofJoin restricted to those lefts. Scratch dirs deleted
-     * before returning (the result is lineage-cut). */
+     * asofJoinStream exists for. Each side splits on a TIME-ORDERED
+     * rank (ntile over ts), not on event_id: batch 1's rows all sit
+     * at-or-above batch 0's max ts, so none arrive below the watermark
+     * batch 0 advanced — the "output ≡ batch asofJoin on the ripe
+     * lefts" claim holds by construction, independent of any
+     * id↔timestamp correlation in the testdata generation. Rows-only
+     * entry (d10b pattern): output covers the lefts RIPE by the final
+     * watermark — a streaming-contract subset no batch SQL replays;
+     * StreamingSpec pins it ≡ the batch asofJoin restricted to those
+     * lefts. The drive writes through a parquet FILE sink (executor-
+     * side; scale-true for real backfills) under the same scratch root,
+     * so the result is localCheckpointed here before the dirs are
+     * deleted. */
     QueryDef("d53_streaming_asof",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val tmp = java.nio.file.Files.createTempDirectory("graft-d53").toString
         try {
           val e = t(s, dir, "events")
+          // single-partition window: harness-side split assignment over
+          // fixture-scale data (BatchFiles scaladoc), not a shipped path
+          val half = ntile(2).over(Window.orderBy(col("ts"), col("id"))) - 1
           val clicks = e.filter(col("event_type") === "click")
             .select(col("user_id").as("key"), col("ts"),
               col("event_id").as("id"))
           val views = e.filter(col("event_type") === "view")
             .groupBy("user_id", "ts").agg(max("event_id").as("id"))
             .select(col("user_id").as("key"), col("ts"), col("id"))
-          BatchFiles.write(clicks, s"$tmp/left", "id", splits = 2)
-          BatchFiles.write(views, s"$tmp/right", "id", splits = 2)
+          BatchFiles.write(clicks.withColumn("half", half),
+            s"$tmp/left", "half", splits = 2)
+          BatchFiles.write(views.withColumn("half", half),
+            s"$tmp/right", "half", splits = 2)
           StreamOps.asofJoinStreamFiles(s, s"$tmp/left", s"$tmp/right",
-              s"$tmp/ckpt", delay = "10 minutes", maxFilesPerTrigger = 1)
+              s"$tmp/ckpt", s"$tmp/out",
+              delay = "10 minutes", maxFilesPerTrigger = 1)
             .orderBy("key", "left_id")
+            .localCheckpoint(eager = true)
         } finally rmrf(s, tmp)
       },
       None),

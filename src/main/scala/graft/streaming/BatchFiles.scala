@@ -30,6 +30,11 @@ object BatchFiles {
     * increasing in split order. Returns `dir`. */
   def write(df: DataFrame, dir: String, splitCol: String, splits: Int): String = {
     require(splits >= 1 && splits <= 99, s"splits out of range: $splits")
+    // a null splitCol row fails EVERY pmod(...) === i filter and would
+    // silently vanish from the drive — refuse instead of dropping
+    val nulls = df.filter(col(splitCol).isNull).count()
+    require(nulls == 0L,
+      s"BatchFiles.write: $nulls rows have null $splitCol and would be dropped from every split")
     val spark = df.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(dir).getFileSystem(conf)

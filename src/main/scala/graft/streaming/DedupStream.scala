@@ -117,17 +117,23 @@ object DedupStream {
     ()
   }
 
-  /** One-shot convenience: drain everything available, then stop. */
+  /** One-shot convenience: drain everything available, then stop.
+    * `onProgress` receives the query's progress trace after the drain —
+    * batch-count / input-row regression guards (StreamingSpec); default
+    * no-op. */
   def runAvailableNow(incoming: DataFrame, indexRoot: String, idCol: String,
                       textCol: String, checkpointDir: String, k: Int = 4,
                       numHashes: Int = 16, bands: Int = 8,
-                      threshold: Double = 0.5): Unit = {
+                      threshold: Double = 0.5,
+                      onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
+                        _ => ()): Unit = {
     val q = writer(incoming, indexRoot, idCol, textCol, k, numHashes, bands,
       threshold)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    onProgress(q.recentProgress.toIndexedSeq)
   }
 
   /** BATCH-DRIVE face (bench/verify entry d52_streaming_ingest +
@@ -146,13 +152,15 @@ object DedupStream {
                          idCol: String, textCol: String, k: Int = 4,
                          numHashes: Int = 16, bands: Int = 8,
                          threshold: Double = 0.5,
-                         maxFilesPerTrigger: Int = 1): DataFrame = {
+                         maxFilesPerTrigger: Int = 1,
+                         onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
+                           _ => ()): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     val incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     runAvailableNow(incoming, indexRoot, idCol, textCol, checkpointDir,
-      k, numHashes, bands, threshold)
+      k, numHashes, bands, threshold, onProgress)
     visibleIndex(spark, s"$indexRoot/docs")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .localCheckpoint(eager = true)

@@ -43,6 +43,22 @@ object StreamOps {
       normTs(col(name)).as(name)
     else col(name)
 
+  /** PUBLIC face of the NTZ normalization rule: rewrite `name` to plain
+    * TimestampType iff it is TIMESTAMP_NTZ, else return `df` unchanged.
+    * Under the pinned-UTC sessions used everywhere here the rewrite is
+    * instant-preserving (the wall-clock is reinterpreted in UTC).
+    *
+    * For STREAMING sources this must run BEFORE `withWatermark` — a cast
+    * after the watermark rewrites the watermarked attribute and the
+    * stateful operators no longer see the column as carrying it (the
+    * normTsIfNtz contract above). The d52/d53 file drives route their
+    * sources through this, and works unchanged on batch frames (same
+    * rule Tables.load applies at the loader). */
+  def normalizeEventTime(df: DataFrame, name: String): DataFrame =
+    if (df.schema(name).dataType == org.apache.spark.sql.types.TimestampNTZType)
+      df.withColumn(name, normTs(col(name)))
+    else df
+
   /** Tumbling event-time window stats per event_type. Order-independent
     * aggregates only (count/min/max) — sums of doubles are not
     * reproducible across engines/retries at scale.
@@ -282,38 +298,49 @@ object StreamOps {
     * streaming as-of as AvailableNow file micro-batches
     * (`maxFilesPerTrigger` per batch — a multi-file input advances the
     * watermark batch over batch, exercising the cross-batch buffering
-    * the operator exists for) and return the emitted matches from an
-    * in-memory sink, lineage cut and the sink deregistered before
-    * returning (the caller may delete the inputs and checkpoint).
+    * the operator exists for). The matches land in a parquet FILE sink
+    * at `outputDir` — executor-side, never accumulated on the driver,
+    * so the path holds at backfill scale — and the returned frame is a
+    * (lazy) read of that sink; `outputDir` is the caller's to keep or
+    * delete. NTZ event-time inputs are normalized before the watermark
+    * ([[normalizeEventTime]]).
     *
     * Output covers every left row RIPE by the final watermark — the
     * streaming contract; lefts above it stay pending in (discarded)
     * state. Each emitted match equals the batch [[asofJoin]] row for
-    * that left (StreamingSpec pins the equivalence). */
+    * that left (StreamingSpec pins the equivalence).
+    *
+    * `onProgress` receives the query's progress trace after the drive
+    * finishes — batch counts / state sizes / watermark for operational
+    * regression guards (StreamingSpec); default no-op. */
   def asofJoinStreamFiles(spark: org.apache.spark.sql.SparkSession,
                           leftDir: String, rightDir: String,
-                          checkpointDir: String,
+                          checkpointDir: String, outputDir: String,
                           delay: String = "10 minutes",
-                          maxFilesPerTrigger: Int = 1): DataFrame = {
+                          maxFilesPerTrigger: Int = 1,
+                          onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
+                            _ => ()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     def src(dir: String) = {
       val schema = spark.read.parquet(dir).schema
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir)
+      normalizeEventTime(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir),
+        "ts")
         .withWatermark("ts", delay)
     }
-    val sink = "graft_asof_sink_" +
-      java.util.UUID.randomUUID().toString.replace("-", "")
     val q = asofJoinStream(src(leftDir), src(rightDir))
-      .writeStream.format("memory").queryName(sink)
+      .writeStream.format("parquet")
+      .option("path", outputDir)
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val out = spark.table(sink).localCheckpoint(eager = true)
-    spark.catalog.dropTempView(sink)
-    out
+    onProgress(q.recentProgress.toIndexedSeq)
+    // explicit schema: a drive whose every left stayed pending writes no
+    // data files, and the sink's _spark_metadata alone cannot infer one
+    spark.read.schema(Encoders.product[AsOfMatch].schema).parquet(outputDir)
   }
 
   /** Per-user session windows: events within `gapMinutes` of the previous

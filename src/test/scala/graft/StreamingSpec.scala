@@ -543,10 +543,16 @@ class StreamingSpec extends AnyFunSuite {
       (8L, "a brand new batch document with entirely fresh content today yes"))
       .toDF("doc_id", "text")
     BatchFiles.write(docs, s"$dir/src", "doc_id", splits = 3)
+    var prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
     val streamed = DedupStream.ingestAvailableNow(spark, s"$dir/src",
         s"$dir/index", s"$dir/ckpt", "doc_id", "text",
-        bands = 8, threshold = 0.4)
+        bands = 8, threshold = 0.4, onProgress = p => prog = p)
       .select("doc_id").as[Long].collect().sorted.toSeq
+    // OPERATIONAL-SHAPE GUARD: 3 files at maxFilesPerTrigger=1 (default)
+    // -> one data micro-batch per file, all 9 docs read
+    assert(prog.count(_.numInputRows > 0) == 3,
+      s"expected 3 data micro-batches, got ${prog.map(_.numInputRows).toList}")
+    assert(prog.map(_.numInputRows).sum == 9)
     // the same splits driven through processBatch by hand, in order
     val root2 = s"$dir/index2"
     (0 until 3).foreach { i =>
@@ -560,6 +566,116 @@ class StreamingSpec extends AnyFunSuite {
     // and the cross-batch index path was genuinely exercised
     assert(streamed == Seq(2L, 3L, 4L, 6L, 9L),
       "1, 7, 8 drop against EARLIER batches' index; 5 drops within-batch")
+  }
+
+  // the 9-doc fixture shared by the d52 drive specs: near-dup pairs
+  // {1,3} {4,8} {2,5}, exact pair {6,7}, novel 9 (at bands=8, thr=0.4)
+  private def d52Docs = Seq(
+    (3L, "the quick brown fox jumps over the lazy dog tonight"),
+    (6L, "completely unrelated text about spark physical plans here"),
+    (9L, "a totally different document concerning streaming watermarks"),
+    (1L, "the quick brown fox jumps over the lazy dog at dawn today"),
+    (4L, "a brand new batch document with entirely fresh content"),
+    (7L, "completely unrelated text about spark physical plans here"),
+    (2L, "yet another novel piece of text with its own special words"),
+    (5L, "yet another novel piece of text with its own special words indeed"),
+    (8L, "a brand new batch document with entirely fresh content today yes"))
+    .toDF("doc_id", "text")
+
+  test("ingestAvailableNow survivors == fold-wise d49 dedupIncrement over the same splits") {
+    // closes the loop from the streaming face to the ORACLE-GATED batch
+    // op: the drive's survivor set must equal dedupCorpus on split 0
+    // followed by dedupIncrement (the d49 entry's operator) folded over
+    // the remaining splits — beyond the processBatch-composition pin,
+    // this ties d52 to the operator DuckDB verifies in d49.
+    import graft.datax.Dedup
+    import graft.streaming.{BatchFiles, DedupStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-d52-fold").toString
+    val docs = d52Docs
+    BatchFiles.write(docs, s"$dir/src", "doc_id", splits = 3)
+    val streamed = DedupStream.ingestAvailableNow(spark, s"$dir/src",
+        s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+        bands = 8, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val splits = (0 until 3).map(i => docs.filter(pmod($"doc_id", lit(3)) === i))
+    val folded = splits.tail.foldLeft(
+      Dedup.dedupCorpus(splits.head, "doc_id", "text", bands = 8,
+        threshold = 0.4)) { (index, b) =>
+      index.unionByName(
+        Dedup.dedupIncrement(b, index, "doc_id", "text", bands = 8,
+          threshold = 0.4))
+    }
+    assert(folded.select("doc_id").as[Long].collect().sorted.toSeq == streamed,
+      "drive survivors == fold-wise dedupIncrement composition")
+  }
+
+  test("ingestAvailableNow at maxFilesPerTrigger=2 (the d52 bench config) == pairwise processBatch composition") {
+    import graft.streaming.{BatchFiles, DedupStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-d52-mfpt2").toString
+    val docs = d52Docs
+    // pmod(doc_id, 4) files: b00={4,8} b01={1,5,9} b02={2,6} b03={3,7};
+    // maxFilesPerTrigger=2 -> batch 0 = {4,8,1,5,9}, batch 1 = {2,6,3,7}
+    BatchFiles.write(docs, s"$dir/src", "doc_id", splits = 4)
+    var prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    val streamed = DedupStream.ingestAvailableNow(spark, s"$dir/src",
+        s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+        bands = 8, threshold = 0.4, maxFilesPerTrigger = 2,
+        onProgress = p => prog = p)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(prog.count(_.numInputRows > 0) == 2,
+      s"4 files at maxFilesPerTrigger=2 -> 2 data batches, got ${prog.map(_.numInputRows).toList}")
+    val root2 = s"$dir/index2"
+    Seq(Seq(0, 1), Seq(2, 3)).zipWithIndex.foreach { case (fileIdx, b) =>
+      DedupStream.processBatch(
+        docs.filter(pmod($"doc_id", lit(4)).isin(fileIdx: _*)), b.toLong,
+        root2, "doc_id", "text", bands = 8, threshold = 0.4)
+    }
+    val composed = DedupStream.visibleIndex(spark, s"$root2/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == composed, "mFPT=2 drive == pairwise batch composition")
+    assert(streamed == Seq(1L, 4L, 5L, 6L, 9L),
+      "8 drops within batch 0; 2 and 3 drop against batch 0's index; 7 within batch 1")
+  }
+
+  test("normalizeEventTime: an NTZ parquet source streams end-to-end through asofJoinStreamFiles") {
+    import graft.streaming.BatchFiles
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    // same fixture as the LTZ drive test, but the parquet inputs carry
+    // TIMESTAMP_NTZ ts (the r8 upstream-drift shape): the drive must
+    // normalize BEFORE the watermark and produce identical matches
+    val lefts = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 2L),
+      (1L, ts("2026-01-01 10:05:00"), 4L),
+      (1L, ts("2026-01-01 11:55:00"), 5L),
+      (9L, ts("2026-01-01 12:00:00"), 7L))
+      .toDF("key", "ts", "id")
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+    val rights = Seq(
+      (1L, ts("2026-01-01 09:58:00"), 2L),
+      (1L, ts("2026-01-01 10:03:00"), 4L),
+      (9L, ts("2026-01-01 12:00:00"), 3L))
+      .toDF("key", "ts", "id")
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz-drive").toString
+    BatchFiles.write(lefts, s"$dir/left", "id", splits = 2)
+    BatchFiles.write(rights, s"$dir/right", "id", splits = 2)
+    // the written parquet really is NTZ (isAdjustedToUTC=false)
+    assert(spark.read.parquet(s"$dir/left").schema("ts").dataType ==
+      TimestampNTZType)
+    val streamed = StreamOps.asofJoinStreamFiles(spark, s"$dir/left",
+        s"$dir/right", s"$dir/ckpt", s"$dir/out", delay = "10 minutes",
+        maxFilesPerTrigger = 1)
+      .select("key", "left_id", "right_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(streamed == Set((1L, 2L, Some(2L)), (1L, 4L, Some(4L))),
+      "NTZ source resolves to the same ripe matches as the LTZ drive")
+    // and the public helper: NTZ rewrites to TimestampType, LTZ is a no-op
+    val ntzDf = batchDf.withColumn("ts", col("ts").cast(TimestampNTZType))
+    assert(StreamOps.normalizeEventTime(ntzDf, "ts").schema("ts").dataType ==
+      TimestampType)
+    val ltzDf = batchDf
+    assert(StreamOps.normalizeEventTime(ltzDf, "ts") eq ltzDf,
+      "already-TimestampType frames pass through untouched")
   }
 
   test("asofJoinStreamFiles: AvailableNow file drive == batch asofJoin on watermark-ripe lefts") {
@@ -582,11 +698,35 @@ class StreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-d53-spec").toString
     BatchFiles.write(lefts, s"$dir/left", "id", splits = 2)
     BatchFiles.write(rights, s"$dir/right", "id", splits = 2)
+    var prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
     val streamed = StreamOps.asofJoinStreamFiles(spark, s"$dir/left",
-        s"$dir/right", s"$dir/ckpt", delay = "10 minutes",
-        maxFilesPerTrigger = 1)
+        s"$dir/right", s"$dir/ckpt", s"$dir/out", delay = "10 minutes",
+        maxFilesPerTrigger = 1, onProgress = p => prog = p)
       .select("key", "left_id", "right_id")
       .as[(Long, Long, Option[Long])].collect().toSet
+    // OPERATIONAL-SHAPE GUARDS (fail loudly if someone silently changes
+    // maxFilesPerTrigger / the watermark delay semantics):
+    // 2 files per side at maxFilesPerTrigger=1 -> exactly 2 data batches
+    assert(prog.count(_.numInputRows > 0) == 2,
+      s"expected 2 data micro-batches, got ${prog.map(_.numInputRows).toList}")
+    assert(prog.map(_.numInputRows).sum == lefts.count() + rights.count(),
+      "every input row enters the drive")
+    assert(prog.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum == 0,
+      "no row arrives below the advanced watermark (the split-order contract)")
+    // final watermark = 12:00 pushers - 10 minutes delay
+    val finalWm = prog.reverse.flatMap(p =>
+      Option(p.eventTime.get("watermark"))).headOption
+    assert(finalWm.contains("2026-01-01T11:50:00.000Z"), s"watermark=$finalWm")
+    // discarded state holds exactly the 2 keys with pending rows
+    // (key 1: the 11:55 left; key 9: the 12:00 pusher pair)
+    val lastState = prog.reverse.find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal)
+    assert(lastState.contains(2L), s"state rows=$lastState")
+    // the FILE sink is the output path (no driver-memory accumulation):
+    // the parquet dir exists and re-reads to the same rows
+    assert(spark.read.parquet(s"$dir/out")
+      .select("key", "left_id", "right_id")
+      .as[(Long, Long, Option[Long])].collect().toSet == streamed)
     // batch equivalence on the ripe lefts (ts <= 11:50), full right side
     val ripe = lefts.filter($"ts" <= lit(ts("2026-01-01 11:50:00")))
     val batch = StreamOps.asofJoin(
