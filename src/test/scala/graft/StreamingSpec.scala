@@ -637,6 +637,82 @@ class StreamingSpec extends AnyFunSuite {
       "8 drops within batch 0; 2 and 3 drop against batch 0's index; 7 within batch 1")
   }
 
+  // stage one single-file parquet "micro-batch" into destDir/name —
+  // incremental arrival between AvailableNow runs (mtime = now, which is
+  // strictly later than anything a finished previous run already read)
+  private def stageFile(df: org.apache.spark.sql.DataFrame, destDir: String,
+                        name: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(conf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(destDir))
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$destDir/$name"))
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    ()
+  }
+
+  test("ingestAvailableNow resumes from its checkpoint: three runs over arriving files == one continuous drive") {
+    // the continuous-ingest claim across PROCESS RESTARTS: each
+    // AvailableNow run drains what arrived, stops, and the next run
+    // continues from the offset log — batch ids keep incrementing, so
+    // the index's batch=N partitions never collide and the final index
+    // equals the single-drive composition over the same files.
+    import graft.streaming.DedupStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-d52-resume").toString
+    val docs = d52Docs
+    def run() = DedupStream.ingestAvailableNow(spark, s"$dir/src",
+        s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+        bands = 8, threshold = 0.4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    stageFile(docs.filter(pmod($"doc_id", lit(3)) === 0), s"$dir/src", "b00.parquet")
+    assert(run() == Seq(3L, 6L, 9L), "run 1 bootstraps the index")
+    stageFile(docs.filter(pmod($"doc_id", lit(3)) === 1), s"$dir/src", "b01.parquet")
+    assert(run() == Seq(3L, 4L, 6L, 9L),
+      "run 2 reads ONLY the new file and dedups it against run 1's index (1, 7 drop)")
+    stageFile(docs.filter(pmod($"doc_id", lit(3)) === 2), s"$dir/src", "b02.parquet")
+    assert(run() == Seq(2L, 3L, 4L, 6L, 9L),
+      "run 3 continues again: 8 drops cross-run, {2,5} collapses within-batch")
+    // the index carries one real batch partition per drained file —
+    // batch ids continued across runs instead of restarting at 0
+    val batches = DedupStream.visibleIndex(spark, s"$dir/index/docs")
+      .select("batch").distinct().as[Long].collect().sorted.toSeq
+    assert(batches == Seq(0L, 1L, 2L), s"batch ids continue across runs: $batches")
+  }
+
+  test("asofJoinStreamFiles resumes from its checkpoint: buffered state carries across runs") {
+    // run 1 drains only the early files: nothing is ripe (watermark
+    // still below every left), so the sink stays EMPTY and the
+    // unresolved lefts live in the state store. Run 2 — a fresh query
+    // against the same checkpoint — reads only the late files, advances
+    // the watermark, and must resolve run 1's buffered lefts: state
+    // recovery + file-sink exactly-once across process restarts.
+    import org.apache.spark.sql.DataFrame
+    val dir = java.nio.file.Files.createTempDirectory("graft-d53-resume").toString
+    def drive() = StreamOps.asofJoinStreamFiles(spark, s"$dir/left",
+        s"$dir/right", s"$dir/ckpt", s"$dir/out", delay = "10 minutes",
+        maxFilesPerTrigger = 1)
+      .select("key", "left_id", "right_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    val earlyL = Seq((1L, ts("2026-01-01 10:00:00"), 2L),
+      (1L, ts("2026-01-01 10:05:00"), 4L)).toDF("key", "ts", "id")
+    val earlyR = Seq((1L, ts("2026-01-01 09:58:00"), 2L),
+      (1L, ts("2026-01-01 10:03:00"), 4L)).toDF("key", "ts", "id")
+    val lateL = Seq((1L, ts("2026-01-01 11:55:00"), 5L),
+      (9L, ts("2026-01-01 12:00:00"), 7L)).toDF("key", "ts", "id")
+    val lateR = Seq((9L, ts("2026-01-01 12:00:00"), 3L)).toDF("key", "ts", "id")
+    stageFile(earlyL, s"$dir/left", "b00.parquet")
+    stageFile(earlyR, s"$dir/right", "b00.parquet")
+    assert(drive() == Set.empty,
+      "run 1: watermark (9:55) below every left -> all buffered, none emitted")
+    stageFile(lateL, s"$dir/left", "b01.parquet")
+    stageFile(lateR, s"$dir/right", "b01.parquet")
+    assert(drive() == Set((1L, 2L, Some(2L)), (1L, 4L, Some(4L))),
+      "run 2 resolves run 1's buffered lefts from recovered state")
+  }
+
   test("normalizeEventTime: an NTZ parquet source streams end-to-end through asofJoinStreamFiles") {
     import graft.streaming.BatchFiles
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
