@@ -531,17 +531,7 @@ class StreamingSpec extends AnyFunSuite {
     // (CROSS-batch drop via the stored index), doc 8 near-dups doc 4
     // (also cross-batch), doc 7 exact-dups doc 6 cross-batch, and
     // {5, 2} is a within-batch near-dup pair (min id 2 survives).
-    val docs = Seq(
-      (3L, "the quick brown fox jumps over the lazy dog tonight"),
-      (6L, "completely unrelated text about spark physical plans here"),
-      (9L, "a totally different document concerning streaming watermarks"),
-      (1L, "the quick brown fox jumps over the lazy dog at dawn today"),
-      (4L, "a brand new batch document with entirely fresh content"),
-      (7L, "completely unrelated text about spark physical plans here"),
-      (2L, "yet another novel piece of text with its own special words"),
-      (5L, "yet another novel piece of text with its own special words indeed"),
-      (8L, "a brand new batch document with entirely fresh content today yes"))
-      .toDF("doc_id", "text")
+    val docs = d52Docs
     BatchFiles.write(docs, s"$dir/src", "doc_id", splits = 3)
     var prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
     val streamed = DedupStream.ingestAvailableNow(spark, s"$dir/src",
