@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{BatchFiles, StreamOps}
+
+/** Dev probe (SCALE.md "d53 backfill path"): drives a LARGE events table
+  * through `asofJoinStreamFiles` — the file-sink backfill path — and
+  * reports per-batch cost, state-store size, and output volume, i.e.
+  * the evidence that the path holds when the input is no longer
+  * fixture-sized:
+  *   - per-batch durationMs should scale with the BATCH, and state rows
+  *     should stay far below cumulative input (watermark expiry works);
+  *   - the driver never materializes the output (file sink), so the
+  *     only driver-side number is the final count() of the read-back.
+  * Build a big input first with `graft.ScaleData`
+  * (SPARK_GRAFT_SCALE_TABLES=events). Env: SPARK_GRAFT_SF_DIR (default
+  * /tmp/graft_scale_30x), SPARK_GRAFT_SPLITS (files per side, default
+  * 4), SPARK_GRAFT_CPUS. */
+object AsofScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale_30x")
+    val splits = sys.env.getOrElse("SPARK_GRAFT_SPLITS", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-scale").toString
+    val e = Tables.load(spark, sfDir, "events")
+    val nEvents = e.count()
+    import org.apache.spark.sql.expressions.Window
+    val part = ntile(splits).over(Window.orderBy(col("ts"), col("id"))) - 1
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts").agg(max("event_id").as("id"))
+      .select(col("user_id").as("key"), col("ts"), col("id"))
+    BatchFiles.write(clicks.withColumn("p", part), s"$tmp/left", "p", splits)
+    BatchFiles.write(views.withColumn("p", part), s"$tmp/right", "p", splits)
+    val nL = clicks.count(); val nR = views.count()
+    println(s"""{"probe":"asof_scale_input","sf":"$sfDir","events":$nEvents,"lefts":$nL,"rights":$nR,"splits":$splits}""")
+
+    val t0 = System.nanoTime()
+    val out = StreamOps.asofJoinStreamFiles(spark, s"$tmp/left", s"$tmp/right",
+      s"$tmp/ckpt", s"$tmp/out", delay = "10 minutes",
+      maxFilesPerTrigger = 1,
+      onProgress = ps => ps.zipWithIndex.foreach { case (p, i) =>
+        val st = p.stateOperators.headOption
+        println(s"""{"probe":"asof_scale_batch","batch":$i,"input_rows":${p.numInputRows},"duration_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_mb":${st.map(_.memoryUsedBytes / 1048576).getOrElse(-1L)},"dropped_by_wm":${st.map(_.numRowsDroppedByWatermark).getOrElse(-1L)},"watermark":"${Option(p.eventTime.get("watermark")).getOrElse("")}"}""")
+      })
+    val nOut = out.count() // the ONLY driver-side touch of the output
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"probe":"asof_scale_drive","wall_sec":$wall%.1f,"out_rows":$nOut}""")
+
+    // reference: the batch asofJoin on the same (full) sides
+    val t1 = System.nanoTime()
+    val nBatch = StreamOps.asofJoin(
+      clicks.withColumnRenamed("id", "left_id"),
+      views.withColumnRenamed("id", "right_id"),
+      Seq("key"), "ts", "ts", Map("right_id" -> "right_id")).count()
+    val wallB = (System.nanoTime() - t1) / 1e9
+    println(f"""{"probe":"asof_scale_batch_ref","wall_sec":$wallB%.1f,"rows":$nBatch}""")
+
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    spark.stop()
+  }
+}
