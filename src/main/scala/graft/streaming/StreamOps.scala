@@ -250,8 +250,26 @@ object StreamOps {
     * would genericize the payload with encoders. Inputs must carry
     * `withWatermark` on ts before the call (their union watermark is
     * the min, as with any multi-input stateful op). Left rows forever
-    * below a stalled watermark emit when it finally advances. */
-  def asofJoinStream(left: DataFrame, right: DataFrame): Dataset[AsOfMatch] = {
+    * below a stalled watermark emit when it finally advances.
+    *
+    * `rightRetentionMinutes` — OPTIONAL state bound BELOW the key
+    * floor. By default a key's single latest ripe right is remembered
+    * FOREVER (the as-of contract: a left may look back arbitrarily
+    * far), so steady-state state is O(distinct keys) — measured at
+    * exactly the key count in SCALE.md's 30x study. Under unbounded
+    * key churn (months of session-ids at 100 TB) that floor itself
+    * grows without bound; setting a retention R forgets a dormant
+    * key's latest right once it is older than R below the watermark
+    * (the whole key leaves the store when nothing else is buffered —
+    * a dedicated timeout wakes dormant keys so cleanup needs no
+    * further traffic). The documented trade: a left arriving after
+    * expiry matches NOTHING older than R — correct exactly when the
+    * business rule already bounds the lookback (same trade as Spark's
+    * own stream-stream join state retention). */
+  def asofJoinStream(left: DataFrame, right: DataFrame,
+                     rightRetentionMinutes: Option[Int] = None): Dataset[AsOfMatch] = {
+    require(rightRetentionMinutes.forall(_ > 0),
+      s"rightRetentionMinutes must be positive: $rightRetentionMinutes")
     val ss = left.sparkSession
     import ss.implicits._
     val tag = (df: DataFrame, isLeft: Boolean) => df.select(
@@ -277,9 +295,16 @@ object StreamOps {
               m.map(_._2), m.map(x => new java.sql.Timestamp(x._1)))
           }
           // prune rights: everything above the watermark is still in
-          // play; below it only the LATEST can serve a future left
+          // play; below it only the LATEST can serve a future left —
+          // and under a retention bound, only while younger than R
+          // below the watermark (matching above already used the
+          // full arrived list; expiry governs what is CARRIED)
           val (ripeR, pendingR) = rights.partition(_._1 <= wm)
-          val kept = ripeR.lastOption.toList ++ pendingR
+          val latestRipe = rightRetentionMinutes match {
+            case Some(m) => ripeR.lastOption.filter(_._1 >= wm - m * 60000L)
+            case None    => ripeR.lastOption
+          }
+          val kept = latestRipe.toList ++ pendingR
           if (pendingL.isEmpty && kept.isEmpty) state.remove()
           else {
             state.update(AsOfState(pendingL, kept))
@@ -287,6 +312,13 @@ object StreamOps {
             // pending left, even if no further rows arrive for the key
             if (pendingL.nonEmpty)
               state.setTimeoutTimestamp(pendingL.map(_._1).min)
+            else rightRetentionMinutes.foreach { m =>
+              // dormant key under retention: wake when the newest kept
+              // right ages out, so the state leaves the store without
+              // needing further traffic on the key
+              state.setTimeoutTimestamp(
+                math.max(kept.map(_._1).max + m * 60000L, wm + 1))
+            }
           }
           out.iterator
       }(Encoders.product[AsOfState], Encoders.product[AsOfMatch])
@@ -318,6 +350,7 @@ object StreamOps {
                           checkpointDir: String, outputDir: String,
                           delay: String = "10 minutes",
                           maxFilesPerTrigger: Int = 1,
+                          rightRetentionMinutes: Option[Int] = None,
                           onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                             _ => ()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
@@ -329,7 +362,7 @@ object StreamOps {
         "ts")
         .withWatermark("ts", delay)
     }
-    val q = asofJoinStream(src(leftDir), src(rightDir))
+    val q = asofJoinStream(src(leftDir), src(rightDir), rightRetentionMinutes)
       .writeStream.format("parquet")
       .option("path", outputDir)
       .outputMode("append")

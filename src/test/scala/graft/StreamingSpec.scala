@@ -342,6 +342,55 @@ class StreamingSpec extends AnyFunSuite {
       .contains("left_id"))
   }
 
+  test("asofJoinStream rightRetention: dormant rights age out below the watermark; default keeps them forever") {
+    implicit val sqlCtx = spark.sqlContext
+    // one timeline, two queries: key 1's only right (10:00) goes
+    // dormant; by the time its 11:30 left ripens, the right is >30 min
+    // below the watermark. With retention=30 the match is GONE (state
+    // left the store at the dormant-key timeout); without retention the
+    // as-of contract keeps it forever and the same left matches.
+    def drive(retention: Option[Int]): Set[(Long, Long, Option[Long])] = {
+      val lMem = MemoryStream[(Long, Timestamp, Long)]
+      val rMem = MemoryStream[(Long, Timestamp, Long)]
+      def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+        m.toDF().toDF("key", "ts", "id").withWatermark("ts", "10 minutes")
+      val sink = "asof_ret_" + retention.map(_.toString).getOrElse("none")
+      val q = StreamOps.asofJoinStream(named(lMem), named(rMem), retention)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        // batch 1: the subject right + both-side pushers (wm -> 10:00)
+        rMem.addData((1L, ts("2026-01-01 10:00:00"), 1L),
+          (9L, ts("2026-01-01 10:10:00"), 90L))
+        lMem.addData((9L, ts("2026-01-01 10:10:00"), 91L))
+        q.processAllAvailable()
+        // batch 2: pushers only (wm -> 11:00): key 1 is dormant and its
+        // right is now 60 min below the watermark
+        rMem.addData((9L, ts("2026-01-01 11:10:00"), 92L))
+        lMem.addData((9L, ts("2026-01-01 11:10:00"), 93L))
+        q.processAllAvailable()
+        // batch 3: the subject left at 11:30 (above wm 11:00 — not
+        // late) + pushers to 12:40 (wm -> 12:30, left becomes ripe)
+        lMem.addData((1L, ts("2026-01-01 11:30:00"), 100L),
+          (9L, ts("2026-01-01 12:40:00"), 94L))
+        rMem.addData((9L, ts("2026-01-01 12:40:00"), 95L))
+        q.processAllAvailable()
+        // batch 4: final pushers so the 11:30 left resolves (wm 12:30
+        // already covers it; one more advance flushes timeouts)
+        lMem.addData((9L, ts("2026-01-01 13:00:00"), 96L))
+        rMem.addData((9L, ts("2026-01-01 13:00:00"), 97L))
+        q.processAllAvailable()
+        spark.table(sink).filter($"key" === 1L)
+          .select("key", "left_id", "right_id")
+          .as[(Long, Long, Option[Long])].collect().toSet
+      } finally q.stop()
+    }
+    assert(drive(None) == Set((1L, 100L, Some(1L))),
+      "default: the 10:00 right is remembered forever and matches")
+    assert(drive(Some(30)) == Set((1L, 100L, None)),
+      "retention=30: the dormant right expired below the watermark; no lookback past R")
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     val out = StreamOps.sessionize(batchDf, gapMinutes = 60)
       .orderBy("user_id", "session_id")
