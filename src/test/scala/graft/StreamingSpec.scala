@@ -349,7 +349,7 @@ class StreamingSpec extends AnyFunSuite {
     // below the watermark. With retention=30 the match is GONE (state
     // left the store at the dormant-key timeout); without retention the
     // as-of contract keeps it forever and the same left matches.
-    def drive(retention: Option[Int]): Set[(Long, Long, Option[Long])] = {
+    def drive(retention: Option[Int]): (Set[(Long, Long, Option[Long])], Long) = {
       val lMem = MemoryStream[(Long, Timestamp, Long)]
       val rMem = MemoryStream[(Long, Timestamp, Long)]
       def named(m: MemoryStream[(Long, Timestamp, Long)]) =
@@ -380,15 +380,27 @@ class StreamingSpec extends AnyFunSuite {
         lMem.addData((9L, ts("2026-01-01 13:00:00"), 96L))
         rMem.addData((9L, ts("2026-01-01 13:00:00"), 97L))
         q.processAllAvailable()
-        spark.table(sink).filter($"key" === 1L)
+        val rows = spark.table(sink).filter($"key" === 1L)
           .select("key", "left_id", "right_id")
           .as[(Long, Long, Option[Long])].collect().toSet
+        val stateRows = Option(q.lastProgress)
+          .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(-1L)
+        (rows, stateRows)
       } finally q.stop()
     }
-    assert(drive(None) == Set((1L, 100L, Some(1L))),
+    val (defMatches, defState) = drive(None)
+    assert(defMatches == Set((1L, 100L, Some(1L))),
       "default: the 10:00 right is remembered forever and matches")
-    assert(drive(Some(30)) == Set((1L, 100L, None)),
+    assert(defState == 2L,
+      "default: both keys stay in the store (key 1's right kept forever)")
+    val (retMatches, retState) = drive(Some(30))
+    assert(retMatches == Set((1L, 100L, None)),
       "retention=30: the dormant right expired below the watermark; no lookback past R")
+    assert(retState == 1L,
+      "retention=30: key 1 left the state store entirely; only the pusher key remains")
+    // boundary: a retention wider than the whole timeline == no retention
+    assert(drive(Some(600))._1 == defMatches,
+      "a not-yet-elapsed retention changes nothing")
   }
 
   test("sessionize splits on gaps > threshold per user") {
