@@ -16,12 +16,15 @@ import graft.streaming.{BatchFiles, StreamOps}
   * Build a big input first with `graft.ScaleData`
   * (SPARK_GRAFT_SCALE_TABLES=events). Env: SPARK_GRAFT_SF_DIR (default
   * /tmp/graft_scale_30x), SPARK_GRAFT_SPLITS (files per side, default
-  * 4), SPARK_GRAFT_CPUS. */
+  * 4), SPARK_GRAFT_CPUS, SPARK_GRAFT_STATE_PARTS (statePartitions for
+  * the drive, default session conf — the SCALE.md state-partition
+  * sizing measurement). */
 object AsofScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale_30x")
     val splits = sys.env.getOrElse("SPARK_GRAFT_SPLITS", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val stateParts = sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -51,7 +54,7 @@ object AsofScaleProbe {
     val t0 = System.nanoTime()
     val out = StreamOps.asofJoinStreamFiles(spark, s"$tmp/left", s"$tmp/right",
       s"$tmp/ckpt", s"$tmp/out", delay = "10 minutes",
-      maxFilesPerTrigger = 1,
+      maxFilesPerTrigger = 1, statePartitions = stateParts,
       onProgress = ps => ps.zipWithIndex.foreach { case (p, i) =>
         val st = p.stateOperators.headOption
         println(s"""{"probe":"asof_scale_batch","batch":$i,"input_rows":${p.numInputRows},"duration_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_mb":${st.map(_.memoryUsedBytes / 1048576).getOrElse(-1L)},"dropped_by_wm":${st.map(_.numRowsDroppedByWatermark).getOrElse(-1L)},"watermark":"${Option(p.eventTime.get("watermark")).getOrElse("")}"}""")

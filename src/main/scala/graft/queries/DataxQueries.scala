@@ -1409,9 +1409,14 @@ object DataxQueries {
             s"$tmp/left", "half", splits = 2)
           BatchFiles.write(views.withColumn("half", half),
             s"$tmp/right", "half", splits = 2)
+          // statePartitions sized to the fixture key cardinality (1.5k
+          // keys) per the SCALE.md sizing rule; a scratch checkpoint, so
+          // the pin dies with the entry (production sizes for the
+          // TARGET cluster up front — the value is unchangeable later)
           StreamOps.asofJoinStreamFiles(s, s"$tmp/left", s"$tmp/right",
               s"$tmp/ckpt", s"$tmp/out",
-              delay = "10 minutes", maxFilesPerTrigger = 1)
+              delay = "10 minutes", maxFilesPerTrigger = 1,
+              statePartitions = Some(4))
             .orderBy("key", "left_id")
             .localCheckpoint(eager = true)
         } finally rmrf(s, tmp)

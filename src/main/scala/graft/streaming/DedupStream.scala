@@ -146,7 +146,15 @@ object DedupStream {
     * band signatures and all), not just the first-batch dedupCorpus
     * case — and return the surviving index docs with lineage CUT
     * (localCheckpoint), so the caller may delete `indexRoot` and
-    * `checkpointDir` the moment this returns. */
+    * `checkpointDir` the moment this returns.
+    *
+    * Parallelism sizing: this loop keeps NO engine state (foreachBatch
+    * + its own parquet index), so unlike the stateful as-of drive's
+    * `statePartitions` nothing is pinned in the checkpoint — size
+    * `spark.sql.shuffle.partitions` on the driving session per run as
+    * batch volume changes. (Measured at fixture scale: the per-batch
+    * floor here is job-count machinery, not shuffle width — SCALE.md
+    * "state-partition sizing".) */
   def ingestAvailableNow(spark: SparkSession, sourceDir: String,
                          indexRoot: String, checkpointDir: String,
                          idCol: String, textCol: String, k: Int = 4,

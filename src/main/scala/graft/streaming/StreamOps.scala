@@ -59,6 +59,23 @@ object StreamOps {
       df.withColumn(name, normTs(col(name)))
     else df
 
+  /** Clone `spark` (same SparkContext, own SQLConf) pinned to `n`
+    * shuffle partitions — how the file drives run a query at a
+    * parallelism sized to the micro-batch volume without mutating the
+    * caller's session conf. Modifiable confs are copied so the clone
+    * behaves like the parent (time zone, AQE, ANSI mode, ...). */
+  private[streaming] def sizedSession(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.SparkSession = {
+    require(n > 0, s"partitions must be positive: $n")
+    val s2 = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (spark.conf.isModifiable(k)) s2.conf.set(k, v)
+    }
+    s2.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s2
+  }
+
   /** Tumbling event-time window stats per event_type. Order-independent
     * aggregates only (count/min/max) — sums of doubles are not
     * reproducible across engines/retries at scale.
@@ -342,6 +359,21 @@ object StreamOps {
     * state. Each emitted match equals the batch [[asofJoin]] row for
     * that left (StreamingSpec pins the equivalence).
     *
+    * `statePartitions` — state-store PARALLELISM, decided once. A
+    * stateful streaming query creates one state-store instance per
+    * shuffle partition, and the count is recorded in the checkpoint's
+    * offset log at FIRST start: every later run keeps the recorded
+    * value no matter what the session conf says (spec-pinned), because
+    * the keyed state files are physically laid out per partition.
+    * Unlike batch shuffles, this cannot be rescaled by a conf change —
+    * re-partitioning state means a new checkpoint and a state rebuild.
+    * So size it UP FRONT for the target (≈ cluster cores at 100 TB,
+    * small for fixture-scale drives — each instance costs a task + a
+    * store commit per batch). None inherits the session's
+    * `spark.sql.shuffle.partitions`; Some(n) runs the query in a
+    * cloned session pinned to n, leaving the caller's session conf
+    * untouched.
+    *
     * `onProgress` receives the query's progress trace after the drive
     * finishes — batch counts / state sizes / watermark for operational
     * regression guards (StreamingSpec); default no-op. */
@@ -351,13 +383,15 @@ object StreamOps {
                           delay: String = "10 minutes",
                           maxFilesPerTrigger: Int = 1,
                           rightRetentionMinutes: Option[Int] = None,
+                          statePartitions: Option[Int] = None,
                           onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                             _ => ()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
+    val sess = statePartitions.map(sizedSession(spark, _)).getOrElse(spark)
     def src(dir: String) = {
-      val schema = spark.read.parquet(dir).schema
+      val schema = sess.read.parquet(dir).schema
       normalizeEventTime(
-        spark.readStream.schema(schema)
+        sess.readStream.schema(schema)
           .option("maxFilesPerTrigger", maxFilesPerTrigger).parquet(dir),
         "ts")
         .withWatermark("ts", delay)

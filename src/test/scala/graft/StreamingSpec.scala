@@ -764,6 +764,46 @@ class StreamingSpec extends AnyFunSuite {
       "run 2 resolves run 1's buffered lefts from recovered state")
   }
 
+  test("statePartitions: sized at first start, PINNED by the checkpoint on later runs") {
+    // the operational trap the knob documents: state-store instance
+    // count = shuffle partitions at FIRST start, recorded in the
+    // checkpoint's offset log — a later run under a DIFFERENT conf must
+    // keep the recorded value (state files are laid out per partition;
+    // rescaling means a new checkpoint). Run 1 pins 2; run 2 asks for 7
+    // and must still execute — correctly — at 2.
+    import org.apache.spark.sql.streaming.StreamingQueryProgress
+    val dir = java.nio.file.Files.createTempDirectory("graft-d53-statep").toString
+    var prog: Seq[StreamingQueryProgress] = Nil
+    def drive(n: Int) = StreamOps.asofJoinStreamFiles(spark, s"$dir/left",
+        s"$dir/right", s"$dir/ckpt", s"$dir/out", delay = "10 minutes",
+        maxFilesPerTrigger = 1, statePartitions = Some(n),
+        onProgress = p => prog = p)
+      .select("key", "left_id", "right_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    def statePartsSeen: Set[Long] =
+      prog.flatMap(_.stateOperators).map(_.numShufflePartitions).toSet
+    val earlyL = Seq((1L, ts("2026-01-01 10:00:00"), 2L),
+      (1L, ts("2026-01-01 10:05:00"), 4L)).toDF("key", "ts", "id")
+    val earlyR = Seq((1L, ts("2026-01-01 09:58:00"), 2L),
+      (1L, ts("2026-01-01 10:03:00"), 4L)).toDF("key", "ts", "id")
+    stageFile(earlyL, s"$dir/left", "b00.parquet")
+    stageFile(earlyR, s"$dir/right", "b00.parquet")
+    assert(drive(2) == Set.empty, "run 1: nothing ripe yet")
+    assert(statePartsSeen == Set(2L),
+      s"run 1 runs at the requested 2 state partitions: $statePartsSeen")
+    stageFile(Seq((1L, ts("2026-01-01 11:55:00"), 5L),
+      (9L, ts("2026-01-01 12:00:00"), 7L)).toDF("key", "ts", "id"),
+      s"$dir/left", "b01.parquet")
+    stageFile(Seq((9L, ts("2026-01-01 12:00:00"), 3L)).toDF("key", "ts", "id"),
+      s"$dir/right", "b01.parquet")
+    assert(drive(7) == Set((1L, 2L, Some(2L)), (1L, 4L, Some(4L))),
+      "run 2 still resolves the buffered lefts correctly")
+    assert(statePartsSeen == Set(2L),
+      s"run 2 asked for 7 but the checkpoint pins 2: $statePartsSeen")
+    // the knob runs in a cloned session: the caller's conf is untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+  }
+
   test("normalizeEventTime: an NTZ parquet source streams end-to-end through asofJoinStreamFiles") {
     import graft.streaming.BatchFiles
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
