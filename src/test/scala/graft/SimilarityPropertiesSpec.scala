@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.datax.{Dedup, Similarity}
+
+/** Property-based invariants for the similarity family (SURVEY.md §5.3),
+  * complementing the fixed-corpus oracle rows (d08/d09/d25/d29/d39):
+  * random vector sets exercise tie and cluster shapes the testdata
+  * generator never produces, and each property is checked against an
+  * INDEPENDENT Scala model, not a replay of the operator's output.
+  *
+  * Vectors carry small-INTEGER entries so every dot product and fold sum
+  * is IEEE-exact: the Scala model then reproduces Spark's arithmetic
+  * bit-for-bit (same ops, same order, no rounding slack), and ranking /
+  * threshold comparisons admit no tolerance fudge. All generators are
+  * seeded — every run sees the same vectors. */
+class SimilarityPropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** n random integer-entry vectors (dim entries in -3..3, last entry
+    * 1..3 so no vector is zero and cosine never divides by zero). */
+  private def genVecs(n: Int, seed: Long, dim: Int): Seq[(Long, Array[Float])] = {
+    val gen = for {
+      head <- Gen.listOfN(dim - 1, Gen.choose(-3, 3))
+      tail <- Gen.choose(1, 3)
+    } yield (head :+ tail).map(_.toFloat).toArray
+    (0 until n).map(i => i.toLong -> gen(Gen.Parameters.default, Seed(seed + i)).get)
+  }
+
+  private def toDF(vs: Seq[(Long, Array[Float])]) = {
+    val s = spark
+    import s.implicits._
+    vs.toDF("vec_id", "embedding")
+  }
+
+  /** The model's arithmetic mirrors the operators': sequential fold dot,
+    * sqrt norms, dot / (normA * normB) in that association. */
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+  private def cos(a: Array[Float], b: Array[Float]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  /** The ivfIndex centroid pick, modeled: every stride-th id, sorted,
+    * first nCentroids. */
+  private def modelCentroids(vs: Seq[(Long, Array[Float])], k: Int): Seq[(Long, Array[Float])] = {
+    val stride = math.max(1L, vs.length.toLong / k)
+    vs.filter(_._1 % stride == 0).sortBy(_._1).take(k)
+  }
+
+  /** Nearest-centroid assignment, modeled: best by (cosine desc,
+    * centroid_id asc). */
+  private def modelAssign(vs: Seq[(Long, Array[Float])],
+                          cs: Seq[(Long, Array[Float])]): Map[Long, Long] =
+    vs.map { case (id, v) =>
+      id -> cs.map { case (cid, c) => (cid, cos(v, c)) }
+        .minBy { case (cid, s) => (-s, cid) }._1
+    }.toMap
+
+  test("bruteForceTopK == the Scala model: (cosine desc, id asc) ranking " +
+       "with planted exact ties") {
+    // ids 30..34 are ids 0..4 scaled by 2: cosine is scale-invariant and
+    // the x2 scaling is exact in IEEE, so each copy EXACTLY ties its
+    // original against every query — the tie-break path runs for real
+    val base = genVecs(30, 7001L, dim = 6)
+    val vecs = base ++ (0 until 5).map(i =>
+      (30L + i) -> base(i)._2.map(x => x * 2.0f))
+    val queries = vecs.filter(_._1 < 6)
+    val k = 5
+    val got = Similarity.bruteForceTopK(toDF(vecs), toDF(queries), k)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = queries.flatMap { case (qid, q) =>
+      vecs.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, q)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1, id, s) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want,
+      "brute-force top-k must equal the model ranking bit-for-bit")
+    // non-vacuity: some query's top-k really contains an exact cosine tie
+    // (adjacent ranks, equal score) — the id tie-break path ran
+    assert(got.groupBy(_._1).exists { case (_, rows) =>
+      rows.map(_._4).distinct.length < rows.length
+    }, "no exact tie landed in any top-k under this seed")
+  }
+
+  test("ivfTopK probing EVERY bucket == bruteForceTopK: the approximation " +
+       "is exact when nothing is pruned") {
+    val vecs = genVecs(40, 7101L, dim = 6)
+    val queries = vecs.filter(_._1 % 7 == 0)
+    val (centroids, assigned) = Similarity.ivfIndex(toDF(vecs), nCentroids = 4)
+    val ivf = Similarity.ivfTopK(centroids, assigned, toDF(queries),
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val brute = Similarity.bruteForceTopK(toDF(vecs), toDF(queries), k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(ivf == brute,
+      "nProbe == nCentroids scans every bucket exactly once — IVF must " +
+        "reproduce the exhaustive ranking row for row")
+  }
+
+  test("semanticDedup is CHARACTERIZED by its contract: dropped iff a " +
+       "smaller-id same-cluster neighbor at-or-above threshold") {
+    // planted near-twins (x2-scaled copies, exact cosine 1) plus random
+    // vectors: both drop and keep paths run on every cluster shape
+    val base = genVecs(36, 7201L, dim = 6)
+    val vecs = base ++ (0 until 8).map(i =>
+      (100L + i) -> base(3 * i)._2.map(x => x * 2.0f))
+    val threshold = 0.9
+    val out = Similarity.semanticDedup(toDF(vecs), nCentroids = 5,
+        threshold = threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    Dedup.releaseShingleCaches()
+    assert(out.length == vecs.length, "one row per input vector")
+
+    val byId = vecs.toMap
+    val cs = modelCentroids(vecs, 5)
+    val wantAssign = modelAssign(vecs, cs)
+    out.foreach { case (id, cid, _) =>
+      assert(cid == wantAssign(id),
+        s"vector $id assigned to $cid; model says nearest centroid is ${wantAssign(id)}")
+    }
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    out.foreach { case (id, cid, keep) =>
+      val dominated = vecs.exists { case (other, v) =>
+        other < id && cluster(other) == cid && cos(v, byId(id)) >= threshold
+      }
+      assert(keep == !dominated,
+        s"vector $id: keep=$keep but a smaller-id near-twin in cluster " +
+          s"$cid exists=$dominated")
+    }
+    // the planted copies make the check non-vacuous: every copy shares a
+    // cluster with its original (cosine 1 to the same centroids) and drops
+    assert(out.count(!_._3) >= 8, "all planted twins must be dropped")
+  }
+
+  test("labelCentroids == model means; chunked fold == flat fold where " +
+       "sums are exact") {
+    val vecs = genVecs(40, 7301L, dim = 5)
+    val s = spark
+    import s.implicits._
+    val labeled = vecs.map { case (id, v) => (id, "lbl" + (id % 3), v) }
+      .toDF("vec_id", "label", "embedding")
+    def rows(chunkIds: Long) =
+      Similarity.labelCentroids(labeled, "label", "vec_id", "embedding", chunkIds)
+        .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getDouble(2), r.getLong(3))))
+        .sortBy(_._1).toSeq
+    val flat = rows(0L)
+    val want = (for {
+      lbl <- 0 until 3
+      members = vecs.filter(_._1 % 3 == lbl)
+      dim <- 0 until 5
+    } yield (("lbl" + lbl, dim),
+      (members.map(_._2(dim).toDouble).sum / members.length, members.length.toLong)))
+      .sortBy(_._1)
+    assert(flat == want, "flat fold must equal the model mean exactly " +
+      "(integer entries: the sum is order-independent and IEEE-exact)")
+    assert(rows(7L) == flat,
+      "chunked-range fold re-associates only exact partial sums here — " +
+        "must be bit-identical to the flat fold")
+  }
+
+  test("kmeansCentroidsOrdered: chunked fold == flat fold at any chunking " +
+       "(integer vectors keep every Lloyd sum exact)") {
+    val vecs = genVecs(40, 7401L, dim = 5)
+    def run(chunkIds: Long) =
+      Similarity.kmeansCentroidsOrdered(toDF(vecs), nCentroids = 4,
+          iterations = 2, chunkIds = chunkIds)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val flat = run(0L)
+    assert(flat.nonEmpty && flat.map(_._1).distinct.size == 4)
+    assert(run(7L) == flat,
+      "per-chunk partial sums are exact on integer entries, so the " +
+        "two-level fold must reproduce the flat Lloyd refinement bit-for-bit")
+  }
+}
