@@ -40,6 +40,11 @@ object AsofScaleProbe {
     val e = Tables.load(spark, sfDir, "events")
     val nEvents = e.count()
     import org.apache.spark.sql.expressions.Window
+    // Harness-side split assignment: a single-partition global sort per
+    // side — computed ONCE (BatchFiles persists its input before the
+    // per-split passes). Fine to ~10^7 rows; a probe run at a far
+    // larger SF should swap this for approxQuantile ts thresholds +
+    // a comparison column, which needs no global sort at all.
     val part = ntile(splits).over(Window.orderBy(col("ts"), col("id"))) - 1
     val clicks = e.filter(col("event_type") === "click")
       .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
@@ -55,9 +60,9 @@ object AsofScaleProbe {
     val out = StreamOps.asofJoinStreamFiles(spark, s"$tmp/left", s"$tmp/right",
       s"$tmp/ckpt", s"$tmp/out", delay = "10 minutes",
       maxFilesPerTrigger = 1, statePartitions = stateParts,
-      onProgress = ps => ps.zipWithIndex.foreach { case (p, i) =>
+      onProgress = ps => ps.foreach { p =>
         val st = p.stateOperators.headOption
-        println(s"""{"probe":"asof_scale_batch","batch":$i,"input_rows":${p.numInputRows},"duration_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_mb":${st.map(_.memoryUsedBytes / 1048576).getOrElse(-1L)},"dropped_by_wm":${st.map(_.numRowsDroppedByWatermark).getOrElse(-1L)},"watermark":"${Option(p.eventTime.get("watermark")).getOrElse("")}"}""")
+        println(s"""{"probe":"asof_scale_batch","batch":${p.batchId},"input_rows":${p.numInputRows},"duration_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_mb":${st.map(_.memoryUsedBytes / 1048576).getOrElse(-1L)},"dropped_by_wm":${st.map(_.numRowsDroppedByWatermark).getOrElse(-1L)},"watermark":"${Option(p.eventTime.get("watermark")).getOrElse("")}"}""")
       })
     val nOut = out.count() // the ONLY driver-side touch of the output
     val wall = (System.nanoTime() - t0) / 1e9

@@ -36,23 +36,40 @@ object PlanStabilityProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // AQE-final executed plan of the last completed action (async bus —
-    // read only after the settle wait below)
+    // AQE-final executed plan of the last completed action. Both buses
+    // are ASYNC (the SkewProbe lesson): the rep loop below drains them
+    // with counters — planCount for the execution-listener bus,
+    // jobsStarted/jobsEnded for the task bus (JobEnd posts after a job's
+    // task events, FIFO per listener) — instead of a fixed sleep, so
+    // tail events on a loaded box can't be lost or bleed into the next
+    // rep's cleared map.
     @volatile var lastPlan: String = ""
+    @volatile var planCount: Int = 0
     spark.listenerManager.register(new QueryExecutionListener {
-      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit =
-        lastPlan = qe.executedPlan.toString
+      override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit = {
+        lastPlan = qe.executedPlan.toString; planCount += 1
+      }
       override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
     })
-    // per-rep task-time spread, keyed by (stageId, stageAttemptId)
+    // per-rep task-time spread, keyed by (stageId, stageAttemptId);
+    // reads/clears synchronize on `listener` (onTaskEnd locks `this`)
     val tasks = mutable.Map[(Int, Int), mutable.ArrayBuffer[Long]]()
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val jobsStarted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobsEnded = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
         if (te.taskMetrics != null)
           tasks.getOrElseUpdate((te.stageId, te.stageAttemptId),
             mutable.ArrayBuffer.empty).append(te.taskMetrics.executorRunTime)
       }
-    })
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobsStarted.incrementAndGet(); ()
+      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobsEnded.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
 
     // strip run-varying ids so two structurally identical plans hash equal
     def signature(plan: String): String = {
@@ -67,22 +84,37 @@ object PlanStabilityProbe {
 
     val fn = SparkEntry.queries(qname)
     fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+    // drain the warm run too, so its tail task events can't land after
+    // rep 1 clears the map
+    val warmDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    while (jobsEnded.get() < jobsStarted.get() &&
+           System.nanoTime() < warmDeadline) Thread.sleep(20)
     val sigs = mutable.ArrayBuffer[String]()
     (1 to reps).foreach { rep =>
       graft.datax.Dedup.releaseShingleCaches()
       spark.sqlContext.clearCache()
-      tasks.clear()
+      listener.synchronized { tasks.clear() }
+      val started0 = jobsStarted.get()
+      val plans0 = planCount
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(400) // settle both async buses (exec listener + task events)
+      // drain both buses (bounded): every job this rep started has
+      // ended, and the execution listener has delivered this rep's plan
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while ((jobsStarted.get() == started0 ||
+              jobsEnded.get() < jobsStarted.get() ||
+              planCount == plans0) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
       val sig = signature(lastPlan)
       sigs += sig
       def pct(xs: Seq[Long], p: Double): Long =
         if (xs.isEmpty) 0L else xs.sorted.apply(((xs.size - 1) * p).toInt)
-      val stageStats = tasks.toSeq.collect {
-        case ((st, at), ts) if ts.size >= 4 && ts.max >= 50 =>
-          (st, at, ts.max.toDouble / pct(ts.toSeq, 0.5).max(1L), ts.max)
+      val stageStats = listener.synchronized {
+        tasks.toSeq.collect {
+          case ((st, at), ts) if ts.size >= 4 && ts.max >= 50 =>
+            (st, at, ts.max.toDouble / pct(ts.toSeq, 0.5).max(1L), ts.max)
+        }
       }.sortBy(-_._3)
       val worst = stageStats.headOption
       println(f"""{"probe":"plan_stability","query":"$qname","rep":$rep,"sec":$wall%.3f,"plan_sig":"$sig","worst_stage":${worst.map(_._1).getOrElse(-1)},"worst_max_over_med":${worst.map(w => f"${w._3}%.2f").getOrElse("0")},"worst_max_ms":${worst.map(_._4).getOrElse(0L)}}""")

@@ -27,32 +27,42 @@ import org.apache.spark.sql.functions.{col, lit, pmod}
 object BatchFiles {
 
   /** Write `df` into `dir/bNN.parquet`, one file per split, mtimes
-    * increasing in split order. Returns `dir`. */
+    * increasing in split order. Returns `dir`.
+    *
+    * The input plan is computed ONCE (persist + the null-guard count
+    * materializes it); the null check and every per-split filter then
+    * read the cache. Without this, a `splits`-way write evaluates the
+    * plan splits+1 times — ruinous when the split column comes from a
+    * global window (the ntile harness pattern), whose single-task sort
+    * would otherwise re-run per split. */
   def write(df: DataFrame, dir: String, splitCol: String, splits: Int): String = {
     require(splits >= 1 && splits <= 99, s"splits out of range: $splits")
-    // a null splitCol row fails EVERY pmod(...) === i filter and would
-    // silently vanish from the drive — refuse instead of dropping
-    val nulls = df.filter(col(splitCol).isNull).count()
-    require(nulls == 0L,
-      s"BatchFiles.write: $nulls rows have null $splitCol and would be dropped from every split")
-    val spark = df.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(dir).getFileSystem(conf)
-    fs.mkdirs(new Path(dir))
-    val base = System.currentTimeMillis() - splits * 2000L
-    (0 until splits).foreach { i =>
-      val tmp = s"$dir/_tmp_split_$i"
-      df.filter(pmod(col(splitCol), lit(splits)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))
-      require(part.length == 1, s"expected one part file in $tmp")
-      val dest = new Path(f"$dir/b$i%02d.parquet")
-      fs.delete(dest, false)
-      fs.rename(part(0).getPath, dest)
-      fs.delete(new Path(tmp), true)
-      // mtime is the replay-order key (see scaladoc)
-      fs.setTimes(dest, base + i * 2000L, -1)
-    }
-    dir
+    val cached = df.persist()
+    try {
+      // a null splitCol row fails EVERY pmod(...) === i filter and would
+      // silently vanish from the drive — refuse instead of dropping
+      val nulls = cached.filter(col(splitCol).isNull).count()
+      require(nulls == 0L,
+        s"BatchFiles.write: $nulls rows have null $splitCol and would be dropped from every split")
+      val spark = cached.sparkSession
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new Path(dir).getFileSystem(conf)
+      fs.mkdirs(new Path(dir))
+      val base = System.currentTimeMillis() - splits * 2000L
+      (0 until splits).foreach { i =>
+        val tmp = s"$dir/_tmp_split_$i"
+        cached.filter(pmod(col(splitCol), lit(splits)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))
+        require(part.length == 1, s"expected one part file in $tmp")
+        val dest = new Path(f"$dir/b$i%02d.parquet")
+        fs.delete(dest, false)
+        fs.rename(part(0).getPath, dest)
+        fs.delete(new Path(tmp), true)
+        // mtime is the replay-order key (see scaladoc)
+        fs.setTimes(dest, base + i * 2000L, -1)
+      }
+      dir
+    } finally { cached.unpersist(); () }
   }
 }

@@ -118,22 +118,26 @@ object DedupStream {
   }
 
   /** One-shot convenience: drain everything available, then stop.
-    * `onProgress` receives the query's progress trace after the drain —
-    * batch-count / input-row regression guards (StreamingSpec); default
-    * no-op. */
+    * `onProgress` receives the query's FULL progress trace after the
+    * drain — batch-count / input-row regression guards (StreamingSpec);
+    * default no-op. Listener-collected
+    * ([[StreamOps.driveCollectingProgress]]), not `recentProgress`,
+    * which caps at 100 entries and would truncate a backfill of >100
+    * micro-batches. */
   def runAvailableNow(incoming: DataFrame, indexRoot: String, idCol: String,
                       textCol: String, checkpointDir: String, k: Int = 4,
                       numHashes: Int = 16, bands: Int = 8,
                       threshold: Double = 0.5,
                       onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                         _ => ()): Unit = {
-    val q = writer(incoming, indexRoot, idCol, textCol, k, numHashes, bands,
-      threshold)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    onProgress(q.recentProgress.toIndexedSeq)
+    val trace = StreamOps.driveCollectingProgress(
+      incoming.sparkSession.streams,
+      writer(incoming, indexRoot, idCol, textCol, k, numHashes, bands,
+          threshold)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start())
+    onProgress(trace)
   }
 
   /** BATCH-DRIVE face (bench/verify entry d52_streaming_ingest +

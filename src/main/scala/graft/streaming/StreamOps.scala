@@ -59,6 +59,48 @@ object StreamOps {
       df.withColumn(name, normTs(col(name)))
     else df
 
+  /** Start a streaming query via `start`, drive it to termination, and
+    * return its FULL progress trace. `query.recentProgress` is capped at
+    * `spark.sql.streaming.numRecentProgressUpdates` (default 100), so a
+    * drive with more micro-batches than that — exactly the one-shot
+    * backfill shape — would silently lose its earliest entries; a
+    * listener sees every event. The trace is complete by construction:
+    * the listener bus is FIFO per listener and the terminated event is
+    * posted after every progress event of the query, so awaiting it
+    * (bounded) guarantees the buffer is final. Events are filtered to
+    * the started query's id — concurrent queries on the session don't
+    * leak in. */
+  private[streaming] def driveCollectingProgress(
+      streams: org.apache.spark.sql.streaming.StreamingQueryManager,
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val buf = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    @volatile var qid: java.util.UUID = null
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        buf.synchronized { buf += e.progress; () }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (qid != null && e.id == qid) done.countDown()
+    }
+    streams.addListener(l)
+    try {
+      val q = start
+      qid = q.id
+      q.awaitTermination()
+      done.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      buf.synchronized {
+        buf.filter(_.id == qid).sortBy(_.batchId).toIndexedSeq
+      }
+    } finally streams.removeListener(l)
+  }
+
   /** Clone `spark` (same SparkContext, own SQLConf) pinned to `n`
     * shuffle partitions — how the file drives run a query at a
     * parallelism sized to the micro-batch volume without mutating the
@@ -374,9 +416,12 @@ object StreamOps {
     * cloned session pinned to n, leaving the caller's session conf
     * untouched.
     *
-    * `onProgress` receives the query's progress trace after the drive
-    * finishes — batch counts / state sizes / watermark for operational
-    * regression guards (StreamingSpec); default no-op. */
+    * `onProgress` receives the query's FULL progress trace after the
+    * drive finishes — batch counts / state sizes / watermark for
+    * operational regression guards (StreamingSpec); default no-op.
+    * Collected via a listener ([[driveCollectingProgress]]), not
+    * `recentProgress`, which caps at 100 entries and would truncate a
+    * backfill of >100 micro-batches. */
   def asofJoinStreamFiles(spark: org.apache.spark.sql.SparkSession,
                           leftDir: String, rightDir: String,
                           checkpointDir: String, outputDir: String,
@@ -396,15 +441,15 @@ object StreamOps {
         "ts")
         .withWatermark("ts", delay)
     }
-    val q = asofJoinStream(src(leftDir), src(rightDir), rightRetentionMinutes)
-      .writeStream.format("parquet")
-      .option("path", outputDir)
-      .outputMode("append")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    onProgress(q.recentProgress.toIndexedSeq)
+    val trace = driveCollectingProgress(sess.streams,
+      asofJoinStream(src(leftDir), src(rightDir), rightRetentionMinutes)
+        .writeStream.format("parquet")
+        .option("path", outputDir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start())
+    onProgress(trace)
     // explicit schema: a drive whose every left stayed pending writes no
     // data files, and the sink's _spark_metadata alone cannot infer one
     spark.read.schema(Encoders.product[AsOfMatch].schema).parquet(outputDir)

@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.datax.Curation
@@ -16,10 +14,7 @@ import graft.datax.Curation
 class CurationPropertiesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def int(seed: Long, lo: Int, hi: Int): Int = {
-    val g: Gen[Int] = Gen.choose(lo, hi)
-    g(Gen.Parameters.default, Seed(seed)).get
-  }
+  import PropGen.int
 
   test("packSequences == the sequential next-fit model on random token counts") {
     val s = spark

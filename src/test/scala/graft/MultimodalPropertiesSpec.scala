@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.datax.Multimodal
@@ -17,14 +15,7 @@ import graft.datax.Multimodal
 class MultimodalPropertiesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def int(seed: Long, lo: Int, hi: Int): Int = {
-    val g: Gen[Int] = Gen.choose(lo, hi)
-    g(Gen.Parameters.default, Seed(seed)).get
-  }
-
-  private def md5hex(b: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(b).map(x => f"$x%02x").mkString
+  import PropGen.{int, md5hex}
 
   /** Random docs with the columns [[Multimodal.assets]] reads; texts mix
     * ascii words with multi-byte tokens so payload byte length != char

@@ -757,7 +757,9 @@ class StreamingSpec extends AnyFunSuite {
     stageFile(earlyL, s"$dir/left", "b00.parquet")
     stageFile(earlyR, s"$dir/right", "b00.parquet")
     assert(drive() == Set.empty,
-      "run 1: watermark (9:55) below every left -> all buffered, none emitted")
+      "run 1: watermark (9:53 — the MIN across sources: right max 10:03 " +
+        "- 10 min, below the left source's 9:55) is below every left " +
+        "-> all buffered, none emitted")
     stageFile(lateL, s"$dir/left", "b01.parquet")
     stageFile(lateR, s"$dir/right", "b01.parquet")
     assert(drive() == Set((1L, 2L, Some(2L)), (1L, 4L, Some(4L))),

@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.scalacheck.Gen
-import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.datax.{Dedup, TextStats}
@@ -17,10 +15,7 @@ import graft.datax.{Dedup, TextStats}
 class TextStatsPropertiesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def int(seed: Long, lo: Int, hi: Int): Int = {
-    val g: Gen[Int] = Gen.choose(lo, hi)
-    g(Gen.Parameters.default, Seed(seed)).get
-  }
+  import PropGen.{int, md5hex}
 
   /** Random word-soup docs over a tiny vocabulary — small enough that
     * duplicate n-grams and winnow-hash collisions actually occur. */
@@ -31,10 +26,6 @@ class TextStatsPropertiesSpec extends AnyFunSuite {
       val ws = (0 until len).map(j => vocab(int(seed + 1000L * i + j, 0, vocab.length - 1)))
       (i.toLong, ws.mkString(" "))
     }
-
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
 
   test("repetition == the brute-force duplicate-n-gram model") {
     val s = spark
