@@ -619,6 +619,33 @@ class StreamingSpec extends AnyFunSuite {
       "1, 7, 8 drop against EARLIER batches' index; 5 drops within-batch")
   }
 
+  test("progress traces are listener-complete: a recentProgress cap below " +
+       "the batch count no longer truncates onProgress") {
+    // the regression this pins: onProgress used to read q.recentProgress,
+    // which Spark caps at spark.sql.streaming.numRecentProgressUpdates
+    // (default 100) — a >100-batch backfill silently lost its earliest
+    // entries. Force the cap BELOW this drive's batch count and assert
+    // the listener-collected trace is still complete and in batch order.
+    import graft.streaming.{BatchFiles, DedupStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-d52-trace").toString
+    BatchFiles.write(d52Docs, s"$dir/src", "doc_id", splits = 3)
+    val key = "spark.sql.streaming.numRecentProgressUpdates"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "2") // < the 3 data batches (+ final commit batch)
+    try {
+      var prog: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+      DedupStream.ingestAvailableNow(spark, s"$dir/src",
+          s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+          bands = 8, threshold = 0.4, onProgress = p => prog = p)
+        .unpersist()
+      assert(prog.count(_.numInputRows > 0) == 3,
+        s"trace truncated under the cap: ${prog.map(_.numInputRows).toList}")
+      assert(prog.map(_.numInputRows).sum == 9, "some batch's rows missing")
+      assert(prog.map(_.batchId) == prog.map(_.batchId).sorted,
+        "trace not in batch order")
+    } finally spark.conf.set(key, prev)
+  }
+
   // the 9-doc fixture shared by the d52 drive specs: near-dup pairs
   // {1,3} {4,8} {2,5}, exact pair {6,7}, novel 9 (at bands=8, thr=0.4)
   private def d52Docs = Seq(
