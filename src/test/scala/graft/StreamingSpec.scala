@@ -311,6 +311,91 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream == batch asofJoin on seeded RANDOM streams with " +
+       "within-watermark arrival disorder") {
+    // The fixture specs pin hand-picked timelines; this pins the state
+    // machine's GENERAL case: random keys/timestamps split into 4
+    // time-sliced arrival batches, with a seeded subset of rows moved
+    // one batch EARLY. Construction keeps every row inside the
+    // watermark envelope — moves are allowed only from the first 601 s
+    // of a GLOBAL time slice, so any moved row's watermark contribution
+    // (ts - 601 s) stays below every later-arriving row on BOTH sides:
+    // nothing is ever late, and the streamed output must equal the
+    // batch asofJoin on the watermark-ripe lefts exactly. Rights sit on
+    // whole minutes, lefts at :17 past, delay 601 s — no row's ts can
+    // ever EQUAL a watermark value, so <=-vs-< boundary and timeout
+    // strictness cannot make the comparison flaky.
+    import PropGen.int
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = ts("2026-01-01 10:00:00").getTime
+    val keys = Seq(1L, 2L, 3L)
+    // rights: 10 DISTINCT whole minutes per key out of 0..119
+    val rights: Seq[(Long, Timestamp, Long)] = keys.flatMap { k =>
+      (0 until 120).sortBy(m => int(31000L + 1000 * k + m, 0, 1 << 20))
+        .take(10).zipWithIndex.map { case (m, i) =>
+          (k, new Timestamp(t0 + m * 60000L), 1000L + 100 * k + i)
+        }
+    }
+    // lefts: 10 per key at random minutes, +17 s phase; ids unique
+    val lefts: Seq[(Long, Timestamp, Long)] = keys.flatMap { k =>
+      (0 until 10).map { i =>
+        val m = int(32000L + 1000 * k + i, 0, 119)
+        (k, new Timestamp(t0 + m * 60000L + 17000L), 100 * k + i)
+      }
+    }
+    // GLOBAL contiguous time slices (both sides pooled), then seeded
+    // early moves from each slice's first 601 s
+    val all = (lefts.map((_, true)) ++ rights.map((_, false)))
+      .sortBy { case ((_, t, id), _) => (t.getTime, id) }
+    val n = all.length
+    val slice = all.zipWithIndex.map { case (row, idx) => (row, idx * 4 / n) }.toMap
+    val sliceMin = slice.groupBy(_._2)
+      .map { case (b, rs) => b -> rs.keys.map(_._1._2.getTime).min }
+    val batchOf = all.map { case row @ ((_, t, id), _) =>
+      val b = slice(row)
+      val eligible = b > 0 && t.getTime < sliceMin(b) + 601000L
+      val moved = eligible && int(33000L + id, 0, 9) < 5
+      (row, if (moved) b - 1 else b, moved)
+    }
+    assert(batchOf.count(_._3) >= 3, "seed produced too few early moves")
+
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("key", "ts", "id").withWatermark("ts", "601 seconds")
+    val q = StreamOps.asofJoinStream(named(lMem), named(rMem))
+      .writeStream.format("memory").queryName("asof_prop")
+      .outputMode("append").start()
+    try {
+      (0 until 4).foreach { b =>
+        val l = batchOf.collect { case ((row, isL), bb, _) if bb == b && isL => row }
+        val r = batchOf.collect { case ((row, isL), bb, _) if bb == b && !isL => row }
+        if (l.nonEmpty) { lMem.addData(l); () }
+        if (r.nonEmpty) { rMem.addData(r); () }
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_prop")
+        .select("key", "left_id", "right_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      val finalWm =
+        math.min(lefts.map(_._2.getTime).max, rights.map(_._2.getTime).max) - 601000L
+      val ripe = lefts.filter(_._2.getTime < finalWm)
+      val expected = StreamOps.asofJoin(
+          ripe.toDF("key", "ts", "left_id"),
+          rights.toDF("key", "ts", "right_id"),
+          Seq("key"), "ts", "ts", Map("right_id" -> "right_id"))
+        .select("key", "left_id", "right_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(streamed == expected,
+        s"streamed diff: extra=${streamed -- expected} missing=${expected -- streamed}")
+      // non-vacuity: matched lefts, no-right lefts, and pending lefts
+      // all occur under this seed
+      assert(streamed.exists(_._3.isDefined), "no left matched a right")
+      assert(streamed.exists(_._3.isEmpty), "no left without an earlier right")
+      assert(ripe.size < lefts.size, "no left stayed pending above the watermark")
+    } finally q.stop()
+  }
+
   test("sessionize and trailingStats accept TIMESTAMP_NTZ inputs (upstream type drift)") {
     // The r8 testdata regeneration shipped events.ts as parquet
     // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ,
