@@ -396,6 +396,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoin streamed == intervalJoin batch on seeded RANDOM " +
+       "streams (inner join emits eagerly; state outlives the envelope)") {
+    // Same no-late construction as the asof property above, applied to
+    // the stream-stream join: with every row inside the watermark
+    // envelope, a click's join state is still alive whenever a
+    // later-arriving view within the bound shows up (state evicts only
+    // once the watermark passes the click), and inner joins emit on
+    // match without holding for ripeness — so the streamed output must
+    // equal the BATCH intervalJoin on the full input, row for row.
+    import PropGen.int
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = ts("2026-01-01 10:00:00").getTime
+    val keys = Seq(1L, 2L, 3L)
+    val views: Seq[(Long, Timestamp, Long)] = keys.flatMap { k =>
+      (0 until 10).map { i =>
+        val m = int(41000L + 1000 * k + i, 0, 119)
+        (k, new Timestamp(t0 + m * 60000L), 1000L + 100 * k + i)
+      }
+    }
+    val clicks: Seq[(Long, Timestamp, Long)] = keys.flatMap { k =>
+      (0 until 10).map { i =>
+        val m = int(42000L + 1000 * k + i, 0, 119)
+        (k, new Timestamp(t0 + m * 60000L + 17000L), 100 * k + i)
+      }
+    }
+    val all = (clicks.map((_, true)) ++ views.map((_, false)))
+      .sortBy { case ((_, t, id), _) => (t.getTime, id) }
+    val n = all.length
+    val slice = all.zipWithIndex.map { case (row, idx) => (row, idx * 4 / n) }.toMap
+    val sliceMin = slice.groupBy(_._2)
+      .map { case (b, rs) => b -> rs.keys.map(_._1._2.getTime).min }
+    val batchOf = all.map { case row @ ((_, t, id), _) =>
+      val b = slice(row)
+      val eligible = b > 0 && t.getTime < sliceMin(b) + 601000L
+      (row, if (eligible && int(43000L + id, 0, 9) < 5) b - 1 else b)
+    }
+    val vMem = MemoryStream[(Long, Timestamp, Long)]
+    val cMem = MemoryStream[(Long, Timestamp, Long)]
+    def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("user_id", "ts", "event_id").withWatermark("ts", "601 seconds")
+    val q = StreamOps.intervalJoin(named(vMem), named(cMem), withinMinutes = 45)
+      .writeStream.format("memory").queryName("ij_prop")
+      .outputMode("append").start()
+    try {
+      (0 until 4).foreach { b =>
+        val c = batchOf.collect { case ((row, isC), bb) if bb == b && isC => row }
+        val v = batchOf.collect { case ((row, isC), bb) if bb == b && !isC => row }
+        if (v.nonEmpty) { vMem.addData(v); () }
+        if (c.nonEmpty) { cMem.addData(c); () }
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ij_prop")
+        .select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = StreamOps.intervalJoin(
+          views.toDF("user_id", "ts", "event_id"),
+          clicks.toDF("user_id", "ts", "event_id"), withinMinutes = 45)
+        .select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"diff: extra=${streamed -- batch} missing=${batch -- streamed}")
+      // non-vacuity: pairs exist, and some click pairs with >1 view
+      assert(streamed.nonEmpty, "no pair formed under this seed")
+      assert(streamed.groupBy(t => (t._1, t._3)).exists(_._2.size > 1),
+        "no click matched multiple views")
+    } finally q.stop()
+  }
+
   test("sessionize and trailingStats accept TIMESTAMP_NTZ inputs (upstream type drift)") {
     // The r8 testdata regeneration shipped events.ts as parquet
     // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ,
