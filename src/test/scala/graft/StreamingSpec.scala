@@ -464,6 +464,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("userActivity == the per-batch fold model on seeded RANDOM streams") {
+    // The third custom stateful operator under the random-arrival
+    // harness: state is a per-user (count, last-value) fold over rows
+    // sorted by (ts, value) WITHIN each micro-batch, emitted once per
+    // (user, batch-with-data). The model replays exactly that contract
+    // batch by batch. Same no-late construction; idleMinutes=120 over a
+    // 120-minute event window means the idle timeout can never fire
+    // (timeout_ts >= first event + 120 min > any reachable watermark),
+    // so expiry doesn't enter the model.
+    import PropGen.int
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = ts("2026-01-01 10:00:00").getTime
+    val events: Seq[(Long, Timestamp, Double)] = (0 until 60).map { i =>
+      val user = 100L + int(51000L + i, 0, 3)
+      val m = int(52000L + i, 0, 119)
+      val v = int(53000L + i, -5, 5).toDouble
+      (user, new Timestamp(t0 + m * 60000L + (i % 60) * 1000L), v)
+    }
+    val sorted = events.sortBy { case (_, t, v) => (t.getTime, v) }
+    val n = sorted.length
+    val batches: Seq[Seq[(Long, Timestamp, Double)]] =
+      (0 until 4).map(b => sorted.zipWithIndex
+        .collect { case (row, idx) if idx * 4 / n == b => row })
+
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.userActivity(
+        mem.toDF().toDF("user_id", "ts", "value")
+          .withWatermark("ts", "601 seconds"), idleMinutes = 120)
+      .writeStream.format("memory").queryName("ua_prop")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) { mem.addData(b); () }
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("ua_prop")
+        .as[(Long, Long, Double)].collect().toSet
+      // model: fold each batch's per-user rows in (ts, value) order onto
+      // the carried state; emit the post-batch state per active user
+      val state = scala.collection.mutable.Map[Long, (Long, Double)]()
+      val expected = scala.collection.mutable.Set[(Long, Long, Double)]()
+      batches.foreach { b =>
+        b.groupBy(_._1).foreach { case (user, rows) =>
+          val ordered = rows.sortBy(r => (r._2.getTime, r._3))
+          val (n0, _) = state.getOrElse(user, (0L, 0.0))
+          val next = (n0 + ordered.length, ordered.last._3)
+          state(user) = next
+          expected += ((user, next._1, next._2))
+        }
+      }
+      assert(streamed == expected.toSet,
+        s"diff: extra=${streamed -- expected} missing=${expected.toSet -- streamed}")
+      // non-vacuity: every user emits across MULTIPLE batches (the
+      // carried-state path), and counts sum to the event count
+      assert(expected.groupBy(_._1).forall(_._2.size > 1),
+        "some user appeared in only one batch — no state carried")
+      assert(state.values.map(_._1).sum == events.length.toLong)
+    } finally q.stop()
+  }
+
   test("sessionize and trailingStats accept TIMESTAMP_NTZ inputs (upstream type drift)") {
     // The r8 testdata regeneration shipped events.ts as parquet
     // TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark TIMESTAMP_NTZ,
