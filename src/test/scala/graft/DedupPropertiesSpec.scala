@@ -120,6 +120,52 @@ class DedupPropertiesSpec extends AnyFunSuite {
       driverMaxPairs = 0L)) == expect, "distributed label-propagation path")
   }
 
+  test("streaming ingest drive == fold-wise dedupIncrement on RANDOM " +
+       "corpora with guaranteed cross-batch plants") {
+    // the d52 fold-equivalence beyond the 9-doc fixture: a random corpus
+    // with planted near-dups (copy + one word, id+100) and exact dups
+    // (verbatim copy, id+200). The pmod(id, 3) split makes every plant
+    // land in a DIFFERENT batch than its base (+100 ≡ +1, +200 ≡ +2 mod
+    // 3), so each dropped plant exercises the stored cross-batch index —
+    // and the drive must equal dedupCorpus on split 0 followed by the
+    // oracle-gated dedupIncrement folded over the rest.
+    import graft.streaming.{BatchFiles, DedupStream}
+    val base = genDocs(40, 601L, minLen = 4, maxLen = 12)
+    val docs = base
+      .union(base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 100).as("doc_id"),
+          concat(col("text"), lit(" extraword")).as("text")))
+      .union(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 200).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dedup-stream-prop").toString
+    BatchFiles.write(docs, s"$dir/src", "doc_id", splits = 3)
+    val streamed = DedupStream.ingestAvailableNow(spark, s"$dir/src",
+        s"$dir/index", s"$dir/ckpt", "doc_id", "text",
+        k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val splits = (0 until 3).map(i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i))
+    val folded = splits.tail.foldLeft(
+      Dedup.dedupCorpus(splits.head, "doc_id", "text",
+        k = 4, numHashes = 16, bands = 8, threshold = 0.3)) { (index, b) =>
+      index.unionByName(
+        Dedup.dedupIncrement(b, index, "doc_id", "text",
+          k = 4, numHashes = 16, bands = 8, threshold = 0.3))
+    }.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    Dedup.releaseShingleCaches()
+    assert(streamed == folded,
+      "drive survivors must equal the fold-wise dedupIncrement composition")
+    // non-vacuity: cross-batch drops really happened — some planted copy
+    // (id >= 100) is gone while corpus size shrank overall
+    val total = docs.count()
+    assert(streamed.size < total, "vacuous: nothing was dropped")
+    val plants = docs.filter(col("doc_id") >= 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plants.exists(p => !streamed.contains(p)),
+      "no planted cross-batch duplicate was dropped")
+  }
+
   test("corpus invariant by INDUCTION: dedupIncrement keeps the deduped " +
        "index free of near-dup and exact-dup pairs") {
     // index = dedupCorpus(first half); batch = second half, seeded with
