@@ -19,24 +19,31 @@ object FrameOps {
   private val framesType =
     "array<struct<path:string,aspect_ratio:double,vote_average:double,width:int>>"
 
-  /** O17 — pick_backdrop: among frames whose path is NOT in
+  /** O17 — pick_backdrop: among frames whose path is TRUTHY (non-null,
+    * non-empty — the reference's `f.get("path")` check) and NOT in
     * `incorrect_frames`, the path of the max `(vote_average, width)` pair,
-    * nulls treated as 0; NULL when no valid frame
-    * (reference: app/utils/frames.py:4-19).
+    * nulls treated as 0; exact ties keep the FIRST occurrence (Python's
+    * stable sort with reverse=True preserves input order among equal
+    * keys); NULL when no valid frame (reference: app/utils/frames.py:12-19).
     *
     * Array-level argmax via `array_max` over re-ordered structs: struct
-    * comparison is field-by-field, so (va, w, path) ordering reproduces the
-    * reference's sort key. Stays inside codegen; no explode, no shuffle.
+    * comparison is field-by-field, so (va, w, -pos) ordering reproduces the
+    * reference's sort key including the first-on-tie rule (max of -pos =
+    * min position). Index-aware `transform` runs over the FILTERED array,
+    * but `filter` preserves relative order, so position order = input
+    * order. Stays inside codegen; no explode, no shuffle.
     */
   def pickBackdrop(frames: Column, incorrectFrames: Column): Column = {
     val valid = filter(
       coalesce(frames, array().cast(framesType)),
-      f => !array_contains(coalesce(incorrectFrames, array().cast("array<string>")),
-        f.getField("path")))
-    array_max(transform(valid, f =>
+      f => length(f.getField("path")) > 0 &&
+        !array_contains(coalesce(incorrectFrames, array().cast("array<string>")),
+          f.getField("path")))
+    array_max(transform(valid, (f, i) =>
       struct(
         coalesce(f.getField("vote_average"), lit(0.0)).as("va"),
         coalesce(f.getField("width"), lit(0)).as("w"),
+        (-i).as("negpos"),
         f.getField("path").as("path")))).getField("path")
   }
 

@@ -42,6 +42,39 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(got == "/y.jpg")
   }
 
+  test("pickBackdrop drops falsy (empty-string) paths like the reference's truthiness check") {
+    // /"" has the top votes but `f.get("path")` is falsy in the reference
+    // (app/utils/frames.py:12) -> skipped; /a.jpg wins
+    val df = framesDf(
+      Seq(Row("", 1.78, 9.9, 3840), Row("/a.jpg", 1.78, 5.0, 1280)),
+      Seq())
+    val got = df.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))
+      .head().getString(0)
+    assert(got == "/a.jpg")
+    // all-falsy -> None, like the reference's empty `valid` branch
+    val allFalsy = framesDf(Seq(Row("", 1.78, 9.9, 3840), Row(null, 1.78, 9.0, 1920)), Seq())
+    assert(allFalsy.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))
+      .head().isNullAt(0))
+  }
+
+  test("pickBackdrop breaks exact (vote_average, width) ties by FIRST occurrence") {
+    // Python's stable sort with reverse=True keeps input order among equal
+    // keys, so valid[0] is the first-listed of the tied frames — NOT the
+    // lexicographically-max path
+    val df = framesDf(
+      Seq(Row("/a.jpg", 1.78, 7.0, 1920), Row("/z.jpg", 1.78, 7.0, 1920)),
+      Seq())
+    val got = df.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))
+      .head().getString(0)
+    assert(got == "/a.jpg", "tie must keep the first occurrence, not max path")
+    // and the tie-break must not outrank the real sort key
+    val df2 = framesDf(
+      Seq(Row("/z.jpg", 1.78, 7.0, 1920), Row("/a.jpg", 1.78, 7.0, 1921)),
+      Seq())
+    assert(df2.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))
+      .head().getString(0) == "/a.jpg", "wider frame wins regardless of position")
+  }
+
   test("pickBackdrop returns null when all frames are excluded or absent") {
     val df = framesDf(Seq(Row("/a.jpg", 1.78, 8.0, 1280)), Seq("/a.jpg"))
     assert(df.select(FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")))

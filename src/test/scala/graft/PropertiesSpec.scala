@@ -55,6 +55,63 @@ class PropertiesSpec extends AnyFunSuite {
     assert(noneValid.filter(col("pick").isNotNull).count() == 0)
   }
 
+  test("pickBackdrop == Python-model replay on tie/empty-path-dense random frames") {
+    // Dedicated coarse generator: few distinct (va, w) values so exact
+    // ties are COMMON, plus empty-string and null paths — the two
+    // sub-fidelity edges of app/utils/frames.py:12,17 (truthy-path
+    // filter; stable reverse sort => first occurrence wins ties).
+    val paths = Seq("", null, "/a.jpg", "/b.jpg", "/c.jpg", "/d.jpg")
+    def genCase(seed: Long): (Seq[Row], Seq[String]) = {
+      val g = for {
+        n <- Gen.choose(0, 6)
+        frames <- Gen.listOfN(n, for {
+          p <- Gen.oneOf(paths)
+          va <- Gen.oneOf[Any](null, 0.0, 5.0, 5.0, 9.0)
+          w <- Gen.oneOf[Any](null, 100, 1920, 1920)
+        } yield Row(p, 1.78, va, w))
+        inc <- Gen.someOf(Seq("/a.jpg", "/b.jpg"))
+      } yield (frames, inc.toSeq)
+      g(Gen.Parameters.default, Seed(seed)).get
+    }
+    val cases = (0 until 300).map(i => (i, genCase(1000L + i)))
+    val schema = StructType(Seq(
+      StructField("i", IntegerType),
+      StructField("frames", ArrayType(Fixtures.frameType)),
+      StructField("incorrect_frames", ArrayType(StringType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (i, (f, inc)) => Row(i, f, inc) }),
+      schema)
+    val got = df.select(col("i"),
+        FrameOps.pickBackdrop(col("frames"), col("incorrect_frames")).as("pick"))
+      .collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    // independent replay of pick_backdrop: truthy-path filter, bad-set
+    // exclusion, stable sort on (va or 0, w or 0) reverse, head's path
+    cases.foreach { case (i, (frames, inc)) =>
+      val bad = inc.toSet
+      val valid = frames.filter { f =>
+        val p = f.getString(0)
+        p != null && p.nonEmpty && !bad(p)
+      }
+      val expected =
+        if (valid.isEmpty) None
+        else Some(valid.sortBy { f =>
+          val va = Option(f.get(2)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+          val w = Option(f.get(3)).map(_.asInstanceOf[Int]).getOrElse(0)
+          (-va, -w) // stable sortBy: equal keys keep input order = reverse=True
+        }.head.getString(0))
+      assert(got(i) == expected, s"case $i: frames=$frames inc=$inc")
+    }
+    // non-vacuity: the generator must actually exercise both edges
+    assert(cases.exists { case (_, (f, inc)) =>
+      val bad = inc.toSet
+      val valid = f.filter(x => Option(x.getString(0)).exists(_.nonEmpty) && !bad(x.getString(0)))
+      valid.groupBy(x => (Option(x.get(2)).getOrElse(0.0), Option(x.get(3)).getOrElse(0)))
+        .exists(_._2.map(_.getString(0)).distinct.size > 1)
+    }, "no case with an exact (va, w) tie across distinct paths")
+    assert(cases.exists(_._2._1.exists(f => f.getString(0) == "")),
+      "no case with an empty-string path")
+  }
+
   test("normalizeFrames: output paths unique, drawn from input, widths maximal") {
     val df = samplesDf(200).select(col("frames"),
       FrameOps.normalizeFrames(col("frames")).as("norm"))
