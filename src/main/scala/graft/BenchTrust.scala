@@ -1,0 +1,96 @@
+package graft
+
+/** The bench measurement-trust rules, factored out of [[Bench]] so they
+  * are unit-testable (BenchTrustSpec) — the r10 verdict's ask: the canary
+  * gate shipped a 5.4x-inflated d49 median as `trusted:true` because
+  * every distrust signal was relative to evidence gathered INSIDE the
+  * same (degraded) window. Three independent rules now apply, each
+  * catching a failure shape the others can't:
+  *
+  *  1. [[canariesOk]] — the bracketing-canary rule (round 5): the host
+  *     around a query's segment must be within `tol`x of the best canary
+  *     seen anywhere in the run. Catches minutes-long degraded windows.
+  *  2. [[medianConverged]] — the median-vs-own-floor rule (round 6): a
+  *     median more than `tol`x above the query's own best rep is not a
+  *     converged measurement. Catches sub-segment bursts that inflate
+  *     one or two reps (r5's d05: reps [2.26, 25.07]).
+  *  3. [[repSpreadOk]] — the rep max/min spread rule (round 11): reps
+  *     spanning more than `tol`x end to end mean the box changed speed
+  *     MID-QUERY, so no single summary of them is certifiable — even
+  *     when the median happens to sit near the min (rule 2 passes).
+  *
+  * None of the three can catch a query whose EVERY rep ran in the same
+  * degraded burst while the surrounding canaries read healthy — uniform
+  * inflation is invisible to within-run evidence (r10's d49: reps
+  * [6.78, 10.57], healthy retry canaries). That shape is caught by
+  * [[priorOutliers]]: the committed previous full-suite run is an
+  * out-of-run reference floor; queries landing >`tol`x above it get
+  * re-run (min adopted) and, if persistent, surfaced in the artifact's
+  * `prior_regressed` so a reader adjudicates (PlanStabilityProbe)
+  * instead of reading box noise as a regression. `prior_regressed` does
+  * NOT flip `trusted` — a real code regression would legitimately
+  * exceed the prior and the artifact must still be publishable; trust
+  * certifies the ENVIRONMENT, the prior field flags the DELTA.
+  */
+object BenchTrust {
+
+  /** Rule 1: both canaries bracketing the query's segment within `tol`x
+    * of the best canary observed anywhere in the run. */
+  def canariesOk(before: Double, after: Double, bestCanary: Double,
+                 tol: Double): Boolean =
+    math.max(before, after) <= tol * bestCanary
+
+  /** Rule 2: the adopted median within `tol`x of the query's own best
+    * rep (+ `slack` seconds so the ~0.5 s compile/dispatch floor of
+    * sub-second queries doesn't flag pure noise). Vacuously true with
+    * no successful reps — failure is reported separately. */
+  def medianConverged(median: Double, good: Seq[Double], tol: Double,
+                      slack: Double): Boolean =
+    good.isEmpty || median <= tol * good.min + slack
+
+  /** Rule 3 (round 11): end-to-end rep spread within `tol`x (+ `slack`).
+    * Distrusts measurements whose reps disagree with EACH OTHER by more
+    * than the canary tolerance, regardless of where the median falls. */
+  def repSpreadOk(good: Seq[Double], tol: Double, slack: Double): Boolean =
+    good.isEmpty || good.max <= tol * good.min + slack
+
+  /** All within-run rules combined — [[Bench]]'s per-query health
+    * predicate (re-run while unhealthy, `trusted:false` if persistent). */
+  def healthy(median: Double, good: Seq[Double], canaryBefore: Double,
+              canaryAfter: Double, bestCanary: Double, tol: Double,
+              slack: Double): Boolean =
+    canariesOk(canaryBefore, canaryAfter, bestCanary, tol) &&
+      medianConverged(median, good, tol, slack) &&
+      repSpreadOk(good, tol, slack)
+
+  /** Out-of-run rule: queries whose current median exceeds `tol`x the
+    * prior run's median (name -> current/prior ratio). Only queries
+    * present in both runs with positive medians compare — renamed or
+    * failed queries can't produce phantom ratios. */
+  def priorOutliers(current: Map[String, Double], prior: Map[String, Double],
+                    tol: Double): Map[String, Double] =
+    current.flatMap { case (name, cur) =>
+      prior.get(name).collect {
+        case p if p > 0 && cur > 0 && cur > tol * p => name -> cur / p
+      }
+    }
+
+  /** The prior run's `"sf"` field — [[priorOutliers]] is only meaningful
+    * against a prior at the SAME scale factor (a dev run at a smaller SF
+    * left behind in BENCH_LOCAL.json must not flag the whole suite). */
+  def parseSf(json: String): Option[String] =
+    "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(json).map(_.group(1))
+
+  /** Parse the `"queries":{"name":sec,...}` map out of a prior
+    * BENCH_LOCAL.json line without a JSON dependency (the file is this
+    * program's own single-line output). Returns empty on any shape
+    * mismatch — a missing/corrupt prior simply disables the rule. */
+  def parseQueriesMap(json: String): Map[String, Double] = {
+    val sub = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(sub).flatMap { m =>
+      try Some(m.group(1) -> m.group(2).toDouble)
+      catch { case _: NumberFormatException => None }
+    }.toMap
+  }
+}

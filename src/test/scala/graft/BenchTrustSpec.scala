@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench measurement-trust rules on the exact historical shapes
+  * that motivated them (SCALE.md "bench trustworthiness"; r10 verdict
+  * "What's wrong" #2). The rules run inside Bench's main — this suite is
+  * what makes the distrust logic regression-checkable without driving a
+  * full bench. */
+class BenchTrustSpec extends AnyFunSuite {
+  private val tol = 2.0
+  private val slack = 0.5
+
+  test("rule 2 (round 6): r5's d05 shape — median far above own best rep") {
+    // r5 shipped d05 at median 17.2 with reps [2.26, 17.2, 25.07]
+    val reps = Seq(2.26, 17.2, 25.07)
+    assert(!BenchTrust.medianConverged(17.2, reps, tol, slack))
+    // rule 3 also fires on the same shape (the rules overlap here)
+    assert(!BenchTrust.repSpreadOk(reps, tol, slack))
+  }
+
+  test("rule 3 (round 11): median near the min no longer masks a wild max rep") {
+    // median adjacent to min passes rule 2 but the 3x max rep means the
+    // box changed speed mid-query — rule 3 is the only within-run catch
+    val reps = Seq(2.0, 2.2, 6.8)
+    assert(BenchTrust.medianConverged(2.2, reps, tol, slack))
+    assert(!BenchTrust.repSpreadOk(reps, tol, slack))
+    assert(!BenchTrust.healthy(2.2, reps, 0.35, 0.4, 0.31, tol, slack))
+  }
+
+  test("rule 3 slack: sub-second compile/dispatch jitter is not flagged") {
+    assert(BenchTrust.repSpreadOk(Seq(0.3, 0.5, 1.1), tol, slack))
+    assert(BenchTrust.repSpreadOk(Nil, tol, slack), "no reps = reported failed, not unhealthy")
+  }
+
+  test("r10's d49 shape: uniform inflation passes every within-run rule — " +
+       "the prior-run reference is the designed catch") {
+    // every rep inflated together (degraded burst spanning the whole
+    // query) with healthy canaries around it: within-run evidence is
+    // structurally blind to this
+    val reps = Seq(6.78, 8.58, 10.57)
+    assert(BenchTrust.healthy(8.58, reps, 0.35, 0.4, 0.31, tol, slack))
+    // ... but the committed-history rule flags it at its measured 5.4x
+    val out = BenchTrust.priorOutliers(
+      Map("d49_incremental_dedup" -> 8.58, "d01_tokens" -> 7.17, "ok_q" -> 1.0),
+      Map("d49_incremental_dedup" -> 1.59, "d01_tokens" -> 0.91, "ok_q" -> 0.9),
+      tol)
+    assert(out.keySet == Set("d49_incremental_dedup", "d01_tokens"))
+    assert(math.abs(out("d49_incremental_dedup") - 8.58 / 1.59) < 1e-9)
+  }
+
+  test("rule 1: bracketing canaries vs the run's best") {
+    assert(BenchTrust.canariesOk(0.35, 0.55, 0.31, tol))
+    assert(!BenchTrust.canariesOk(2.76, 2.48, 0.31, tol), "r10's degraded window")
+  }
+
+  test("priorOutliers ignores missing names, failed medians, and the exact-2x edge") {
+    val out = BenchTrust.priorOutliers(
+      Map("new_q" -> 5.0, "crashed" -> -1.0, "edge" -> 2.0, "prior_crashed" -> 3.0),
+      Map("edge" -> 1.0, "crashed" -> 1.0, "prior_crashed" -> -1.0), tol)
+    assert(out.isEmpty, s"got $out")
+  }
+
+  test("parseQueriesMap round-trips Bench's own JSON line and rejects garbage") {
+    val line = """{"metric":"total","value":73.6,"unit":"sec","reps":3,""" +
+      """"queries":{"a01_reports_stats":0.42,"d49_incremental_dedup":1.59},""" +
+      """"spread":{"a01_reports_stats":[0.40,0.47]},"trusted":true,"sf":"/x"}"""
+    assert(BenchTrust.parseQueriesMap(line) ==
+      Map("a01_reports_stats" -> 0.42, "d49_incremental_dedup" -> 1.59))
+    assert(BenchTrust.parseQueriesMap("") == Map.empty[String, Double])
+    assert(BenchTrust.parseQueriesMap("not json at all") == Map.empty[String, Double])
+    assert(BenchTrust.parseQueriesMap("""{"queries":{"q":oops}}""") ==
+      Map.empty[String, Double])
+  }
+
+  test("parseSf extracts the prior run's scale dir (same-SF guard for priorOutliers)") {
+    assert(BenchTrust.parseSf("""{"queries":{},"sf":"/root/testdata/sf0.1"}""")
+      .contains("/root/testdata/sf0.1"))
+    assert(BenchTrust.parseSf("""{"queries":{}}""").isEmpty)
+  }
+}
