@@ -51,8 +51,10 @@ object AsofScaleProbe {
     val views = e.filter(col("event_type") === "view")
       .groupBy("user_id", "ts").agg(max("event_id").as("id"))
       .select(col("user_id").as("key"), col("ts"), col("id"))
-    BatchFiles.write(clicks.withColumn("p", part), s"$tmp/left", "p", splits)
-    BatchFiles.write(views.withColumn("p", part), s"$tmp/right", "p", splits)
+    BatchFiles.write(clicks.withColumn("p", part), s"$tmp/left", "p", splits,
+      keepSplitCol = false)
+    BatchFiles.write(views.withColumn("p", part), s"$tmp/right", "p", splits,
+      keepSplitCol = false)
     val nL = clicks.count(); val nR = views.count()
     println(s"""{"probe":"asof_scale_input","sf":"$sfDir","events":$nEvents,"lefts":$nL,"rights":$nR,"splits":$splits}""")
 

@@ -1405,10 +1405,13 @@ object DataxQueries {
           val views = e.filter(col("event_type") === "view")
             .groupBy("user_id", "ts").agg(max("event_id").as("id"))
             .select(col("user_id").as("key"), col("ts"), col("id"))
+          // keepSplitCol=false: the synthetic half column must not leak
+          // into the generic-payload drive (it would ride along as
+          // left_half/right_half output columns)
           BatchFiles.write(clicks.withColumn("half", half),
-            s"$tmp/left", "half", splits = 2)
+            s"$tmp/left", "half", splits = 2, keepSplitCol = false)
           BatchFiles.write(views.withColumn("half", half),
-            s"$tmp/right", "half", splits = 2)
+            s"$tmp/right", "half", splits = 2, keepSplitCol = false)
           // statePartitions sized to the fixture key cardinality (1.5k
           // keys) per the SCALE.md sizing rule; a scratch checkpoint, so
           // the pin dies with the entry (production sizes for the

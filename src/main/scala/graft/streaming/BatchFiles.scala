@@ -29,13 +29,20 @@ object BatchFiles {
   /** Write `df` into `dir/bNN.parquet`, one file per split, mtimes
     * increasing in split order. Returns `dir`.
     *
+    * `keepSplitCol=false` drops the split column from the written files
+    * — for callers whose split key is a synthetic harness column (the
+    * ntile pattern) that must not leak into the downstream schema (the
+    * generic-payload as-of drive takes EVERY non-key/ts column as
+    * payload).
+    *
     * The input plan is computed ONCE (persist + the null-guard count
     * materializes it); the null check and every per-split filter then
     * read the cache. Without this, a `splits`-way write evaluates the
     * plan splits+1 times — ruinous when the split column comes from a
     * global window (the ntile harness pattern), whose single-task sort
     * would otherwise re-run per split. */
-  def write(df: DataFrame, dir: String, splitCol: String, splits: Int): String = {
+  def write(df: DataFrame, dir: String, splitCol: String, splits: Int,
+            keepSplitCol: Boolean = true): String = {
     require(splits >= 1 && splits <= 99, s"splits out of range: $splits")
     val cached = df.persist()
     try {
@@ -51,7 +58,8 @@ object BatchFiles {
       val base = System.currentTimeMillis() - splits * 2000L
       (0 until splits).foreach { i =>
         val tmp = s"$dir/_tmp_split_$i"
-        cached.filter(pmod(col(splitCol), lit(splits)) === i)
+        val split = cached.filter(pmod(col(splitCol), lit(splits)) === i)
+        (if (keepSplitCol) split else split.drop(splitCol))
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = fs.globStatus(new Path(s"$tmp/part-*.parquet"))
         require(part.length == 1, s"expected one part file in $tmp")

@@ -94,7 +94,15 @@ object StreamOps {
       val q = start
       qid = q.id
       q.awaitTermination()
-      done.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      // the trace is complete only if the terminated event was actually
+      // SEEN (the FIFO guarantee is per listener; a heavily loaded bus
+      // can deliver it later than awaitTermination returns) — a timeout
+      // here means the returned trace may be missing tail entries, and
+      // silence would contradict the scaladoc's completeness claim
+      val sawTerminated = done.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      if (!sawTerminated)
+        System.err.println(s"[graft] driveCollectingProgress: terminated event " +
+          s"for query $qid not observed within 10 s — progress trace may be truncated")
       buf.synchronized {
         buf.filter(_.id == qid).sortBy(_.batchId).toIndexedSeq
       }
@@ -232,27 +240,35 @@ object StreamOps {
                leftTs: String, rightTs: String,
                rightCols: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(rightCols.nonEmpty, "asofJoin needs at least one right payload column")
     val keyCols = keys.map(col)
+    // The right payload rides as ONE struct, resolved with a single
+    // last(ignoreNulls) — per-column lasts would skip a null FIELD of
+    // the as-of right row and backfill it from an OLDER right,
+    // stitching columns of different rows together (caught by the
+    // generic-payload full-row pin: the struct wrapper is non-null for
+    // every right row even when its fields are null, so the whole row
+    // resolves atomically).
+    val rPay = struct(rightCols.map { case (from, to) => col(from).as(to) }.toSeq: _*)
+    val rPayType = right.select(rPay).schema.head.dataType
     val rightSide = right.select(
-      keyCols ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side")) ++
-        rightCols.map { case (from, to) => col(from).as(s"_r_$to") } ++
+      keyCols ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"), rPay.as("_rpay")) ++
         left.columns.filterNot(keys.contains).map(c => lit(null).as(s"_l_$c")): _*)
     val leftSide = left.select(
-      keyCols ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side")) ++
-        rightCols.map { case (_, to) => lit(null).as(s"_r_$to") } ++
+      keyCols ++ Seq(col(leftTs).as("_ts"), lit(1).as("_side"),
+        lit(null).cast(rPayType).as("_rpay")) ++
         left.columns.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")): _*)
     val w = Window.partitionBy(keyCols: _*).orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val resolved = rightSide.unionByName(leftSide)
       .select(keyCols ++ Seq(col("_ts"), col("_side")) ++
-        left.columns.filterNot(keys.contains).map(c => col(s"_l_$c")) ++
-        rightCols.map { case (_, to) =>
-          last(col(s"_r_$to"), ignoreNulls = true).over(w).as(to) }: _*)
+        left.columns.filterNot(keys.contains).map(c => col(s"_l_$c")) :+
+        last(col("_rpay"), ignoreNulls = true).over(w).as("_rp"): _*)
       .filter(col("_side") === 1)
     resolved.select(
       keyCols ++
         left.columns.filterNot(keys.contains).map(c => col(s"_l_$c").as(c)) ++
-        rightCols.values.map(col).toSeq: _*)
+        rightCols.values.map(to => col("_rp").getField(to).as(to)).toSeq: _*)
   }
 
   /** Per-event trailing-window stats: for every event, the count and max
@@ -283,14 +299,22 @@ object StreamOps {
       max(col("value")).over(w).as("max_value_trailing"))
   }
 
-  final case class AsOfRow(key: Long, ts: java.sql.Timestamp, id: Long,
+  final case class AsOfRow(key: Long, ts: java.sql.Timestamp, payload: String,
                            is_left: Boolean)
-  final case class AsOfState(lefts: List[(Long, Long)],
-                             rights: List[(Long, Long)])
-  final case class AsOfMatch(key: Long, left_id: Long,
-                             left_ts: java.sql.Timestamp,
-                             right_id: Option[Long],
-                             right_ts: Option[java.sql.Timestamp])
+  final case class AsOfState(lefts: List[(Long, String)],
+                             rights: List[(Long, String)])
+  final case class AsOfMatch(key: Long, left_ts: java.sql.Timestamp,
+                             left_payload: String,
+                             right_ts: Option[java.sql.Timestamp],
+                             right_payload: Option[String])
+
+  /** JSON options for the payload pack/unpack round-trip: microsecond
+    * timestamp precision (the default format truncates to millis) and
+    * explicit nulls (stable strings for the deterministic state sort). */
+  private val payloadJsonOpts = Map(
+    "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "ignoreNullFields" -> "false")
 
   /** STREAMING face of [[asofJoin]] — the same union resolved through
     * ordered keyed state instead of a window. Event-time correct under
@@ -304,9 +328,19 @@ object StreamOps {
     * watermark delay x arrival rate, exactly like the engine's own
     * stream-stream join state.
     *
-    * Concrete (key, ts, id) row shape: the mechanics under test are the
-    * buffering/watermark contract, not schema plumbing; production
-    * would genericize the payload with encoders. Inputs must carry
+    * GENERIC payload (round 11): both inputs carry `key` and `ts` plus
+    * ANY other columns; every non-key/ts column rides through the keyed
+    * state and comes back typed in the output as `left_<col>` /
+    * `right_<col>` (right side null on no-match), around `key`,
+    * `left_ts`, `right_ts` — the column order of the former concrete
+    * face, which is the lPay=rPay=["id"] special case. In state the
+    * payload transits as a JSON-packed struct (schema re-applied with
+    * `from_json` on the way out, so types round-trip exactly — any
+    * to_json/from_json-expressible type works); a fixed-schema
+    * deployment hot enough to care can specialize the pack to a binary
+    * encoder, the state contract is unchanged. Right rows must be
+    * unique per (key, ts), as in the batch face — equal-ts right ties
+    * would otherwise resolve by payload-string order. Inputs must carry
     * `withWatermark` on ts before the call (their union watermark is
     * the min, as with any multi-input stateful op). Left rows forever
     * below a stalled watermark emit when it finally advances.
@@ -326,15 +360,22 @@ object StreamOps {
     * business rule already bounds the lookback (same trade as Spark's
     * own stream-stream join state retention). */
   def asofJoinStream(left: DataFrame, right: DataFrame,
-                     rightRetentionMinutes: Option[Int] = None): Dataset[AsOfMatch] = {
+                     rightRetentionMinutes: Option[Int] = None): DataFrame = {
     require(rightRetentionMinutes.forall(_ > 0),
       s"rightRetentionMinutes must be positive: $rightRetentionMinutes")
     val ss = left.sparkSession
     import ss.implicits._
-    val tag = (df: DataFrame, isLeft: Boolean) => df.select(
-      col("key").cast("long"), normTsIfNtz(df, "ts"), col("id").cast("long"),
-      lit(isLeft).as("is_left")).as[AsOfRow]
-    tag(left, true).unionByName(tag(right, false))
+    def payloadCols(df: DataFrame): Seq[String] =
+      df.columns.toSeq.filterNot(c => c == "key" || c == "ts")
+    val lPay = payloadCols(left)
+    val rPay = payloadCols(right)
+    def pack(pay: Seq[String]): Column =
+      if (pay.isEmpty) lit("{}")
+      else to_json(struct(pay.map(col): _*), payloadJsonOpts)
+    def tag(df: DataFrame, isLeft: Boolean, pay: Seq[String]) = df.select(
+      col("key").cast("long"), normTsIfNtz(df, "ts"),
+      pack(pay).as("payload"), lit(isLeft).as("is_left")).as[AsOfRow]
+    val matched = tag(left, true, lPay).unionByName(tag(right, false, rPay))
       .groupByKey(_.key)
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -342,16 +383,16 @@ object StreamOps {
           val wm = state.getCurrentWatermarkMs()
           val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
           val (newL, newR) = rows.toList.partition(_.is_left)
-          val lefts = prev.lefts ++ newL.map(r => (r.ts.getTime, r.id))
-          val rights = (prev.rights ++ newR.map(r => (r.ts.getTime, r.id)))
+          val lefts = prev.lefts ++ newL.map(r => (r.ts.getTime, r.payload))
+          val rights = (prev.rights ++ newR.map(r => (r.ts.getTime, r.payload)))
             .sortBy(r => (r._1, r._2))
           // resolve every left at-or-below the watermark: all of its
           // candidate rights have arrived by the watermark contract
           val (ripe, pendingL) = lefts.partition(_._1 <= wm)
-          val out = ripe.sortBy(l => (l._1, l._2)).map { case (lts, lid) =>
+          val out = ripe.sortBy(l => (l._1, l._2)).map { case (lts, lpay) =>
             val m = rights.filter(_._1 <= lts).lastOption
-            AsOfMatch(key, lid, new java.sql.Timestamp(lts),
-              m.map(_._2), m.map(x => new java.sql.Timestamp(x._1)))
+            AsOfMatch(key, new java.sql.Timestamp(lts), lpay,
+              m.map(x => new java.sql.Timestamp(x._1)), m.map(_._2))
           }
           // prune rights: everything above the watermark is still in
           // play; below it only the LATEST can serve a future left —
@@ -381,11 +422,58 @@ object StreamOps {
           }
           out.iterator
       }(Encoders.product[AsOfState], Encoders.product[AsOfMatch])
+    unpackAsOf(matched.toDF(), left.schema, right.schema)
+  }
+
+  private def paySchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(f => f.name == "key" || f.name == "ts"))
+
+  /** Re-type the JSON-packed payloads into `left_<col>` / `right_<col>`
+    * columns in the former concrete face's column order (key, left
+    * payload, left_ts, right payload, right_ts). A stateless projection
+    * — legal on the streaming frame after the stateful operator. */
+  private def unpackAsOf(matched: DataFrame,
+                         leftSchema: org.apache.spark.sql.types.StructType,
+                         rightSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val lp = paySchema(leftSchema)
+    val rp = paySchema(rightSchema)
+    val parsed = matched
+      .withColumn("_l",
+        if (lp.isEmpty) lit(null) else from_json(col("left_payload"), lp, payloadJsonOpts))
+      .withColumn("_r",
+        if (rp.isEmpty) lit(null) else from_json(col("right_payload"), rp, payloadJsonOpts))
+    parsed.select(
+      Seq(col("key")) ++
+        lp.fields.toSeq.map(f => col("_l").getField(f.name).as(s"left_${f.name}")) ++
+        Seq(col("left_ts")) ++
+        rp.fields.toSeq.map(f => col("_r").getField(f.name).as(s"right_${f.name}")) ++
+        Seq(col("right_ts")): _*)
+  }
+
+  /** The generic output schema of [[asofJoinStream]] for a given pair of
+    * input schemas — the file drive's explicit read-back schema (a drive
+    * whose every left stayed pending writes no data files, and the
+    * sink's _spark_metadata alone cannot infer one). */
+  private[streaming] def asofOutputSchema(
+      leftSchema: org.apache.spark.sql.types.StructType,
+      rightSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    val lp = paySchema(leftSchema)
+    val rp = paySchema(rightSchema)
+    StructType(
+      Seq(StructField("key", LongType)) ++
+        lp.fields.toSeq.map(f => StructField(s"left_${f.name}", f.dataType)) ++
+        Seq(StructField("left_ts", TimestampType)) ++
+        rp.fields.toSeq.map(f => StructField(s"right_${f.name}", f.dataType)) ++
+        Seq(StructField("right_ts", TimestampType)))
   }
 
   /** BATCH-DRIVE face of [[asofJoinStream]] (bench/verify entry
-    * d53_streaming_asof + one-shot backfills): feed two (key, ts, id)
-    * parquet dirs through the
+    * d53_streaming_asof + one-shot backfills): feed two (key, ts,
+    * payload...) parquet dirs through the
     * streaming as-of as AvailableNow file micro-batches
     * (`maxFilesPerTrigger` per batch — a multi-file input advances the
     * watermark batch over batch, exercising the cross-batch buffering
@@ -441,8 +529,10 @@ object StreamOps {
         "ts")
         .withWatermark("ts", delay)
     }
+    val srcL = src(leftDir)
+    val srcR = src(rightDir)
     val trace = driveCollectingProgress(sess.streams,
-      asofJoinStream(src(leftDir), src(rightDir), rightRetentionMinutes)
+      asofJoinStream(srcL, srcR, rightRetentionMinutes)
         .writeStream.format("parquet")
         .option("path", outputDir)
         .outputMode("append")
@@ -452,7 +542,8 @@ object StreamOps {
     onProgress(trace)
     // explicit schema: a drive whose every left stayed pending writes no
     // data files, and the sink's _spark_metadata alone cannot infer one
-    spark.read.schema(Encoders.product[AsOfMatch].schema).parquet(outputDir)
+    spark.read.schema(asofOutputSchema(srcL.schema, srcR.schema))
+      .parquet(outputDir)
   }
 
   /** Per-user session windows: events within `gapMinutes` of the previous

@@ -616,6 +616,91 @@ class StreamingSpec extends AnyFunSuite {
       "a not-yet-elapsed retention changes nothing")
   }
 
+  test("asofJoinStream generic payload: full rows == batch asofJoin on seeded " +
+       "RANDOM streams (string/double/micros-timestamp columns, nulls included)") {
+    // The r10 verdict's "genericize the payload" contract: arbitrary
+    // left/right columns ride the keyed state and come back TYPED. Same
+    // no-late arrival construction as the id-triple property above, but
+    // every row carries (id, note:string-or-null, score:double,
+    // tagged_at:timestamp-with-micros) and the assertion is FULL-ROW
+    // equality against the batch asofJoin — pinning the JSON pack/unpack
+    // round-trip (null fields, double precision, micros truncated by the
+    // default millis format would fail here) and the column wiring.
+    import PropGen.int
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = ts("2026-01-01 10:00:00").getTime
+    val keys = Seq(1L, 2L, 3L)
+    def payload(id: Long): (String, Double, Timestamp) = {
+      val note = if (int(51000L + id, 0, 3) == 0) null else s"n$id"
+      val at = new Timestamp(t0 + id)      // millis offset
+      at.setNanos(((id % 1000) * 1000).toInt) // + id micros: micros precision
+      (note, id * 0.25 + 0.1, at)
+    }
+    val rights: Seq[(Long, Timestamp, Long, String, Double, Timestamp)] = keys.flatMap { k =>
+      (0 until 120).sortBy(m => int(52000L + 1000 * k + m, 0, 1 << 20))
+        .take(8).zipWithIndex.map { case (m, i) =>
+          val id = 1000L + 100 * k + i
+          val (note, score, at) = payload(id)
+          (k, new Timestamp(t0 + m * 60000L), id, note, score, at)
+        }
+    }
+    val lefts: Seq[(Long, Timestamp, Long, String, Double, Timestamp)] = keys.flatMap { k =>
+      (0 until 8).map { i =>
+        val m = int(53000L + 1000 * k + i, 0, 119)
+        val id = 100 * k + i
+        val (note, score, at) = payload(id)
+        (k, new Timestamp(t0 + m * 60000L + 17000L), id, note, score, at)
+      }
+    }
+    val lMem = MemoryStream[(Long, Timestamp, Long, String, Double, Timestamp)]
+    val rMem = MemoryStream[(Long, Timestamp, Long, String, Double, Timestamp)]
+    def named(m: MemoryStream[(Long, Timestamp, Long, String, Double, Timestamp)]) = m.toDF()
+      .toDF("key", "ts", "id", "note", "score", "tagged_at")
+      .withWatermark("ts", "601 seconds")
+    val q = StreamOps.asofJoinStream(named(lMem), named(rMem))
+      .writeStream.format("memory").queryName("asof_generic")
+      .outputMode("append").start()
+    try {
+      // two arrival batches per side (cross-batch buffering exercised)
+      val (l1, l2) = lefts.sortBy(r => (r._2.getTime, r._3)).splitAt(lefts.size / 2)
+      val (r1, r2) = rights.sortBy(r => (r._2.getTime, r._3)).splitAt(rights.size / 2)
+      lMem.addData(l1); rMem.addData(r1)
+      q.processAllAvailable()
+      lMem.addData(l2); rMem.addData(r2)
+      q.processAllAvailable()
+      val cols = Seq("key", "left_id", "left_note", "left_score", "left_tagged_at",
+        "left_ts", "right_id", "right_note", "right_score", "right_tagged_at", "right_ts")
+      assert(spark.table("asof_generic").columns.toSeq ==
+        Seq("key", "left_id", "left_note", "left_score", "left_tagged_at", "left_ts",
+          "right_id", "right_note", "right_score", "right_tagged_at", "right_ts"),
+        s"output column order: ${spark.table("asof_generic").columns.toSeq}")
+      val streamed = spark.table("asof_generic").select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      val finalWm =
+        math.min(lefts.map(_._2.getTime).max, rights.map(_._2.getTime).max) - 601000L
+      val ripe = lefts.filter(_._2.getTime < finalWm)
+      val expected = StreamOps.asofJoin(
+          ripe.toDF("key", "ts", "left_id", "left_note", "left_score", "left_tagged_at"),
+          rights.toDF("key", "ts", "right_id", "right_note", "right_score", "right_tagged_at"),
+          Seq("key"), "ts", "ts",
+          Map("right_id" -> "right_id", "right_note" -> "right_note",
+            "right_score" -> "right_score", "right_tagged_at" -> "right_tagged_at",
+            "ts" -> "right_ts"))
+        .withColumnRenamed("ts", "left_ts")
+        .select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+      assert(streamed == expected,
+        s"full-row diff: extra=${streamed -- expected} missing=${expected -- streamed}")
+      // non-vacuity: null notes, micros timestamps, and no-match lefts all occur
+      assert(streamed.exists(_(2) == null), "no null left_note in the output")
+      assert(streamed.exists(r => r(4) != null &&
+        r(4).asInstanceOf[Timestamp].getNanos % 1000000 != 0),
+        "no sub-millisecond tagged_at survived — micros lost in the payload round-trip")
+      assert(streamed.exists(_(6) == null), "no left without an earlier right")
+      assert(streamed.exists(_(6) != null), "no left matched a right")
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     val out = StreamOps.sessionize(batchDf, gapMinutes = 60)
       .orderBy("user_id", "session_id")
@@ -1147,6 +1232,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
     assert(streamed == Set((1L, 2L, Some(2L)), (1L, 4L, Some(4L))),
       "each ripe click pairs with its latest prior view; pending lefts withheld")
+  }
+
+  test("asofJoinStreamFiles generic payload: full sink rows == batch asofJoin " +
+       "(the d53 output contract beyond the id triple)") {
+    import graft.streaming.BatchFiles
+    // same ripeness timeline as the drive test above, but each side
+    // carries extra typed payload (string with nulls + double): the FILE
+    // SINK itself must land complete typed rows, and a no-match right
+    // side must be null across ALL right_* columns
+    val lefts = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 2L, "c-a", 0.25),
+      (1L, ts("2026-01-01 10:05:00"), 4L, null.asInstanceOf[String], 0.5),
+      (1L, ts("2026-01-01 11:55:00"), 5L, "c-c", 0.75),
+      (9L, ts("2026-01-01 12:00:00"), 7L, "c-d", 1.0))
+      .toDF("key", "ts", "id", "note", "score")
+    val rights = Seq(
+      (1L, ts("2026-01-01 09:58:00"), 2L, null.asInstanceOf[String], 2.5),
+      (1L, ts("2026-01-01 10:03:00"), 4L, "v-b", 3.5),
+      (9L, ts("2026-01-01 12:00:00"), 3L, "v-c", 4.5))
+      .toDF("key", "ts", "id", "note", "score")
+    val dir = java.nio.file.Files.createTempDirectory("graft-d53-generic").toString
+    BatchFiles.write(lefts, s"$dir/left", "id", splits = 2)
+    BatchFiles.write(rights, s"$dir/right", "id", splits = 2)
+    val out = StreamOps.asofJoinStreamFiles(spark, s"$dir/left",
+      s"$dir/right", s"$dir/ckpt", s"$dir/out", delay = "10 minutes",
+      maxFilesPerTrigger = 1)
+    val cols = Seq("key", "left_id", "left_note", "left_score", "left_ts",
+      "right_id", "right_note", "right_score", "right_ts")
+    assert(out.columns.toSeq == cols, s"sink schema: ${out.columns.toSeq}")
+    val streamed = out.select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    val ripe = lefts.filter($"ts" <= lit(ts("2026-01-01 11:50:00")))
+    val batch = StreamOps.asofJoin(
+        ripe.select($"key", $"ts", $"id".as("left_id"), $"note".as("left_note"),
+          $"score".as("left_score")),
+        rights.select($"key", $"ts", $"id".as("right_id"), $"note".as("right_note"),
+          $"score".as("right_score")),
+        Seq("key"), "ts", "ts",
+        Map("right_id" -> "right_id", "right_note" -> "right_note",
+          "right_score" -> "right_score", "ts" -> "right_ts"))
+      .withColumnRenamed("ts", "left_ts")
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"full-row diff: extra=${streamed -- batch} missing=${batch -- streamed}")
+    // the 10:00 click's as-of view (09:58) has a null note: the match
+    // must carry THAT null, not inherit an older right's value
+    val m = streamed.find(r => r(1) == 2L).get
+    assert(m(5) == 2L && m(6) == null && m(7) == 2.5,
+      s"as-of right row rides atomically (null fields included): $m")
   }
 
   test("retention stress: compact -> ingest -> compact -> expire with a crash mid-expire keeps visibleIndex parity") {
