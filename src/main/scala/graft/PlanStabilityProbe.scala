@@ -83,11 +83,20 @@ object PlanStabilityProbe {
     }
 
     val fn = SparkEntry.queries(qname)
-    fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
     // drain the warm run too, so its tail task events can't land after
-    // rep 1 clears the map
+    // rep 1 clears the map. Mirror the rep-loop condition: snapshot the
+    // counters BEFORE the warm action and wait until jobsStarted has
+    // advanced past the snapshot AND jobsEnded has caught up AND the
+    // execution listener delivered the warm plan — the previous
+    // ended==started check was satisfied trivially at 0==0 before any
+    // async event arrived, letting warm tail events pollute rep 1.
+    val warmStarted0 = jobsStarted.get()
+    val warmPlans0 = planCount
+    fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
     val warmDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while (jobsEnded.get() < jobsStarted.get() &&
+    while ((jobsStarted.get() == warmStarted0 ||
+            jobsEnded.get() < jobsStarted.get() ||
+            planCount == warmPlans0) &&
            System.nanoTime() < warmDeadline) Thread.sleep(20)
     val sigs = mutable.ArrayBuffer[String]()
     (1 to reps).foreach { rep =>

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.datax.Profile
+
+/** Property pin for the one datax family that had none: Profile is a
+  * thin wrapper over built-ins, so the model is equally thin — exact
+  * per-column counts recomputed independently over the same rows
+  * (null-dense generator so the non-null/distinct distinction is
+  * actually exercised; NULL must not count as a distinct value). */
+class ProfilePropertiesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("profile(exact=true) == independent per-column count model on null-dense random rows") {
+    val genRow: Gen[Row] = for {
+      a <- Gen.oneOf[Any](null, 1L, 2L, 3L)
+      b <- Gen.oneOf[Any](null, null, "x", "y")
+      c <- Gen.oneOf[Any](null, 0.5, 1.5)
+    } yield Row(a, b, c)
+    val rows = (0 until 400).map(i => genRow(Gen.Parameters.default, Seed(7000L + i)).get)
+    val schema = StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType),
+      StructField("c", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 7), schema)
+    val got = Profile.profile(df, Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    Seq("a", "b", "c").zipWithIndex.foreach { case (name, i) =>
+      val vals = rows.map(_.get(i))
+      val nonNull = vals.filter(_ != null)
+      val expected = (rows.size.toLong, nonNull.size.toLong, nonNull.distinct.size.toLong)
+      assert(got(name) == expected, s"column $name: got ${got(name)}, model $expected")
+    }
+    // non-vacuity: nulls and duplicates both occur in every column
+    (0 until 3).foreach { i =>
+      val vals = rows.map(_.get(i))
+      assert(vals.contains(null) && vals.filter(_ != null).distinct.size < vals.count(_ != null),
+        s"generator degenerate for column $i")
+    }
+  }
+}
