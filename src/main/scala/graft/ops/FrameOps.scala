@@ -47,15 +47,18 @@ object FrameOps {
         f.getField("path").as("path")))).getField("path")
   }
 
-  /** O18 — frames sorted by (vote_average desc, width desc), nulls as 0
-    * (reference: app/tmdb_client.py:214-220). */
+  /** O18 — frames sorted by (vote_average desc, width desc), nulls as 0;
+    * exact ties keep INPUT order (the reference's stable reverse sort,
+    * app/tmdb_client.py:214-220) — expressed by carrying -pos in the
+    * descending comparison struct (desc on -pos = ascending position). */
   def sortFrames(frames: Column): Column =
     transform(
       sort_array(
-        transform(coalesce(frames, array().cast(framesType)), f =>
+        transform(coalesce(frames, array().cast(framesType)), (f, i) =>
           struct(
             coalesce(f.getField("vote_average"), lit(0.0)).as("va"),
             coalesce(f.getField("width"), lit(0)).as("w"),
+            (-i).as("negpos"),
             f.as("f"))),
         asc = false),
       s => s.getField("f"))
@@ -110,13 +113,20 @@ object FrameOps {
   }
 
   /** P12+O19 — the images-endpoint transform (reference:
-    * app/tmdb_client.py:169-282): keep frames with aspect_ratio in
-    * [1.5, 2.2] (null -> 0, hence dropped), dedup by path keeping the FIRST
-    * occurrence, then sort by (vote_average desc, width desc). */
+    * app/tmdb_client.py:193-220): keep frames with aspect_ratio in
+    * [1.5, 2.2] (null -> 0, hence dropped) and non-negative
+    * vote_average (`(b.get("vote_average") or 0) >= 0`), drop falsy
+    * (null/empty) paths (`if not path: continue`), dedup by path keeping
+    * the FIRST occurrence, store vote_average normalized to 0 when falsy
+    * (the reference builds the frame dict with `or 0`), then sort by
+    * (vote_average desc, width desc) with ties in input order
+    * ([[sortFrames]]' stable-sort contract). */
   def filterBackdrops(rawFrames: Column): Column = {
     val banded = filter(
       coalesce(rawFrames, array().cast(framesType)),
-      f => coalesce(f.getField("aspect_ratio"), lit(0.0)).between(1.5, 2.2))
+      f => coalesce(f.getField("aspect_ratio"), lit(0.0)).between(1.5, 2.2) &&
+        coalesce(f.getField("vote_average"), lit(0.0)) >= 0 &&
+        length(f.getField("path")) > 0)
     // pos must lead the struct: array_min compares fields in order, so
     // (f, pos) would pick the smallest FRAME among path-duplicates
     // instead of the first-fetched one
@@ -127,7 +137,14 @@ object FrameOps {
         t => t.getField("f").getField("path") === p))
       first.getField("f")
     })
-    sortFrames(dedup)
+    // the reference STORES vote_average normalized (`or 0`), not just
+    // sorts by it — a null va must come back 0, not null
+    val normalized = transform(dedup, f => struct(
+      f.getField("path").as("path"),
+      f.getField("aspect_ratio").as("aspect_ratio"),
+      coalesce(f.getField("vote_average"), lit(0.0)).as("vote_average"),
+      f.getField("width").as("width")))
+    sortFrames(normalized)
   }
 
   /** SO1 — $addToSet $each: idempotent multi-add (dedups, preserves

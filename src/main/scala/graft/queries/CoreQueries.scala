@@ -350,7 +350,9 @@ object CoreQueries {
                  ((l_partkey * 7 + l_linenumber) % 97) / 10.0 AS va,
                  CAST(l_suppkey % 4000 AS INT) AS width
           FROM lineitem WHERE l_orderkey % 10 = 0),
-        banded AS (SELECT * FROM fr WHERE ar BETWEEN 1.5 AND 2.2),
+        banded AS (SELECT * FROM fr
+          WHERE ar BETWEEN 1.5 AND 2.2
+            AND path IS NOT NULL AND path <> '' AND va >= 0),
         dedup AS (
           -- l_linenumber is NOT unique per order in this testdata; the
           -- full (lpos, frame) tuple mirrors Spark's struct tie-break
@@ -359,8 +361,13 @@ object CoreQueries {
               ORDER BY lpos, ar, va, width) AS _rn FROM banded)
           WHERE _rn = 1)
         SELECT l_orderkey,
+               -- exact (va, width) ties keep FIRST-APPEARANCE order
+               -- (reference stable reverse sort): the kept row's lpos is
+               -- the path's first appearance; path breaks equal-lpos
+               -- appearances (the frames array is sorted (lpos, frame)
+               -- and the frame struct leads with path)
                CAST(row_number() OVER (PARTITION BY l_orderkey
-                 ORDER BY va DESC, width DESC, path DESC) - 1 AS INT) AS pos,
+                 ORDER BY va DESC, width DESC, lpos, path) - 1 AS INT) AS pos,
                path, va, width
         FROM dedup ORDER BY l_orderkey, pos""")),
 

@@ -141,6 +141,27 @@ class FrameOpsSpec extends AnyFunSuite {
     assert(out.head.getDouble(2) == 8.0)
   }
 
+  test("filterBackdrops: falsy paths dropped, null va stored as 0, exact ties keep first occurrence") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("frames", ArrayType(Fixtures.frameType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(
+        Row("", 1.8, 9.9, 3000),                     // falsy path -> dropped (tmdb_client.py:204)
+        Row(null, 1.8, 9.8, 2900),                   // null path -> dropped
+        Row("/z.jpg", 1.8, 7.0, 1920),               // tie group, first listed
+        Row("/a.jpg", 1.8, 7.0, 1920),               // tie: must NOT jump ahead of /z
+        Row("/nullva.jpg", 1.8,
+          null.asInstanceOf[java.lang.Double], 10))))),  // va stored as 0, sorts last
+      schema)
+    val out = df.select(FrameOps.filterBackdrops(col("frames")).as("f"))
+      .selectExpr("inline(f)").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("/z.jpg", "/a.jpg", "/nullva.jpg"),
+      s"got ${out.map(_.getString(0)).toSeq}")
+    assert(out.last.getDouble(2) == 0.0,
+      "the reference stores `vote_average or 0`, not null")
+  }
+
   test("addToSet is idempotent and order-preserving; pullAll removes") {
     val df = framesDf(Seq(), Seq("/a.jpg", "/b.jpg"))
     val added = df.select(

@@ -157,6 +157,63 @@ class PropertiesSpec extends AnyFunSuite {
     assert(df.filter(keys =!= reverse(array_sort(keys))).count() == 0)
   }
 
+  test("filterBackdrops == fetch_backdrops Python-model replay on tie/edge-dense random frames") {
+    // Replays app/tmdb_client.py:193-220 independently: is_valid (ar
+    // band on `or 0`, non-negative `va or 0`), falsy-path skip,
+    // first-occurrence dedup via `seen`, frame dict stores `va or 0`,
+    // stable reverse sort on (va or 0, width or 0). Coarse generator so
+    // exact (va, w) ties across distinct paths are common.
+    def genCase(seed: Long): Seq[Row] = {
+      val g = for {
+        n <- Gen.choose(0, 7)
+        frames <- Gen.listOfN(n, for {
+          p <- Gen.oneOf("", null, "/a.jpg", "/b.jpg", "/c.jpg", "/d.jpg")
+          ar <- Gen.oneOf[Any](null, 1.0, 1.8, 1.8, 2.0)
+          va <- Gen.oneOf[Any](null, -1.0, 0.0, 5.0, 5.0)
+          w <- Gen.oneOf[Any](null, 100, 1920, 1920)
+        } yield Row(p, ar, va, w))
+      } yield frames
+      g(Gen.Parameters.default, Seed(seed)).get
+    }
+    val cases = (0 until 300).map(i => (i, genCase(2000L + i)))
+    val schema = StructType(Seq(
+      StructField("i", IntegerType),
+      StructField("frames", ArrayType(Fixtures.frameType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (i, f) => Row(i, f) }), schema)
+    val got = df.select(col("i"), FrameOps.filterBackdrops(col("frames")).as("out"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Row](1).map(f =>
+        (f.getString(0), Option(f.get(1)), f.getDouble(2), Option(f.get(3)))))
+      .toMap
+    cases.foreach { case (i, frames) =>
+      val seen = scala.collection.mutable.Set[String]()
+      val kept = frames.flatMap { f =>
+        val ar = Option(f.get(1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+        val va0 = Option(f.get(2)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+        val p = f.getString(0)
+        if (ar >= 1.5 && ar <= 2.2 && va0 >= 0 &&
+            p != null && p.nonEmpty && !seen(p)) {
+          seen += p
+          Some((p, Option(f.get(1)), va0, Option(f.get(3))))
+        } else None
+      }
+      val expected = kept.sortBy(t =>
+        (-t._3, -t._4.map(_.asInstanceOf[Int]).getOrElse(0).toDouble)) // stable
+      assert(got(i) == expected, s"case $i: frames=$frames")
+    }
+    // non-vacuity: ties across distinct paths and falsy paths both occur
+    assert(cases.exists { case (_, fs) =>
+      fs.filter(f => f.getString(0) != null && f.getString(0).nonEmpty)
+        .groupBy(f => (Option(f.get(2)).getOrElse(0.0), Option(f.get(3)).getOrElse(0)))
+        .exists(_._2.map(_.getString(0)).distinct.size > 1)
+    }, "no exact (va, w) tie across distinct paths generated")
+    assert(cases.exists(_._2.exists(f => f.getString(0) == "")),
+      "no empty-string path generated")
+    assert(cases.exists(_._2.exists(f => f.get(2) == null)),
+      "no null vote_average generated")
+  }
+
   // ---- datax operator invariants (round 4) ----
 
   /** Random word-soup corpus over a SMALL vocabulary — small so that
