@@ -206,6 +206,7 @@ object Bench {
       results.map { case (n, (r, _, _)) => n -> r.median }.toMap, prior, priorTol)
     val regressed0 = regressedNow()
     if (regressed0.nonEmpty) {
+      pass += 1 // this re-measurement pass counts in the shipped "passes"
       System.err.println(s"[bench] prior-run gate: re-running ${regressed0.size} queries " +
         s">${priorTol}x over committed BENCH_LOCAL: " +
         regressed0.keys.toSeq.sorted.mkString(","))
@@ -237,8 +238,25 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"canary":[${allCanaries.head},${allCanaries.last}],"canaries":$canariesJson,"trusted":$trusted,"untrusted":$untrustedJson,"prior_regressed":$priorJson,"passes":$pass,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout ([info]/[success] lines), which can defeat a
-    // line-oriented parse downstream — drop a clean copy next to the build
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // line-oriented parse downstream — drop a clean copy next to the
+    // build. BENCH_LOCAL.json doubles as the NEXT run's prior-reference
+    // floor, so a measurement that would poison the floor must not take
+    // the slot: only a FULL-SUITE run that is trusted AND carries no
+    // residual prior_regressed overwrites it (one degraded write would
+    // otherwise self-disarm the out-of-run rule — a later run inside the
+    // same degradation reads ~1x against the inflated floor). Everything
+    // else (SPARK_GRAFT_ONLY dev runs, untrusted runs, regressed runs)
+    // lands in BENCH_LOCAL_DEGRADED.json — evidence kept, floor intact.
+    // After an INTENTIONAL slowdown (code change), rerun with
+    // SPARK_GRAFT_ACCEPT_PRIOR=1 to accept the new medians as the floor.
+    val acceptPrior = sys.env.get("SPARK_GRAFT_ACCEPT_PRIOR").contains("1")
+    val floorSafe = only.isEmpty && trusted && (priorRegressed.isEmpty || acceptPrior)
+    val outFile = if (floorSafe) "BENCH_LOCAL.json" else "BENCH_LOCAL_DEGRADED.json"
+    if (!floorSafe)
+      System.err.println(s"[bench] floor-unsafe run (filtered=${only.nonEmpty}, " +
+        s"trusted=$trusted, prior_regressed=[${priorRegressed.keys.toSeq.sorted.mkString(",")}]) " +
+        s"-> writing $outFile, BENCH_LOCAL.json untouched")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }
     spark.stop()
   }

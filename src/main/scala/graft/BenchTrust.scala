@@ -88,9 +88,14 @@ object BenchTrust {
   def parseQueriesMap(json: String): Map[String, Double] = {
     val sub = "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    "\"([^\"]+)\"\\s*:\\s*(-?[0-9.eE+]+)".r.findAllMatchIn(sub).flatMap { m =>
-      try Some(m.group(1) -> m.group(2).toDouble)
-      catch { case _: NumberFormatException => None }
-    }.toMap
+    // full scientific-notation grammar: a truncated class like [0-9.eE+]
+    // would match "4.2E" out of "4.2E-4" and silently DROP the entry on
+    // toDouble, disabling the prior rule exactly for sub-millisecond
+    // medians
+    "\"([^\"]+)\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+      .findAllMatchIn(sub).flatMap { m =>
+        try Some(m.group(1) -> m.group(2).toDouble)
+        catch { case _: NumberFormatException => None }
+      }.toMap
   }
 }

@@ -83,21 +83,37 @@ object PlanStabilityProbe {
     }
 
     val fn = SparkEntry.queries(qname)
+
+    // Drain both async buses after an action: started must have advanced
+    // past the pre-action snapshot, ended caught up, the execution
+    // listener delivered a plan — AND the counters must then hold still
+    // for a quiet period. The quiet period is what makes this correct
+    // for queries whose CONSTRUCTION runs eager driver-side actions
+    // (localCheckpoint(eager), auto-threshold count()s): those satisfy
+    // the three advance conditions while the final noop job is still
+    // queued, and a drain that returns at first satisfaction would let
+    // that job's tail task events land after the next rep clears the
+    // map. Bounded by `deadline`.
+    def drainAfterAction(started0: Int, plans0: Int): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      val quietNs = 300L * 1000 * 1000
+      var snapshot = (jobsStarted.get(), jobsEnded.get(), planCount)
+      var lastChange = System.nanoTime()
+      while (System.nanoTime() < deadline) {
+        val cur = (jobsStarted.get(), jobsEnded.get(), planCount)
+        if (cur != snapshot) { snapshot = cur; lastChange = System.nanoTime() }
+        val advanced = cur._1 > started0 && cur._2 >= cur._1 && cur._3 > plans0
+        if (advanced && System.nanoTime() - lastChange >= quietNs) return
+        Thread.sleep(20)
+      }
+    }
+
     // drain the warm run too, so its tail task events can't land after
-    // rep 1 clears the map. Mirror the rep-loop condition: snapshot the
-    // counters BEFORE the warm action and wait until jobsStarted has
-    // advanced past the snapshot AND jobsEnded has caught up AND the
-    // execution listener delivered the warm plan — the previous
-    // ended==started check was satisfied trivially at 0==0 before any
-    // async event arrived, letting warm tail events pollute rep 1.
+    // rep 1 clears the map
     val warmStarted0 = jobsStarted.get()
     val warmPlans0 = planCount
     fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
-    val warmDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-    while ((jobsStarted.get() == warmStarted0 ||
-            jobsEnded.get() < jobsStarted.get() ||
-            planCount == warmPlans0) &&
-           System.nanoTime() < warmDeadline) Thread.sleep(20)
+    drainAfterAction(warmStarted0, warmPlans0)
     val sigs = mutable.ArrayBuffer[String]()
     (1 to reps).foreach { rep =>
       graft.datax.Dedup.releaseShingleCaches()
@@ -108,13 +124,8 @@ object PlanStabilityProbe {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      // drain both buses (bounded): every job this rep started has
-      // ended, and the execution listener has delivered this rep's plan
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while ((jobsStarted.get() == started0 ||
-              jobsEnded.get() < jobsStarted.get() ||
-              planCount == plans0) &&
-             System.nanoTime() < deadline) Thread.sleep(20)
+      // drain both buses (bounded + quiet period, see drainAfterAction)
+      drainAfterAction(started0, plans0)
       val sig = signature(lastPlan)
       sigs += sig
       def pct(xs: Seq[Long], p: Double): Long =

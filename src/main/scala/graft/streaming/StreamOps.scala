@@ -308,6 +308,17 @@ object StreamOps {
                              right_ts: Option[java.sql.Timestamp],
                              right_payload: Option[String])
 
+  /** java.sql.Timestamp <-> epoch MICROSECONDS (TimestampType's native
+    * precision): getTime carries millis, getNanos the full fractional
+    * second — the sub-millisecond part is (nanos / 1000) % 1000. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** JSON options for the payload pack/unpack round-trip: microsecond
     * timestamp precision (the default format truncates to millis) and
     * explicit nulls (stable strings for the deterministic state sort). */
@@ -380,28 +391,39 @@ object StreamOps {
       .flatMapGroupsWithState[AsOfState, AsOfMatch](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: Long, rows: Iterator[AsOfRow], state: GroupState[AsOfState]) =>
-          val wm = state.getCurrentWatermarkMs()
+          // state keys event time in MICROSECONDS (tsMicros) — the full
+          // precision of Spark's TimestampType. Keying on getTime (ms)
+          // would truncate: a right at ...000800us would match a left
+          // at ...000300us here but not in the batch asofJoin, breaking
+          // the streamed == batch contract on sub-ms data. The
+          // engine-facing quantities stay in ms: the watermark arrives
+          // in ms (scaled up; a row inside the watermark's ms is NOT
+          // ripe until the full micros value is covered), and timeout
+          // timestamps scale down with max(.., wm+1) so an early wake
+          // (harmless — the group just re-arms) can never register at
+          // or below the current watermark (illegal in the API).
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
           val (newL, newR) = rows.toList.partition(_.is_left)
-          val lefts = prev.lefts ++ newL.map(r => (r.ts.getTime, r.payload))
-          val rights = (prev.rights ++ newR.map(r => (r.ts.getTime, r.payload)))
+          val lefts = prev.lefts ++ newL.map(r => (tsMicros(r.ts), r.payload))
+          val rights = (prev.rights ++ newR.map(r => (tsMicros(r.ts), r.payload)))
             .sortBy(r => (r._1, r._2))
           // resolve every left at-or-below the watermark: all of its
           // candidate rights have arrived by the watermark contract
-          val (ripe, pendingL) = lefts.partition(_._1 <= wm)
+          val (ripe, pendingL) = lefts.partition(_._1 <= wmMicros)
           val out = ripe.sortBy(l => (l._1, l._2)).map { case (lts, lpay) =>
             val m = rights.filter(_._1 <= lts).lastOption
-            AsOfMatch(key, new java.sql.Timestamp(lts), lpay,
-              m.map(x => new java.sql.Timestamp(x._1)), m.map(_._2))
+            AsOfMatch(key, microsTs(lts), lpay,
+              m.map(x => microsTs(x._1)), m.map(_._2))
           }
           // prune rights: everything above the watermark is still in
           // play; below it only the LATEST can serve a future left —
           // and under a retention bound, only while younger than R
           // below the watermark (matching above already used the
           // full arrived list; expiry governs what is CARRIED)
-          val (ripeR, pendingR) = rights.partition(_._1 <= wm)
+          val (ripeR, pendingR) = rights.partition(_._1 <= wmMicros)
           val latestRipe = rightRetentionMinutes match {
-            case Some(m) => ripeR.lastOption.filter(_._1 >= wm - m * 60000L)
+            case Some(m) => ripeR.lastOption.filter(_._1 >= wmMicros - m * 60000000L)
             case None    => ripeR.lastOption
           }
           val kept = latestRipe.toList ++ pendingR
@@ -411,13 +433,16 @@ object StreamOps {
             // wake the group when the watermark passes its oldest
             // pending left, even if no further rows arrive for the key
             if (pendingL.nonEmpty)
-              state.setTimeoutTimestamp(pendingL.map(_._1).min)
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(pendingL.map(_._1).min, 1000L),
+                wmMicros / 1000L + 1))
             else rightRetentionMinutes.foreach { m =>
               // dormant key under retention: wake when the newest kept
               // right ages out, so the state leaves the store without
               // needing further traffic on the key
-              state.setTimeoutTimestamp(
-                math.max(kept.map(_._1).max + m * 60000L, wm + 1))
+              state.setTimeoutTimestamp(math.max(
+                Math.floorDiv(kept.map(_._1).max, 1000L) + m * 60000L,
+                wmMicros / 1000L + 1))
             }
           }
           out.iterator
@@ -450,25 +475,6 @@ object StreamOps {
         Seq(col("left_ts")) ++
         rp.fields.toSeq.map(f => col("_r").getField(f.name).as(s"right_${f.name}")) ++
         Seq(col("right_ts")): _*)
-  }
-
-  /** The generic output schema of [[asofJoinStream]] for a given pair of
-    * input schemas — the file drive's explicit read-back schema (a drive
-    * whose every left stayed pending writes no data files, and the
-    * sink's _spark_metadata alone cannot infer one). */
-  private[streaming] def asofOutputSchema(
-      leftSchema: org.apache.spark.sql.types.StructType,
-      rightSchema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
-    val lp = paySchema(leftSchema)
-    val rp = paySchema(rightSchema)
-    StructType(
-      Seq(StructField("key", LongType)) ++
-        lp.fields.toSeq.map(f => StructField(s"left_${f.name}", f.dataType)) ++
-        Seq(StructField("left_ts", TimestampType)) ++
-        rp.fields.toSeq.map(f => StructField(s"right_${f.name}", f.dataType)) ++
-        Seq(StructField("right_ts", TimestampType)))
   }
 
   /** BATCH-DRIVE face of [[asofJoinStream]] (bench/verify entry
@@ -529,10 +535,9 @@ object StreamOps {
         "ts")
         .withWatermark("ts", delay)
     }
-    val srcL = src(leftDir)
-    val srcR = src(rightDir)
+    val joined = asofJoinStream(src(leftDir), src(rightDir), rightRetentionMinutes)
     val trace = driveCollectingProgress(sess.streams,
-      asofJoinStream(srcL, srcR, rightRetentionMinutes)
+      joined
         .writeStream.format("parquet")
         .option("path", outputDir)
         .outputMode("append")
@@ -541,9 +546,9 @@ object StreamOps {
         .start())
     onProgress(trace)
     // explicit schema: a drive whose every left stayed pending writes no
-    // data files, and the sink's _spark_metadata alone cannot infer one
-    spark.read.schema(asofOutputSchema(srcL.schema, srcR.schema))
-      .parquet(outputDir)
+    // data files, and the sink's _spark_metadata alone cannot infer one —
+    // the streaming frame's OWN schema is by construction the sink schema
+    spark.read.schema(joined.schema).parquet(outputDir)
   }
 
   /** Per-user session windows: events within `gapMinutes` of the previous

@@ -73,6 +73,11 @@ class BenchTrustSpec extends AnyFunSuite {
       Map.empty[String, Double])
   }
 
+  test("parseQueriesMap handles scientific notation (sub-ms medians must not vanish)") {
+    assert(BenchTrust.parseQueriesMap("""{"queries":{"q1":4.2E-4,"q2":1.5e3,"q3":0.5}}""") ==
+      Map("q1" -> 4.2e-4, "q2" -> 1.5e3, "q3" -> 0.5))
+  }
+
   test("parseSf extracts the prior run's scale dir (same-SF guard for priorOutliers)") {
     assert(BenchTrust.parseSf("""{"queries":{},"sf":"/root/testdata/sf0.1"}""")
       .contains("/root/testdata/sf0.1"))

@@ -701,6 +701,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream keys state at MICROSECOND precision: a right 500us " +
+       "after the left must not match (ms truncation would let it)") {
+    // getTime-keyed state truncates to ms: a right at ...000800us and a
+    // left at ...000300us collapse to the same key and match — the batch
+    // asofJoin (full micros) says no match. Pin the boundary both ways.
+    implicit val sqlCtx = spark.sqlContext
+    def us(base: String, micros: Int): Timestamp = {
+      val t = ts(base)
+      t.setNanos(micros * 1000)
+      t
+    }
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("key", "ts", "id").withWatermark("ts", "10 minutes")
+    val q = StreamOps.asofJoinStream(named(lMem), named(rMem))
+      .writeStream.format("memory").queryName("asof_micros")
+      .outputMode("append").start()
+    try {
+      // key 1: right 500us AFTER the left (same millisecond) -> no match
+      // key 2: right 200us BEFORE the left (same millisecond) -> match
+      lMem.addData((1L, us("2026-01-01 10:00:00", 300), 10L),
+        (2L, us("2026-01-01 10:00:00", 500), 20L))
+      rMem.addData((1L, us("2026-01-01 10:00:00", 800), 11L),
+        (2L, us("2026-01-01 10:00:00", 300), 21L))
+      // watermark pushers on both sides
+      lMem.addData((9L, ts("2026-01-01 12:00:00"), 90L))
+      rMem.addData((9L, ts("2026-01-01 12:00:00"), 91L))
+      q.processAllAvailable()
+      lMem.addData((9L, ts("2026-01-01 13:00:00"), 92L))
+      rMem.addData((9L, ts("2026-01-01 13:00:00"), 93L))
+      q.processAllAvailable()
+      val out = spark.table("asof_micros").filter(col("key") <= 2L)
+        .select("key", "left_id", "right_id", "left_ts", "right_ts")
+        .as[(Long, Long, Option[Long], Timestamp, Option[Timestamp])]
+        .collect().sortBy(_._1)
+      assert(out.map(x => (x._1, x._2, x._3)).toSeq ==
+        Seq((1L, 10L, None), (2L, 20L, Some(21L))), s"got ${out.toSeq}")
+      // and the emitted timestamps keep their sub-ms component
+      assert(out(0)._4.getNanos == 300000, "left_ts lost its micros")
+      assert(out(1)._5.get.getNanos == 300000, "right_ts lost its micros")
+      // batch agreement on the same rows
+      val batch = StreamOps.asofJoin(
+          Seq((1L, us("2026-01-01 10:00:00", 300), 10L),
+            (2L, us("2026-01-01 10:00:00", 500), 20L)).toDF("key", "ts", "left_id"),
+          Seq((1L, us("2026-01-01 10:00:00", 800), 11L),
+            (2L, us("2026-01-01 10:00:00", 300), 21L)).toDF("key", "ts", "right_id"),
+          Seq("key"), "ts", "ts", Map("right_id" -> "right_id"))
+        .select("key", "left_id", "right_id")
+        .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+      assert(batch == Seq((1L, 10L, None), (2L, 20L, Some(21L))))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps > threshold per user") {
     val out = StreamOps.sessionize(batchDf, gapMinutes = 60)
       .orderBy("user_id", "session_id")
