@@ -190,8 +190,9 @@ object Bench {
     // box noise for a regression. It does NOT flip `trusted`: a real code
     // regression legitimately exceeds the prior and the artifact must
     // still be publishable — trust certifies the environment, this field
-    // flags the delta. SPARK_GRAFT_ONLY dev runs overwrite BENCH_LOCAL
-    // with a partial map; only names present in both runs compare.
+    // flags the delta. (Filtered/untrusted runs cannot poison the floor:
+    // the floorSafe gate below routes them to BENCH_LOCAL_DEGRADED.json;
+    // only names present in both runs compare.)
     val priorTol = sys.env.getOrElse("SPARK_GRAFT_PRIOR_TOL", "2.0").toDouble
     val priorRaw =
       try new String(java.nio.file.Files.readAllBytes(
@@ -250,7 +251,14 @@ object Bench {
     // After an INTENTIONAL slowdown (code change), rerun with
     // SPARK_GRAFT_ACCEPT_PRIOR=1 to accept the new medians as the floor.
     val acceptPrior = sys.env.get("SPARK_GRAFT_ACCEPT_PRIOR").contains("1")
-    val floorSafe = only.isEmpty && trusted && (priorRegressed.isEmpty || acceptPrior)
+    // a crashed query (all reps failed, median -1) is vacuously healthy
+    // (no reps to distrust) and invisible to priorOutliers (cur > 0
+    // guard) — writing its -1 into the floor would permanently disable
+    // the prior rule for it, so a run with ANY failed rep is floor-unsafe
+    val allMeasured = ordered.forall { case (_, (r, _, _)) =>
+      r.failedReps == 0 && r.median >= 0 }
+    val floorSafe = only.isEmpty && trusted && allMeasured &&
+      (priorRegressed.isEmpty || acceptPrior)
     val outFile = if (floorSafe) "BENCH_LOCAL.json" else "BENCH_LOCAL_DEGRADED.json"
     if (!floorSafe)
       System.err.println(s"[bench] floor-unsafe run (filtered=${only.nonEmpty}, " +

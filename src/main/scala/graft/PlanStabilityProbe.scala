@@ -43,31 +43,36 @@ object PlanStabilityProbe {
     // task events, FIFO per listener) — instead of a fixed sleep, so
     // tail events on a loaded box can't be lost or bleed into the next
     // rep's cleared map.
+    val MarkerAlias = "graft_drain_marker"
+    val MarkerDesc = "graft-drain-marker"
     @volatile var lastPlan: String = ""
-    @volatile var planCount: Int = 0
+    @volatile var markerPlanSeen = false
+    @volatile var markerJobSeen = false
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit = {
-        lastPlan = qe.executedPlan.toString; planCount += 1
+        val s = qe.executedPlan.toString
+        // the drain marker's own plan must not clobber the probed plan
+        if (s.contains(MarkerAlias)) markerPlanSeen = true
+        else lastPlan = s
       }
       override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit = ()
     })
     // per-rep task-time spread, keyed by (stageId, stageAttemptId);
-    // reads/clears synchronize on `listener` (onTaskEnd locks `this`)
+    // reads/clears synchronize on `listener` (onTaskEnd locks `this`).
+    // Marker-job task events do land in the map, but never survive the
+    // reporting filter (1 sub-50ms task vs the >=4-task >=50ms cut).
     val tasks = mutable.Map[(Int, Int), mutable.ArrayBuffer[Long]]()
-    val jobsStarted = new java.util.concurrent.atomic.AtomicInteger(0)
-    val jobsEnded = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
         if (te.taskMetrics != null)
           tasks.getOrElseUpdate((te.stageId, te.stageAttemptId),
             mutable.ArrayBuffer.empty).append(te.taskMetrics.executorRunTime)
       }
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobsStarted.incrementAndGet(); ()
-      }
-      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        jobsEnded.incrementAndGet(); ()
-      }
+      override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = ()
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            MarkerDesc == js.properties.getProperty("spark.job.description"))
+          markerJobSeen = true
     }
     spark.sparkContext.addSparkListener(listener)
 
@@ -84,48 +89,47 @@ object PlanStabilityProbe {
 
     val fn = SparkEntry.queries(qname)
 
-    // Drain both async buses after an action: started must have advanced
-    // past the pre-action snapshot, ended caught up, the execution
-    // listener delivered a plan — AND the counters must then hold still
-    // for a quiet period. The quiet period is what makes this correct
-    // for queries whose CONSTRUCTION runs eager driver-side actions
-    // (localCheckpoint(eager), auto-threshold count()s): those satisfy
-    // the three advance conditions while the final noop job is still
-    // queued, and a drain that returns at first satisfaction would let
-    // that job's tail task events land after the next rep clears the
-    // map. Bounded by `deadline`.
-    def drainAfterAction(started0: Int, plans0: Int): Unit = {
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      val quietNs = 300L * 1000 * 1000
-      var snapshot = (jobsStarted.get(), jobsEnded.get(), planCount)
-      var lastChange = System.nanoTime()
-      while (System.nanoTime() < deadline) {
-        val cur = (jobsStarted.get(), jobsEnded.get(), planCount)
-        if (cur != snapshot) { snapshot = cur; lastChange = System.nanoTime() }
-        val advanced = cur._1 > started0 && cur._2 >= cur._1 && cur._3 > plans0
-        if (advanced && System.nanoTime() - lastChange >= quietNs) return
-        Thread.sleep(20)
-      }
+    // Drain both async buses after an action DETERMINISTICALLY: run a
+    // tiny MARKER action (tagged by job description on the task bus and
+    // by a recognizable alias in its plan on the execution-listener bus)
+    // and wait for both marker events to be DELIVERED. Each listener bus
+    // is FIFO per listener, and the marker's events are enqueued after
+    // every event of the preceding action (driver-side sequential), so
+    // seeing them proves everything earlier has been delivered — no
+    // counter snapshots, no quiet-period heuristic to out-stall. This
+    // holds for queries whose CONSTRUCTION runs eager driver-side
+    // actions (localCheckpoint(eager), auto-threshold count()s), the
+    // shape a counter-advance condition can be satisfied by early.
+    // Bounded by a 20 s deadline (warn, never hang).
+    def drainAfterAction(): Unit = {
+      markerPlanSeen = false
+      markerJobSeen = false
+      spark.sparkContext.setJobDescription(MarkerDesc)
+      try spark.range(1).selectExpr(s"id AS $MarkerAlias")
+        .write.format("noop").mode("overwrite").save()
+      finally spark.sparkContext.setJobDescription(null)
+      val deadline = System.nanoTime() + 20L * 1000 * 1000 * 1000
+      while (!(markerPlanSeen && markerJobSeen) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
+      if (!(markerPlanSeen && markerJobSeen))
+        System.err.println(s"[probe] drain marker not delivered in 20 s " +
+          s"(plan=$markerPlanSeen job=$markerJobSeen) — next rep may see stale events")
     }
 
     // drain the warm run too, so its tail task events can't land after
     // rep 1 clears the map
-    val warmStarted0 = jobsStarted.get()
-    val warmPlans0 = planCount
     fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
-    drainAfterAction(warmStarted0, warmPlans0)
+    drainAfterAction()
     val sigs = mutable.ArrayBuffer[String]()
     (1 to reps).foreach { rep =>
       graft.datax.Dedup.releaseShingleCaches()
       spark.sqlContext.clearCache()
       listener.synchronized { tasks.clear() }
-      val started0 = jobsStarted.get()
-      val plans0 = planCount
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      // drain both buses (bounded + quiet period, see drainAfterAction)
-      drainAfterAction(started0, plans0)
+      // drain both buses (FIFO marker, see drainAfterAction)
+      drainAfterAction()
       val sig = signature(lastPlan)
       sigs += sig
       def pct(xs: Seq[Long], p: Double): Long =

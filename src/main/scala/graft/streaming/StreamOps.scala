@@ -301,8 +301,17 @@ object StreamOps {
 
   final case class AsOfRow(key: Long, ts: java.sql.Timestamp, payload: String,
                            is_left: Boolean)
+  /** Keyed state of [[asofJoinStream]]. `tsUnit` is a SCHEMA VERSION
+    * MARKER, not data: event times were re-keyed from epoch-millis to
+    * epoch-micros (round 11), and a pre-change checkpoint deserializes
+    * cleanly into the same (Long, String) pairs — silently interpreted
+    * 1000x off. The extra field changes the state schema so the state
+    * store's compatibility check REJECTS such a resume at query start
+    * (loud failure -> restart with a fresh checkpoint) instead of
+    * appending wrong rows to the sink. */
   final case class AsOfState(lefts: List[(Long, String)],
-                             rights: List[(Long, String)])
+                             rights: List[(Long, String)],
+                             tsUnit: String = "us")
   final case class AsOfMatch(key: Long, left_ts: java.sql.Timestamp,
                              left_payload: String,
                              right_ts: Option[java.sql.Timestamp],
@@ -399,9 +408,20 @@ object StreamOps {
           // engine-facing quantities stay in ms: the watermark arrives
           // in ms (scaled up; a row inside the watermark's ms is NOT
           // ripe until the full micros value is covered), and timeout
-          // timestamps scale down with max(.., wm+1) so an early wake
-          // (harmless — the group just re-arms) can never register at
-          // or below the current watermark (illegal in the API).
+          // timestamps scale down with max(.., wm+1) so a wake can
+          // never register at or below the current watermark (illegal
+          // in the API). Early wakes are harmless (the group re-arms).
+          // ONE DOCUMENTED ms-GRANULARITY EDGE: a left with sub-ms
+          // offset inside the CURRENT watermark millisecond (lts in
+          // (wm*1000, wm*1000+999]) becomes ripe at watermark wm+1,
+          // but the earliest legal timeout (wm+1) only fires when the
+          // watermark EXCEEDS it — if a drive's final watermark lands
+          // exactly on wm+1 and no further rows reach the key, that
+          // left stays pending (indistinguishable from any other
+          // pending-at-final-watermark left; next data or watermark
+          // tick emits it). Event-time timeouts are ms-granular, so no
+          // arming can close this 1 ms window; output is never WRONG,
+          // at worst 1 ms later than information-theoretically possible.
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
           val (newL, newR) = rows.toList.partition(_.is_left)
