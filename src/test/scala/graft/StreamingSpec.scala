@@ -701,6 +701,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream generic payload round-trips NESTED types (array + struct columns)") {
+    // backs the scaladoc claim that any to_json/from_json-expressible
+    // payload works: array<string> and struct<a:long,b:string> columns
+    // ride the keyed state and come back typed, element order intact
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    def enrich(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tags", array(concat(lit("t"), col("id")), lit("x")))
+      .withColumn("meta", struct(col("id").as("a"), concat(lit("m"), col("id")).as("b")))
+    def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+      enrich(m.toDF().toDF("key", "ts", "id")).withWatermark("ts", "10 minutes")
+    val q = StreamOps.asofJoinStream(named(lMem), named(rMem))
+      .writeStream.format("memory").queryName("asof_nested")
+      .outputMode("append").start()
+    try {
+      lMem.addData((1L, ts("2026-01-01 10:30:00"), 100L))
+      rMem.addData((1L, ts("2026-01-01 10:00:00"), 7L))
+      lMem.addData((9L, ts("2026-01-01 12:00:00"), 90L))
+      rMem.addData((9L, ts("2026-01-01 12:00:00"), 91L))
+      q.processAllAvailable()
+      lMem.addData((9L, ts("2026-01-01 13:00:00"), 92L))
+      rMem.addData((9L, ts("2026-01-01 13:00:00"), 93L))
+      q.processAllAvailable()
+      val row = spark.table("asof_nested").filter(col("key") === 1L)
+        .select("left_id", "left_tags", "left_meta.a", "left_meta.b",
+          "right_id", "right_tags", "right_meta.b")
+        .collect().head
+      assert(row.getLong(0) == 100L)
+      assert(row.getSeq[String](1) == Seq("t100", "x"), s"left_tags=${row.getSeq[String](1)}")
+      assert(row.getLong(2) == 100L && row.getString(3) == "m100")
+      assert(row.getLong(4) == 7L)
+      assert(row.getSeq[String](5) == Seq("t7", "x"))
+      assert(row.getString(6) == "m7")
+    } finally q.stop()
+  }
+
   test("asofJoinStream keys state at MICROSECOND precision: a right 500us " +
        "after the left must not match (ms truncation would let it)") {
     // getTime-keyed state truncates to ms: a right at ...000800us and a
