@@ -428,8 +428,13 @@ object StreamOps {
           val lefts = prev.lefts ++ newL.map(r => (tsMicros(r.ts), r.payload))
           val rights = (prev.rights ++ newR.map(r => (tsMicros(r.ts), r.payload)))
             .sortBy(r => (r._1, r._2))
-          // resolve every left at-or-below the watermark: all of its
-          // candidate rights have arrived by the watermark contract
+          // resolve every left at-or-below the watermark. The <= is
+          // TIGHT against the engine's late filter, which drops rows
+          // with ts <= watermark (equality dropped — pinned empirically
+          // by the boundary-strictness spec): no future right at or
+          // below the watermark can ever arrive, so a left exactly AT
+          // the watermark instant has seen every candidate right and is
+          // safe to resolve now.
           val (ripe, pendingL) = lefts.partition(_._1 <= wmMicros)
           val out = ripe.sortBy(l => (l._1, l._2)).map { case (lts, lpay) =>
             val m = rights.filter(_._1 <= lts).lastOption

@@ -701,6 +701,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream watermark-boundary contract: the engine drops a right " +
+       "arriving AT the watermark instant, so at-watermark lefts resolve safely") {
+    // Pins the engine behavior the operator's <= ripeness is tight
+    // against: the flatMapGroupsWithState late filter drops rows with
+    // ts <= watermark (EQUALITY dropped — if a future Spark admitted
+    // the boundary row, this test fails and the ripeness comparison
+    // must become strict). Timeline: batch 1 leaves the 11:00:00 left
+    // pending at wm == 11:00:00 exactly; batch 2 offers a right AT
+    // 11:00:00 in its own batch — the engine must drop it; the left
+    // then resolves with NO match, which is correct precisely because
+    // no at-or-below-watermark right can ever be admitted.
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long)]
+    def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+      m.toDF().toDF("key", "ts", "id").withWatermark("ts", "10 minutes")
+    val q = StreamOps.asofJoinStream(named(lMem), named(rMem))
+      .writeStream.format("memory").queryName("asof_boundary")
+      .outputMode("append").start()
+    try {
+      lMem.addData((1L, ts("2026-01-01 11:00:00"), 100L),
+        (9L, ts("2026-01-01 11:10:00"), 90L))
+      rMem.addData((9L, ts("2026-01-01 11:10:00"), 91L))
+      q.processAllAvailable() // wm = 11:10 - 10min = 11:00:00 exactly
+      // the boundary right rides its OWN batch so no pusher can advance
+      // the watermark underneath it in a preceding micro-batch
+      rMem.addData((1L, ts("2026-01-01 11:00:00"), 7L)) // ts == wm
+      q.processAllAvailable()
+      val droppedSoFar = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption)
+        .map(_.numRowsDroppedByWatermark).getOrElse(-1L)
+      rMem.addData((9L, ts("2026-01-01 11:30:00"), 92L))
+      lMem.addData((9L, ts("2026-01-01 11:30:00"), 93L))
+      q.processAllAvailable()
+      lMem.addData((9L, ts("2026-01-01 12:00:00"), 94L))
+      rMem.addData((9L, ts("2026-01-01 12:00:00"), 95L))
+      q.processAllAvailable()
+      val out = spark.table("asof_boundary").filter(col("key") === 1L)
+        .select("left_id", "right_id").as[(Long, Option[Long])].collect().toSeq
+      assert(droppedSoFar == 1L,
+        s"the engine must drop the ts == watermark right as late (dropped=$droppedSoFar)")
+      assert(out == Seq((100L, None)),
+        s"at-watermark left resolves with no match — the boundary right was never admissible: $out")
+    } finally q.stop()
+  }
+
   test("asofJoinStream generic payload round-trips NESTED types (array + struct columns)") {
     // backs the scaladoc claim that any to_json/from_json-expressible
     // payload works: array<string> and struct<a:long,b:string> columns
