@@ -729,9 +729,11 @@ class StreamingSpec extends AnyFunSuite {
       // the watermark underneath it in a preceding micro-batch
       rMem.addData((1L, ts("2026-01-01 11:00:00"), 7L)) // ts == wm
       q.processAllAvailable()
-      val droppedSoFar = Option(q.lastProgress)
+      // sum across batches so far: an engine-inserted idle batch after
+      // the drop would make lastProgress read 0 and flake the pin
+      val droppedSoFar = q.recentProgress
         .flatMap(_.stateOperators.headOption)
-        .map(_.numRowsDroppedByWatermark).getOrElse(-1L)
+        .map(_.numRowsDroppedByWatermark).sum
       rMem.addData((9L, ts("2026-01-01 11:30:00"), 92L))
       lMem.addData((9L, ts("2026-01-01 11:30:00"), 93L))
       q.processAllAvailable()
