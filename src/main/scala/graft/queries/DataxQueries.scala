@@ -239,11 +239,10 @@ object DataxQueries {
         WHERE cosine >= 0.25 ORDER BY id_a, id_b"""
   }
 
-  /** The full MinHash-LSH pipeline replayed in DuckDB SQL, with the
-    * pair-join condition a parameter: `a.id < b.id` gives the d05
-    * all-pairs form; a side-splitting predicate gives the d49
-    * new-batch-vs-index form. */
-  private def minhashPairsSqlCond(pairCond: String): String = s"""WITH docs AS (
+  /** The shared MinHash-LSH CTE chain (shingles -> signatures -> banded
+    * rows) — prefixed by every oracle that replays the LSH pipeline
+    * (d05/d21/d30/d49 pair forms and the d52 two-batch fold). */
+  private val MinhashCtes: String = s"""docs AS (
           SELECT doc_id AS id,
                  list_distinct(list_filter(
                    list_transform(range(1, len(toks) - 2),
@@ -263,7 +262,13 @@ object DataxQueries {
                  unnest(list_transform(range(0, 8),
                    b -> {'band': b, 'bsig': md5(array_to_string(sig[b*2+1:b*2+2], ','))}),
                    recursive := true)
-          FROM sigs),
+          FROM sigs)"""
+
+  /** The full MinHash-LSH pipeline replayed in DuckDB SQL, with the
+    * pair-join condition a parameter: `a.id < b.id` gives the d05
+    * all-pairs form; a side-splitting predicate gives the d49
+    * new-batch-vs-index form. */
+  private def minhashPairsSqlCond(pairCond: String): String = s"""WITH $MinhashCtes,
         pairs AS (
           SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
           FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
@@ -282,6 +287,64 @@ object DataxQueries {
   /** d49: new batch = ids ≡ 0 (mod 3), index = the rest. */
   private val IncrementalPairsSql: String =
     minhashPairsSqlCond("a.id % 3 = 0 AND b.id % 3 <> 0")
+
+  /** d52: the two-batch streaming-ingest fold replayed in SQL. Batch A =
+    * ids ≡ 0,1 (mod 4) (files b00+b01, drained together at
+    * maxFilesPerTrigger=2), batch B = ids ≡ 2,3. The index after batch A
+    * holds exactly A's dedupCorpus survivors (d30 rule restricted to A:
+    * transitive near-dup clusters keep the min id; exact-fingerprint
+    * groups keep the min id, NULLs grouped); batch B keeps its own
+    * dedupCorpus survivors minus docs with a near-dup LSH pair
+    * (jaccard >= 0.3) or a null-safe exact-fingerprint match against an
+    * A-survivor — dedupIncrement's cross-hit anti join. All unordered
+    * candidate pairs come from one banded self-join; batch membership is
+    * pure id arithmetic, so the fold is a closed-form query. */
+  private val D52Sql: String = s"""WITH RECURSIVE $MinhashCtes,
+        p_all AS (
+          SELECT id_a, id_b FROM (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id)
+          WHERE len(list_intersect(sh_a, sh_b))
+                / (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= 0.3),
+        fpd AS (SELECT doc_id AS id,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents),
+        ea AS (SELECT id_a AS u, id_b AS v FROM p_all WHERE id_a % 4 < 2 AND id_b % 4 < 2
+               UNION SELECT id_b, id_a FROM p_all WHERE id_a % 4 < 2 AND id_b % 4 < 2),
+        ra(u, v) AS (SELECT u, v FROM ea
+                     UNION SELECT ra.u, ea.v FROM ra JOIN ea ON ra.v = ea.u),
+        a_drop AS (
+          SELECT u AS id FROM ra GROUP BY u HAVING least(u, min(v)) <> u
+          UNION
+          SELECT id FROM (SELECT id, min(id) OVER (PARTITION BY fp) AS rep
+                          FROM fpd WHERE id % 4 < 2) WHERE id <> rep),
+        s_a AS (SELECT id FROM fpd WHERE id % 4 < 2
+                AND id NOT IN (SELECT id FROM a_drop)),
+        eb AS (SELECT id_a AS u, id_b AS v FROM p_all WHERE id_a % 4 >= 2 AND id_b % 4 >= 2
+               UNION SELECT id_b, id_a FROM p_all WHERE id_a % 4 >= 2 AND id_b % 4 >= 2),
+        rb(u, v) AS (SELECT u, v FROM eb
+                     UNION SELECT rb.u, eb.v FROM rb JOIN eb ON rb.v = eb.u),
+        b_drop AS (
+          SELECT u AS id FROM rb GROUP BY u HAVING least(u, min(v)) <> u
+          UNION
+          SELECT id FROM (SELECT id, min(id) OVER (PARTITION BY fp) AS rep
+                          FROM fpd WHERE id % 4 >= 2) WHERE id <> rep
+          UNION
+          SELECT p.id_a FROM p_all p JOIN s_a ON p.id_b = s_a.id
+          WHERE p.id_a % 4 >= 2 AND p.id_b % 4 < 2
+          UNION
+          SELECT p.id_b FROM p_all p JOIN s_a ON p.id_a = s_a.id
+          WHERE p.id_b % 4 >= 2 AND p.id_a % 4 < 2
+          UNION
+          SELECT b.id FROM fpd b JOIN s_a ON TRUE
+          JOIN fpd a ON a.id = s_a.id AND b.fp IS NOT DISTINCT FROM a.fp
+          WHERE b.id % 4 >= 2),
+        s_b AS (SELECT id FROM fpd WHERE id % 4 >= 2
+                AND id NOT IN (SELECT id FROM b_drop))
+        SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id IN (SELECT id FROM s_a UNION SELECT id FROM s_b)
+        ORDER BY d.doc_id"""
 
   /** d48: duplicate k-gram span removal replayed in DuckDB — positioned
     * gram rows, duplicated-gram set (count >= 2), k-position cover,
@@ -472,13 +535,15 @@ object DataxQueries {
      * index path, SCALE.md "streaming-drive bench cost"), so batch 1
      * dedups against the index batch 0 built — stored band signatures
      * and fingerprints, the continuous-crawl shape a 100 TB pipeline
-     * runs. Rows-only entry (d10b pattern): there is no SQL replay of a
-     * stateful multi-batch run; StreamingSpec pins the multi-file
-     * output ≡ the sequential processBatch composition AND ≡ the
-     * fold-wise d49 dedupIncrement over the same splits, and the
-     * per-batch pair semantics carry the d49 oracle. Inputs/index/
-     * checkpoint are scratch dirs, deleted before returning (the result
-     * is lineage-cut). */
+     * runs. ORACLE-GATED (round 11; formerly rows-only): the fold is
+     * deterministic — 2 batches whose membership is pure id arithmetic
+     * — so [[D52Sql]] replays it closed-form (batch A's d30-rule
+     * survivors become the index; batch B anti-joins its near/exact
+     * hits against them); StreamingSpec additionally pins the drive ≡
+     * the sequential processBatch composition AND ≡ the fold-wise d49
+     * dedupIncrement over the same splits. Inputs/index/checkpoint are
+     * scratch dirs, deleted before returning (the result is
+     * lineage-cut). */
     QueryDef("d52_streaming_ingest",
       (s, dir) => {
         val tmp = java.nio.file.Files.createTempDirectory("graft-d52").toString
@@ -493,7 +558,7 @@ object DataxQueries {
             .orderBy("doc_id")
         } finally rmrf(s, tmp)
       },
-      None),
+      Some(D52Sql)),
 
     /* Duplicate n-gram SPAN removal (the Lee et al. 2022
      * exact-substring-dedup shape): corpus-duplicated k-grams mark their
@@ -1382,13 +1447,17 @@ object DataxQueries {
      * at-or-above batch 0's max ts, so none arrive below the watermark
      * batch 0 advanced — the "output ≡ batch asofJoin on the ripe
      * lefts" claim holds by construction, independent of any
-     * id↔timestamp correlation in the testdata generation. Rows-only
-     * entry (d10b pattern): output covers the lefts RIPE by the final
-     * watermark — a streaming-contract subset no batch SQL replays;
-     * StreamingSpec pins it ≡ the batch asofJoin restricted to those
-     * lefts. The drive writes through a parquet FILE sink (executor-
-     * side; scale-true for real backfills) under the same scratch root,
-     * so the result is localCheckpointed here before the dirs are
+     * id↔timestamp correlation in the testdata generation. ORACLE-GATED
+     * (round 11; formerly rows-only): the emitted set — lefts RIPE by
+     * the final watermark — IS expressible in SQL, because AvailableNow
+     * drains everything so the final watermark is a pure function of
+     * the inputs: min over sources of (ms-truncated max event time)
+     * minus the delay (Spark's watermark tracker floors each row's
+     * micros to ms before taking the max). The DuckDB oracle replays
+     * d40's ASOF join restricted to clicks at-or-below that watermark.
+     * The drive writes through a parquet FILE sink (executor-side;
+     * scale-true for real backfills) under the same scratch root, so
+     * the result is localCheckpointed here before the dirs are
      * deleted. */
     QueryDef("d53_streaming_asof",
       (s, dir) => {
@@ -1420,11 +1489,36 @@ object DataxQueries {
               s"$tmp/ckpt", s"$tmp/out",
               delay = "10 minutes", maxFilesPerTrigger = 1,
               statePartitions = Some(4))
+            .select(col("key"), col("left_id"),
+              date_format(col("left_ts"), "yyyy-MM-dd HH:mm:ss").as("left_ts"),
+              col("right_id"),
+              date_format(col("right_ts"), "yyyy-MM-dd HH:mm:ss").as("right_ts"))
             .orderBy("key", "left_id")
             .localCheckpoint(eager = true)
         } finally rmrf(s, tmp)
       },
-      None),
+      Some("""WITH v AS (
+          SELECT user_id, ts, max(event_id) AS right_id FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+        c AS (
+          SELECT user_id AS key, event_id AS left_id, ts FROM events
+          WHERE event_type = 'click'),
+        -- the final AvailableNow watermark: min over sources of the
+        -- ms-truncated max event time, minus the 10-minute delay
+        wm AS (
+          SELECT date_trunc('milliseconds', CAST(least(
+                   (SELECT max(ts) FROM c),
+                   (SELECT max(ts) FROM v)) AS TIMESTAMP))
+                 - INTERVAL 10 MINUTES AS w)
+        SELECT r.key, r.left_id,
+               strftime(CAST(r.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS left_ts,
+               v.right_id,
+               strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS right_ts
+        FROM (SELECT * FROM c
+              WHERE CAST(ts AS TIMESTAMP) <= (SELECT w FROM wm)) r
+        ASOF LEFT JOIN v
+          ON r.key = v.user_id AND v.ts <= r.ts
+        ORDER BY r.key, r.left_id""")),
 
     /* Per-source cap: keep the `maxPerGroup` highest-quality docs per
      * source (the C4 "cap pages per host" rule) — rank + keep flag so
