@@ -284,6 +284,74 @@ object DataxQueries {
   /** Shared by the d05 pair check and the d21/d30 cluster closures. */
   private val MinhashPairsSql: String = minhashPairsSqlCond("a.id < b.id")
 
+  /** 64-bit wrapping multiply mod 2^64 in DuckDB: HUGEINT is a SIGNED
+    * 128-bit type, so a full 64x64 product overflows — split each factor
+    * into 32-bit halves (classic schoolbook low-word recovery; partials
+    * stay under 2^66). */
+  private def mul64Sql(a: String, b: String): String =
+    s"""((($a) % 4294967296::HUGEINT) * (($b) % 4294967296::HUGEINT)
+       |   + (((($a) % 4294967296::HUGEINT) * (($b) >> 32)
+       |   + (($a) >> 32) * (($b) % 4294967296::HUGEINT))
+       |   % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT""".stripMargin
+
+  private def listDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1),
+       |            i -> $a[i] * ($b)[i])), (acc, x) -> acc + x)""".stripMargin
+
+  /** d10b: the AUTO hyperplane-LSH replayed end to end in DuckDB —
+    * including the seeded plane matrices. The Spark side derives
+    * (tables L, planes r) from `bandsFor(count)` and the ±1 planes from
+    * `splitmix64(tbl * golden + p * 1000003 + j) & 1`; the SQL recomputes
+    * BOTH from the data: (L, r) via the same occupancy/recall formulas
+    * (the ceil arguments sit 0.66-0.85 away from integers at every
+    * driver SF, so ln(1-x)-vs-log1p rounding cannot flip them) and the
+    * signs via a bit-exact splitmix64 over HUGEINT mod-2^64 arithmetic
+    * ([[mul64Sql]]). Validated bit-exact against the Spark pairs at
+    * sf0.01 (54 pairs) and sf0.1 (L=57, r=7; 859 pairs), cosine delta
+    * 0.0. */
+  private val D10bSql: String = {
+    val golden = "11400714819323198485::HUGEINT"
+    s"""WITH prm AS (
+          SELECT r, CAST(least(CASE WHEN pr >= 1.0 THEN 1.0
+                       ELSE greatest(ceil(ln(1.0 - 0.9) / ln(1.0 - pr)), 1.0) END,
+                     64.0) AS INT) AS l
+          FROM (SELECT r, power(1.0 - acos(least(1.0, 0.4)) / pi(), r) AS pr
+                FROM (SELECT greatest(4, coalesce(
+                    (SELECT CAST(min(p) AS INT) FROM range(1, 62) t(p)
+                     WHERE ((SELECT count(*) FROM embeddings) >> CAST(p AS INT)) <= 16), 62)) AS r))),
+        seeds AS (
+          SELECT CAST(t.tbl AS INT) AS tbl, CAST(p.p AS INT) AS p, CAST(j.j AS INT) AS j,
+                 (t.tbl::HUGEINT * $golden
+                  + p.p::HUGEINT * 1000003::HUGEINT + j.j::HUGEINT
+                  + $golden) % 18446744073709551616::HUGEINT AS z1
+          FROM range(0, 64) t(tbl), range(0, 16) p(p), range(0, 64) j(j)
+          WHERE t.tbl < (SELECT l FROM prm) AND p.p < (SELECT r FROM prm)),
+        s1 AS (SELECT tbl, p, j,
+                 ${mul64Sql("xor(z1, z1 >> 30)", "13787848793156543929::HUGEINT")} AS z2
+               FROM seeds),
+        s2 AS (SELECT tbl, p, j,
+                 ${mul64Sql("xor(z2, z2 >> 27)", "10723151780598845931::HUGEINT")} AS z3
+               FROM s1),
+        planes AS (
+          SELECT tbl, p, list(CASE WHEN xor(z3, z3 >> 31) % 2 = 1 THEN 1.0 ELSE -1.0 END
+                              ORDER BY j) AS s
+          FROM s2 GROUP BY tbl, p),
+        v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        b AS (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS n FROM v),
+        dots AS (
+          SELECT v.id, pl.tbl, pl.p,
+                 CASE WHEN ${listDotSql("v.vec", "pl.s")} >= 0 THEN '1' ELSE '0' END AS bit
+          FROM v, planes pl),
+        br AS (SELECT id, tbl, string_agg(bit, '' ORDER BY p) AS bucket
+               FROM dots GROUP BY id, tbl),
+        cand AS (SELECT DISTINCT a.id AS id_a, bb.id AS id_b
+                 FROM br a JOIN br bb
+                   ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.id < bb.id),
+        pairs AS (SELECT id_a, id_b, ${listDotSql("x.vec", "y.vec")} / (x.n * y.n) AS cosine
+                  FROM cand JOIN b x ON cand.id_a = x.id JOIN b y ON cand.id_b = y.id)
+        SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
+  }
+
   /** d49: new batch = ids ≡ 0 (mod 3), index = the rest. */
   private val IncrementalPairsSql: String =
     minhashPairsSqlCond("a.id % 3 = 0 AND b.id % 3 <> 0")
@@ -715,17 +783,19 @@ object DataxQueries {
      * where bandsFor stays un-clamped at the driver SFs (14 / 57
      * tables). SCALE.md records the regime boundary this skirts: at low
      * thresholds and big n the recall rule clamps loudly and semantic
-     * dedup (d39a) is the right tool. `no_oracle` by construction, same
-     * as d19a/d28a: the plane matrices depend on the runtime count, so
-     * there are no literal matrices to bake into replay SQL;
-     * correctness of the auto rule is spec-pinned instead (DataxSpec:
-     * recall >= target vs brute force as n grows 10x, bounded candidate
-     * load, BandSignatures == the literal composition). */
+     * dedup (d39a) is the right tool. ORACLE-GATED (round 11; formerly
+     * rows-only on the belief that count-dependent plane matrices can't
+     * be baked into replay SQL — they don't need to be: [[D10bSql]]
+     * recomputes (L, r) AND the seeded ±1 planes from the data, with a
+     * bit-exact splitmix64 in HUGEINT mod-2^64 arithmetic). The auto
+     * rule additionally stays spec-pinned (DataxSpec: recall >= target
+     * vs brute force as n grows 10x, bounded candidate load,
+     * BandSignatures == the literal composition). */
     QueryDef("d10b_embedding_neardups_banded_auto",
       (s, dir) => Dedup.embeddingNearDupsBandedAuto(t(s, dir, "embeddings"),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b"),
-      None),
+      Some(D10bSql)),
 
     /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
      * (avg() is summation-order-dependent; the id-ordered sequential
