@@ -251,14 +251,10 @@ object Bench {
     // After an INTENTIONAL slowdown (code change), rerun with
     // SPARK_GRAFT_ACCEPT_PRIOR=1 to accept the new medians as the floor.
     val acceptPrior = sys.env.get("SPARK_GRAFT_ACCEPT_PRIOR").contains("1")
-    // a crashed query (all reps failed, median -1) is vacuously healthy
-    // (no reps to distrust) and invisible to priorOutliers (cur > 0
-    // guard) — writing its -1 into the floor would permanently disable
-    // the prior rule for it, so a run with ANY failed rep is floor-unsafe
     val allMeasured = ordered.forall { case (_, (r, _, _)) =>
       r.failedReps == 0 && r.median >= 0 }
-    val floorSafe = only.isEmpty && trusted && allMeasured &&
-      (priorRegressed.isEmpty || acceptPrior)
+    val floorSafe = BenchTrust.floorSafe(only.nonEmpty, trusted, allMeasured,
+      priorRegressed.isEmpty, acceptPrior)
     val outFile = if (floorSafe) "BENCH_LOCAL.json" else "BENCH_LOCAL_DEGRADED.json"
     if (!floorSafe)
       System.err.println(s"[bench] floor-unsafe run (filtered=${only.nonEmpty}, " +

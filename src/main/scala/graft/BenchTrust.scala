@@ -75,6 +75,19 @@ object BenchTrust {
       }
     }
 
+  /** The floor gate: may this run overwrite BENCH_LOCAL.json — the NEXT
+    * run's prior-reference floor? Only a full-suite (`!filtered`) run
+    * certified by the environment rules (`trusted`) with every query
+    * actually measured (`allMeasured` — a crashed query's -1 median is
+    * vacuously healthy and invisible to [[priorOutliers]], and would
+    * permanently disable the prior rule for it) and no residual
+    * prior regression (unless the operator explicitly accepts an
+    * intentional slowdown with `acceptPrior`). Everything else routes to
+    * BENCH_LOCAL_DEGRADED.json: evidence kept, floor intact. */
+  def floorSafe(filtered: Boolean, trusted: Boolean, allMeasured: Boolean,
+                priorRegressedEmpty: Boolean, acceptPrior: Boolean): Boolean =
+    !filtered && trusted && allMeasured && (priorRegressedEmpty || acceptPrior)
+
   /** The prior run's `"sf"` field — [[priorOutliers]] is only meaningful
     * against a prior at the SAME scale factor (a dev run at a smaller SF
     * left behind in BENCH_LOCAL.json must not flag the whole suite). */

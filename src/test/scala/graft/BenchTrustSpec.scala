@@ -78,6 +78,21 @@ class BenchTrustSpec extends AnyFunSuite {
       Map("q1" -> 4.2e-4, "q2" -> 1.5e3, "q3" -> 0.5))
   }
 
+  test("floorSafe: only full, trusted, fully-measured, non-regressed runs take the floor slot") {
+    assert(BenchTrust.floorSafe(filtered = false, trusted = true,
+      allMeasured = true, priorRegressedEmpty = true, acceptPrior = false))
+    // each disqualifier alone blocks the overwrite
+    assert(!BenchTrust.floorSafe(true, true, true, true, false), "filtered dev run")
+    assert(!BenchTrust.floorSafe(false, false, true, true, false), "untrusted run")
+    assert(!BenchTrust.floorSafe(false, true, false, true, false),
+      "crashed query: its -1 would permanently disable the prior rule")
+    assert(!BenchTrust.floorSafe(false, true, true, false, false), "residual regression")
+    // explicit operator acceptance of an intentional slowdown
+    assert(BenchTrust.floorSafe(false, true, true, false, acceptPrior = true))
+    assert(!BenchTrust.floorSafe(false, false, true, false, acceptPrior = true),
+      "acceptPrior waives the regression check only, not trust")
+  }
+
   test("parseSf extracts the prior run's scale dir (same-SF guard for priorOutliers)") {
     assert(BenchTrust.parseSf("""{"queries":{},"sf":"/root/testdata/sf0.1"}""")
       .contains("/root/testdata/sf0.1"))
