@@ -319,12 +319,24 @@ object DataxQueries {
                 FROM (SELECT greatest(4, coalesce(
                     (SELECT CAST(min(p) AS INT) FROM range(1, 62) t(p)
                      WHERE ((SELECT count(*) FROM embeddings) >> CAST(p AS INT)) <= 16), 62)) AS r))),
+        -- plane-grid extents are DERIVED, not assumed (r11 advice): the
+        -- tbl range matches bandsFor's maxTables=64 clamp, the p range
+        -- matches planesFor's hard cap (p < 62 loop bound, so r <= 62
+        -- always), and the per-plane width comes from the DATA via a
+        -- lateral unnest — with a loud error() if the embedding column
+        -- is ragged (the Spark side would have failed on it too).
+        dm AS (
+          SELECT CASE WHEN min(len(embedding)) = max(len(embedding))
+                 THEN CAST(max(len(embedding)) AS INT)
+                 ELSE error('d10b oracle: ragged embedding dimensions') END AS nd
+          FROM embeddings),
         seeds AS (
-          SELECT CAST(t.tbl AS INT) AS tbl, CAST(p.p AS INT) AS p, CAST(j.j AS INT) AS j,
+          SELECT CAST(t.tbl AS INT) AS tbl, CAST(p.p AS INT) AS p, CAST(u.j AS INT) AS j,
                  (t.tbl::HUGEINT * $golden
-                  + p.p::HUGEINT * 1000003::HUGEINT + j.j::HUGEINT
+                  + p.p::HUGEINT * 1000003::HUGEINT + u.j::HUGEINT
                   + $golden) % 18446744073709551616::HUGEINT AS z1
-          FROM range(0, 64) t(tbl), range(0, 16) p(p), range(0, 64) j(j)
+          FROM range(0, 64) t(tbl), range(0, 62) p(p), dm,
+               unnest(range(0, dm.nd)) u(j)
           WHERE t.tbl < (SELECT l FROM prm) AND p.p < (SELECT r FROM prm)),
         s1 AS (SELECT tbl, p, j,
                  ${mul64Sql("xor(z1, z1 >> 30)", "13787848793156543929::HUGEINT")} AS z2
@@ -1524,7 +1536,18 @@ object DataxQueries {
      * the inputs: min over sources of (ms-truncated max event time)
      * minus the delay (Spark's watermark tracker floors each row's
      * micros to ms before taking the max). The DuckDB oracle replays
-     * d40's ASOF join restricted to clicks at-or-below that watermark.
+     * d40's ASOF join restricted to clicks STRICTLY below that
+     * watermark, and the Spark side drops boundary-instant lefts
+     * (left_ts == w) symmetrically: a left exactly AT the final
+     * watermark is the pending-at-final-watermark edge (StreamOps
+     * ms-granularity doc) — event-time timeouts fire only when the
+     * watermark strictly EXCEEDS the armed instant, so on a bounded
+     * drive such a left emits only if an older pending left on the
+     * same key happens to arm the group's timeout below w. That is
+     * drive-order dependent, so the boundary instant is excluded from
+     * BOTH sides of the comparison (the r11 `<=` oracle was a latent
+     * false-mismatch against future testdata with a click at exactly
+     * min(max ts) - delay).
      * The drive writes through a parquet FILE sink (executor-side;
      * scale-true for real backfills) under the same scratch root, so
      * the result is localCheckpointed here before the dirs are
@@ -1555,10 +1578,20 @@ object DataxQueries {
           // keys) per the SCALE.md sizing rule; a scratch checkpoint, so
           // the pin dies with the entry (production sizes for the
           // TARGET cluster up front — the value is unchangeable later)
+          // the final AvailableNow watermark, recomputed from the same
+          // inputs the drive writes: min over sources of the
+          // ms-truncated max event time, minus the delay
+          val wBound = clicks.agg(max("ts").as("mc"))
+            .crossJoin(views.agg(max("ts").as("mv")))
+            .select((date_trunc("millisecond", least(col("mc"), col("mv")))
+              - expr("INTERVAL 10 MINUTES")).as("w"))
           StreamOps.asofJoinStreamFiles(s, s"$tmp/left", s"$tmp/right",
               s"$tmp/ckpt", s"$tmp/out",
               delay = "10 minutes", maxFilesPerTrigger = 1,
               statePartitions = Some(4))
+            .crossJoin(broadcast(wBound))
+            .filter(col("left_ts") < col("w")) // boundary-instant exclusion (header comment)
+            .drop("w")
             .select(col("key"), col("left_id"),
               date_format(col("left_ts"), "yyyy-MM-dd HH:mm:ss").as("left_ts"),
               col("right_id"),
@@ -1585,7 +1618,7 @@ object DataxQueries {
                v.right_id,
                strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS right_ts
         FROM (SELECT * FROM c
-              WHERE CAST(ts AS TIMESTAMP) <= (SELECT w FROM wm)) r
+              WHERE CAST(ts AS TIMESTAMP) < (SELECT w FROM wm)) r
         ASOF LEFT JOIN v
           ON r.key = v.user_id AND v.ts <= r.ts
         ORDER BY r.key, r.left_id""")),

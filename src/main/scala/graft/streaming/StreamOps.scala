@@ -420,8 +420,19 @@ object StreamOps {
           // left stays pending (indistinguishable from any other
           // pending-at-final-watermark left; next data or watermark
           // tick emits it). Event-time timeouts are ms-granular, so no
-          // arming can close this 1 ms window; output is never WRONG,
-          // at worst 1 ms later than information-theoretically possible.
+          // arming can close this 1 ms window; on a CONTINUOUS stream
+          // output is never WRONG, at worst 1 ms later than
+          // information-theoretically possible. On a BOUNDED drive
+          // (AvailableNow, or any query stopped at its final watermark)
+          // there IS no next tick: a left whose ripeness instant
+          // coincides with the final watermark is permanently OMITTED,
+          // not merely delayed — unless an older pending left on the
+          // same key armed the group's timeout strictly below the final
+          // watermark, in which case it rides along. Oracle/spec
+          // authors comparing a bounded drive against a closed-form
+          // replay must therefore use strict `<` at the final watermark
+          // (or exclude the boundary instant from both sides, as the
+          // d53 verify entry does) — never `<=`.
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
           val (newL, newR) = rows.toList.partition(_.is_left)
