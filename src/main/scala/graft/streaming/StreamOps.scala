@@ -229,16 +229,27 @@ object StreamOps {
     * One shuffle on the keys, O(n log n) per key, no join state at all.
     *
     * Right rows must be unique per (keys, rightTs) — with duplicates
-    * "the" as-of row is undefined; callers dedup first (the d40 query
-    * keeps max event_id per (user, ts)). Streaming face:
-    * [[asofJoinStream]] — the same union resolved through watermarked
-    * keyed state; the batch plan here is the oracle-checkable semantics.
+    * "the" as-of row is undefined. By default the precondition is
+    * ENFORCED (`validateRights = true`): a duplicate raises a loud
+    * runtime error naming the key and timestamp, instead of shipping a
+    * nondeterministic "as-of" row. The check rides the SAME window sort
+    * the resolution already pays for — duplicates per (keys, ts) are
+    * ADJACENT under the (ts, side) ordering, so one `lag` per row
+    * detects them; no extra shuffle, no extra sort, one extra window
+    * pass. Callers that pre-dedup (the d40 query keeps max event_id
+    * per (user, ts)) pay only that pass; callers that KNOW the right
+    * side is unique (e.g. it came out of a groupBy on (keys, ts)) can
+    * opt out. Streaming face: [[asofJoinStream]] — the same union
+    * resolved through watermarked keyed state (and the same loud
+    * duplicate check, there against buffered state); the batch plan
+    * here is the oracle-checkable semantics.
     *
     * `rightCols` are the right payload columns to carry (renamed as
     * given); left columns pass through unchanged. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightCols: Map[String, String]): DataFrame = {
+               rightCols: Map[String, String],
+               validateRights: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rightCols.nonEmpty, "asofJoin needs at least one right payload column")
     val keyCols = keys.map(col)
@@ -260,7 +271,33 @@ object StreamOps {
         left.columns.filterNot(keys.contains).map(c => col(c).as(s"_l_$c")): _*)
     val w = Window.partitionBy(keyCols: _*).orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val resolved = rightSide.unionByName(leftSide)
+    val union = rightSide.unionByName(leftSide)
+    // duplicate-right enforcement (scaladoc): under the (ts, side)
+    // ordering all rights at one (keys, ts) are adjacent, so a right
+    // whose PREDECESSOR is a right at the same ts is the second of a
+    // duplicate pair. The error is grafted onto _rpay between the lag
+    // window and the resolution window: the projection runs for EVERY
+    // row (Catalyst cannot prune _rpay — it feeds last() — nor push the
+    // post-window _side filter below the window), so detection cannot
+    // be optimized away.
+    val checked =
+      if (!validateRights) union
+      else {
+        val lw = Window.partitionBy(keyCols: _*).orderBy(col("_ts").asc, col("_side").asc)
+        union
+          .withColumn("_prev_ts", lag(col("_ts"), 1).over(lw))
+          .withColumn("_prev_side", lag(col("_side"), 1).over(lw))
+          .withColumn("_rpay",
+            when(col("_side") === 0 && col("_prev_side") === 0 &&
+                 col("_prev_ts") === col("_ts"),
+              raise_error(concat_ws("", lit("asofJoin: duplicate right rows per (keys, ts): key=("),
+                concat_ws(",", keyCols.map(_.cast("string")): _*),
+                lit(") ts="), col("_ts").cast("string"),
+                lit(" — dedup the right side first (e.g. groupBy keys+ts) or pass validateRights=false"))))
+              .otherwise(col("_rpay")))
+          .drop("_prev_ts", "_prev_side")
+      }
+    val resolved = checked
       .select(keyCols ++ Seq(col("_ts"), col("_side")) ++
         left.columns.filterNot(keys.contains).map(c => col(s"_l_$c")) :+
         last(col("_rpay"), ignoreNulls = true).over(w).as("_rp"): _*)
@@ -359,8 +396,17 @@ object StreamOps {
     * to_json/from_json-expressible type works); a fixed-schema
     * deployment hot enough to care can specialize the pack to a binary
     * encoder, the state contract is unchanged. Right rows must be
-    * unique per (key, ts), as in the batch face — equal-ts right ties
-    * would otherwise resolve by payload-string order. Inputs must carry
+    * unique per (key, ts), as in the batch face — and as there the
+    * precondition is ENFORCED by default (`validateRights = true`): a
+    * second right at a buffered right's (key, ts) fails the batch with
+    * a loud error naming the key and instant, instead of resolving the
+    * tie by payload-string order. The check is an adjacent-equal scan
+    * of the per-key right buffer the operator already sorts — O(buffer)
+    * per state update, no extra state. Every possible duplicate pair
+    * meets in that buffer: above the watermark the FULL arrived list is
+    * carried, and a right at-or-below it can never gain a twin later
+    * (the engine drops arrivals at ts <= watermark as late), so pruning
+    * ripe rights forfeits no detection. Inputs must carry
     * `withWatermark` on ts before the call (their union watermark is
     * the min, as with any multi-input stateful op). Left rows forever
     * below a stalled watermark emit when it finally advances.
@@ -380,7 +426,8 @@ object StreamOps {
     * business rule already bounds the lookback (same trade as Spark's
     * own stream-stream join state retention). */
   def asofJoinStream(left: DataFrame, right: DataFrame,
-                     rightRetentionMinutes: Option[Int] = None): DataFrame = {
+                     rightRetentionMinutes: Option[Int] = None,
+                     validateRights: Boolean = true): DataFrame = {
     require(rightRetentionMinutes.forall(_ > 0),
       s"rightRetentionMinutes must be positive: $rightRetentionMinutes")
     val ss = left.sparkSession
@@ -439,6 +486,17 @@ object StreamOps {
           val lefts = prev.lefts ++ newL.map(r => (tsMicros(r.ts), r.payload))
           val rights = (prev.rights ++ newR.map(r => (tsMicros(r.ts), r.payload)))
             .sortBy(r => (r._1, r._2))
+          // duplicate-right enforcement (scaladoc): the buffer is
+          // sorted, so duplicates per (key, ts) are adjacent — one
+          // linear scan per update, before any of them can resolve a
+          // left by payload-string order
+          if (validateRights && rights.sizeIs > 1)
+            rights.iterator.zip(rights.iterator.drop(1)).foreach { case (a, b) =>
+              if (a._1 == b._1) throw new IllegalStateException(
+                s"asofJoinStream: duplicate right rows per (key, ts): key=$key " +
+                  s"ts=${microsTs(a._1)} — dedup the right stream first or pass " +
+                  "validateRights=false")
+            }
           // resolve every left at-or-below the watermark. The <= is
           // TIGHT against the engine's late filter, which drops rows
           // with ts <= watermark (equality dropped — pinned empirically
@@ -558,6 +616,7 @@ object StreamOps {
                           delay: String = "10 minutes",
                           maxFilesPerTrigger: Int = 1,
                           rightRetentionMinutes: Option[Int] = None,
+                          validateRights: Boolean = true,
                           statePartitions: Option[Int] = None,
                           onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                             _ => ()): DataFrame = {
@@ -571,7 +630,8 @@ object StreamOps {
         "ts")
         .withWatermark("ts", delay)
     }
-    val joined = asofJoinStream(src(leftDir), src(rightDir), rightRetentionMinutes)
+    val joined = asofJoinStream(src(leftDir), src(rightDir), rightRetentionMinutes,
+      validateRights)
     val trace = driveCollectingProgress(sess.streams,
       joined
         .writeStream.format("parquet")

@@ -127,6 +127,87 @@ class PropertiesSpec extends AnyFunSuite {
     assert(widthOk.count() == 0)
   }
 
+  test("normalizeFrames == _normalize_frames Python-model replay on tie/alias/falsy-dense random frames") {
+    // Random replay against an independent reimplementation of
+    // app/catalog/upsert.py:8-34, on a generator dense in the three
+    // fidelity edges: exact width ties (strict `>` keeps the FIRST
+    // occurrence), legacy `frame_path` alias fall-through (`path or
+    // frame_path` — empty string is falsy), and falsy final paths
+    // (dropped). Output ORDER matters too: a Python dict keeps each
+    // key's FIRST-insertion position across value updates.
+    def genCase(seed: Long): Seq[Row] = {
+      val g = for {
+        n <- Gen.choose(0, 7)
+        frames <- Gen.listOfN(n, for {
+          p <- Gen.oneOf(null, "", "/a.jpg", "/a.jpg", "/b.jpg", "/c.jpg")
+          fp <- Gen.oneOf(null, "", "/a.jpg", "/l1.jpg", "/l2.jpg")
+          ar <- Gen.oneOf[Any](null, 1.78)
+          va <- Gen.oneOf[Any](null, 0.0, 5.0, 9.0)
+          w <- Gen.oneOf[Any](null, 0, 100, 500, 500)
+        } yield Row(p, fp, ar, va, w))
+      } yield frames
+      g(Gen.Parameters.default, Seed(seed)).get
+    }
+    val cases = (0 until 300).map(i => (i, genCase(7000L + i)))
+    val schema = StructType(Seq(
+      StructField("i", IntegerType),
+      StructField("frames", ArrayType(Fixtures.rawFrameType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.map { case (i, f) => Row(i, f) }),
+      schema)
+    val got = df.select(col("i"),
+        FrameOps.normalizeFrames(col("frames"), legacyAlias = true).as("norm"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Row](1).map(n =>
+        (n.getString(0), Option(n.get(1)), Option(n.get(2)), Option(n.get(3)))))
+      .toMap
+    // independent model of _normalize_frames
+    def model(frames: Seq[Row]): Seq[(String, Option[Any], Option[Any], Option[Any])] = {
+      val norm = frames.flatMap { f =>
+        val p = Option(f.getString(0)).filter(_.nonEmpty)
+          .orElse(Option(f.getString(1)).filter(_.nonEmpty))
+        p.map(path => (path, Option(f.get(2)), Option(f.get(3)), Option(f.get(4))))
+      }
+      val byPath = scala.collection.mutable.LinkedHashMap[String,
+        (String, Option[Any], Option[Any], Option[Any])]()
+      norm.foreach { f =>
+        val wNew = f._4.map(_.asInstanceOf[Int]).getOrElse(0)
+        byPath.get(f._1) match {
+          case Some(cur) =>
+            val wCur = cur._4.map(_.asInstanceOf[Int]).getOrElse(0)
+            if (wNew > wCur) byPath.update(f._1, f) // strict >: ties keep FIRST
+          case None => byPath.update(f._1, f)
+        }
+      }
+      byPath.values.toSeq
+    }
+    cases.foreach { case (i, frames) =>
+      assert(got(i) == model(frames), s"case $i: frames=$frames")
+    }
+    // non-vacuity: the generator must actually exercise every edge
+    def resolvedPaths(frames: Seq[Row]): Seq[(String, Int)] = frames.flatMap { f =>
+      Option(f.getString(0)).filter(_.nonEmpty)
+        .orElse(Option(f.getString(1)).filter(_.nonEmpty))
+        .map(_ -> Option(f.get(4)).map(_.asInstanceOf[Int]).getOrElse(0))
+    }
+    assert(cases.exists { case (_, f) =>
+      resolvedPaths(f).groupBy(identity).exists(_._2.size > 1)
+    }, "no case with an exact (path, width-or-0) tie — first-occurrence keep untested")
+    assert(cases.exists(_._2.exists(f =>
+      !Option(f.getString(0)).exists(_.nonEmpty) &&
+        Option(f.getString(1)).exists(_.nonEmpty))),
+      "no case exercising the frame_path alias fall-through")
+    assert(cases.exists(_._2.exists(f =>
+      !Option(f.getString(0)).exists(_.nonEmpty) &&
+        !Option(f.getString(1)).exists(_.nonEmpty))),
+      "no case with a falsy final path (dropped entry)")
+    assert(cases.exists { case (_, f) =>
+      val direct = f.flatMap(x => Option(x.getString(0)).filter(_.nonEmpty)).toSet
+      f.exists(x => !Option(x.getString(0)).exists(_.nonEmpty) &&
+        Option(x.getString(1)).exists(_.nonEmpty) && direct(x.getString(1)))
+    }, "no case where an alias-resolved path collides with a direct path")
+  }
+
   test("addToSet: idempotent, dedups, preserves prior order; pullAll removes") {
     val add = Seq("/b.jpg", "/z.jpg")
     val df = samplesDf(200).select(col("incorrect_frames").as("inc"),

@@ -250,6 +250,91 @@ class StreamingSpec extends AnyFunSuite {
     assert(row == ((1L, "a", ts("2026-01-01 10:00:00"), 7.5)))
   }
 
+  test("asofJoin: duplicate right rows per (keys, ts) fail loudly by default; " +
+       "validateRights=false opts back into payload-order resolution") {
+    val left = Seq((1L, 10L, ts("2026-01-01 10:30:00"))).toDF("k", "click_id", "ts")
+    val dupRight = Seq(
+      (1L, 1L, ts("2026-01-01 10:00:00")),
+      (1L, 2L, ts("2026-01-01 10:00:00")), // the duplicate (k, ts) pair
+      (1L, 3L, ts("2026-01-01 09:00:00")))
+      .toDF("k", "view_id", "ts")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val e = intercept[Exception] {
+      StreamOps.asofJoin(left, dupRight, Seq("k"), "ts", "ts",
+        Map("view_id" -> "view_id")).collect()
+    }
+    val msgs = chain(e)
+    assert(msgs.exists(_.contains("duplicate right rows per (keys, ts)")),
+      s"expected the loud duplicate error, got: $msgs")
+    assert(msgs.exists(m => m.contains("key=(1)") && m.contains("2026-01-01 10:00:00")),
+      s"error must name the offending key and instant, got: $msgs")
+    // opt-out: resolves — to ONE of the duplicate pair (which one is the
+    // documented undefined-ness the default now refuses to ship)
+    val r = StreamOps.asofJoin(left, dupRight, Seq("k"), "ts", "ts",
+        Map("view_id" -> "view_id"), validateRights = false)
+      .select("view_id").as[Option[Long]].collect()
+    assert(r.length == 1 && r.head.exists(Set(1L, 2L)), s"got ${r.toSeq}")
+    // duplicate LEFTS are legal (each left resolves independently) and
+    // must not trip the right-side check
+    val dupLeft = Seq((1L, 10L, ts("2026-01-01 10:30:00")),
+      (1L, 11L, ts("2026-01-01 10:30:00"))).toDF("k", "click_id", "ts")
+    val ok = StreamOps.asofJoin(dupLeft,
+        Seq((1L, 1L, ts("2026-01-01 10:00:00"))).toDF("k", "view_id", "ts"),
+        Seq("k"), "ts", "ts", Map("view_id" -> "view_id"))
+      .select("click_id", "view_id").as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(ok.toSeq == Seq((10L, Some(1L)), (11L, Some(1L))))
+  }
+
+  test("asofJoinStream: a duplicate right per (key, ts) fails the query loudly; " +
+       "validateRights=false resolves by payload order") {
+    implicit val sqlCtx = spark.sqlContext
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    def drive(validate: Boolean, name: String): Either[Seq[String], Seq[(Long, Long, Option[Long])]] = {
+      val lMem = MemoryStream[(Long, Timestamp, Long)]
+      val rMem = MemoryStream[(Long, Timestamp, Long)]
+      def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+        m.toDF().toDF("key", "ts", "id").withWatermark("ts", "10 minutes")
+      val q = StreamOps.asofJoinStream(named(lMem), named(rMem),
+          validateRights = validate)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // batch 1: the duplicate pair, buffered above the watermark
+        rMem.addData((1L, ts("2026-01-01 10:00:00"), 1L),
+          (1L, ts("2026-01-01 10:00:00"), 2L))
+        lMem.addData((1L, ts("2026-01-01 10:30:00"), 100L))
+        q.processAllAvailable()
+        // batch 2: advance both inputs' watermarks past the left
+        rMem.addData((9L, ts("2026-01-01 11:00:00"), 9L))
+        lMem.addData((9L, ts("2026-01-01 11:00:00"), 999L))
+        q.processAllAvailable()
+        Right(spark.table(name)
+          .as[(Long, Long, Timestamp, Option[Long], Option[Timestamp])]
+          .collect().toSeq.map(x => (x._1, x._2, x._4)).sortBy(_._2))
+      } catch { case t: Throwable => Left(chain(t)) }
+      finally q.stop()
+    }
+    drive(validate = true, "asof_dup_loud") match {
+      case Left(msgs) =>
+        assert(msgs.exists(_.contains("duplicate right rows per (key, ts)")),
+          s"expected the loud duplicate error, got: $msgs")
+        assert(msgs.exists(m => m.contains("key=1") && m.contains("2026-01-01 10:00:00")),
+          s"error must name the offending key and instant, got: $msgs")
+      case Right(out) => fail(s"duplicate right must fail the query, emitted $out")
+    }
+    // opt-out: equal-(key, ts) right ties resolve by payload-string
+    // order — {"id":2} > {"id":1}, deterministic for this fixture
+    drive(validate = false, "asof_dup_optout") match {
+      case Left(msgs) => fail(s"validateRights=false must not fail: $msgs")
+      case Right(out) =>
+        assert(out.head == ((1L, 100L, Some(2L))), s"got $out")
+    }
+  }
+
   test("trailingStats: row-anchored range frame, inclusive at exactly the horizon") {
     val e = Seq(
       (1L, ts("2026-01-01 10:00:00"), 100L, "view", 5.0),
