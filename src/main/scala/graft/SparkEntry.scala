@@ -12,12 +12,13 @@ import graft.queries.{CoreQueries, DataxQueries}
   * Every implemented operator from SURVEY.md §2 is registered here as a
   * named query over the driver testdata tables (TESTDATA.md), paired with
   * ANSI SQL that DuckDB runs on the same parquet for the hash-compare.
-  * Nearly every query carries a full oracle — hash-bearing ops are built
-  * on md5 so the whole pipeline replays in SQL. The exceptions are
-  * rows-only BY CONSTRUCTION (no SQL replay exists): the runtime-derived
-  * sketch twins (d10b, d19a, d28a) and the stateful multi-batch
-  * streaming drives (d52, d53), each pinned by an equivalence spec
-  * instead.
+  * EVERY query carries a full oracle — hash-bearing ops are built on md5
+  * so the whole pipeline replays in SQL; the auto-LSH (d10b) and the
+  * stateful streaming drives (d52, d53) replay as closed-form SQL, and
+  * the two sketch aggregates (d19a, d28a) gate through the
+  * tolerance-claim shape (deterministic exact columns + a boolean claim
+  * the estimate sits inside its published guarantee — see the d19a/d28a
+  * QueryDef header).
   *
   * The query definitions live in [[graft.queries.CoreQueries]] (reference
   * surface, SURVEY.md §2) and [[graft.queries.DataxQueries]] (scale

@@ -25,4 +25,39 @@ object Profile {
     wide.select(expr(
       s"stack(${cols.size}, $stackArgs) as (col_name, n_rows, n_nonnull, n_distinct)"))
   }
+
+  /** [[profile]] with the HLL estimate ORACLE-GATED: one wide aggregate
+    * computes BOTH the exact distinct count and the HyperLogLog
+    * estimate per column (still one scan of `df`), and emits the exact
+    * counts plus a `hll_within_tol` claim — |est − exact| ≤ tol·exact.
+    *
+    * The shape is what makes a sketch checkable by an EXACT replay
+    * (DuckDB knows nothing of Spark's HLL): every emitted value is
+    * deterministic — col_name / n_rows / n_nonnull / n_distinct are
+    * exact and hash-compared against the oracle's own exact counts,
+    * and the claim column is `true` on both sides. Transitively the
+    * oracle then certifies the estimate itself: the claim was computed
+    * against a Spark-side exact count the oracle independently
+    * verified, so a green row proves the HLL landed within `tol` of
+    * the TRUE cardinality. `tol` = 0.1 is generous against
+    * approx_count_distinct's default 5% standard error (RSD 0.05);
+    * the claim holds for ANY correct merge order, and a real estimator
+    * bug (10%+ off) fails the hash loudly. */
+  def profileWithHllGate(df: DataFrame, cols: Seq[String],
+                         tol: Double = 0.1): DataFrame = {
+    require(cols.nonEmpty)
+    require(tol > 0.0, s"tol=$tol must be positive")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"_nn_$c"),
+      countDistinct(col(c)).as(s"_nd_$c"),
+      approx_count_distinct(col(c)).as(s"_est_$c")))
+    val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', _total, `_nn_$c`, `_nd_$c`, " +
+        s"abs(`_est_$c` - `_nd_$c`) <= $tol * `_nd_$c`")
+      .mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stackArgs) as " +
+        "(col_name, n_rows, n_nonnull, n_distinct, hll_within_tol)"))
+  }
 }

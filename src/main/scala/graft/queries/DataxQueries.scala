@@ -1180,29 +1180,88 @@ object DataxQueries {
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type""")),
 
-    /* The 100 TB variants of d19/d28, surfaced as BENCH entries: sketch
-     * aggregates (HyperLogLog / t-digest-style quantile sketch) whose
-     * estimates are engine-specific by construction, so they carry NO
-     * oracle (rows-only check — the documented exception: the exact
-     * twins d19/d28 are the hash-gated forms, and DataxSpec pins the
-     * HLL estimates within 10% of exact). Bench-timing them records the
-     * exact-vs-sketch cost gap per round. */
+    /* The 100 TB variants of d19/d28: sketch aggregates (HyperLogLog /
+     * Greenwald-Khanna quantile summary) whose ESTIMATES are
+     * engine-specific by construction — no exact replay exists. Yet
+     * both are FULLY oracle-gated (round 12; formerly the registry's
+     * only two unchecked entries) by the tolerance-claim shape: emit
+     * only deterministic values — the grouping keys, the exact counts
+     * the sketch pass computes anyway, and a boolean CLAIM that the
+     * estimate landed inside its published guarantee, checked against
+     * a Spark-side exact quantity the oracle independently verifies in
+     * the same row. A green hash then transitively certifies the
+     * estimate: claim=true was computed against a value DuckDB agrees
+     * with. The claims hold for ANY correct merge order (they encode
+     * the algorithms' guarantees with slack), so the gate is
+     * deterministic where the raw estimates are not — and a real
+     * estimator bug fails the hash loudly instead of shipping
+     * unchecked. */
     QueryDef("d19a_profile_hll",
-      (s, dir) => Profile.profile(t(s, dir, "orders"),
-          Seq("o_custkey", "o_orderstatus", "o_orderpriority"), exact = false)
+      (s, dir) => Profile.profileWithHllGate(t(s, dir, "orders"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"), tol = 0.1)
         .orderBy("col_name"),
-      None),
+      Some("""SELECT col_name, n_rows, n_nonnull, n_distinct,
+               true AS hll_within_tol
+        FROM (
+          SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+                 CAST(count(o_orderstatus) AS BIGINT),
+                 CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+                 CAST(count(o_orderpriority) AS BIGINT),
+                 CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+          FROM orders)
+        ORDER BY col_name""")),
 
+    /* approx_percentile gate: the GK summary guarantees the returned
+     * value is an ACTUAL element whose rank is within N/accuracy of
+     * p·N (default accuracy 10000 → ε = 1e-4). The claim re-derives
+     * each estimate's rank band from the data — #{v ≤ est} ≥ (p−ε′)·N
+     * and #{v < est} ≤ (p+ε′)·N over the group's non-null values, with
+     * ε′ = 1e-3 (10× slack over the guarantee, so partition-merge
+     * nondeterminism can never flip it) — and emits only the booleans
+     * plus exact counts. Two passes over events (agg, then a broadcast
+     * join back for the rank counts) — the price of gating a sketch,
+     * paid at verify scale; the sketch itself stays one-pass for
+     * production use. */
     QueryDef("d28a_percentiles_approx",
-      (s, dir) => t(s, dir, "events")
-        .groupBy("event_type")
-        .agg(
-          expr("approx_percentile(value, 0.5)").as("p50"),
-          expr("approx_percentile(value, 0.9)").as("p90"),
-          expr("approx_percentile(value, 0.99)").as("p99"),
-          count(lit(1)).as("n"))
-        .orderBy("event_type"),
-      None),
+      (s, dir) => {
+        val e = t(s, dir, "events")
+        val eps = 0.001
+        val approx = e.groupBy("event_type")
+          .agg(
+            expr("approx_percentile(value, 0.5)").as("p50"),
+            expr("approx_percentile(value, 0.9)").as("p90"),
+            expr("approx_percentile(value, 0.99)").as("p99"),
+            count(lit(1)).as("n"))
+        def le(est: String) = sum(when(col("value") <= col(est), 1L).otherwise(0L))
+        def lt(est: String) = sum(when(col("value") < col(est), 1L).otherwise(0L))
+        def band(p: Double, leC: String, ltC: String) =
+          col(leC) >= (lit(p) - eps) * col("nv") &&
+            col(ltC) <= (lit(p) + eps) * col("nv")
+        e.join(broadcast(approx), "event_type")
+          .groupBy("event_type")
+          .agg(first("n").as("n"), count(col("value")).as("nv"),
+            le("p50").as("le50"), lt("p50").as("lt50"),
+            le("p90").as("le90"), lt("p90").as("lt90"),
+            le("p99").as("le99"), lt("p99").as("lt99"))
+          .select(col("event_type"), col("n"), col("nv"),
+            band(0.5, "le50", "lt50").as("p50_in_band"),
+            band(0.9, "le90", "lt90").as("p90_in_band"),
+            band(0.99, "le99", "lt99").as("p99_in_band"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(value) AS BIGINT) AS nv,
+               true AS p50_in_band, true AS p90_in_band, true AS p99_in_band
+        FROM events GROUP BY event_type ORDER BY event_type""")),
 
     /* Exact interpolated percentiles per group (Spark `percentile` and
      * DuckDB `quantile_cont` share the (1-g)*lo + g*hi definition; at

@@ -42,5 +42,19 @@ class ProfilePropertiesSpec extends AnyFunSuite {
       assert(vals.contains(null) && vals.filter(_ != null).distinct.size < vals.count(_ != null),
         s"generator degenerate for column $i")
     }
+    // profileWithHllGate: exact columns match the same model, the claim
+    // column certifies the HLL against them (the d19a oracle shape)
+    val gated = Profile.profileWithHllGate(df, Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getBoolean(4)))
+      .toMap
+    Seq("a", "b", "c").zipWithIndex.foreach { case (name, i) =>
+      val nonNull = rows.map(_.get(i)).filter(_ != null)
+      assert(gated(name)._1 ==
+        ((rows.size.toLong, nonNull.size.toLong, nonNull.distinct.size.toLong)),
+        s"gated column $name exact counts diverge from the model")
+      assert(gated(name)._2,
+        s"HLL estimate for $name outside 10% of exact at trivial cardinality")
+    }
   }
 }
