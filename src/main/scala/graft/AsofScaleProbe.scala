@@ -18,13 +18,15 @@ import graft.streaming.{BatchFiles, StreamOps}
   * /tmp/graft_scale_30x), SPARK_GRAFT_SPLITS (files per side, default
   * 4), SPARK_GRAFT_CPUS, SPARK_GRAFT_STATE_PARTS (statePartitions for
   * the drive, default session conf — the SCALE.md state-partition
-  * sizing measurement). */
+  * sizing measurement), SPARK_GRAFT_PAYLOAD_CODEC (json|binary — the
+  * SCALE.md pack-cost comparison). */
 object AsofScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/graft_scale_30x")
     val splits = sys.env.getOrElse("SPARK_GRAFT_SPLITS", "4").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val stateParts = sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
+    val codec = sys.env.getOrElse("SPARK_GRAFT_PAYLOAD_CODEC", "json")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,22 +48,36 @@ object AsofScaleProbe {
     // larger SF should swap this for approxQuantile ts thresholds +
     // a comparison column, which needs no global sort at all.
     val part = ntile(splits).over(Window.orderBy(col("ts"), col("id"))) - 1
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id"))
-    val views = e.filter(col("event_type") === "view")
+    // SPARK_GRAFT_WIDE_PAYLOAD=1: ride a realistic wide payload (string
+    // + double + micros timestamp + array) instead of the single id —
+    // the codec-comparison shape, where pack cost is proportional to
+    // payload width (id-only payloads render to ~the same bytes under
+    // either codec)
+    val wide = sys.env.get("SPARK_GRAFT_WIDE_PAYLOAD").contains("1")
+    def widen(df: org.apache.spark.sql.DataFrame) =
+      if (!wide) df
+      else df
+        .withColumn("tag", concat(lit("user-tag-"), col("key") % 1000))
+        .withColumn("score", col("id") % 997 * 1.5)
+        .withColumn("seen", timestamp_micros(col("id") * 1000001L))
+        .withColumn("attrs", array(concat(lit("a"), col("id") % 7),
+          concat(lit("b"), col("key") % 13), lit("cxxxxxxxxxxxx")))
+    val clicks = widen(e.filter(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("ts"), col("event_id").as("id")))
+    val views = widen(e.filter(col("event_type") === "view")
       .groupBy("user_id", "ts").agg(max("event_id").as("id"))
-      .select(col("user_id").as("key"), col("ts"), col("id"))
+      .select(col("user_id").as("key"), col("ts"), col("id")))
     BatchFiles.write(clicks.withColumn("p", part), s"$tmp/left", "p", splits,
       keepSplitCol = false)
     BatchFiles.write(views.withColumn("p", part), s"$tmp/right", "p", splits,
       keepSplitCol = false)
     val nL = clicks.count(); val nR = views.count()
-    println(s"""{"probe":"asof_scale_input","sf":"$sfDir","events":$nEvents,"lefts":$nL,"rights":$nR,"splits":$splits}""")
+    println(s"""{"probe":"asof_scale_input","sf":"$sfDir","events":$nEvents,"lefts":$nL,"rights":$nR,"splits":$splits,"codec":"$codec"}""")
 
     val t0 = System.nanoTime()
     val out = StreamOps.asofJoinStreamFiles(spark, s"$tmp/left", s"$tmp/right",
       s"$tmp/ckpt", s"$tmp/out", delay = "10 minutes",
-      maxFilesPerTrigger = 1, statePartitions = stateParts,
+      maxFilesPerTrigger = 1, payloadCodec = codec, statePartitions = stateParts,
       onProgress = ps => ps.foreach { p =>
         val st = p.stateOperators.headOption
         println(s"""{"probe":"asof_scale_batch","batch":${p.batchId},"input_rows":${p.numInputRows},"duration_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_mb":${st.map(_.memoryUsedBytes / 1048576).getOrElse(-1L)},"dropped_by_wm":${st.map(_.numRowsDroppedByWatermark).getOrElse(-1L)},"watermark":"${Option(p.eventTime.get("watermark")).getOrElse("")}"}""")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -336,8 +336,13 @@ object StreamOps {
       max(col("value")).over(w).as("max_value_trailing"))
   }
 
-  final case class AsOfRow(key: Long, ts: java.sql.Timestamp, payload: String,
-                           is_left: Boolean)
+  /** Generic in the payload type `P` (round 12): `String` for the JSON
+    * codec, `Array[Byte]` for the binary codec. The `P = String`
+    * instantiation's encoder schema is field-for-field what the former
+    * concrete classes produced, so pre-existing JSON-mode checkpoints
+    * resume unchanged. */
+  final case class AsOfRow[P](key: Long, ts: java.sql.Timestamp, payload: P,
+                              is_left: Boolean)
   /** Keyed state of [[asofJoinStream]]. `tsUnit` is a SCHEMA VERSION
     * MARKER, not data: event times were re-keyed from epoch-millis to
     * epoch-micros (round 11), and a pre-change checkpoint deserializes
@@ -345,14 +350,21 @@ object StreamOps {
     * 1000x off. The extra field changes the state schema so the state
     * store's compatibility check REJECTS such a resume at query start
     * (loud failure -> restart with a fresh checkpoint) instead of
-    * appending wrong rows to the sink. */
-  final case class AsOfState(lefts: List[(Long, String)],
-                             rights: List[(Long, String)],
-                             tsUnit: String = "us")
-  final case class AsOfMatch(key: Long, left_ts: java.sql.Timestamp,
-                             left_payload: String,
-                             right_ts: Option[java.sql.Timestamp],
-                             right_payload: Option[String])
+    * appending wrong rows to the sink. (A codec flip string<->binary
+    * changes the payload type itself and is rejected the same way.) */
+  final case class AsOfState[P](lefts: List[(Long, P)],
+                                rights: List[(Long, P)],
+                                tsUnit: String = "us")
+  final case class AsOfMatch[P](key: Long, left_ts: java.sql.Timestamp,
+                                left_payload: P,
+                                right_ts: Option[java.sql.Timestamp],
+                                right_payload: Option[P])
+
+  /** Deterministic state sort for binary payloads: unsigned
+    * lexicographic — the bytes analogue of the JSON codec's
+    * payload-string order. */
+  private implicit val bytesOrdering: Ordering[Array[Byte]] =
+    (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
 
   /** java.sql.Timestamp <-> epoch MICROSECONDS (TimestampType's native
     * precision): getTime carries millis, getNanos the full fractional
@@ -391,11 +403,21 @@ object StreamOps {
     * `right_<col>` (right side null on no-match), around `key`,
     * `left_ts`, `right_ts` — the column order of the former concrete
     * face, which is the lPay=rPay=["id"] special case. In state the
-    * payload transits as a JSON-packed struct (schema re-applied with
-    * `from_json` on the way out, so types round-trip exactly — any
-    * to_json/from_json-expressible type works); a fixed-schema
-    * deployment hot enough to care can specialize the pack to a binary
-    * encoder, the state contract is unchanged. Right rows must be
+    * payload transits as a packed struct, opaque to the state machine;
+    * `payloadCodec` picks the pack (round 12 — formerly JSON-only with
+    * the binary form documented as an escape hatch):
+    *   - `"json"` (default): `to_json`/`from_json` — version-portable,
+    *     fields matched BY NAME, any JSON-expressible type; costs a
+    *     measured 1.3-1.5x in steady state (SCALE.md 30x study).
+    *   - `"binary"`: [[graft.functions.StructCodec]] — the payload
+    *     rides as UnsafeRow bytes, no text render/parse; for
+    *     fixed-schema hot paths. Positional fields, same-Spark-version
+    *     checkpoints only (trade documented on StructCodec); identical
+    *     outputs (spec-pinned on nested payloads).
+    * Either way types round-trip exactly and the state CONTRACT —
+    * (lefts, rights, tsUnit) per key, payload opaque — is unchanged;
+    * a codec flip on an existing checkpoint fails loudly (state schema
+    * check). Right rows must be
     * unique per (key, ts), as in the batch face — and as there the
     * precondition is ENFORCED by default (`validateRights = true`): a
     * second right at a buffered right's (key, ts) fails the batch with
@@ -427,26 +449,64 @@ object StreamOps {
     * own stream-stream join state retention). */
   def asofJoinStream(left: DataFrame, right: DataFrame,
                      rightRetentionMinutes: Option[Int] = None,
-                     validateRights: Boolean = true): DataFrame = {
+                     validateRights: Boolean = true,
+                     payloadCodec: String = "json"): DataFrame = {
     require(rightRetentionMinutes.forall(_ > 0),
       s"rightRetentionMinutes must be positive: $rightRetentionMinutes")
-    val ss = left.sparkSession
-    import ss.implicits._
+    require(payloadCodec == "json" || payloadCodec == "binary",
+      s"payloadCodec must be 'json' or 'binary': $payloadCodec")
     def payloadCols(df: DataFrame): Seq[String] =
       df.columns.toSeq.filterNot(c => c == "key" || c == "ts")
     val lPay = payloadCols(left)
     val rPay = payloadCols(right)
-    def pack(pay: Seq[String]): Column =
-      if (pay.isEmpty) lit("{}")
-      else to_json(struct(pay.map(col): _*), payloadJsonOpts)
-    def tag(df: DataFrame, isLeft: Boolean, pay: Seq[String]) = df.select(
-      col("key").cast("long"), normTsIfNtz(df, "ts"),
-      pack(pay).as("payload"), lit(isLeft).as("is_left")).as[AsOfRow]
-    val matched = tag(left, true, lPay).unionByName(tag(right, false, rPay))
-      .groupByKey(_.key)
-      .flatMapGroupsWithState[AsOfState, AsOfMatch](
+    def tagged[P](packFn: Seq[String] => Column)
+                 (implicit enc: Encoder[AsOfRow[P]]): Dataset[AsOfRow[P]] = {
+      def tag(df: DataFrame, isLeft: Boolean, pay: Seq[String]) = df.select(
+        col("key").cast("long"), normTsIfNtz(df, "ts"),
+        packFn(pay).as("payload"), lit(isLeft).as("is_left")).as[AsOfRow[P]]
+      tag(left, true, lPay).unionByName(tag(right, false, rPay))
+    }
+    val (matched, unpackFn) = payloadCodec match {
+      case "json" =>
+        def packJson(pay: Seq[String]): Column =
+          if (pay.isEmpty) lit("{}")
+          else to_json(struct(pay.map(col): _*), payloadJsonOpts)
+        val m = resolveAsOf[String](
+          tagged[String](packJson)(Encoders.product[AsOfRow[String]]),
+          rightRetentionMinutes, validateRights)(
+          Ordering.String, Encoders.product[AsOfState[String]],
+          Encoders.product[AsOfMatch[String]])
+        (m.toDF(), (c: Column, s: org.apache.spark.sql.types.StructType) =>
+          from_json(c, s, payloadJsonOpts))
+      case "binary" =>
+        def packBin(pay: Seq[String]): Column =
+          if (pay.isEmpty) lit(Array.emptyByteArray)
+          else graft.functions.StructCodec.pack(struct(pay.map(col): _*))
+        val m = resolveAsOf[Array[Byte]](
+          tagged[Array[Byte]](packBin)(Encoders.product[AsOfRow[Array[Byte]]]),
+          rightRetentionMinutes, validateRights)(
+          bytesOrdering, Encoders.product[AsOfState[Array[Byte]]],
+          Encoders.product[AsOfMatch[Array[Byte]]])
+        (m.toDF(), (c: Column, s: org.apache.spark.sql.types.StructType) =>
+          graft.functions.StructCodec.unpack(c, s))
+    }
+    unpackAsOf(matched, left.schema, right.schema, unpackFn)
+  }
+
+  /** The codec-agnostic state machine of [[asofJoinStream]]: payloads
+    * are opaque `P` values — only their (ts, payload) ordering is used,
+    * and only for deterministic buffer order. */
+  private def resolveAsOf[P](tagged: Dataset[AsOfRow[P]],
+                             rightRetentionMinutes: Option[Int],
+                             validateRights: Boolean)
+                            (implicit ord: Ordering[P],
+                             stateEnc: Encoder[AsOfState[P]],
+                             matchEnc: Encoder[AsOfMatch[P]]): Dataset[AsOfMatch[P]] = {
+    tagged
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState[AsOfState[P], AsOfMatch[P]](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: Long, rows: Iterator[AsOfRow], state: GroupState[AsOfState]) =>
+        (key: Long, rows: Iterator[AsOfRow[P]], state: GroupState[AsOfState[P]]) =>
           // state keys event time in MICROSECONDS (tsMicros) — the full
           // precision of Spark's TimestampType. Keying on getTime (ms)
           // would truncate: a right at ...000800us would match a left
@@ -481,7 +541,7 @@ object StreamOps {
           // (or exclude the boundary instant from both sides, as the
           // d53 verify entry does) — never `<=`.
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          val prev = state.getOption.getOrElse(AsOfState[P](Nil, Nil))
           val (newL, newR) = rows.toList.partition(_.is_left)
           val lefts = prev.lefts ++ newL.map(r => (tsMicros(r.ts), r.payload))
           val rights = (prev.rights ++ newR.map(r => (tsMicros(r.ts), r.payload)))
@@ -540,8 +600,7 @@ object StreamOps {
             }
           }
           out.iterator
-      }(Encoders.product[AsOfState], Encoders.product[AsOfMatch])
-    unpackAsOf(matched.toDF(), left.schema, right.schema)
+      }(stateEnc, matchEnc)
   }
 
   private def paySchema(s: org.apache.spark.sql.types.StructType)
@@ -549,20 +608,22 @@ object StreamOps {
     org.apache.spark.sql.types.StructType(
       s.fields.filterNot(f => f.name == "key" || f.name == "ts"))
 
-  /** Re-type the JSON-packed payloads into `left_<col>` / `right_<col>`
+  /** Re-type the packed payloads into `left_<col>` / `right_<col>`
     * columns in the former concrete face's column order (key, left
     * payload, left_ts, right payload, right_ts). A stateless projection
-    * — legal on the streaming frame after the stateful operator. */
+    * — legal on the streaming frame after the stateful operator.
+    * `unpack` is the codec's struct-restore (from_json / StructUnpack). */
   private def unpackAsOf(matched: DataFrame,
                          leftSchema: org.apache.spark.sql.types.StructType,
-                         rightSchema: org.apache.spark.sql.types.StructType): DataFrame = {
+                         rightSchema: org.apache.spark.sql.types.StructType,
+                         unpack: (Column, org.apache.spark.sql.types.StructType) => Column): DataFrame = {
     val lp = paySchema(leftSchema)
     val rp = paySchema(rightSchema)
     val parsed = matched
       .withColumn("_l",
-        if (lp.isEmpty) lit(null) else from_json(col("left_payload"), lp, payloadJsonOpts))
+        if (lp.isEmpty) lit(null) else unpack(col("left_payload"), lp))
       .withColumn("_r",
-        if (rp.isEmpty) lit(null) else from_json(col("right_payload"), rp, payloadJsonOpts))
+        if (rp.isEmpty) lit(null) else unpack(col("right_payload"), rp))
     parsed.select(
       Seq(col("key")) ++
         lp.fields.toSeq.map(f => col("_l").getField(f.name).as(s"left_${f.name}")) ++
@@ -617,6 +678,7 @@ object StreamOps {
                           maxFilesPerTrigger: Int = 1,
                           rightRetentionMinutes: Option[Int] = None,
                           validateRights: Boolean = true,
+                          payloadCodec: String = "json",
                           statePartitions: Option[Int] = None,
                           onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                             _ => ()): DataFrame = {
@@ -631,7 +693,7 @@ object StreamOps {
         .withWatermark("ts", delay)
     }
     val joined = asofJoinStream(src(leftDir), src(rightDir), rightRetentionMinutes,
-      validateRights)
+      validateRights, payloadCodec)
     val trace = driveCollectingProgress(sess.streams,
       joined
         .writeStream.format("parquet")

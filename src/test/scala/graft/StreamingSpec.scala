@@ -871,6 +871,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream payloadCodec=binary == json on nested payloads with " +
+       "null fields and sub-ms timestamps (the StructCodec contract)") {
+    // The binary codec packs payloads as UnsafeRow bytes instead of
+    // JSON text. Pin output EQUALITY against the JSON drive on the
+    // hard corners: nested array + struct columns, a null payload
+    // field (null-bitmap path), a microsecond-precision timestamp
+    // payload (where the JSON codec needs its explicit format), and a
+    // no-match left (null right payload end to end).
+    implicit val sqlCtx = spark.sqlContext
+    def us(base: String, micros: Int): Timestamp = {
+      val t = ts(base); t.setNanos(micros * 1000); t
+    }
+    def drive(codec: String, name: String): Seq[org.apache.spark.sql.Row] = {
+      val lMem = MemoryStream[(Long, Timestamp, Long)]
+      val rMem = MemoryStream[(Long, Timestamp, Long)]
+      def enrich(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("tags", array(concat(lit("t"), col("id")), lit("x")))
+        .withColumn("meta", struct(col("id").as("a"), concat(lit("m"), col("id")).as("b")))
+        .withColumn("maybe", when(col("id") % 2 === 1, concat(lit("v"), col("id"))))
+        .withColumn("seen", timestamp_micros(col("id") * 1000001L))
+      def named(m: MemoryStream[(Long, Timestamp, Long)]) =
+        enrich(m.toDF().toDF("key", "ts", "id")).withWatermark("ts", "10 minutes")
+      val q = StreamOps.asofJoinStream(named(lMem), named(rMem),
+          payloadCodec = codec)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        lMem.addData((1L, us("2026-01-01 10:30:00", 500), 100L),
+          (1L, ts("2026-01-01 10:40:00"), 101L),
+          (2L, ts("2026-01-01 10:20:00"), 201L)) // no right at all -> null side
+        rMem.addData((1L, us("2026-01-01 10:00:00", 250), 7L))
+        q.processAllAvailable()
+        lMem.addData((9L, ts("2026-01-01 12:00:00"), 90L))
+        rMem.addData((9L, ts("2026-01-01 12:00:00"), 91L))
+        q.processAllAvailable()
+        spark.table(name).orderBy("key", "left_id").collect().toSeq
+      } finally q.stop()
+    }
+    val json = drive("json", "asof_codec_json")
+    val bin = drive("binary", "asof_codec_bin")
+    assert(json.nonEmpty, "drive emitted nothing — the comparison is vacuous")
+    assert(bin == json, s"binary codec diverged:\n  bin=$bin\n  json=$json")
+    // and the rows are the RIGHT rows (guard against equal-but-wrong)
+    val r100 = json.find(_.getAs[Long]("left_id") == 100L).get
+    assert(r100.getAs[Long]("right_id") == 7L)
+    assert(r100.getAs[String]("left_maybe") == null, "even id -> null payload field")
+    assert(r100.getAs[String]("right_maybe") == "v7")
+    assert(r100.getAs[Timestamp]("right_seen") == timestampOfMicros(7L * 1000001L))
+    val r201 = json.find(_.getAs[Long]("left_id") == 201L).get
+    assert(r201.isNullAt(r201.fieldIndex("right_id")), "no-match right payload null")
+  }
+
+  private def timestampOfMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   test("asofJoinStream keys state at MICROSECOND precision: a right 500us " +
        "after the left must not match (ms truncation would let it)") {
     // getTime-keyed state truncates to ms: a right at ...000800us and a
