@@ -1,6 +1,6 @@
 package graft.datax
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication at scale: exact (hash groupBy), MinHash+LSH
@@ -571,14 +571,29 @@ object Dedup {
       // plan really is batch ANTI JOIN small-list — re-running an action
       // on it must not repeat the fingerprint semi join (a full index
       // text scan when no indexFps sidecar was provided), and the
-      // release in the finally must leave nothing the plan still needs
-      val hit = cutLineage(
-        crossPairs.select(col("id_a").as(idCol)).union(exactHit).distinct())
-      // dedupCorpusOn's drop list materializes here (dupClusters is
-      // eager), so after this line no internal cache is referenced by
-      // the returned plan and the finally can release them all
-      dedupCorpusOn(newDocs, ne, idCol, textCol, numHashes, bands, threshold)
-        .join(hit, Seq(idCol), "left_anti")
+      // release in the finally must leave nothing the plan still needs.
+      // The cross-index cut and the within-batch dedup (whose near-dup
+      // drop list materializes inside dedupCorpusOn — dupClusters is
+      // eager) are INDEPENDENT materializations over the shared `ne`
+      // shingle cache — run them concurrently (round 12): at fixture
+      // scale each is dominated by fixed job latency, at cluster scale
+      // the scheduler interleaves them. Concurrent FIRST-touch of the
+      // shared batch-sized caches (ne, the persisted batch) can compute
+      // a partition twice before the block lands — bounded at 2x a
+      // batch-sized scan, the accepted price of unserializing the two
+      // materializations. After both complete no internal cache is
+      // referenced by the returned plan and the finally can release
+      // them all.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fHit = Future(cutLineage(
+        crossPairs.select(col("id_a").as(idCol)).union(exactHit).distinct()))
+      val fWithin = Future(
+        dedupCorpusOn(newDocs, ne, idCol, textCol, numHashes, bands, threshold))
+      val (hit, within) =
+        (Await.result(fHit, Duration.Inf), Await.result(fWithin, Duration.Inf))
+      within.join(hit, Seq(idCol), "left_anti")
     } finally created.foreach { e =>
       e.unpersist(); liveShingleCaches.remove(e)
     }
@@ -832,16 +847,24 @@ object Dedup {
     // replaces the iterative joins: label propagation's per-round
     // plan/compile/job overhead dwarfs the actual work at that size.
     // Bigger graphs take the distributed min-label loop below.
-    val nPairs = p.count()
-    if (nPairs <= driverMaxPairs) {
-      try return driverComponents(p)
+    // ONE bounded action decides AND fetches (round 12; formerly
+    // count-then-collect, two actions on the expensive pair pipeline):
+    // collect limit+1 rows — short of the limit, these ARE all the
+    // edges and the driver path starts immediately; at the limit, fall
+    // back. The probe is bounded at driverMaxPairs+1 bare id pairs
+    // either way, so the fallback path's wasted fetch stays exactly as
+    // large as the driver path was licensed to collect.
+    val lim = math.min(driverMaxPairs, Int.MaxValue - 2L).toInt
+    val head = p.limit(lim + 1).collect()
+    if (head.length <= lim) {
+      try return driverComponents(head, p.schema.fields(0).dataType, p.sparkSession)
       finally { p.unpersist(); () }
     }
     // loud, once: the fallback changes the cost model (a shuffle per
     // round instead of one collect), which an operator should be able
     // to see in the logs rather than infer from runtimes
-    System.err.println(s"[graft-dedup] pair graph has $nPairs edges " +
-      s"(> driverMaxPairs=$driverMaxPairs): switching to distributed " +
+    System.err.println(s"[graft-dedup] pair graph exceeds " +
+      s"driverMaxPairs=$driverMaxPairs edges: switching to distributed " +
       "min-label propagation")
     val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -886,8 +909,8 @@ object Dedup {
   /** Driver-side union-find over a collected pair list; cluster = the
     * MINIMUM member id (same contract as the distributed loop). Ids may
     * be any Comparable type (long, string, ...). */
-  private def driverComponents(p: DataFrame): DataFrame = {
-    val spark = p.sparkSession
+  private def driverComponents(rows: Array[Row], idType: org.apache.spark.sql.types.DataType,
+                               spark: SparkSession): DataFrame = {
     val parent = new scala.collection.mutable.HashMap[Any, Any]()
     def find(x: Any): Any = {
       var r = x
@@ -896,7 +919,6 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    val rows = p.collect()
     rows.foreach { row =>
       val (a, b) = (row.get(0), row.get(1))
       val (ra, rb) = (find(a), find(b))
@@ -913,7 +935,6 @@ object Dedup {
     }
     val out = members.toSeq.map(m =>
       org.apache.spark.sql.Row(m, minOf(find(m))))
-    val idType = p.schema.fields(0).dataType
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("cluster", idType)))
