@@ -253,12 +253,17 @@ object Bench {
     val acceptPrior = sys.env.get("SPARK_GRAFT_ACCEPT_PRIOR").contains("1")
     val allMeasured = ordered.forall { case (_, (r, _, _)) =>
       r.failedReps == 0 && r.median >= 0 }
+    // a run at a different SF than the committed floor (scale studies)
+    // must not take the floor slot — its prior compare was vacuous
+    val sfMatchesPrior =
+      priorRaw.isEmpty || BenchTrust.parseSf(priorRaw).contains(sfDir)
     val floorSafe = BenchTrust.floorSafe(only.nonEmpty, trusted, allMeasured,
-      priorRegressed.isEmpty, acceptPrior)
+      priorRegressed.isEmpty, acceptPrior, sfMatchesPrior)
     val outFile = if (floorSafe) "BENCH_LOCAL.json" else "BENCH_LOCAL_DEGRADED.json"
     if (!floorSafe)
       System.err.println(s"[bench] floor-unsafe run (filtered=${only.nonEmpty}, " +
-        s"trusted=$trusted, prior_regressed=[${priorRegressed.keys.toSeq.sorted.mkString(",")}]) " +
+        s"trusted=$trusted, sfMatchesPrior=$sfMatchesPrior, " +
+        s"prior_regressed=[${priorRegressed.keys.toSeq.sorted.mkString(",")}]) " +
         s"-> writing $outFile, BENCH_LOCAL.json untouched")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     catch { case _: Throwable => () }

@@ -80,13 +80,21 @@ object BenchTrust {
     * certified by the environment rules (`trusted`) with every query
     * actually measured (`allMeasured` — a crashed query's -1 median is
     * vacuously healthy and invisible to [[priorOutliers]], and would
-    * permanently disable the prior rule for it) and no residual
-    * prior regression (unless the operator explicitly accepts an
-    * intentional slowdown with `acceptPrior`). Everything else routes to
+    * permanently disable the prior rule for it), AT THE COMMITTED
+    * FLOOR'S SCALE FACTOR (`sfMatchesPrior` — round 12: a trusted
+    * full-suite run at a DIFFERENT SF skips the prior compare entirely,
+    * so prior_regressed is vacuously empty and the run would silently
+    * replace the floor with numbers at another scale; a scale-study run
+    * must never take the slot), and no residual prior regression.
+    * `acceptPrior` is the operator's explicit override for both the
+    * regression and the SF residency (an intentional slowdown, or an
+    * intentional floor re-base at a new SF). Everything else routes to
     * BENCH_LOCAL_DEGRADED.json: evidence kept, floor intact. */
   def floorSafe(filtered: Boolean, trusted: Boolean, allMeasured: Boolean,
-                priorRegressedEmpty: Boolean, acceptPrior: Boolean): Boolean =
-    !filtered && trusted && allMeasured && (priorRegressedEmpty || acceptPrior)
+                priorRegressedEmpty: Boolean, acceptPrior: Boolean,
+                sfMatchesPrior: Boolean = true): Boolean =
+    !filtered && trusted && allMeasured &&
+      ((priorRegressedEmpty && sfMatchesPrior) || acceptPrior)
 
   /** The prior run's `"sf"` field — [[priorOutliers]] is only meaningful
     * against a prior at the SAME scale factor (a dev run at a smaller SF

@@ -91,6 +91,15 @@ class BenchTrustSpec extends AnyFunSuite {
     assert(BenchTrust.floorSafe(false, true, true, false, acceptPrior = true))
     assert(!BenchTrust.floorSafe(false, false, true, false, acceptPrior = true),
       "acceptPrior waives the regression check only, not trust")
+    // a trusted full-suite run at a DIFFERENT SF than the committed
+    // floor skipped the prior compare entirely (vacuously empty
+    // prior_regressed) — it must not silently replace the floor with
+    // numbers at another scale (the scale-study clobber hole, r12)
+    assert(!BenchTrust.floorSafe(false, true, true, true, false,
+      sfMatchesPrior = false), "different-SF scale study run")
+    assert(BenchTrust.floorSafe(false, true, true, true, acceptPrior = true,
+      sfMatchesPrior = false),
+      "acceptPrior is the explicit floor re-base at a new SF")
   }
 
   test("parseSf extracts the prior run's scale dir (same-SF guard for priorOutliers)") {
