@@ -1205,6 +1205,16 @@ object Dedup {
     * ~ n/2^r), L buys recall back (1-(1-p^r)^L). Pick (L, r) with
     * [[bandsFor]] or [[embeddingNearDupsBandedAuto]].
     *
+    * FIXED PARAMETERS DO NOT SCALE — measured, not theoretical: the
+    * full-suite 10x study (SCALE.md round 12) ran this form at fixed
+    * (8, 8) in 83 s where the auto form took 3.8 s on the SAME data —
+    * in-bucket pair expansion is quadratic in occupancy n/2^r, so a
+    * plane count chosen for one corpus size silently blows up at the
+    * next. This form exists for callers who have ALREADY derived
+    * (L, r) from their n (e.g. via a prior [[bandsFor]]); if n is not
+    * in hand, use the auto form — its one count pass is noise next to
+    * the quadratic downside.
+    *
     * Plan shape: plane projections are scan-side — ONE native
     * [[graft.functions.BandSignatures]] call yields all L bucket
     * strings with the plane tensor as a codegen reference object
