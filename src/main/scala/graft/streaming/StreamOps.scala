@@ -126,6 +126,38 @@ object StreamOps {
     s2
   }
 
+  /** [[sizedSession]] generalized to the file drives' per-query state
+    * tuning: clone only when something is actually overridden. The
+    * short provider names map to the engine's two built-ins; anything
+    * else is taken as a fully-qualified provider class. */
+  private[streaming] def tunedSession(
+      spark: org.apache.spark.sql.SparkSession,
+      statePartitions: Option[Int],
+      stateStoreProvider: Option[String]): org.apache.spark.sql.SparkSession =
+    if (statePartitions.isEmpty && stateStoreProvider.isEmpty) spark
+    else {
+      val s2 = statePartitions match {
+        case Some(n) => sizedSession(spark, n)
+        case None =>
+          val c = spark.newSession()
+          spark.conf.getAll.foreach { case (k, v) =>
+            if (spark.conf.isModifiable(k)) c.conf.set(k, v)
+          }
+          c
+      }
+      stateStoreProvider.foreach { p =>
+        val cls = p match {
+          case "hdfs" =>
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+          case "rocksdb" =>
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+          case fqcn => fqcn
+        }
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+      }
+      s2
+    }
+
   /** Tumbling event-time window stats per event_type. Order-independent
     * aggregates only (count/min/max) — sums of doubles are not
     * reproducible across engines/retries at scale.
@@ -665,6 +697,23 @@ object StreamOps {
     * cloned session pinned to n, leaving the caller's session conf
     * untouched.
     *
+    * `stateStoreProvider` — `"hdfs"` (engine default: state lives in
+    * executor HEAP, snapshotted to the checkpoint), `"rocksdb"`
+    * (state in off-heap RocksDB with local-disk spill — the 100 TB
+    * choice once per-partition state outgrows heap: the as-of key
+    * floor is O(distinct keys), and months of keys x a wide payload
+    * do not fit executor memory), or a fully-qualified provider class.
+    * Like the partition count this is DECIDED ONCE per checkpoint —
+    * and by the same mechanism: the provider class is recorded in the
+    * checkpoint's offset log at first start, and every later run KEEPS
+    * the recorded provider no matter what the session conf says
+    * (spec-pinned empirically: a rocksdb checkpoint resumed under the
+    * default conf continues on rocksdb, with correct recovered-state
+    * output — the engine pins rather than fails). None inherits the
+    * session conf; Some runs the query in a cloned session, caller's
+    * conf untouched. Outputs are provider-independent (spec-pinned
+    * hdfs == rocksdb).
+    *
     * `onProgress` receives the query's FULL progress trace after the
     * drive finishes — batch counts / state sizes / watermark for
     * operational regression guards (StreamingSpec); default no-op.
@@ -680,10 +729,11 @@ object StreamOps {
                           validateRights: Boolean = true,
                           payloadCodec: String = "json",
                           statePartitions: Option[Int] = None,
+                          stateStoreProvider: Option[String] = None,
                           onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                             _ => ()): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val sess = statePartitions.map(sizedSession(spark, _)).getOrElse(spark)
+    val sess = tunedSession(spark, statePartitions, stateStoreProvider)
     def src(dir: String) = {
       val schema = sess.read.parquet(dir).schema
       normalizeEventTime(

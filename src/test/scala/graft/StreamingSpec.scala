@@ -1373,6 +1373,105 @@ class StreamingSpec extends AnyFunSuite {
       "run 2 resolves run 1's buffered lefts from recovered state")
   }
 
+  test("asofJoinStreamFiles stateStoreProvider=rocksdb: output == hdfs default, " +
+       "provider verifiably engaged and PINNED by the checkpoint on resume") {
+    // the 100 TB state-store choice: RocksDB keeps keyed state off-heap
+    // with disk spill. Pin (1) provider-independent OUTPUT on the same
+    // staged input, (2) that rocksdb actually ran (its custom metrics
+    // appear in progress — guards against a silently ignored conf), and
+    // (3) the resume rule: the provider class is PINNED by the
+    // checkpoint's offset log exactly like shuffle partitions — a later
+    // run under the default (hdfs) conf keeps executing on ROCKSDB,
+    // correctly (measured here: this test originally expected a loud
+    // cross-provider failure and found the engine pins instead).
+    import org.apache.spark.sql.streaming.StreamingQueryProgress
+    val dir = java.nio.file.Files.createTempDirectory("graft-d53-rocks").toString
+    val lf = Seq((1L, ts("2026-01-01 10:00:00"), 2L),
+      (1L, ts("2026-01-01 10:05:00"), 4L),
+      (9L, ts("2026-01-01 12:00:00"), 7L)).toDF("key", "ts", "id")
+    val rf = Seq((1L, ts("2026-01-01 09:58:00"), 2L),
+      (1L, ts("2026-01-01 10:03:00"), 4L),
+      (9L, ts("2026-01-01 12:00:00"), 3L)).toDF("key", "ts", "id")
+    def drive(sub: String, provider: Option[String],
+              collect: StreamingQueryProgress => Unit = _ => ()) = {
+      stageFile(lf, s"$dir/$sub/left", "b00.parquet")
+      stageFile(rf, s"$dir/$sub/right", "b00.parquet")
+      StreamOps.asofJoinStreamFiles(spark, s"$dir/$sub/left",
+          s"$dir/$sub/right", s"$dir/$sub/ckpt", s"$dir/$sub/out",
+          delay = "10 minutes", maxFilesPerTrigger = 1,
+          stateStoreProvider = provider,
+          onProgress = ps => ps.foreach(collect))
+        .select("key", "left_id", "right_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+    }
+    var rocksMetrics = Set.empty[String]
+    val viaHdfs = drive("hdfs", None)
+    val viaRocks = drive("rocks", Some("rocksdb"), p =>
+      rocksMetrics ++= p.stateOperators.headOption
+        .map(_.customMetrics.keySet().toArray.map(_.toString).toSet)
+        .getOrElse(Set.empty))
+    assert(viaHdfs.nonEmpty, "drive emitted nothing — comparison vacuous")
+    assert(viaRocks == viaHdfs, s"rocksdb diverged: $viaRocks vs $viaHdfs")
+    assert(rocksMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"no rocksdb custom metrics in progress — provider conf ignored? got $rocksMetrics")
+    // (3): same rocks checkpoint, DEFAULT provider conf — the offset
+    // log pins rocksdb; the run must keep it (rocksdb metrics again)
+    // and resolve the buffered 12:00 left from recovered rocksdb state
+    stageFile(Seq((1L, ts("2026-01-01 13:00:00"), 9L)).toDF("key", "ts", "id"),
+      s"$dir/rocks/left", "b01.parquet")
+    stageFile(Seq((9L, ts("2026-01-01 13:00:00"), 9L)).toDF("key", "ts", "id"),
+      s"$dir/rocks/right", "b01.parquet")
+    var resumedMetrics = Set.empty[String]
+    val resumed = StreamOps.asofJoinStreamFiles(spark, s"$dir/rocks/left",
+        s"$dir/rocks/right", s"$dir/rocks/ckpt", s"$dir/rocks/out",
+        delay = "10 minutes", maxFilesPerTrigger = 1,
+        onProgress = ps => ps.foreach(p =>
+          resumedMetrics ++= p.stateOperators.headOption
+            .map(_.customMetrics.keySet().toArray.map(_.toString).toSet)
+            .getOrElse(Set.empty)))
+      .select("key", "left_id", "right_id")
+      .as[(Long, Long, Option[Long])].collect().toSet
+    assert(resumedMetrics.exists(_.toLowerCase.contains("rocksdb")),
+      s"resume must keep the checkpoint-pinned rocksdb provider, got $resumedMetrics")
+    assert(resumed.contains((9L, 7L, Some(3L))),
+      s"run 2 must resolve the buffered 12:00 left from recovered rocksdb state: $resumed")
+  }
+
+  test("asofJoinStream payload codec flip on a live checkpoint fails loudly " +
+       "(state schema check), never resumes 1000x-off") {
+    // the StructCodec scaladoc claim: json payloads are state STRINGS,
+    // binary payloads are state BINARY — a codec flip changes the state
+    // schema and the compatibility check must reject the resume at
+    // query start instead of misreading buffered payloads.
+    val dir = java.nio.file.Files.createTempDirectory("graft-d53-codecflip").toString
+    // run 1 (json): buffer state — nothing ripe yet
+    stageFile(Seq((1L, ts("2026-01-01 10:00:00"), 2L)).toDF("key", "ts", "id"),
+      s"$dir/left", "b00.parquet")
+    stageFile(Seq((1L, ts("2026-01-01 09:58:00"), 2L)).toDF("key", "ts", "id"),
+      s"$dir/right", "b00.parquet")
+    val run1 = StreamOps.asofJoinStreamFiles(spark, s"$dir/left",
+        s"$dir/right", s"$dir/ckpt", s"$dir/out",
+        delay = "10 minutes", maxFilesPerTrigger = 1)
+      .collect()
+    assert(run1.isEmpty, "run 1 must only buffer (watermark below the left)")
+    // run 2: same checkpoint, binary codec, NEW data (a batch must
+    // actually run for the state layer to engage) -> loud rejection
+    stageFile(Seq((1L, ts("2026-01-01 12:00:00"), 5L)).toDF("key", "ts", "id"),
+      s"$dir/left", "b01.parquet")
+    stageFile(Seq((1L, ts("2026-01-01 12:00:00"), 5L)).toDF("key", "ts", "id"),
+      s"$dir/right", "b01.parquet")
+    val flip = intercept[Exception] {
+      StreamOps.asofJoinStreamFiles(spark, s"$dir/left",
+        s"$dir/right", s"$dir/ckpt", s"$dir/out",
+        delay = "10 minutes", maxFilesPerTrigger = 1,
+        payloadCodec = "binary").collect()
+    }
+    val msgs = Iterator.iterate(flip: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ").toLowerCase
+    assert(msgs.contains("schema") || msgs.contains("compatible"),
+      s"expected a state-schema rejection, got: $msgs")
+  }
+
   test("statePartitions: sized at first start, PINNED by the checkpoint on later runs") {
     // the operational trap the knob documents: state-store instance
     // count = shuffle partitions at FIRST start, recorded in the
