@@ -27,6 +27,7 @@ object AsofScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val stateParts = sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
     val codec = sys.env.getOrElse("SPARK_GRAFT_PAYLOAD_CODEC", "json")
+    val provider = sys.env.get("SPARK_GRAFT_STATE_PROVIDER") // hdfs|rocksdb
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -72,12 +73,13 @@ object AsofScaleProbe {
     BatchFiles.write(views.withColumn("p", part), s"$tmp/right", "p", splits,
       keepSplitCol = false)
     val nL = clicks.count(); val nR = views.count()
-    println(s"""{"probe":"asof_scale_input","sf":"$sfDir","events":$nEvents,"lefts":$nL,"rights":$nR,"splits":$splits,"codec":"$codec"}""")
+    println(s"""{"probe":"asof_scale_input","sf":"$sfDir","events":$nEvents,"lefts":$nL,"rights":$nR,"splits":$splits,"codec":"$codec","provider":"${provider.getOrElse("hdfs")}"}""")
 
     val t0 = System.nanoTime()
     val out = StreamOps.asofJoinStreamFiles(spark, s"$tmp/left", s"$tmp/right",
       s"$tmp/ckpt", s"$tmp/out", delay = "10 minutes",
       maxFilesPerTrigger = 1, payloadCodec = codec, statePartitions = stateParts,
+      stateStoreProvider = provider,
       onProgress = ps => ps.foreach { p =>
         val st = p.stateOperators.headOption
         println(s"""{"probe":"asof_scale_batch","batch":${p.batchId},"input_rows":${p.numInputRows},"duration_ms":${p.durationMs.getOrDefault("triggerExecution", -1L)},"state_rows":${st.map(_.numRowsTotal).getOrElse(-1L)},"state_mb":${st.map(_.memoryUsedBytes / 1048576).getOrElse(-1L)},"dropped_by_wm":${st.map(_.numRowsDroppedByWatermark).getOrElse(-1L)},"watermark":"${Option(p.eventTime.get("watermark")).getOrElse("")}"}""")
