@@ -473,6 +473,80 @@ object DataxQueries {
         WHERE len(list_intersect(b.sh, c.sh)) / len(b.sh) >= 0.5
         ORDER BY bench_id, corpus_id"""
 
+  /** The d53 streaming-as-of drive (header comment on the d53 entry):
+    * shared by the json and binary payload-codec registry entries. */
+  private def d53Drive(s: org.apache.spark.sql.SparkSession, dir: String,
+                       codec: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d53").toString
+    try {
+      val e = t(s, dir, "events")
+      // single-partition window: harness-side split assignment over
+      // fixture-scale data (BatchFiles scaladoc), not a shipped path
+      val half = ntile(2).over(Window.orderBy(col("ts"), col("id"))) - 1
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("key"), col("ts"),
+          col("event_id").as("id"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("id"))
+        .select(col("user_id").as("key"), col("ts"), col("id"))
+      // keepSplitCol=false: the synthetic half column must not leak
+      // into the generic-payload drive (it would ride along as
+      // left_half/right_half output columns)
+      BatchFiles.write(clicks.withColumn("half", half),
+        s"$tmp/left", "half", splits = 2, keepSplitCol = false)
+      BatchFiles.write(views.withColumn("half", half),
+        s"$tmp/right", "half", splits = 2, keepSplitCol = false)
+      // statePartitions sized to the fixture key cardinality (1.5k
+      // keys) per the SCALE.md sizing rule; a scratch checkpoint, so
+      // the pin dies with the entry (production sizes for the
+      // TARGET cluster up front — the value is unchangeable later)
+      // the final AvailableNow watermark, recomputed from the same
+      // inputs the drive writes: min over sources of the
+      // ms-truncated max event time, minus the delay
+      val wBound = clicks.agg(max("ts").as("mc"))
+        .crossJoin(views.agg(max("ts").as("mv")))
+        .select((date_trunc("millisecond", least(col("mc"), col("mv")))
+          - expr("INTERVAL 10 MINUTES")).as("w"))
+      StreamOps.asofJoinStreamFiles(s, s"$tmp/left", s"$tmp/right",
+          s"$tmp/ckpt", s"$tmp/out",
+          delay = "10 minutes", maxFilesPerTrigger = 1,
+          payloadCodec = codec, statePartitions = Some(4))
+        .crossJoin(broadcast(wBound))
+        .filter(col("left_ts") < col("w")) // boundary-instant exclusion (header comment)
+        .drop("w")
+        .select(col("key"), col("left_id"),
+          date_format(col("left_ts"), "yyyy-MM-dd HH:mm:ss").as("left_ts"),
+          col("right_id"),
+          date_format(col("right_ts"), "yyyy-MM-dd HH:mm:ss").as("right_ts"))
+        .orderBy("key", "left_id")
+        .localCheckpoint(eager = true)
+    } finally rmrf(s, tmp)
+  }
+
+  private val D53AsofSql: String = """WITH v AS (
+          SELECT user_id, ts, max(event_id) AS right_id FROM events
+          WHERE event_type = 'view' GROUP BY user_id, ts),
+        c AS (
+          SELECT user_id AS key, event_id AS left_id, ts FROM events
+          WHERE event_type = 'click'),
+        -- the final AvailableNow watermark: min over sources of the
+        -- ms-truncated max event time, minus the 10-minute delay
+        wm AS (
+          SELECT date_trunc('milliseconds', CAST(least(
+                   (SELECT max(ts) FROM c),
+                   (SELECT max(ts) FROM v)) AS TIMESTAMP))
+                 - INTERVAL 10 MINUTES AS w)
+        SELECT r.key, r.left_id,
+               strftime(CAST(r.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS left_ts,
+               v.right_id,
+               strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS right_ts
+        FROM (SELECT * FROM c
+              WHERE CAST(ts AS TIMESTAMP) < (SELECT w FROM wm)) r
+        ASOF LEFT JOIN v
+          ON r.key = v.user_id AND v.ts <= r.ts
+        ORDER BY r.key, r.left_id"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---------------------------------------------------------------
@@ -1611,76 +1685,19 @@ object DataxQueries {
      * scale-true for real backfills) under the same scratch root, so
      * the result is localCheckpointed here before the dirs are
      * deleted. */
-    QueryDef("d53_streaming_asof",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val tmp = java.nio.file.Files.createTempDirectory("graft-d53").toString
-        try {
-          val e = t(s, dir, "events")
-          // single-partition window: harness-side split assignment over
-          // fixture-scale data (BatchFiles scaladoc), not a shipped path
-          val half = ntile(2).over(Window.orderBy(col("ts"), col("id"))) - 1
-          val clicks = e.filter(col("event_type") === "click")
-            .select(col("user_id").as("key"), col("ts"),
-              col("event_id").as("id"))
-          val views = e.filter(col("event_type") === "view")
-            .groupBy("user_id", "ts").agg(max("event_id").as("id"))
-            .select(col("user_id").as("key"), col("ts"), col("id"))
-          // keepSplitCol=false: the synthetic half column must not leak
-          // into the generic-payload drive (it would ride along as
-          // left_half/right_half output columns)
-          BatchFiles.write(clicks.withColumn("half", half),
-            s"$tmp/left", "half", splits = 2, keepSplitCol = false)
-          BatchFiles.write(views.withColumn("half", half),
-            s"$tmp/right", "half", splits = 2, keepSplitCol = false)
-          // statePartitions sized to the fixture key cardinality (1.5k
-          // keys) per the SCALE.md sizing rule; a scratch checkpoint, so
-          // the pin dies with the entry (production sizes for the
-          // TARGET cluster up front — the value is unchangeable later)
-          // the final AvailableNow watermark, recomputed from the same
-          // inputs the drive writes: min over sources of the
-          // ms-truncated max event time, minus the delay
-          val wBound = clicks.agg(max("ts").as("mc"))
-            .crossJoin(views.agg(max("ts").as("mv")))
-            .select((date_trunc("millisecond", least(col("mc"), col("mv")))
-              - expr("INTERVAL 10 MINUTES")).as("w"))
-          StreamOps.asofJoinStreamFiles(s, s"$tmp/left", s"$tmp/right",
-              s"$tmp/ckpt", s"$tmp/out",
-              delay = "10 minutes", maxFilesPerTrigger = 1,
-              statePartitions = Some(4))
-            .crossJoin(broadcast(wBound))
-            .filter(col("left_ts") < col("w")) // boundary-instant exclusion (header comment)
-            .drop("w")
-            .select(col("key"), col("left_id"),
-              date_format(col("left_ts"), "yyyy-MM-dd HH:mm:ss").as("left_ts"),
-              col("right_id"),
-              date_format(col("right_ts"), "yyyy-MM-dd HH:mm:ss").as("right_ts"))
-            .orderBy("key", "left_id")
-            .localCheckpoint(eager = true)
-        } finally rmrf(s, tmp)
-      },
-      Some("""WITH v AS (
-          SELECT user_id, ts, max(event_id) AS right_id FROM events
-          WHERE event_type = 'view' GROUP BY user_id, ts),
-        c AS (
-          SELECT user_id AS key, event_id AS left_id, ts FROM events
-          WHERE event_type = 'click'),
-        -- the final AvailableNow watermark: min over sources of the
-        -- ms-truncated max event time, minus the 10-minute delay
-        wm AS (
-          SELECT date_trunc('milliseconds', CAST(least(
-                   (SELECT max(ts) FROM c),
-                   (SELECT max(ts) FROM v)) AS TIMESTAMP))
-                 - INTERVAL 10 MINUTES AS w)
-        SELECT r.key, r.left_id,
-               strftime(CAST(r.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS left_ts,
-               v.right_id,
-               strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS right_ts
-        FROM (SELECT * FROM c
-              WHERE CAST(ts AS TIMESTAMP) < (SELECT w FROM wm)) r
-        ASOF LEFT JOIN v
-          ON r.key = v.user_id AND v.ts <= r.ts
-        ORDER BY r.key, r.left_id""")),
+    QueryDef("d53_streaming_asof", (s, dir) => d53Drive(s, dir, "json"),
+      Some(D53AsofSql)),
+
+    /* The SAME drive through the BINARY (UnsafeRow) payload codec: the
+     * streamed output is codec-independent by contract (StreamingSpec
+     * pins equality on nested/null/sub-ms payloads), so the d53 oracle
+     * applies verbatim — and registering the entry puts the binary
+     * state round-trip under the DRIVER's DuckDB gate end-to-end, not
+     * just the spec suite. */
+    QueryDef("d53b_streaming_asof_binary",
+      (s, dir) => d53Drive(s, dir, "binary"),
+      Some(D53AsofSql)),
+
 
     /* Per-source cap: keep the `maxPerGroup` highest-quality docs per
      * source (the C4 "cap pages per host" rule) — rank + keep flag so
