@@ -599,6 +599,51 @@ object Dedup {
     }
   }
 
+  /** LEAKAGE-SAFE train/valid/test split: the d22 hash split keyed by
+    * DUPLICATE-GROUP REPRESENTATIVE instead of document id, so no two
+    * (near-)duplicate documents can land on opposite sides of a split —
+    * the eval-contamination failure a naive per-id split guarantees at
+    * real corpus duplication rates (a test doc whose near-twin was
+    * trained on scores as memorized). Groups are connected components
+    * over the UNION of (a) MinHash near-dup pairs at `threshold` and
+    * (b) exact-fingerprint star edges (null-safe window grouping,
+    * catching sub-k-token docs invisible to MinHash) — the same two
+    * rules [[dedupCorpus]] enforces, but closed TRANSITIVELY ACROSS
+    * both edge kinds, because leakage chains (a ≈ b near-dup, b = c
+    * exact ⇒ a and c must share a split). Every document WITHOUT a
+    * duplicate hashes by its own id — bit-identical to the naive
+    * [[TextStats.splitName]] assignment — so the two splits differ
+    * exactly on the documents where the naive one is wrong.
+    *
+    * Scale shape: the pair list is detection OUTPUT (small next to the
+    * corpus); fp star edges are one window pass over 16-byte digests;
+    * components via [[dupClusters]] (driver union-find under the
+    * measured crossover, distributed label propagation above); the
+    * final assignment is a left join against the (duplicate-members
+    * only) cluster map — AQE broadcasts it — plus a scan-side hash.
+    * Output: (idCol, rep, bucket, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 4, numHashes: Int = 16, bands: Int = 4,
+                       threshold: Double = 0.5, trainPct: Int = 80,
+                       validPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"invalid split percentages: train=$trainPct valid=$validPct")
+    val near = minhashNearDups(docs, idCol, textCol, k, numHashes, bands,
+      threshold).select("id_a", "id_b")
+    val fpEdges = docs
+      .select(col(idCol).as("id"), TextStats.fingerprint(col(textCol)).as("_fp"))
+      .withColumn("_rep", min(col("id")).over(Window.partitionBy("_fp")))
+      .filter(col("id") =!= col("_rep"))
+      .select(col("_rep").as("id_a"), col("id").as("id_b"))
+    val clusters = dupClusters(near.unionByName(fpEdges))
+    docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("rep"))
+      .withColumn("bucket", TextStats.splitBucket(col("rep")))
+      .withColumn("split", TextStats.splitName(col("rep"), trainPct, validPct))
+  }
+
   /** Duplicate n-gram SPAN removal — the exact-substring dedup shape of
     * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better"), at k-token-gram granularity: every k-gram occurring at

@@ -1007,6 +1007,43 @@ object DataxQueries {
                     WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
         FROM b ORDER BY doc_id""")),
 
+    /* Leakage-safe split: the d22 hash split keyed by duplicate-group
+     * representative (near-dup pairs UNION exact-fingerprint stars,
+     * closed transitively), so no (near-)duplicate pair straddles
+     * train/valid/test. Same LSH parameters as d05/d21 so the oracle
+     * reuses the shared MinHash CTE chain; the closure runs over BOTH
+     * edge kinds; singletons reduce to the naive d22 assignment. */
+    QueryDef("d54_leakage_safe_split",
+      (s, dir) => Dedup.leakageSafeSplit(t(s, dir, "documents"), "doc_id",
+          "text", k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE p AS ($MinhashPairsSql),
+        fpd AS (SELECT doc_id AS id,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                FROM documents),
+        fe AS (SELECT rep AS id_a, id AS id_b FROM (
+                 SELECT id, min(id) OVER (PARTITION BY fp) AS rep FROM fpd)
+               WHERE id <> rep),
+        allp AS (SELECT id_a, id_b FROM p UNION SELECT id_a, id_b FROM fe),
+        e AS (SELECT id_a AS u, id_b AS v FROM allp
+              UNION SELECT id_b, id_a FROM allp),
+        r(u, v) AS (SELECT u, v FROM e
+                    UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+        cl AS (SELECT u AS id, least(u, min(v)) AS cluster FROM r GROUP BY u),
+        a AS (SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep
+              FROM documents d LEFT JOIN cl ON d.doc_id = cl.id),
+        b AS (SELECT doc_id, rep,
+                CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(1, 5),
+                    i -> CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(rep AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+                  (acc, x) -> acc * 16 + x) % 100 AS INT) AS bucket
+              FROM a)
+        SELECT doc_id, rep, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+        FROM b ORDER BY doc_id""")),
+
     /* Benchmark-contamination scan: corpus docs containing >= 50% of a
      * benchmark doc's 4-shingles (asymmetric containment, the measure
      * that catches a corpus doc which swallowed a benchmark item). */

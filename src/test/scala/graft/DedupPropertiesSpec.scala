@@ -196,4 +196,54 @@ class DedupPropertiesSpec extends AnyFunSuite {
       .filter(col("n_docs") > 1).count()
     assert(exactGroups == 0, "exact-dup group in index+admitted")
   }
+
+  test("leakageSafeSplit: no duplicate pair straddles splits; singletons " +
+       "get the naive d22 assignment; straddle-fixes actually occur") {
+    import graft.datax.TextStats
+    // base soup + exact copies (+500) + near-copies (+1000: one token
+    // appended — high jaccard at these lengths): dup pairs of BOTH
+    // kinds, plus chains (i ~ i+500 exact, i ~ i+1000 near => all
+    // three must share a split)
+    val base = genDocs(60, 4242L, minLen = 8, maxLen = 14)
+    val docs = base
+      .union(base.select((col("doc_id") + 500).as("doc_id"), col("text")))
+      .union(base.select((col("doc_id") + 1000).as("doc_id"),
+        concat(col("text"), lit(" omega")).as("text")))
+      .localCheckpoint(eager = true)
+    val split = Dedup.leakageSafeSplit(docs, "doc_id", "text",
+        k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+      .localCheckpoint(eager = true)
+    Dedup.releaseShingleCaches()
+    val byId = split.select("doc_id", "rep", "split")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every near-dup or exact-dup pair shares rep AND split
+    val near = pairSet(Dedup.minhashNearDups(docs, "doc_id", "text",
+      k = 4, numHashes = 16, bands = 8, threshold = 0.3))
+    assert(near.nonEmpty, "vacuous: generator produced no near-dup pairs")
+    near.foreach { case (a, b) =>
+      assert(byId(a)._2 == byId(b)._2,
+        s"near-dup pair ($a, $b) straddles splits: ${byId(a)} vs ${byId(b)}")
+    }
+    (0L until 60L).foreach { i =>
+      assert(byId(i)._2 == byId(i + 500)._2, s"exact pair ($i, ${i + 500}) straddles")
+      assert(byId(i)._1 == byId(i + 500)._1 && byId(i)._1 == byId(i + 1000)._1,
+        s"chain $i/${i + 500}/${i + 1000} not in one group")
+    }
+    // singletons (docs in no pair) must reduce to the naive d22 split
+    val paired = near.flatMap(p => Seq(p._1, p._2)) ++
+      (0L until 60L).flatMap(i => Seq(i, i + 500, i + 1000))
+    val naive = docs.select(col("doc_id"),
+        TextStats.splitName(col("doc_id")).as("naive"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singletons = byId.keySet -- paired
+    singletons.foreach { id =>
+      assert(byId(id)._1 == id && byId(id)._2 == naive(id),
+        s"singleton $id diverged from the naive split")
+    }
+    // non-vacuity: at least one duplicate pair whose NAIVE assignments
+    // differ — i.e. the leakage the operator exists to fix occurred
+    assert((0L until 60L).exists(i =>
+      naive(i) != naive(i + 500) || naive(i) != naive(i + 1000)),
+      "no pair with differing naive splits — the fix was never exercised")
+  }
 }
