@@ -254,9 +254,12 @@ object Bench {
     val allMeasured = ordered.forall { case (_, (r, _, _)) =>
       r.failedReps == 0 && r.median >= 0 }
     // a run at a different SF than the committed floor (scale studies)
-    // must not take the floor slot — its prior compare was vacuous
-    val sfMatchesPrior =
-      priorRaw.isEmpty || BenchTrust.parseSf(priorRaw).contains(sfDir)
+    // must not take the floor slot — its prior compare was vacuous.
+    // forall, not contains: an UNPARSEABLE prior (truncated/corrupt
+    // file with no "sf" field) must act like a missing one so the next
+    // clean run can repair the floor, not wedge every future run into
+    // the degraded file until a human intervenes (review finding)
+    val sfMatchesPrior = BenchTrust.parseSf(priorRaw).forall(_ == sfDir)
     val floorSafe = BenchTrust.floorSafe(only.nonEmpty, trusted, allMeasured,
       priorRegressed.isEmpty, acceptPrior, sfMatchesPrior)
     val outFile = if (floorSafe) "BENCH_LOCAL.json" else "BENCH_LOCAL_DEGRADED.json"

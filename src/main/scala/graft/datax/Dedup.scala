@@ -583,16 +583,16 @@ object Dedup {
       // batch-sized scan, the accepted price of unserializing the two
       // materializations. After both complete no internal cache is
       // referenced by the returned plan and the finally can release
-      // them all.
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fHit = Future(cutLineage(
-        crossPairs.select(col("id_a").as(idCol)).union(exactHit).distinct()))
-      val fWithin = Future(
-        dedupCorpusOn(newDocs, ne, idCol, textCol, numHashes, bands, threshold))
-      val (hit, within) =
-        (Await.result(fHit, Duration.Inf), Await.result(fWithin, Duration.Inf))
+      // them all. Forked.awaitAll joins BOTH before surfacing a
+      // failure — a fail-fast await would let the finally below drop
+      // the shared caches while the sibling's jobs are mid-flight —
+      // and keeps the forked jobs inside the caller's job group so
+      // they stay cancellable.
+      val both = graft.util.Forked.awaitAll[DataFrame](newDocs.sparkSession)(Seq(
+        () => cutLineage(
+          crossPairs.select(col("id_a").as(idCol)).union(exactHit).distinct()),
+        () => dedupCorpusOn(newDocs, ne, idCol, textCol, numHashes, bands, threshold)))
+      val (hit, within) = (both(0), both(1))
       within.join(hit, Seq(idCol), "left_anti")
     } finally created.foreach { e =>
       e.unpersist(); liveShingleCaches.remove(e)
@@ -911,6 +911,12 @@ object Dedup {
     System.err.println(s"[graft-dedup] pair graph exceeds " +
       s"driverMaxPairs=$driverMaxPairs edges: switching to distributed " +
       "min-label propagation")
+    // the limit probe may have materialized only SOME cached partitions
+    // (CollectLimit scans incrementally); force the rest now, or the
+    // mirror union's two branches would re-execute the expensive
+    // pair-producing plan for every cold partition — concurrently, so
+    // up to twice (review finding)
+    p.count()
     val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
       .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
       .distinct().cache()

@@ -33,8 +33,19 @@ import org.apache.spark.sql.types.{BinaryType, DataType, StructType}
 object StructCodec {
 
   /** `struct -> binary`: the struct's fields rendered as one UnsafeRow,
-    * returned as its backing bytes (copied — the projection's buffer is
-    * reused row to row). NULL in, NULL out. */
+    * returned as freshly-owned bytes. The `.copy()` before getBytes is
+    * LOAD-BEARING (review finding): the projection reuses its backing
+    * buffer row to row, and Spark's `UnsafeRow.getBytes` returns that
+    * buffer UN-copied whenever the array exactly spans sizeInBytes —
+    * a payload-size-dependent coincidence (probed empirically: 48-byte
+    * rows hit it on this build) — so a consumer retaining the array
+    * across rows sees every buffered payload mutate to the last row's
+    * bytes. Planned operators copy into their own UnsafeRows at the
+    * next operator, which is why the shipped as-of pipeline never saw
+    * it; a direct eval of this PUBLIC expression does (spec-pinned
+    * with a proven-failing negative control). `copy()` allocates an
+    * exact-size buffer, making the subsequent getBytes alias a FRESH
+    * array — one allocation, zero extra copies. NULL in, NULL out. */
   case class StructPack(child: Expression) extends UnaryExpression {
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case _: StructType => TypeCheckResult.TypeCheckSuccess
@@ -48,7 +59,7 @@ object StructCodec {
       UnsafeProjection.create(child.dataType.asInstanceOf[StructType])
 
     override def nullSafeEval(v: Any): Any =
-      proj(v.asInstanceOf[InternalRow]).getBytes
+      proj(v.asInstanceOf[InternalRow]).copy().getBytes
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       // the projection is itself GENERATED code and not serializable, so
@@ -60,7 +71,8 @@ object StructCodec {
       val projTerm = ctx.addMutableState(
         classOf[UnsafeProjection].getName, "packProj",
         v => s"$v = org.apache.spark.sql.catalyst.expressions.UnsafeProjection$$.MODULE$$.create($schemaRef);")
-      nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $projTerm.apply($v).getBytes();")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = $projTerm.apply($v).copy().getBytes();")
     }
     override protected def withNewChildInternal(newChild: Expression): StructPack =
       copy(child = newChild)

@@ -1356,7 +1356,12 @@ object DataxQueries {
         def band(p: Double, leC: String, ltC: String) =
           col(leC) >= (lit(p) - eps) * col("nv") &&
             col(ltC) <= (lit(p) + eps) * col("nv")
-        e.join(broadcast(approx), "event_type")
+        // NULL-SAFE join key (review finding): a plain equi-join would
+        // drop a NULL event_type group that both Spark's groupBy and
+        // the oracle's GROUP BY keep — the same latent-oracle class as
+        // the r11 d53 `<=` boundary
+        e.join(broadcast(approx.withColumnRenamed("event_type", "_et")),
+            col("event_type") <=> col("_et"))
           .groupBy("event_type")
           .agg(first("n").as("n"), count(col("value")).as("nv"),
             le("p50").as("le50"), lt("p50").as("lt50"),

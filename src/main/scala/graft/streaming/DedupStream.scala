@@ -111,20 +111,21 @@ object DedupStream {
         // (round 12): at fixture scale each write is dominated by
         // fixed job latency, so serializing them paid ~3x that latency
         // per batch; at cluster scale concurrent jobs just interleave
-        // on the scheduler. Any failure propagates out of the await,
-        // the batch fails, and the replay overwrites all three
-        // partitions — the exactly-once contract is unchanged.
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.sequence(Seq(
-          Future(survivors.write.mode("overwrite")
-            .parquet(s"$docsDir/batch=$batchId")),
-          Future(Dedup.bandSignatures(survivors, idCol, textCol, k, numHashes,
-            bands).write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")),
-          Future(Dedup.fingerprintTable(survivors, idCol, textCol)
-            .write.mode("overwrite").parquet(s"$fpsDir/batch=$batchId")))),
-          Duration.Inf)
+        // on the scheduler. Forked.awaitAll joins ALL THREE before
+        // surfacing a failure (a fail-fast await would let a replay of
+        // this batch race a still-running zombie writer into the same
+        // partition dirs) and keeps the writes inside the caller's
+        // Spark job group so a query stop can cancel them; the batch
+        // then fails and the replay overwrites all three partitions —
+        // the exactly-once contract is unchanged.
+        graft.util.Forked.awaitAll[Unit](spark)(Seq(
+          () => survivors.write.mode("overwrite")
+            .parquet(s"$docsDir/batch=$batchId"),
+          () => Dedup.bandSignatures(survivors, idCol, textCol, k, numHashes,
+            bands).write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId"),
+          () => Dedup.fingerprintTable(survivors, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$fpsDir/batch=$batchId")))
+        ()
       } finally { survivors.unpersist(); () }
     } finally { b.unpersist(); () }
     ()

@@ -114,14 +114,20 @@ object StreamOps {
     * parallelism sized to the micro-batch volume without mutating the
     * caller's session conf. Modifiable confs are copied so the clone
     * behaves like the parent (time zone, AQE, ANSI mode, ...). */
-  private[streaming] def sizedSession(
-      spark: org.apache.spark.sql.SparkSession,
-      n: Int): org.apache.spark.sql.SparkSession = {
-    require(n > 0, s"partitions must be positive: $n")
+  private def clonedSession(
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
     val s2 = spark.newSession()
     spark.conf.getAll.foreach { case (k, v) =>
       if (spark.conf.isModifiable(k)) s2.conf.set(k, v)
     }
+    s2
+  }
+
+  private[streaming] def sizedSession(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Int): org.apache.spark.sql.SparkSession = {
+    require(n > 0, s"partitions must be positive: $n")
+    val s2 = clonedSession(spark)
     s2.conf.set("spark.sql.shuffle.partitions", n.toString)
     s2
   }
@@ -138,12 +144,7 @@ object StreamOps {
     else {
       val s2 = statePartitions match {
         case Some(n) => sizedSession(spark, n)
-        case None =>
-          val c = spark.newSession()
-          spark.conf.getAll.foreach { case (k, v) =>
-            if (spark.conf.isModifiable(k)) c.conf.set(k, v)
-          }
-          c
+        case None    => clonedSession(spark)
       }
       stateStoreProvider.foreach { p =>
         val cls = p match {

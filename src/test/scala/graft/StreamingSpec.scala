@@ -1437,6 +1437,47 @@ class StreamingSpec extends AnyFunSuite {
       s"run 2 must resolve the buffered 12:00 left from recovered rocksdb state: $resumed")
   }
 
+  test("StructCodec.pack returns freshly-owned bytes per row (no projection-" +
+       "buffer aliasing) and round-trips through a retaining consumer") {
+    // A payload big enough to force ONE BufferHolder.grow makes the
+    // projection buffer land EXACTLY on sizeInBytes, which flips
+    // UnsafeRow.getBytes onto its zero-copy path for every later row.
+    // Inside a full plan the very next operator copies the bytes into
+    // its own UnsafeRow, which is why the shipped pipelines never see
+    // it — but StructCodec.pack is PUBLIC, and a direct (interpreted)
+    // eval retaining the result across rows is a legitimate consumer:
+    // without the load-bearing .copy() the first result mutates to the
+    // second row's bytes. Pinned by double-eval below; the DataFrame
+    // round-trip guards value truth. Small payloads would NOT catch
+    // the alias (initial 64-byte capacity != row size -> getBytes
+    // copies); a 26-char string makes a 48-byte row that exactly
+    // spans the writer's buffer on this build — probed empirically,
+    // the pin FAILS with the .copy() removed.
+    import graft.functions.StructCodec
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val st = StructType(Seq(StructField("s", StringType)))
+    val e = StructCodec.StructPack(BoundReference(0, st, nullable = false))
+    def rowOf(s: String): InternalRow = new GenericInternalRow(
+      Array[Any](new GenericInternalRow(Array[Any](UTF8String.fromString(s)))))
+    val b1 = e.eval(rowOf("a" * 26)).asInstanceOf[Array[Byte]]
+    val snap = b1.clone().toSeq
+    val b2 = e.eval(rowOf("z" * 26)).asInstanceOf[Array[Byte]]
+    assert(b2.toSeq != snap, "second eval must differ")
+    assert(b1.toSeq == snap,
+      "first eval's bytes mutated by the second — pack aliased the projection buffer")
+    // value truth end to end through a plan
+    val payload = struct(concat(lit("p"), col("id")).as("s"))
+    val schema = spark.range(1).select(payload.as("p"))
+      .schema.head.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val back = spark.range(4).select(StructCodec.pack(payload).as("b"))
+      .select(StructCodec.unpack(col("b"), schema).getField("s"))
+      .as[String].collect().sorted.toSeq
+    assert(back == Seq("p0", "p1", "p2", "p3"))
+  }
+
   test("asofJoinStream payload codec flip on a live checkpoint fails loudly " +
        "(state schema check), never resumes 1000x-off") {
     // the StructCodec scaladoc claim: json payloads are state STRINGS,
