@@ -137,21 +137,39 @@ object SyncJob {
           startPage: Option[Int] = None,
           sortBy: Option[String] = Some("vote_count.desc"),
           frames: Option[DataFrame] = None,
-          requireFrames: Boolean = false): Report = {
+          requireFrames: Boolean = false,
+          maxPage: Option[Int] = None): Report = {
 
     // the reference loads the cursor unconditionally: an EXPLICIT
     // start_page takes priority over the resume position
     // (sync_top.py:134 `start_page or (cur["page"]+1 if resume else 1)`),
     // but the stored inserted/updated totals still accumulate
-    // (sync_top.py:266-271)
+    // (sync_top.py:266-271). `or` is Python TRUTHINESS: start_page=0 is
+    // falsy and falls through to the cursor/1 — so Some(0) must not be
+    // taken as a literal window start (review finding; same fidelity
+    // rule as the year-0 guard in CatalogQueries)
     val prior = CursorStore.get(spark, cursorPath, cursorKey)
-    val from = startPage.getOrElse(
+    val from = startPage.filter(_ != 0).getOrElse(
       if (resume) prior.map(_.page + 1).getOrElse(1) else 1)
 
-    val pageBatch = pages(base, orderBy, pageSize, from, nPages).cache()
+    // `maxPage` is an ABSOLUTE page-number ceiling (the reference's
+    // `while page <= MAX_PAGES` loop guard, sync_years.py:15,184) —
+    // NOT a count: a resumed cursor near the ceiling processes only
+    // the pages up to it, and a cursor AT/BEYOND it processes none
+    // (loop guard false on entry: cursor and totals untouched). The
+    // review finding: capping the COUNT let resumed runs walk pages
+    // the reference never fetches.
+    val effPages = maxPage match {
+      case Some(m) => math.max(0, math.min(nPages, m - from + 1))
+      case None    => nPages
+    }
+    if (effPages == 0)
+      return Report(cursorKey, 0L, 0L, 0L, 0L, prior.map(_.page).getOrElse(from - 1))
+
+    val pageBatch = pages(base, orderBy, pageSize, from, effPages).cache()
     try {
       val attempted = pageBatch.count()
-      val lastPage = from + nPages - 1
+      val lastPage = from + effPages - 1
 
       // P14 / ST3: null-id rows are poisoned records -> dead-letter
       val bad = pageBatch.filter(col("id").isNull)
@@ -185,12 +203,13 @@ object SyncJob {
       val res = Upsert.mergeMovies(existing, incoming, sortBy,
         now = current_timestamp())
 
-      // every read of the OLD state (tmp write + counters) happens before
-      // the swap — the merge plan scans the state parquet lazily
+      // every read of the OLD state happens before the swap — the merge
+      // plan scans the state parquet lazily. Counters ride the SAME
+      // write via observe() (a counters.collect() here re-executed the
+      // whole merge a second time per batch — review finding)
       val tmp = statePath + ".tmp"
       res.merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-      val counts = res.counters.collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = res.observedCounts()
       swapState(tmp, statePath)
       val (ins, upd) = (counts.getOrElse("insert", 0L), counts.getOrElse("update", 0L))
 
@@ -225,8 +244,10 @@ object SyncJob {
     * param: the per-year feed is `base` filtered to the year, ordered by
     * `sortBy`. A year's page budget is ceil(remaining/pageSize) — like
     * the reference, the last page is processed whole even if it
-    * overshoots the limit — capped at `maxPagesPerYear` (the API's
-    * 500-page ceiling). */
+    * overshoots the limit — under `maxPagesPerYear` as an ABSOLUTE
+    * page-number ceiling (the API's 500-page cap, `while page <=
+    * MAX_PAGES`): a resumed cursor near it takes only the pages up to
+    * it, at/past it takes none. */
   def syncYears(spark: SparkSession, base: DataFrame, details: DataFrame,
                 ruTitles: DataFrame, stateTemplate: DataFrame,
                 statePath: String, cursorPath: String, deadLetterPath: String,
@@ -242,13 +263,17 @@ object SyncJob {
     var y = s
     while (y <= e && processed < limit) {
       val remaining = limit - processed
-      val nPages = math.min(
-        ((remaining + pageSize - 1) / pageSize).toInt, maxPagesPerYear)
+      // nPages is the item BUDGET in pages; maxPagesPerYear rides as an
+      // ABSOLUTE ceiling (`while page <= MAX_PAGES`) so a resumed
+      // cursor can never walk pages past it (review finding: the old
+      // min() capped the count, not the page number)
+      val nPages = ((remaining + pageSize - 1) / pageSize).toInt
       val r = run(spark, base.filter(yearCol === y), details, ruTitles,
         stateTemplate, statePath, cursorPath, deadLetterPath,
         cursorKey = s"years:$contentType:$y",
         orderBy = order, pageSize = pageSize, nPages = nPages,
-        resume = resume, sortBy = Some(sortBy))
+        resume = resume, sortBy = Some(sortBy),
+        maxPage = Some(maxPagesPerYear))
       processed += r.attempted
       reports += r
       y += 1

@@ -66,9 +66,10 @@ object BucketedUpsert {
     val existing = spark.table(vname(name, cur))
     val res = Upsert.mergeMovies(existing, incoming, sortBy, now, keys)
     writeVersion(res.merged, name, next, dir, keys, nBuckets)
-    // counters scan the OLD version — collect before dropping it
-    val counters = res.counters.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // counters observed during the version write itself — one pass
+    // over the OLD version, read before dropping it (a collect() here
+    // re-executed the merge — review finding)
+    val counters = res.observedCounts()
     spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM ${vname(name, next)}")
     spark.sql(s"DROP TABLE ${vname(name, cur)}")
     counters

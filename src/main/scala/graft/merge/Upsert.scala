@@ -35,8 +35,27 @@ import graft.ops.{Enrich, FrameOps}
 object Upsert {
 
   /** Merged table + (inserted, updated) counters (A5). Counters come from
-    * the same join (JN4's existence probe), not a second scan. */
-  final case class MergeResult(merged: DataFrame, counters: DataFrame)
+    * the same join (JN4's existence probe), not a second scan — and for
+    * the WRITE paths, from the same EXECUTION: [[MergeResult.observedCounts]]
+    * reads observe() metrics collected during the caller's own action
+    * on `merged` (the state write), where `counters.collect()` would
+    * re-execute the whole merge plan a second time (review finding —
+    * the doc's "not a second scan" was true of the expression, not the
+    * execution). `counters` stays for consumers whose ONLY output is
+    * the counters (the m02 verify entry, specs) — there it already is
+    * the single pass. */
+  final case class MergeResult(merged: DataFrame, counters: DataFrame,
+      observed: Option[org.apache.spark.sql.Observation] = None) {
+    /** (insert/update -> n, zero entries omitted like the collect form)
+      * from the FIRST action the caller ran on [[merged]]. Call only
+      * AFTER such an action — blocks until one completes. */
+    def observedCounts(): Map[String, Long] = observed match {
+      case Some(o) =>
+        o.get.collect { case (k, v: Long) if v > 0 => k -> v }.toMap
+      case None =>
+        counters.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+  }
 
   val InsertOnlyCols = Set("created_at")
   val PreservedCols = Set("incorrect_frames")
@@ -99,13 +118,34 @@ object Upsert {
     val incoming2 = incDerived
     val incNorm =
       if (cols.contains("frames")) {
-        val legacyAlias = incoming.schema("frames").dataType match {
-          case org.apache.spark.sql.types.ArrayType(st: org.apache.spark.sql.types.StructType, _) =>
-            st.fieldNames.contains("frame_path")
-          case _ => false
+        incoming.schema("frames").dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+              st: org.apache.spark.sql.types.StructType, _) =>
+            // Mongo docs are SCHEMALESS: any field the reference probes
+            // with f.get(...) can be absent from a batch's inferred
+            // struct — a pure-legacy batch has ONLY frame_path, and a
+            // sparse one may lack width. normalizeFrames' getField
+            // calls fail ANALYSIS on a missing field (review finding:
+            // the old frame_path-presence flag still assumed `path`
+            // exists), so project to the canonical shape first, typed
+            // nulls for missing fields — exactly the reference's
+            // "absent key reads as None". With frame_path always
+            // materialized (null when absent), legacyAlias=true is the
+            // reference's unconditional two-name probe, and a null
+            // alias can never win a coalesce.
+            val has = st.fieldNames.toSet
+            def fld(f: Column, name: String, t: String): Column =
+              (if (has(name)) f.getField(name) else lit(null).cast(t)).as(name)
+            val canon = transform(col("frames"), f => struct(
+              fld(f, "path", "string"), fld(f, "frame_path", "string"),
+              fld(f, "aspect_ratio", "double"), fld(f, "vote_average", "double"),
+              fld(f, "width", "int")))
+            incoming2.withColumn("frames",
+              FrameOps.normalizeFrames(canon, legacyAlias = true))
+          case _ =>
+            incoming2.withColumn("frames",
+              FrameOps.normalizeFrames(col("frames"), legacyAlias = false))
         }
-        incoming2.withColumn("frames",
-          FrameOps.normalizeFrames(col("frames"), legacyAlias))
       } else incoming2
 
     // Sync stamps are NOT ordinary columns: the reference only ever adds
@@ -142,6 +182,12 @@ object Upsert {
       .groupBy(col("action"))
       .agg(count(lit(1)).as("n"))
 
-    MergeResult(merged.drop("action"), counters)
+    // coalesce: observe's sum over an all-keep (or empty) batch is
+    // NULL, and observedCounts must read 0, not NPE
+    val obs = new org.apache.spark.sql.Observation()
+    val observedMerged = merged.observe(obs,
+      coalesce(sum(when(col("action") === "insert", 1L)), lit(0L)).as("insert"),
+      coalesce(sum(when(col("action") === "update", 1L)), lit(0L)).as("update"))
+    MergeResult(observedMerged.drop("action"), counters, Some(obs))
   }
 }

@@ -162,11 +162,17 @@ object FrameOps {
       lit(paths.toArray))
 
   /** SO3 — partition request paths into (present, missing) vs the movie's
-    * frames (reference: app/endpoints/frames.py:67-69). */
+    * frames (reference: app/endpoints/frames.py:66-69). NULL frames is
+    * `doc.get("frames") or []` in the reference — present = [],
+    * missing = all requested paths — so coalesce like every other
+    * frames helper here, not NULL-propagate (review finding: the bare
+    * transform(null) made both partitions null). */
   def presentPaths(frames: Column, paths: Seq[String]): Column =
-    array_intersect(lit(paths.toArray), transform(frames, _.getField("path")))
+    array_intersect(lit(paths.toArray), transform(
+      coalesce(frames, array().cast(framesType)), _.getField("path")))
   def missingPaths(frames: Column, paths: Seq[String]): Column =
-    array_except(lit(paths.toArray), transform(frames, _.getField("path")))
+    array_except(lit(paths.toArray), transform(
+      coalesce(frames, array().cast(framesType)), _.getField("path")))
 
   /** P13 — anti-membership filter: frames whose path is not blocklisted
     * (reference: app/utils/frames.py:11-12). */

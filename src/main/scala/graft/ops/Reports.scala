@@ -15,7 +15,13 @@ import org.apache.spark.sql.functions._
 object Reports {
 
   /** A1 — per (movie_id, frame_path, content_type): report count + reason
-    * histogram as a map column. */
+    * histogram as a map column. FALSY reasons (null, "") are excluded
+    * from the histogram but still counted in the total — the
+    * reference's `[r for r in reasons if r]` filter feeding Counter
+    * while `$sum: 1` counts every report (reports.py:29,37). Review
+    * finding: the unfiltered collect_list fed a null map KEY into
+    * map_from_entries, which crashes the job (NULL_MAP_KEY) on the
+    * first null-reason report instead of histogramming around it. */
   def reportStats(reports: DataFrame): DataFrame = {
     val perReason = reports
       .groupBy("movie_id", "frame_path", "content_type", "reason")
@@ -24,8 +30,9 @@ object Reports {
       .groupBy("movie_id", "frame_path", "content_type")
       .agg(
         sum("_n").cast("long").as("count"),
-        map_from_entries(
-          array_sort(collect_list(struct(col("reason"), col("_n"))))).as("reasons"))
+        map_from_entries(array_sort(collect_list(
+          when(col("reason").isNotNull && col("reason") =!= "",
+            struct(col("reason"), col("_n")))))).as("reasons"))
   }
 
   /** A1 (flat form) — the same stats with the reason histogram exploded to
@@ -53,6 +60,10 @@ object Reports {
       .join(totals,
         col("movie_id") <=> col("_m") && col("frame_path") <=> col("_f") &&
           col("content_type") <=> col("_c"))
+      // falsy reasons drop from the per-reason ROWS but were already
+      // summed into `count` — the flat rendering of reportStats'
+      // filtered-histogram-over-full-total contract
+      .filter(col("reason").isNotNull && col("reason") =!= "")
       .select("movie_id", "frame_path", "content_type", "reason", "n", "count")
   }
 

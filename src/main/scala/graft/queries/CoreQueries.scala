@@ -200,11 +200,15 @@ object CoreQueries {
       },
       Some("""WITH reports AS (
           SELECT user_id AS movie_id, strftime(ts, '%Y-%m-%d') AS frame_path,
-                 'event' AS content_type, event_type AS reason FROM events)
-        SELECT movie_id, frame_path, content_type, reason,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(count(*)) OVER (PARTITION BY movie_id, frame_path, content_type) AS BIGINT) AS "count"
-        FROM reports GROUP BY movie_id, frame_path, content_type, reason
+                 'event' AS content_type, event_type AS reason FROM events),
+        g AS (
+          SELECT movie_id, frame_path, content_type, reason,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(count(*)) OVER (PARTITION BY movie_id, frame_path, content_type) AS BIGINT) AS "count"
+          FROM reports GROUP BY movie_id, frame_path, content_type, reason)
+        -- falsy reasons leave the rows but stay in the total (the
+        -- reference's Counter filter over a $sum of every report)
+        SELECT * FROM g WHERE reason IS NOT NULL AND reason <> ''
         ORDER BY movie_id, frame_path, reason""")),
 
     /* A2 — per-year coverage pipeline: count(col) null-skip ≡ Mongo

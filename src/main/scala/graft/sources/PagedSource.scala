@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -23,10 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reference fetches per HTTP round-trip;
   *  - live: `url=` names a GET template with a `{page}` placeholder
   *    (e.g. `https://host/3/movie/top_rated?page={page}`); requires
-  *    `maxPages` (the scan's bound). Non-2xx statuses dead-letter
-  *    terminally, network errors back off linearly — the ST4 envelope,
-  *    identical in both modes. Partition planning, schema, and pushdown
-  *    are shared.
+  *    `maxPages` (the scan's bound). Non-2xx statuses are TERMINAL
+  *    (never retried), network errors back off linearly — the ST4
+  *    envelope, identical in both modes. A page that gives up yields
+  *    the EMPTY page and the scan keeps going (the reference loop
+  *    `break`s the whole sync there — this source is strictly more
+  *    available); the give-up is OBSERVABLE, not just stderr (review
+  *    finding): classified give-up counts (network/http/other — the
+  *    reference's skipped_* taxonomy) surface as DSv2 custom SCAN
+  *    metrics in the Spark UI / SQL metrics, and row-level poison
+  *    (null ids) dead-letters downstream via SyncJob's ST3 sink.
+  *    Partition planning, schema, and pushdown are shared.
   *
   * Scale design:
   *  - one InputPartition per page -> a 500-page year sync fans out as
@@ -68,10 +76,32 @@ object PagedSource {
       .flatMap { f =>
         f.getName match {
           case s if s.startsWith("page-") && s.endsWith(".json") =>
-            Some(s.stripPrefix("page-").stripSuffix(".json").toInt -> f.getAbsolutePath)
+            // toIntOption, not toInt: a stray file whose infix is not a
+            // page number ("page-3 (copy).json", an editor backup, an
+            // overflowing number) must be IGNORED like any other
+            // non-matching name — .toInt threw from planInputPartitions
+            // (and every streaming latestOffset), failing the job
+            // against the module's bad-page contract (review finding)
+            s.stripPrefix("page-").stripSuffix(".json").toIntOption
+              .map(_ -> f.getAbsolutePath)
           case _ => None
         }
       }.sortBy(_._1)
+  }
+
+  /** ST3-visible give-up accounting (header comment): per-task counts
+    * by the reference's skipped_* taxonomy, summed across tasks by the
+    * engine and rendered in the scan node's SQL metrics. */
+  val GiveUpKinds: Seq[String] = Seq("network", "http", "other")
+  private class GiveUpMetric(kind: String) extends CustomSumMetric {
+    override def name(): String = s"giveUpPages_$kind"
+    override def description(): String = s"pages given up ($kind errors)"
+  }
+  def giveUpMetrics(): Array[CustomMetric] =
+    GiveUpKinds.map(new GiveUpMetric(_): CustomMetric).toArray
+  final case class GiveUpTaskMetric(kind: String, v: Long) extends CustomTaskMetric {
+    override def name(): String = s"giveUpPages_$kind"
+    override def value(): Long = v
   }
 
   /** The one reader factory both faces (batch scan, micro-batch stream)
@@ -104,8 +134,24 @@ class PagedScanBuilder(options: Map[String, String])
     extends ScanBuilder with SupportsPushDownLimit {
   private var limit: Option[Int] = None
   /** LIMIT caps the planned pages; rows still flow through Spark's own
-    * GlobalLimit for exactness (pushdown is an upper-bound prune). */
-  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+    * GlobalLimit for exactness (pushdown is an upper-bound prune).
+    *
+    * THE PRUNE'S CONTRACT (review finding, adjudicated): planning
+    * ceil(n/pageSize) pages assumes every non-LAST page carries exactly
+    * pageSize rows — the discover-feed contract this source models
+    * (TMDB pages are fixed-size except the final one; a short last
+    * page means no further data exists, so nothing was pruned away).
+    * Outside that contract a mid-stream short page under-delivers the
+    * LIMIT (pruned pages cannot top it up) — note the REFERENCE is no
+    * better there: its loop `break`s outright on a failed or empty
+    * page, delivering even less. A page dir that does not honor the
+    * contract (hand-written files, variable page sizes) should set
+    * limitPushdown=false to plan the full window and let GlobalLimit
+    * do all the limiting. */
+  override def pushLimit(n: Int): Boolean = {
+    if (options.getOrElse("limitPushdown", "true").toBoolean) limit = Some(n)
+    false
+  }
   override def build(): Scan = new PagedScan(options, limit)
 }
 
@@ -155,6 +201,9 @@ class PagedScan(options: Map[String, String], limit: Option[Int])
   override def createReaderFactory(): PartitionReaderFactory =
     PagedSource.readerFactory(options)
 
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    PagedSource.giveUpMetrics()
+
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new PagedMicroBatchStream(options)
@@ -173,13 +222,23 @@ class PageReader(part: PageInputPartition, maxAttempts: Int = 5,
                  honorRetryAfter: Boolean = false)
     extends PartitionReader[InternalRow] {
   import com.fasterxml.jackson.databind.JsonNode
+  private val giveUps =
+    scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
   private val it: Iterator[JsonNode] =
-    Retry.withRetry(maxAttempts, backoffMillis)(Seq.empty[JsonNode]) {
+    Retry.withRetry(maxAttempts, backoffMillis,
+        onGiveUp = g => {
+          giveUps(g.kind) += 1 // -> custom scan metric (PagedSource doc)
+          System.err.println(s"[tmdb-pages] give-up: $g")
+        })(Seq.empty[JsonNode]) {
       Retry.Faults.maybeThrow(part.path) // test-only fault injection
       if (PageFetch.isLive(part.path))
         PageFetch.http(part.path, requestTimeoutMillis, honorRetryAfter)
       else PageFetch.file(part.path)
     }.iterator
+  override def currentMetricsValues(): Array[CustomTaskMetric] =
+    PagedSource.GiveUpKinds
+      .map(k => PagedSource.GiveUpTaskMetric(k, giveUps(k)): CustomTaskMetric)
+      .toArray
   private var current: InternalRow = _
 
   override def next(): Boolean =

@@ -84,6 +84,21 @@ class FrameOpsSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("presentPaths/missingPaths: NULL frames reads as `frames or []` — " +
+       "present empty, missing all requested (reference frames.py:66-69)") {
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, null))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("frames", ArrayType(Fixtures.frameType)))))
+    val r = df.select(
+      FrameOps.presentPaths(col("frames"), Seq("/a.jpg")).as("p"),
+      FrameOps.missingPaths(col("frames"), Seq("/a.jpg", "/b.jpg")).as("m")).head()
+    assert(r.getSeq[String](0) == Seq(), "present = [] on null frames")
+    assert(r.getSeq[String](1) == Seq("/a.jpg", "/b.jpg"),
+      "missing = every requested path on null frames (was null before the fix)")
+  }
+
   test("normalizeFrames resolves legacy frame_path alias, drops pathless, dedups keep-max-width") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -29,6 +29,30 @@ class ReportsSpec extends AnyFunSuite {
     assert(out(1)._5 == Map("nsfw" -> 1L))
   }
 
+  test("reportStats: FALSY reasons (null, '') stay in the total but leave the " +
+       "histogram — and never crash the map build") {
+    // reference reports.py:29,37: `$sum: 1` counts every report, the
+    // Python Counter filter `[r for r in reasons if r]` drops falsy
+    // reasons from the histogram. Review finding: the unfiltered
+    // collect_list fed a NULL map key into map_from_entries, crashing
+    // the job on the first null-reason report.
+    val reports = Seq(
+      (1L, "/a.jpg", "image", Some("spam")),
+      (1L, "/a.jpg", "image", None),
+      (1L, "/a.jpg", "image", Some("")),
+      (1L, "/a.jpg", "image", Some("spam")))
+      .toDF("movie_id", "frame_path", "content_type", "reason")
+    val r = Reports.reportStats(reports).head()
+    assert(r.getAs[Long]("count") == 4L, "falsy reasons still count")
+    assert(r.getAs[Map[String, Long]]("reasons") == Map("spam" -> 2L),
+      "falsy reasons leave the histogram")
+    val flat = Reports.reportStatsFlat(reports).collect()
+    assert(flat.map(_.getString(3)).toSeq == Seq("spam"),
+      "flat rows carry only truthy reasons")
+    assert(flat.head.getAs[Long]("n") == 2L && flat.head.getAs[Long]("count") == 4L,
+      "flat total spans ALL reports of the group, falsy included")
+  }
+
   test("errorCounts: >= boundary is inclusive (Mongo $gte)") {
     def ts(s: String) = Timestamp.valueOf(s)
     val now = ts("2026-01-01 12:00:00")

@@ -135,4 +135,30 @@ class RetrySpec extends AnyFunSuite {
       assert(!pages.contains(2), "poisoned page yields zero rows, job succeeds")
     } finally Retry.Faults.clear()
   }
+
+  test("give-up pages surface as CLASSIFIED custom scan metrics, not just stderr") {
+    // review finding: the ST3 give-up record went only to executor
+    // stderr. The reader now counts give-ups by the reference's
+    // skipped_* taxonomy and reports them through the DSv2 custom
+    // metric API (summed into the scan node's SQL metrics).
+    import graft.sources.{PagedSource, PageInputPartition, PageReader}
+    val dir = writeFeed(pages = 1, perPage = 2)
+    try {
+      Retry.Faults.failNext(s"$dir/page-1.json", times = 99,
+        new java.io.IOException("hard down"))
+      val reader = new PageReader(PageInputPartition(1, s"$dir/page-1.json"),
+        maxAttempts = 2, backoffMillis = 0)
+      assert(!reader.next(), "exhausted page degrades to empty")
+      val m = reader.currentMetricsValues().map(t => t.name -> t.value).toMap
+      assert(m == Map("giveUpPages_network" -> 1L, "giveUpPages_http" -> 0L,
+        "giveUpPages_other" -> 0L), s"got $m")
+    } finally Retry.Faults.clear()
+    // a healthy page reports zeros
+    val ok = new PageReader(PageInputPartition(1, s"$dir/page-1.json"))
+    assert(ok.next())
+    assert(ok.currentMetricsValues().forall(_.value == 0L))
+    // and the scan declares the metrics so the engine aggregates them
+    assert(PagedSource.giveUpMetrics().map(_.name()).toSet ==
+      Set("giveUpPages_network", "giveUpPages_http", "giveUpPages_other"))
+  }
 }

@@ -210,4 +210,36 @@ class SyncJobSpec extends AnyFunSuite {
     assert(state.count() == 2)
     assert(state.filter($"id" === 1L).select("title").as[String].head() == "v2")
   }
+
+  test("startPage=Some(0) is Python-falsy: falls through to the cursor, " +
+       "never a zero-based window (sync_top.py:134 `start_page or ...`)") {
+    val dir = Files.createTempDirectory("syncjob-sp0").toString
+    val (st, cur, dl) = (s"$dir/state", s"$dir/cursors", s"$dir/dead")
+    def round(sp: Option[Int]) = SyncJob.run(spark, base, details, ruTitles,
+      template, st, cur, dl, cursorKey = "sp0",
+      orderBy = Seq(col("vote_count").desc, col("id").asc),
+      pageSize = 5, nPages = 2, startPage = sp)
+    assert(round(None).lastPage == 2)
+    val r2 = round(Some(0)) // falsy: resumes at the cursor (page 3)
+    assert(r2.lastPage == 4 && r2.attempted == 10,
+      "0 must fall through to the resume position, not start a 0-based window")
+  }
+
+  test("maxPage is an ABSOLUTE page-number ceiling: a resumed cursor never " +
+       "walks past it, and at the ceiling the call is a cursor-preserving no-op") {
+    val dir = Files.createTempDirectory("syncjob-cap").toString
+    val (st, cur, dl) = (s"$dir/state", s"$dir/cursors", s"$dir/dead")
+    def round(cap: Option[Int]) = SyncJob.run(spark, base, details, ruTitles,
+      template, st, cur, dl, cursorKey = "cap",
+      orderBy = Seq(col("vote_count").desc, col("id").asc),
+      pageSize = 5, nPages = 3, maxPage = cap)
+    val r1 = round(Some(2)) // wants pages 1-3; ceiling clips to 1-2
+    assert(r1.lastPage == 2 && r1.attempted == 10,
+      "window clipped AT the ceiling, not by page count")
+    val r2 = round(Some(2)) // cursor at 2 -> from=3 > ceiling: loop guard false
+    assert(r2.attempted == 0 && r2.inserted == 0 && r2.lastPage == 2,
+      "at the ceiling nothing is fetched and the cursor is untouched")
+    val r3 = round(None) // ceiling lifted: resumes at 3 exactly
+    assert(r3.lastPage == 5 && r3.attempted == 15)
+  }
 }

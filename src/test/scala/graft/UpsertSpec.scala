@@ -127,4 +127,34 @@ class UpsertSpec extends AnyFunSuite {
     val frames = m1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("frames")
     assert(frames.length == 1 && frames.head.getInt(3) == 900)
   }
+
+  test("mergeMovies accepts a PURE-LEGACY frames batch: only frame_path in " +
+       "the struct, every other field read as the schemaless None") {
+    // the exact shape the alias exists for — and the review-finding
+    // crash: the old detection set legacyAlias=true but normalizeFrames
+    // still dereferenced the nonexistent `path` field (AnalysisException)
+    val legacy = incoming.withColumn("frames", expr(
+      """array(named_struct('frame_path', '/legacy.jpg'),
+               named_struct('frame_path', cast(null as string)))"""))
+    val r = Upsert.mergeMovies(base, legacy, None, now)
+    val m1 = r.merged.filter(col("id") === 1 && col("_type") === "movie").head()
+    val frames = m1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("frames")
+    assert(frames.map(_.getString(0)).toSeq == Seq("/legacy.jpg"),
+      "alias resolves; the pathless entry drops")
+    assert(frames.head.isNullAt(1) && frames.head.isNullAt(2) && frames.head.isNullAt(3),
+      "fields absent from the batch schema store as null, like f.get(...)")
+  }
+
+  test("observedCounts == the counters frame, read from the caller's own action") {
+    val fresh = incoming.withColumn("id", lit(999L))
+    val r = Upsert.mergeMovies(base, incoming.union(fresh), None, now)
+    val viaPlan = r.counters.collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.merged.write.format("noop").mode("overwrite").save() // the ONE pass
+    assert(r.observedCounts() == viaPlan)
+    assert(viaPlan == Map("insert" -> 1L, "update" -> 1L))
+    // all-keep batch: zero entries omitted in both forms, no NPE
+    val noop = Upsert.mergeMovies(base, base.limit(0), None, now)
+    noop.merged.write.format("noop").mode("overwrite").save()
+    assert(noop.observedCounts() == Map.empty)
+  }
 }
