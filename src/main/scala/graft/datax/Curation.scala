@@ -39,14 +39,20 @@ object Curation {
     */
   def boilerplateChunks(docs: DataFrame, idCol: String, textCol: String,
                         chunkTokens: Int = 3, minDocs: Int = 2): DataFrame = {
-    val toks = TextStats.tokens(col(textCol))
+    // tokens MATERIALIZED to a column first (the shinglesFromTokens
+    // rule; review finding): each slice() inside the transform lambda
+    // re-evaluates an INLINE split per chunk element — O(chunks x
+    // text-length) per doc; as an attribute the split runs once per row
+    val tokenized = docs.select(col(idCol).as("id"),
+      TextStats.tokens(col(textCol)).as("_toks"))
+    val toks = col("_toks")
     // ceil(n/chunk) without float: (n + chunk-1) / chunk on ints is exact
     // in double for any n <= 2^52, and split() never yields an empty
     // array, so every doc has >= 1 chunk
     val nChunks = ((size(toks) + (chunkTokens - 1)) / chunkTokens).cast("int")
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
-    val ch = docs.select(col(idCol).as("id"),
+    val ch = tokenized.select(col("id"),
       posexplode(chunks).as(Seq("pos", "chunk")))
     val bp = ch.groupBy("chunk")
       .agg(countDistinct(col("id")).as("n_docs"))
@@ -101,9 +107,18 @@ object Curation {
         count(col("p")).as("n_invocab"),
         aggregate(array_sort(collect_list(col("p"))), lit(0.0), (a, x) => a + x)
           .as("_sum_p"))
-    agg.select(col("id").as(idCol), col("n_tokens"), col("n_invocab"),
+    val perDoc = agg.select(col("id"), col("n_tokens"), col("n_invocab"),
       ((col("n_tokens") - col("n_invocab")) / col("n_tokens")).as("oov_rate"),
       (col("_sum_p") / col("n_tokens")).as("avg_p"))
+    // NULL-text docs have no token rows and vanished from the output
+    // (review finding); importanceWeights' join-back rule applies here
+    // too — every input doc gets a row: zero counts, NULL rates (no
+    // tokens means the rates are UNDEFINED, not 0)
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_invocab"), lit(0L)).as("n_invocab"),
+        col("oov_rate"), col("avg_p"))
   }
 
   /** Stratified balancing sample: deterministically downsample every
@@ -288,7 +303,11 @@ object Curation {
                      windowTokens: Int = 16, strideTokens: Int = 8): DataFrame = {
     require(strideTokens >= 1 && windowTokens >= strideTokens,
       s"need 1 <= stride <= window, got stride=$strideTokens window=$windowTokens")
-    val toks = TextStats.tokens(col(textCol))
+    // tokens MATERIALIZED first — same re-evaluation trap as
+    // boilerplateChunks (review finding)
+    val tokenized = docs.select(col(idCol),
+      TextStats.tokens(col(textCol)).as("_toks"))
+    val toks = col("_toks")
     val n = size(toks)
     // Column./ is double division; exact for these magnitudes (d33 note),
     // and cast truncates = floor on non-negatives
@@ -300,7 +319,7 @@ object Curation {
         i.cast("int").as("chunk_id"),
         (i * strideTokens).cast("int").as("start"),
         slice(toks, i * strideTokens + 1, lit(windowTokens)).as("toks")))
-    docs.select(col(idCol), explode(chunks).as("_c"))
+    tokenized.select(col(idCol), explode(chunks).as("_c"))
       .select(col(idCol),
         col("_c.chunk_id"), col("_c.start"),
         size(col("_c.toks")).as("n_tokens"),
@@ -402,7 +421,14 @@ object Curation {
     val base = docs.select(col(idCol).as("id"),
         TextStats.qualityScore(col(textCol)).as("quality"),
         size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("band", ((lit(1.0) - col("quality")) * bands).cast("int"))
+      // NULL-quality (null-text) docs take the SENTINEL band strictly
+      // after every real band — domainCapBanded's rule (review finding:
+      // a null band fell out of the equi-join entirely, losing the row,
+      // where the documented naive-global-window oracle ranks it LAST
+      // under DESC NULLS LAST and still emits it)
+      .withColumn("band",
+        when(col("quality").isNull, lit(bands + 1))
+          .otherwise(((lit(1.0) - col("quality")) * bands).cast("int")))
       .cache()
     Dedup.registerCache(base)
     val bandTot = base.groupBy("band").agg(sum("n_tokens").as("_bt"))

@@ -11,16 +11,26 @@ import org.apache.spark.sql.functions._
   * HyperLogLog (approx_count_distinct), one pass, no expand. */
 object Profile {
 
+  // stack() is the one string-built SQL here: the col_name literal gets
+  // '' doubling and alias references get backtick escaping, so a column
+  // name carrying quotes/backticks/commas cannot break the parse or
+  // splice expressions into the projection (review finding)
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  private def bt(s: String): String = "`" + s.replace("`", "``") + "`"
+  // col() PARSES its argument (dots split, backticks quote) — wrap the
+  // raw name in escaped backticks so it resolves as ONE literal part
+  private def qcol(c: String): Column = col(bt(c))
+
   def profile(df: DataFrame, cols: Seq[String], exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty)
     def distinctAgg(c: String): Column =
-      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+      if (exact) countDistinct(qcol(c)) else approx_count_distinct(qcol(c))
     val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"_nn_$c"),
+      count(qcol(c)).as(s"_nn_$c"),
       distinctAgg(c).as(s"_nd_$c")))
     val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
     val stackArgs = cols
-      .map(c => s"'$c', _total, `_nn_$c`, `_nd_$c`")
+      .map(c => s"${sqlStr(c)}, _total, ${bt(s"_nn_$c")}, ${bt(s"_nd_$c")}")
       .mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $stackArgs) as (col_name, n_rows, n_nonnull, n_distinct)"))
@@ -48,13 +58,13 @@ object Profile {
     require(cols.nonEmpty)
     require(tol > 0.0, s"tol=$tol must be positive")
     val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"_nn_$c"),
-      countDistinct(col(c)).as(s"_nd_$c"),
-      approx_count_distinct(col(c)).as(s"_est_$c")))
+      count(qcol(c)).as(s"_nn_$c"),
+      countDistinct(qcol(c)).as(s"_nd_$c"),
+      approx_count_distinct(qcol(c)).as(s"_est_$c")))
     val wide = df.agg(count(lit(1)).as("_total"), aggs: _*)
     val stackArgs = cols
-      .map(c => s"'$c', _total, `_nn_$c`, `_nd_$c`, " +
-        s"abs(`_est_$c` - `_nd_$c`) <= $tol * `_nd_$c`")
+      .map(c => s"${sqlStr(c)}, _total, ${bt(s"_nn_$c")}, ${bt(s"_nd_$c")}, " +
+        s"abs(${bt(s"_est_$c")} - ${bt(s"_nd_$c")}) <= $tol * ${bt(s"_nd_$c")}")
       .mkString(", ")
     wide.select(expr(
       s"stack(${cols.size}, $stackArgs) as " +

@@ -116,9 +116,12 @@ object TextStats {
     * token posexplode and carried through the gram aggregate (three
     * numbers per token row — far cheaper than the second full text
     * scan a `docs ⋈ repetition(docs)` join would pay; Spark does not
-    * dedupe repeated scans of a subtree). Every doc has at least one
-    * token row (`split` never yields an empty array), so the groupBy
-    * covers sub-n docs with zero grams. */
+    * dedupe repeated scans of a subtree). Every NON-NULL-text doc has
+    * at least one token row (`split` never yields an empty array), so
+    * the groupBy covers sub-n docs with zero grams; NULL-text docs
+    * have NO token rows and are restored by the final join-back with
+    * `keep=false, reasons='null_text'` — every input doc gets an
+    * audited row, and a null doc never passes vacuously. */
   def qualityFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String,
                     minTokens: Int = 5, maxTokens: Int = 5000,
@@ -157,8 +160,18 @@ object TextStats {
       when(col("_alpha") < minAlpha, "low_alpha"),
       when(dup > maxDupFraction, "high_repetition"),
       when(col("_pii") > maxPii, "pii_heavy"))
-    agg.select(col("id").as(idCol), (reasons === "").as("keep"),
+    val flagged = agg.select(col("id"), (reasons === "").as("keep"),
       reasons.as("reasons"))
+    // NULL text produces zero token rows, so the aggregate never sees
+    // the doc and it vanished with no audit trail (review finding —
+    // against this method's own every-doc-has-a-row claim). Join back
+    // to the full id set: a null-text doc FAILS the filter explicitly
+    // instead of disappearing (or passing vacuously).
+    docs.select(col(idCol).as("id"))
+      .join(flagged, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("keep"), lit(false)).as("keep"),
+        coalesce(col("reasons"), lit("null_text")).as("reasons"))
   }
 
   // ------------------------------------------------------------------

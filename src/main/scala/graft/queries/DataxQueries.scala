@@ -1234,10 +1234,17 @@ object DataxQueries {
                    CASE WHEN alpha < 0.5 THEN 'low_alpha' END,
                    CASE WHEN dup_fraction > 0.3 THEN 'high_repetition' END,
                    CASE WHEN n_emails + n_phones > 5 THEN 'pii_heavy' END) AS reasons
-          FROM f)
-        SELECT doc_id, (coalesce(reasons, '') = '') AS keep,
-               coalesce(reasons, '') AS reasons
-        FROM r ORDER BY doc_id""")),
+          FROM f),
+        -- NULL text fails the filter EXPLICITLY (the operator contract:
+        -- every input doc gets an audited keep/reasons row; a null doc
+        -- must never pass as vacuously clean)
+        rr AS (
+          SELECT r.doc_id,
+                 CASE WHEN d.text IS NULL THEN 'null_text'
+                      ELSE coalesce(r.reasons, '') END AS reasons
+          FROM r JOIN documents d USING (doc_id))
+        SELECT doc_id, (reasons = '') AS keep, reasons
+        FROM rr ORDER BY doc_id""")),
 
     /* Quality-score distribution as an EXACT fixed-width histogram
      * (floor-bucketing is engine-portable; percentile sketches are not
@@ -1512,10 +1519,14 @@ object DataxQueries {
                      list_sort(list(p) FILTER (WHERE p IS NOT NULL))),
                    (acc, x) -> acc + x) AS sum_p
           FROM tok LEFT JOIN pr USING (t) GROUP BY doc_id)
-        SELECT doc_id, n_tokens, n_invocab,
-               (n_tokens - n_invocab) / n_tokens AS oov_rate,
-               coalesce(sum_p, 0.0) / n_tokens AS avg_p
-        FROM a ORDER BY doc_id""")),
+        -- every input doc gets a row: null-text docs carry zero counts
+        -- and NULL (undefined) rates
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+               coalesce(a.n_invocab, CAST(0 AS BIGINT)) AS n_invocab,
+               (a.n_tokens - a.n_invocab) / a.n_tokens AS oov_rate,
+               coalesce(a.sum_p, 0.0) / a.n_tokens AS avg_p
+        FROM documents d LEFT JOIN a USING (doc_id) ORDER BY d.doc_id""")),
 
     /* Stratified balancing sample: every language deterministically
      * downsampled to ~the smallest language's count via md5 buckets —

@@ -55,6 +55,13 @@ object BatchFiles {
       val conf = spark.sessionState.newHadoopConf()
       val fs = new Path(dir).getFileSystem(conf)
       fs.mkdirs(new Path(dir))
+      // clear EVERY prior bNN.parquet, not just the ones this call
+      // overwrites: a re-run with fewer splits would otherwise leave
+      // stale higher-numbered files that an AvailableNow drive ingests
+      // as extra batches — with NEWER mtimes than the fresh splits, so
+      // they'd even replay LAST (review finding)
+      fs.globStatus(new Path(s"$dir/b[0-9][0-9].parquet"))
+        .foreach(st => fs.delete(st.getPath, false))
       val base = System.currentTimeMillis() - splits * 2000L
       (0 until splits).foreach { i =>
         val tmp = s"$dir/_tmp_split_$i"

@@ -79,6 +79,13 @@ object StreamOps {
       org.apache.spark.sql.streaming.StreamingQueryProgress]()
     val done = new java.util.concurrent.CountDownLatch(1)
     @volatile var qid: java.util.UUID = null
+    // terminated ids recorded UNCONDITIONALLY: a fast drive can post
+    // its terminated event before the main thread has even assigned
+    // qid (review finding — the id-gated countdown then never fired,
+    // costing a spurious 10 s stall + a false truncation warning);
+    // the main thread re-checks this set once qid is known
+    val terminated =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
     val l = new StreamingQueryListener {
       override def onQueryStarted(
           e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -86,13 +93,16 @@ object StreamOps {
           e: StreamingQueryListener.QueryProgressEvent): Unit =
         buf.synchronized { buf += e.progress; () }
       override def onQueryTerminated(
-          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        terminated.add(e.id)
         if (qid != null && e.id == qid) done.countDown()
+      }
     }
     streams.addListener(l)
     try {
       val q = start
       qid = q.id
+      if (terminated.contains(qid)) done.countDown()
       q.awaitTermination()
       // the trace is complete only if the terminated event was actually
       // SEEN (the FIFO guarantee is per listener; a heavily loaded bus
@@ -196,34 +206,56 @@ object StreamOps {
     events.dropDuplicatesWithinWatermark(keys)
 
   final case class UserActivity(user_id: Long, n_events: Long, last_value: Double)
+  /** Keyed state of [[userActivity]] — the output triple plus the MAX
+    * EVENT TIME ever seen for the key (`last_ts_ms`), which both the
+    * idle timeout and `last_value` anchor to. A pre-round-12 checkpoint
+    * (state = the bare output triple) fails the state schema check
+    * loudly on resume, the tsUnit precedent. */
+  final case class UserActivityState(user_id: Long, n_events: Long,
+                                     last_value: Double, last_ts_ms: Long)
 
   /** Custom keyed state via flatMapGroupsWithState: a per-user running
     * activity profile (count + last value), emitted on every update and
-    * dropped after `idleMinutes` of event-time inactivity — the
+    * dropped after `idleMinutes` of EVENT-TIME inactivity — the
     * mapGroups/timeout machinery arbitrary stateful pipelines hang off.
-    * Rows: (user_id, ts, value); requires a watermark for the timeout. */
+    * Rows: (user_id, ts, value); requires a watermark for the timeout.
+    *
+    * Event-time, not arrival-order, semantics across batches (review
+    * finding): a LATE but in-watermark row increments the count but
+    * must neither overwrite a newer `last_value` nor re-arm the idle
+    * timeout EARLIER — the timeout is anchored to the newest event
+    * ever seen, so a late batch can only extend a profile's life,
+    * never shorten it. */
   def userActivity(events: DataFrame, idleMinutes: Int = 120): Dataset[UserActivity] = {
+    require(idleMinutes > 0, s"idleMinutes=$idleMinutes must be positive")
     val typed = events.select(col("user_id").cast("long"), normTsIfNtz(events, "ts"),
       col("value").cast("double"))
       .as[(Long, java.sql.Timestamp, Double)](
         Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP, Encoders.scalaDouble))
     typed.groupByKey(_._1)(Encoders.scalaLong)
-      .flatMapGroupsWithState[UserActivity, UserActivity](
+      .flatMapGroupsWithState[UserActivityState, UserActivity](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-         state: GroupState[UserActivity]) =>
+         state: GroupState[UserActivityState]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
-            val prev = state.getOption.getOrElse(UserActivity(user, 0L, 0.0))
-            val next = sorted.foldLeft(prev)((acc, r) =>
-              UserActivity(user, acc.n_events + 1, r._3))
+            val prev = state.getOption
+              .getOrElse(UserActivityState(user, 0L, 0.0, Long.MinValue))
+            // last_value = value at the LATEST (ts, value) seen across
+            // all batches; >= keeps the former within-batch tie rule
+            // (equal ts: the fold's last, i.e. max value) while a
+            // strictly-older late row leaves it untouched
+            val (lastTs, lastV) = sorted.foldLeft((prev.last_ts_ms, prev.last_value)) {
+              case ((t, v), r) => if (r._2.getTime >= t) (r._2.getTime, r._3) else (t, v)
+            }
+            val next = UserActivityState(user, prev.n_events + sorted.size,
+              lastV, lastTs)
             state.update(next)
-            state.setTimeoutTimestamp(
-              sorted.map(_._2.getTime).max + idleMinutes * 60000L)
-            Iterator.single(next)
+            state.setTimeoutTimestamp(next.last_ts_ms + idleMinutes * 60000L)
+            Iterator.single(UserActivity(user, next.n_events, next.last_value))
           }
-      }(Encoders.product[UserActivity], Encoders.product[UserActivity])
+      }(Encoders.product[UserActivityState], Encoders.product[UserActivity])
   }
 
   /** Event-time interval join (attribution shape): each `click` pairs

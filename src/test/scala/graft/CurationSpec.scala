@@ -420,4 +420,32 @@ class CurationSpec extends AnyFunSuite {
       (0L, 1L, 3L, 6L)), // the per-source subtotal: all 3 docs, 6 tokens
       s"got $rows")
   }
+
+  test("NULL-text docs get a row from every per-doc curation operator " +
+       "(never silently dropped)") {
+    // review finding: zero token rows meant the doc vanished from the
+    // aggregate-shaped operators with no audit trail. Contract now:
+    // every input doc gets a row — explicit fail/zero/undefined values.
+    val d = Seq((1L, Some("alpha beta alpha")), (2L, None))
+      .toDF("doc_id", "text")
+    // unigramLm: zero counts, NULL (undefined) rates
+    val lm = Curation.unigramLm(d, "doc_id", "text", vocabSize = 1)
+      .orderBy("doc_id").collect()
+    assert(lm.length == 2, s"doc 2 missing from unigramLm: ${lm.toSeq}")
+    assert(lm(1).getLong(1) == 0L && lm(1).getLong(2) == 0L)
+    assert(lm(1).isNullAt(3) && lm(1).isNullAt(4),
+      "no tokens -> rates are UNDEFINED (null), not 0")
+    // tokenBudgetSelect: the null-quality doc takes the sentinel band,
+    // ranks LAST (the naive-window NULLS LAST order), and still emits
+    val tb = Curation.tokenBudgetSelect(d, "doc_id", "text",
+      budgetTokens = 100L).orderBy("doc_id").collect()
+    assert(tb.length == 2, s"doc 2 missing from tokenBudgetSelect: ${tb.toSeq}")
+    assert(tb(0).getBoolean(3), "the real doc fits the budget")
+    // qualityFilter: explicit fail with the null_text reason
+    val qf = graft.datax.TextStats.qualityFilter(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(qf.length == 2, s"doc 2 missing from qualityFilter: ${qf.toSeq}")
+    assert(!qf(1).getBoolean(1) && qf(1).getString(2) == "null_text",
+      s"null text must FAIL with an audited reason: ${qf(1)}")
+  }
 }

@@ -57,4 +57,20 @@ class ProfilePropertiesSpec extends AnyFunSuite {
         s"HLL estimate for $name outside 10% of exact at trivial cardinality")
     }
   }
+
+  test("profile survives hostile column names (quotes/backticks/commas in " +
+       "the stack() splice)") {
+    // review finding: raw names spliced into expr("stack(...)") — a
+    // quote broke the parse, and quote+SQL could splice expressions
+    val schema = StructType(Seq(StructField("it's, `weird`", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(2L), Row(2L), Row(null))),
+      schema)
+    val r = Profile.profile(df, Seq("it's, `weird`")).collect()
+    assert(r.length == 1)
+    assert(r.head.getString(0) == "it's, `weird`", "label survives verbatim")
+    assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3)) == ((4L, 3L, 2L)))
+    val g = Profile.profileWithHllGate(df, Seq("it's, `weird`")).collect()
+    assert(g.head.getLong(3) == 2L && g.head.getBoolean(4))
+  }
 }

@@ -217,6 +217,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("BatchFiles.write clears STALE bNN files from a prior wider run — a " +
+       "re-run with fewer splits must not leave extra replay batches") {
+    // review finding: only the overwritten b00..bNN survived a re-run;
+    // stale higher-numbered files from a wider prior run kept NEWER
+    // mtimes than the fresh splits and would replay LAST, duplicating
+    // and reordering an AvailableNow drive
+    import graft.streaming.BatchFiles
+    val dir = java.nio.file.Files.createTempDirectory("graft-bf-stale").toString
+    val df = (1 to 10).map(i => (i.toLong, i)).toDF("v", "k")
+    BatchFiles.write(df, dir, "k", splits = 4)
+    BatchFiles.write(df, dir, "k", splits = 2)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.matches("b\\d\\d\\.parquet")).sorted.toSeq
+    assert(files == Seq("b00.parquet", "b01.parquet"), s"stale splits survived: $files")
+    assert(spark.read.parquet(s"$dir/*.parquet").count() == 10,
+      "row count doubled — stale batches still readable")
+  }
+
+  test("userActivity: a LATE in-watermark event neither overwrites a newer " +
+       "last_value nor re-arms the idle timeout earlier") {
+    // review finding: the timeout was armed from only the current
+    // batch's max event time, so a late batch moved expiry BACKWARDS
+    // (profile dropped before idleMinutes of event-time inactivity),
+    // and the arrival-order fold let the late OLDER value overwrite
+    // last_value. Drive: event at 10:00, then a late 9:30 event
+    // (watermark 9:00 — in-watermark), then advance the watermark past
+    // the WRONG expiry (11:30 = 9:30+120m) but short of the right one
+    // (12:00): the profile must still be alive with last_value from
+    // 10:00, count 2 — then counting the 11:20 prober as its 3rd event.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val q = StreamOps.userActivity(
+        mem.toDF().toDF("user_id", "ts", "value")
+          .withWatermark("ts", "60 minutes"), idleMinutes = 120)
+      .writeStream.format("memory").queryName("ua_late")
+      .outputMode("append").start()
+    try {
+      mem.addData((7L, ts("2026-01-01 10:00:00"), 1.0))
+      q.processAllAvailable() // watermark -> 9:00
+      mem.addData((7L, ts("2026-01-01 09:30:00"), 99.0)) // late, in-watermark
+      q.processAllAvailable()
+      val afterLate = spark.table("ua_late")
+        .as[(Long, Long, Double)].collect().toSeq.maxBy(_._2)
+      assert(afterLate == ((7L, 2L, 1.0)),
+        s"late older event counted but must not take last_value: $afterLate")
+      // advance the watermark to 11:40 via another user: past the wrong
+      // 11:30 expiry, short of the correct 12:00 one
+      mem.addData((8L, ts("2026-01-01 12:40:00"), 0.0))
+      q.processAllAvailable()
+      mem.addData((7L, ts("2026-01-01 12:41:00"), 5.0)) // prober
+      q.processAllAvailable()
+      val last7 = spark.table("ua_late").filter(col("user_id") === 7L)
+        .as[(Long, Long, Double)].collect().toSeq.maxBy(_._2)
+      assert(last7 == ((7L, 3L, 5.0)),
+        s"state expired early (count restarted) — the late event moved the timeout backwards: $last7")
+    } finally q.stop()
+  }
+
   test("asofJoin picks the latest right row at-or-before each left row, per key") {
     val clicks = Seq(
       (100L, 10L, ts("2026-01-01 10:30:00")),
