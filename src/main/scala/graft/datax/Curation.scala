@@ -94,31 +94,39 @@ object Curation {
     */
   def unigramLm(docs: DataFrame, idCol: String, textCol: String,
                 vocabSize: Int = 20): DataFrame = {
+    // a NULL-text doc keeps one (t = null) row and stays in the per-doc
+    // aggregate — the every-doc-has-a-row contract WITHOUT a join-back
+    // shuffle (measured +47% on d34 as a docs ⋈ agg left join):
+    // count(t)/count(p) skip the null token, so such a doc lands at
+    // zero counts and NULL (undefined) rates for free. The null row
+    // comes from coalescing the null array to [null], NOT explode_outer
+    // — outer generates fall out of whole-stage codegen
     val tok = docs.select(col(idCol).as("id"),
-      explode(TextStats.tokens(col(textCol))).as("t"))
-    val counts = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+      explode(coalesce(TextStats.tokens(col(textCol)),
+        array(lit(null).cast("string")))).as("t"))
+    // vocabulary/probabilities see only REAL tokens — a null token row
+    // must not enter the corpus total or compete for the top-k
+    val counts = tok.filter(col("t").isNotNull)
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("total"))
     val vocab = counts.orderBy(col("cnt").desc, col("t").asc).limit(vocabSize)
     val probs = vocab.crossJoin(total).select(col("t"),
       (col("cnt").cast("double") / col("total").cast("double")).as("p"))
     val agg = tok.join(broadcast(probs), Seq("t"), "left_outer")
       .groupBy("id").agg(
-        count(lit(1)).as("n_tokens"),
+        count(col("t")).as("n_tokens"),
         count(col("p")).as("n_invocab"),
         aggregate(array_sort(collect_list(col("p"))), lit(0.0), (a, x) => a + x)
           .as("_sum_p"))
-    val perDoc = agg.select(col("id"), col("n_tokens"), col("n_invocab"),
-      ((col("n_tokens") - col("n_invocab")) / col("n_tokens")).as("oov_rate"),
-      (col("_sum_p") / col("n_tokens")).as("avg_p"))
-    // NULL-text docs have no token rows and vanished from the output
-    // (review finding); importanceWeights' join-back rule applies here
-    // too — every input doc gets a row: zero counts, NULL rates (no
-    // tokens means the rates are UNDEFINED, not 0)
-    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left_outer")
-      .select(col("id").as(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_invocab"), lit(0L)).as("n_invocab"),
-        col("oov_rate"), col("avg_p"))
+    // rates for a token-less doc are UNDEFINED (null), guarded rather
+    // than divided: 0/0 is ANSI-mode poison, not a reliable null
+    val undef = col("n_tokens") === 0
+    agg.select(col("id").as(idCol), col("n_tokens"), col("n_invocab"),
+      when(undef, lit(null).cast("double"))
+        .otherwise((col("n_tokens") - col("n_invocab")) / col("n_tokens"))
+        .as("oov_rate"),
+      when(undef, lit(null).cast("double"))
+        .otherwise(col("_sum_p") / col("n_tokens")).as("avg_p"))
   }
 
   /** Stratified balancing sample: deterministically downsample every
@@ -351,13 +359,20 @@ object Curation {
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the null-array coalesce (d34 rule) keeps a NULL-text doc as one
+    // (t = null) row, so it reaches the per-doc aggregate like any other
     val toks = docs.select(col(idCol).as("id"), isTarget.as("_tgt"),
-      posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "t")))
+      posexplode(coalesce(TextStats.tokens(col(textCol)),
+        array(lit(null).cast("string")))).as(Seq("pos", "t")))
     val w = Window.partitionBy("id").orderBy("pos")
     val next = lead(col("t"), 1).over(w)
+    // every doc's LAST token row has next = null and rides along as a
+    // null-bucket row instead of being filtered: that one extra row per
+    // doc is what lets gram-less docs (< 2 tokens, null text) reach the
+    // per-doc aggregate WITHOUT a docs ⋈ agg join-back — the join was a
+    // third id-width shuffle (the d32/d34 measurement)
     val grams = toks.select(col("id"), col("_tgt"),
-        concat_ws(" ", col("t"), next).as("g"), next.as("_last"))
-      .filter(col("_last").isNotNull)
+      when(next.isNotNull, concat_ws(" ", col("t"), next)).as("g"))
     // the (id, target, bucket) relation feeds BOTH the bucket-count
     // aggregate and the per-doc aggregate — cached so the text scan +
     // window shuffle run once, registered under the shared datax cache
@@ -368,8 +383,9 @@ object Curation {
         .cast("int").as("b"))
       .cache()
     Dedup.registerCache(gb)
-    // raw + target counts in ONE pass; totals ride a 1-row cross join
-    val cnt = gb.groupBy("b").agg(
+    // raw + target counts in ONE pass over REAL grams (null-bucket
+    // carrier rows are not features); totals ride a 1-row cross join
+    val cnt = gb.filter(col("b").isNotNull).groupBy("b").agg(
       count(lit(1)).as("cnt_r"),
       count(when(col("_tgt"), lit(1))).as("cnt_t"))
     val tot = cnt.agg(sum("cnt_r").as("total_r"), sum("cnt_t").as("total_t"))
@@ -377,19 +393,20 @@ object Curation {
       (((col("cnt_t") + 1).cast("double") / (col("total_t") + buckets).cast("double"))
         / ((col("cnt_r") + 1).cast("double") / (col("total_r") + buckets).cast("double")))
         .as("r"))
-    val agg = gb.join(broadcast(ratio), Seq("b"))
+    // left_outer: only the null-bucket carrier rows miss (every real
+    // bucket is in `ratio` by construction); count(b)/collect_list(r)
+    // skip them, landing gram-less docs at zero features
+    val agg = gb.join(broadcast(ratio), Seq("b"), "left_outer")
       .groupBy("id").agg(
-        count(lit(1)).as("n_feats"),
+        count(col("b")).as("n_feats"),
         aggregate(array_sort(collect_list(col("r"))), lit(0.0), (a, x) => a + x)
           .as("_sum_r"))
-    docs.select(col(idCol).as("id"))
-      .join(agg, Seq("id"), "left_outer")
-      .select(col("id").as(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        when(coalesce(col("n_feats"), lit(0L)) === 0, 0.0)
-          .otherwise(col("_sum_r") / col("n_feats")).as("avg_ratio"),
-        (coalesce(col("n_feats"), lit(0L)) > 0 &&
-          col("_sum_r") / col("n_feats") >= 1.0).as("target_like"))
+    agg.select(col("id").as(idCol),
+      col("n_feats"),
+      when(col("n_feats") === 0, 0.0)
+        .otherwise(col("_sum_r") / col("n_feats")).as("avg_ratio"),
+      when(col("n_feats") === 0, false)
+        .otherwise(col("_sum_r") / col("n_feats") >= 1.0).as("target_like"))
   }
 
   /** Token-budget corpus selection: walk documents in (quality desc, id)

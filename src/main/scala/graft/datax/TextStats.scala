@@ -117,11 +117,12 @@ object TextStats {
     * numbers per token row — far cheaper than the second full text
     * scan a `docs ⋈ repetition(docs)` join would pay; Spark does not
     * dedupe repeated scans of a subtree). Every NON-NULL-text doc has
-    * at least one token row (`split` never yields an empty array), so
-    * the groupBy covers sub-n docs with zero grams; NULL-text docs
-    * have NO token rows and are restored by the final join-back with
-    * `keep=false, reasons='null_text'` — every input doc gets an
-    * audited row, and a null doc never passes vacuously. */
+    * at least one token row (`split` never yields an empty array), and
+    * a NULL-text doc keeps ONE (token = null) row via posexplode_OUTER,
+    * so the groupBy covers every input doc — such a doc fails with
+    * `keep=false, reasons='null_text'` (a carried is-null flag; the
+    * outer explode costs nothing over a join-back restore, which
+    * measured +21% on d32) and never passes vacuously. */
   def qualityFilter(docs: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String,
                     minTokens: Int = 5, maxTokens: Int = 5000,
@@ -138,40 +139,41 @@ object TextStats {
     // Project ABOVE the Generate — every regex then runs per TOKEN row
     // instead of per doc (measured 12x on d32).
     val scalars = docs.select(col(idCol).as("id"), t.as("_text"),
+      t.isNull.as("_isnull"),
       tokenCountWs(t).as("_ws"), alpha.as("_alpha"),
       (pii.getField("n_emails") + pii.getField("n_phones")).as("_pii"))
-    val base = scalars.select(col("id"), col("_ws"), col("_alpha"), col("_pii"),
-      posexplode(tokens(col("_text"))).as(Seq("pos", "tk")))
+    // NOT posexplode_outer: outer generates fall out of whole-stage
+    // codegen (GenerateExec supports codegen only for inner generates)
+    // and measured ~20% on d32 — coalescing the null array to a
+    // one-element [null] keeps the inner explode AND the null doc's row
+    val base = scalars.select(col("id"), col("_isnull"),
+      col("_ws"), col("_alpha"), col("_pii"),
+      posexplode(coalesce(tokens(col("_text")),
+        array(lit(null).cast("string")))).as(Seq("pos", "tk")))
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("tk"), j).over(w))
     val gram = when((if (n > 1) leads.last else col("tk")).isNotNull,
       concat_ws(" ", col("tk") +: leads: _*))
-    val agg = base.select(col("id"), col("_ws"), col("_alpha"), col("_pii"),
-        gram.as("_g"))
+    val agg = base.select(col("id"), col("_isnull"),
+        col("_ws"), col("_alpha"), col("_pii"), gram.as("_g"))
       .groupBy("id")
-      .agg(first(col("_ws")).as("_ws"), first(col("_alpha")).as("_alpha"),
+      .agg(first(col("_isnull")).as("_isnull"),
+        first(col("_ws")).as("_ws"), first(col("_alpha")).as("_alpha"),
         first(col("_pii")).as("_pii"),
         count(col("_g")).as("_n"), countDistinct(col("_g")).as("_d"))
     val dup = when(col("_n") === 0, 0.0)
       .otherwise((col("_n") - col("_d")) / col("_n"))
-    val reasons = concat_ws(",",
+    // a null-text doc FAILS explicitly (its scalar metrics are all
+    // null, so the rule whens would otherwise fire nothing and the doc
+    // would pass vacuously clean)
+    val reasons = when(col("_isnull"), "null_text").otherwise(concat_ws(",",
       when(col("_ws") < minTokens, "too_short"),
       when(col("_ws") > maxTokens, "too_long"),
       when(col("_alpha") < minAlpha, "low_alpha"),
       when(dup > maxDupFraction, "high_repetition"),
-      when(col("_pii") > maxPii, "pii_heavy"))
-    val flagged = agg.select(col("id"), (reasons === "").as("keep"),
+      when(col("_pii") > maxPii, "pii_heavy")))
+    agg.select(col("id").as(idCol), (reasons === "").as("keep"),
       reasons.as("reasons"))
-    // NULL text produces zero token rows, so the aggregate never sees
-    // the doc and it vanished with no audit trail (review finding —
-    // against this method's own every-doc-has-a-row claim). Join back
-    // to the full id set: a null-text doc FAILS the filter explicitly
-    // instead of disappearing (or passing vacuously).
-    docs.select(col(idCol).as("id"))
-      .join(flagged, Seq("id"), "left_outer")
-      .select(col("id").as(idCol),
-        coalesce(col("keep"), lit(false)).as("keep"),
-        coalesce(col("reasons"), lit("null_text")).as("reasons"))
   }
 
   // ------------------------------------------------------------------

@@ -447,5 +447,17 @@ class CurationSpec extends AnyFunSuite {
     assert(qf.length == 2, s"doc 2 missing from qualityFilter: ${qf.toSeq}")
     assert(!qf(1).getBoolean(1) && qf(1).getString(2) == "null_text",
       s"null text must FAIL with an audited reason: ${qf(1)}")
+    // importanceWeights: zero features, 0.0 ratio, not target-like —
+    // and single-token docs (zero bigrams) land the same way
+    val iw = Curation.importanceWeights(
+        d.union(Seq((3L, Some("solo"))).toDF("doc_id", "text")),
+        "doc_id", "text",
+        isTarget = org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .orderBy("doc_id").collect()
+    assert(iw.length == 3, s"docs missing from importanceWeights: ${iw.toSeq}")
+    assert(iw(0).getLong(1) == 2L, s"real doc has its 2 bigrams: ${iw(0)}")
+    for (r <- Seq(iw(1), iw(2)))
+      assert(r.getLong(1) == 0L && r.getDouble(2) == 0.0 && !r.getBoolean(3),
+        s"gram-less doc must land at (0, 0.0, false): $r")
   }
 }
