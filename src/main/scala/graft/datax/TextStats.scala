@@ -81,28 +81,28 @@ object TextStats {
     * 1 - distinct/total over the doc's token n-grams; 0 for docs shorter
     * than n tokens. Built as posexplode + window lead + one groupBy
     * (codegen throughout, one shuffle on id; HOF lambdas would
-    * interpret the per-gram work). */
+    * interpret the per-gram work). Sub-n-token and NULL-text docs reach
+    * the aggregate as null-gram carrier rows (the d45 rule) — every
+    * input doc gets a row with NO docs ⋈ agg join-back shuffle. */
   def repetition(docs: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      posexplode(coalesce(tokens(col(textCol)),
+        array(lit(null).cast("string")))).as(Seq("pos", "t")))
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("t"), j).over(w))
+    // a doc's trailing n-1 token rows have no full gram (lead = null)
+    // and ride as null-gram carriers the counts skip
     val grams = toks.select(col("id"),
-        concat_ws(" ", col("t") +: leads: _*).as("g"),
-        (if (n > 1) leads.last else col("t")).as("_last"))
-      .filter(col("_last").isNotNull)
+      when((if (n > 1) leads.last else col("t")).isNotNull,
+        concat_ws(" ", col("t") +: leads: _*)).as("g"))
     val agg = grams.groupBy("id").agg(
-      count(lit(1)).as("n_ngrams"), countDistinct(col("g")).as("n_distinct"))
-    docs.select(col(idCol).as("id"))
-      .join(agg, Seq("id"), "left_outer")
-      .select(col("id").as(idCol),
-        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        when(coalesce(col("n_ngrams"), lit(0L)) === 0, 0.0)
-          .otherwise((col("n_ngrams") - col("n_distinct")) / col("n_ngrams"))
-          .as("dup_fraction"))
+      count(col("g")).as("n_ngrams"), countDistinct(col("g")).as("n_distinct"))
+    agg.select(col("id").as(idCol), col("n_ngrams"), col("n_distinct"),
+      when(col("n_ngrams") === 0, 0.0)
+        .otherwise((col("n_ngrams") - col("n_distinct")) / col("n_ngrams"))
+        .as("dup_fraction"))
   }
 
   /** Composed keep/drop document filter with REASONS — the auditable

@@ -447,6 +447,17 @@ class CurationSpec extends AnyFunSuite {
     assert(qf.length == 2, s"doc 2 missing from qualityFilter: ${qf.toSeq}")
     assert(!qf(1).getBoolean(1) && qf(1).getString(2) == "null_text",
       s"null text must FAIL with an audited reason: ${qf(1)}")
+    // repetition: zero grams, dup_fraction 0.0 — and sub-n-token docs
+    // land the same way
+    val rep = graft.datax.TextStats.repetition(
+        d.union(Seq((3L, Some("one two"))).toDF("doc_id", "text")),
+        "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(rep.length == 3, s"docs missing from repetition: ${rep.toSeq}")
+    assert(rep(0).getLong(1) == 1L, s"3-token doc has its one trigram: ${rep(0)}")
+    for (r <- Seq(rep(1), rep(2)))
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getDouble(3) == 0.0,
+        s"gram-less doc must land at (0, 0, 0.0): $r")
     // importanceWeights: zero features, 0.0 ratio, not target-like —
     // and single-token docs (zero bigrams) land the same way
     val iw = Curation.importanceWeights(
