@@ -48,10 +48,17 @@ object Curation {
     val toks = col("_toks")
     // ceil(n/chunk) without float: (n + chunk-1) / chunk on ints is exact
     // in double for any n <= 2^52, and split() never yields an empty
-    // array, so every doc has >= 1 chunk
+    // array, so every non-null-text doc has >= 1 chunk. NULL text must
+    // be guarded out BEFORE the sequence: size(null) = -1 under the
+    // repo's non-ANSI sessions, and sequence(0, -1) runs DESCENDING to
+    // [0, -1] — two phantom ""-chunks per null doc (review finding).
+    // Chunkers emit NO rows for a null doc (matching the oracle's
+    // range-over-NULL), the faithful "no chunks" answer for row-
+    // expanding transforms — unlike the per-doc aggregates' carrier-row
+    // contract.
     val nChunks = ((size(toks) + (chunkTokens - 1)) / chunkTokens).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens))))
+    val chunks = when(toks.isNotNull, transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * chunkTokens + 1, lit(chunkTokens)))))
     val ch = tokenized.select(col("id"),
       posexplode(chunks).as(Seq("pos", "chunk")))
     val bp = ch.groupBy("chunk")
@@ -94,16 +101,12 @@ object Curation {
     */
   def unigramLm(docs: DataFrame, idCol: String, textCol: String,
                 vocabSize: Int = 20): DataFrame = {
-    // a NULL-text doc keeps one (t = null) row and stays in the per-doc
-    // aggregate — the every-doc-has-a-row contract WITHOUT a join-back
-    // shuffle (measured +47% on d34 as a docs ⋈ agg left join):
+    // the null-carrier row (tokensOrNullRow) keeps a NULL-text doc in
+    // the per-doc aggregate — every-doc-has-a-row with no join-back;
     // count(t)/count(p) skip the null token, so such a doc lands at
-    // zero counts and NULL (undefined) rates for free. The null row
-    // comes from coalescing the null array to [null], NOT explode_outer
-    // — outer generates fall out of whole-stage codegen
+    // zero counts and NULL (undefined) rates for free
     val tok = docs.select(col(idCol).as("id"),
-      explode(coalesce(TextStats.tokens(col(textCol)),
-        array(lit(null).cast("string")))).as("t"))
+      explode(TextStats.tokensOrNullRow(col(textCol))).as("t"))
     // vocabulary/probabilities see only REAL tokens — a null token row
     // must not enter the corpus total or compete for the top-k
     val counts = tok.filter(col("t").isNotNull)
@@ -322,11 +325,15 @@ object Curation {
     val kMax = when(n > windowTokens,
       ((n - windowTokens + (strideTokens - 1)) / strideTokens).cast("int"))
       .otherwise(0)
-    val chunks = transform(sequence(lit(0), kMax),
+    // NULL-text guard (the d33 rule): without it, size(null) = -1 under
+    // non-ANSI sessions drove kMax to 0 and emitted one garbage chunk
+    // (n_tokens = -1, chunk = "") per null doc; chunkers emit NO rows
+    // for a null doc
+    val chunks = when(toks.isNotNull, transform(sequence(lit(0), kMax),
       i => struct(
         i.cast("int").as("chunk_id"),
         (i * strideTokens).cast("int").as("start"),
-        slice(toks, i * strideTokens + 1, lit(windowTokens)).as("toks")))
+        slice(toks, i * strideTokens + 1, lit(windowTokens)).as("toks"))))
     tokenized.select(col(idCol), explode(chunks).as("_c"))
       .select(col(idCol),
         col("_c.chunk_id"), col("_c.start"),
@@ -359,11 +366,10 @@ object Curation {
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // the null-array coalesce (d34 rule) keeps a NULL-text doc as one
-    // (t = null) row, so it reaches the per-doc aggregate like any other
+    // the null-carrier row (tokensOrNullRow) keeps a NULL-text doc
+    // flowing to the per-doc aggregate like any other
     val toks = docs.select(col(idCol).as("id"), isTarget.as("_tgt"),
-      posexplode(coalesce(TextStats.tokens(col(textCol)),
-        array(lit(null).cast("string")))).as(Seq("pos", "t")))
+      posexplode(TextStats.tokensOrNullRow(col(textCol))).as(Seq("pos", "t")))
     val w = Window.partitionBy("id").orderBy("pos")
     val next = lead(col("t"), 1).over(w)
     // every doc's LAST token row has next = null and rides along as a
@@ -435,9 +441,14 @@ object Curation {
     // scored projection feeds BOTH the band-totals aggregate and the
     // final join — cached (3 narrow columns, no text) so the corpus
     // text is scanned once; same shared release lifecycle as d45/dedup
+    // n_tokens is NULL (not size's non-ANSI -1 sentinel!) for NULL
+    // text, contributing nothing to band totals or cumsums — exactly
+    // the naive oracle window, where sum() skips the NULL (review
+    // finding: -1 DECREMENTED the running total per null doc)
     val base = docs.select(col(idCol).as("id"),
         TextStats.qualityScore(col(textCol)).as("quality"),
-        size(TextStats.tokens(col(textCol))).cast("long").as("n_tokens"))
+        when(col(textCol).isNotNull,
+          size(TextStats.tokens(col(textCol))).cast("long")).as("n_tokens"))
       // NULL-quality (null-text) docs take the SENTINEL band strictly
       // after every real band — domainCapBanded's rule (review finding:
       // a null band fell out of the equi-join entirely, losing the row,
@@ -455,9 +466,13 @@ object Curation {
         lit(0L)).as("_off"))
     val within = Window.partitionBy("band")
       .orderBy(col("quality").desc, col("id").asc)
+    // the coalesce covers the all-NULL sentinel band (sum over nulls is
+    // NULL): a null-text doc's cum equals the preceding bands' total,
+    // same as the naive window where its frame holds every real doc
     base.join(broadcast(offsets), Seq("band"))
       .select(col("id").as(idCol), col("n_tokens"),
-        (col("_off") + sum(col("n_tokens")).over(within)).as("cum_tokens"))
+        (col("_off") + coalesce(sum(col("n_tokens")).over(within), lit(0L)))
+          .as("cum_tokens"))
       .withColumn("keep", col("cum_tokens") <= budgetTokens)
   }
 

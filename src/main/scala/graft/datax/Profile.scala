@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   // stack() is the one string-built SQL here: the col_name literal gets
-  // '' doubling and alias references get backtick escaping, so a column
-  // name carrying quotes/backticks/commas cannot break the parse or
-  // splice expressions into the projection (review finding)
-  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+  // backslash doubling (the parser treats \ as an escape — a trailing
+  // one would swallow the closing quote) then '' doubling, and alias
+  // references get backtick escaping, so a column name carrying
+  // quotes/backslashes/backticks/commas cannot break the parse or
+  // splice expressions into the projection (review findings)
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
   private def bt(s: String): String = "`" + s.replace("`", "``") + "`"
   // col() PARSES its argument (dots split, backticks quote) — wrap the
   // raw name in escaped backticks so it resolves as ONE literal part

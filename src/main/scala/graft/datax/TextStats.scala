@@ -13,6 +13,19 @@ object TextStats {
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), " ")
 
+  /** [[tokens]], with NULL text yielding a one-element `[null]` array —
+    * the null-carrier idiom behind the every-doc-has-a-row contract of
+    * the per-doc aggregate operators (repetition, qualityFilter,
+    * unigramLm, importanceWeights): the carrier row keeps a NULL-text
+    * doc flowing through the existing id-keyed explode/window/groupBy
+    * shuffle, so no `docs ⋈ agg` join-back restore is needed (that join
+    * is same-cardinality on both sides — a REAL extra shuffle at corpus
+    * scale — and measured +21%/+47% on d32/d34 even locally). NOT
+    * explode_outer, which drops the generate out of whole-stage codegen
+    * (~20% on d32). Downstream counts skip the null token for free. */
+  def tokensOrNullRow(text: Column): Column =
+    coalesce(tokens(text), array(lit(null).cast("string")))
+
   // stopword markers per language (tiny, deliberately: this is the n-gram
   // heuristic family of language ID, not a model)
   val EnMarkers = Array("the", "a", "of", "and", "to", "in", "is", "it")
@@ -88,8 +101,7 @@ object TextStats {
                  textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("id"),
-      posexplode(coalesce(tokens(col(textCol)),
-        array(lit(null).cast("string")))).as(Seq("pos", "t")))
+      posexplode(tokensOrNullRow(col(textCol))).as(Seq("pos", "t")))
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("t"), j).over(w))
     // a doc's trailing n-1 token rows have no full gram (lead = null)
@@ -142,14 +154,9 @@ object TextStats {
       t.isNull.as("_isnull"),
       tokenCountWs(t).as("_ws"), alpha.as("_alpha"),
       (pii.getField("n_emails") + pii.getField("n_phones")).as("_pii"))
-    // NOT posexplode_outer: outer generates fall out of whole-stage
-    // codegen (GenerateExec supports codegen only for inner generates)
-    // and measured ~20% on d32 — coalescing the null array to a
-    // one-element [null] keeps the inner explode AND the null doc's row
     val base = scalars.select(col("id"), col("_isnull"),
       col("_ws"), col("_alpha"), col("_pii"),
-      posexplode(coalesce(tokens(col("_text")),
-        array(lit(null).cast("string")))).as(Seq("pos", "tk")))
+      posexplode(tokensOrNullRow(col("_text"))).as(Seq("pos", "tk")))
     val w = Window.partitionBy("id").orderBy("pos")
     val leads = (1 until n).map(j => lead(col("tk"), j).over(w))
     val gram = when((if (n > 1) leads.last else col("tk")).isNotNull,

@@ -1811,7 +1811,11 @@ object DataxQueries {
         .withColumnRenamed("start", "chunk_start")
         .orderBy("doc_id", "chunk_id"),
       Some(s"""WITH tk AS (
-          SELECT doc_id, $TOKS AS toks FROM documents),
+          -- chunkers emit NO rows for NULL text (the engine guards the
+          -- sequence; unguarded, this CASE's ELSE would emit a phantom
+          -- NULL chunk row for a null doc)
+          SELECT doc_id, $TOKS AS toks FROM documents
+          WHERE text IS NOT NULL),
         k AS (
           SELECT doc_id, toks,
                  CASE WHEN len(toks) > 16

@@ -243,11 +243,16 @@ object StreamOps {
             val prev = state.getOption
               .getOrElse(UserActivityState(user, 0L, 0.0, Long.MinValue))
             // last_value = value at the LATEST (ts, value) seen across
-            // all batches; >= keeps the former within-batch tie rule
-            // (equal ts: the fold's last, i.e. max value) while a
-            // strictly-older late row leaves it untouched
+            // all batches — the SAME max-(ts, value) rule within a batch
+            // (the sort makes the fold's last win) and across batches
+            // (equal stored ts: keep the larger value, so output does
+            // not depend on micro-batch boundaries; review finding: a
+            // bare >= let a later batch's smaller equal-ts value win)
             val (lastTs, lastV) = sorted.foldLeft((prev.last_ts_ms, prev.last_value)) {
-              case ((t, v), r) => if (r._2.getTime >= t) (r._2.getTime, r._3) else (t, v)
+              case ((t, v), r) =>
+                if (r._2.getTime > t || (r._2.getTime == t && r._3 >= v))
+                  (r._2.getTime, r._3)
+                else (t, v)
             }
             val next = UserActivityState(user, prev.n_events + sorted.size,
               lastV, lastTs)

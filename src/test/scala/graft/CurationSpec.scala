@@ -436,11 +436,31 @@ class CurationSpec extends AnyFunSuite {
     assert(lm(1).isNullAt(3) && lm(1).isNullAt(4),
       "no tokens -> rates are UNDEFINED (null), not 0")
     // tokenBudgetSelect: the null-quality doc takes the sentinel band,
-    // ranks LAST (the naive-window NULLS LAST order), and still emits
+    // ranks LAST (the naive-window NULLS LAST order), and still emits —
+    // with NULL n_tokens (NOT size()'s non-ANSI -1, which decremented
+    // the running total) and cum equal to the real docs' total, exactly
+    // the naive window where sum() skips the NULL
     val tb = Curation.tokenBudgetSelect(d, "doc_id", "text",
       budgetTokens = 100L).orderBy("doc_id").collect()
     assert(tb.length == 2, s"doc 2 missing from tokenBudgetSelect: ${tb.toSeq}")
     assert(tb(0).getBoolean(3), "the real doc fits the budget")
+    assert(tb(0).getLong(2) == 3L, s"real doc cum = its 3 tokens: ${tb(0)}")
+    assert(tb(1).isNullAt(1), s"null doc n_tokens must be NULL, not -1: ${tb(1)}")
+    assert(tb(1).getLong(2) == 3L && tb(1).getBoolean(3),
+      s"null doc cum = preceding total, keep follows it: ${tb(1)}")
+    // chunkers (boilerplateChunks, chunkSequences): NO rows for a null
+    // doc — not the phantom/garbage chunks size(null) = -1 produced
+    // via a descending sequence (review finding)
+    val bp = Curation.boilerplateChunks(d, "doc_id", "text",
+      chunkTokens = 3, minDocs = 2).collect()
+    assert(bp.map(_.getLong(0)).toSeq == Seq(1L),
+      s"null doc must yield no boilerplate rows: ${bp.toSeq}")
+    assert(bp.head.getLong(1) == 1L, s"real doc has its one chunk: ${bp.head}")
+    val cs = Curation.chunkSequences(d, "doc_id", "text",
+      windowTokens = 2, strideTokens = 2).collect()
+    assert(cs.map(_.getLong(0)).distinct.toSeq == Seq(1L),
+      s"null doc must yield no chunk rows: ${cs.toSeq}")
+    assert(cs.forall(_.getInt(3) >= 0), s"no negative token counts: ${cs.toSeq}")
     // qualityFilter: explicit fail with the null_text reason
     val qf = graft.datax.TextStats.qualityFilter(d, "doc_id", "text")
       .orderBy("doc_id").collect()

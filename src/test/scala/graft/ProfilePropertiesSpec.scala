@@ -72,5 +72,18 @@ class ProfilePropertiesSpec extends AnyFunSuite {
     assert((r.head.getLong(1), r.head.getLong(2), r.head.getLong(3)) == ((4L, 3L, 2L)))
     val g = Profile.profileWithHllGate(df, Seq("it's, `weird`")).collect()
     assert(g.head.getLong(3) == 2L && g.head.getBoolean(4))
+    // backslashes: the parser treats \ as an escape inside the string
+    // literal — unescaped, 'a\qb' mangled the label to "aqb" and a
+    // trailing backslash swallowed the closing quote (parse error, or
+    // with a second crafted name raw SQL splice)
+    for (name <- Seq("a\\qb", "trail\\", "both\\'n`,\\")) {
+      val sch = StructType(Seq(StructField(name, LongType)))
+      val bdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(1L), Row(1L), Row(null))), sch)
+      val br = Profile.profile(bdf, Seq(name)).collect()
+      assert(br.head.getString(0) == name, s"label mangled: ${br.head}")
+      assert((br.head.getLong(1), br.head.getLong(2), br.head.getLong(3))
+        == ((3L, 2L, 1L)), s"counts wrong for $name: ${br.head}")
+    }
   }
 }

@@ -272,6 +272,16 @@ class StreamingSpec extends AnyFunSuite {
         .as[(Long, Long, Double)].collect().toSeq.maxBy(_._2)
       assert(last7 == ((7L, 3L, 5.0)),
         s"state expired early (count restarted) — the late event moved the timeout backwards: $last7")
+      // equal-ts tie ACROSS batches: a later batch's SMALLER value at
+      // the stored last ts must not steal last_value (the max-(ts,
+      // value) rule is batch-boundary-independent; review finding: a
+      // bare arrival-order >= let it win)
+      mem.addData((7L, ts("2026-01-01 12:41:00"), 2.0))
+      q.processAllAvailable()
+      val tied = spark.table("ua_late").filter(col("user_id") === 7L)
+        .as[(Long, Long, Double)].collect().toSeq.maxBy(_._2)
+      assert(tied == ((7L, 4L, 5.0)),
+        s"equal-ts smaller value from a later batch stole last_value: $tied")
     } finally q.stop()
   }
 
