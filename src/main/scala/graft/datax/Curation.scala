@@ -178,9 +178,14 @@ object Curation {
                     budget: Int = 128, shards: Int = 32): DataFrame = {
     val ss = docs.sparkSession
     import ss.implicits._
+    // NULL text packs as a zero-token doc (not size()'s -1, which
+    // corrupted fills; not NULL, which the typed row cannot hold and
+    // which would poison the oracle's recursive fold) — both engines
+    // agree on the 0
     val base = docs.select(col(idCol).cast("long").as("id"),
       (col(idCol) % shards).cast("int").as("shard"),
-      size(TextStats.tokens(col(textCol))).as("n"))
+      when(col(textCol).isNotNull, size(TextStats.tokens(col(textCol))))
+        .otherwise(0).as("n"))
     base.repartition(col("shard"))
       .sortWithinPartitions("shard", "id")
       .as[(Long, Int, Int)]
@@ -485,9 +490,12 @@ object Curation {
     */
   def mixWeights(docs: DataFrame, sourceCol: String,
                  textCol: String): DataFrame = {
+    // the when-guard keeps size()'s non-ANSI -1 for NULL text out of
+    // the sum (NULL contributes nothing, like the oracle's len(NULL))
     val per = docs.groupBy(col(sourceCol).as("source")).agg(
       count(lit(1)).as("n_docs"),
-      sum(size(TextStats.tokens(col(textCol))).cast("long")).as("n_tokens"))
+      sum(when(col(textCol).isNotNull,
+        size(TextStats.tokens(col(textCol))).cast("long"))).as("n_tokens"))
     val tot = per.agg(sum(col("n_tokens")).as("total"),
       count(lit(1)).as("n_sources"))
     per.crossJoin(tot).select(col("source"), col("n_docs"), col("n_tokens"),

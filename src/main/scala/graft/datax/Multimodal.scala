@@ -73,7 +73,12 @@ object Multimodal {
     * embedding/codec model runs in: assets stream through in batches of
     * `batchSize` (bounding decoder/model peak memory), one output row per
     * asset. `fakeDecode` is the stub standing in for the codec+model
-    * call; it is deterministic in the payload bytes. */
+    * call; it is deterministic in the payload bytes.
+    *
+    * A NULL payload (undecodable asset) must NOT kill the executor (it
+    * NPE'd here before the null-replay audit): the asset keeps its
+    * output row with `n_bytes = 0, features = null` — visible to audits,
+    * and dropped for free by any inner explode over the features. */
   def extractFeatures(assets: DataFrame, dim: Int = 8,
                       batchSize: Int = 64): DataFrame = {
     val ds: Dataset[Asset] = assets
@@ -83,7 +88,8 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // real impl: model.embed(decode(batch)) — one call per batch
         batch.map(a => AssetFeatures(a.asset_id, a.media_type,
-          a.payload.length, fakeDecode(a.payload, dim)))
+          if (a.payload == null) 0 else a.payload.length,
+          if (a.payload == null) null else fakeDecode(a.payload, dim)))
       }
     }(Encoders.product[AssetFeatures]).toDF()
   }

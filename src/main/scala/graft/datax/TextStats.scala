@@ -70,14 +70,18 @@ object TextStats {
       alphaRatio * 0.5 + least(stopRatio * lit(5.0), lit(1.0)) * 0.2 + wordLenBand * 0.3)
   }
 
-  /** Whitespace token count. */
+  /** Whitespace token count; NULL for NULL text (size() alone would
+    * return the non-ANSI -1 sentinel, which silently DECREMENTS any
+    * downstream sum — null-augmented oracle replay finding). */
   def tokenCountWs(text: Column): Column =
-    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+    when(text.isNotNull, size(regexp_extract_all(text, lit("\\S+"), lit(0))))
 
   /** BPE-ish token count: letter runs, digit runs, and single
-    * non-alphanumerics each count as one token. */
+    * non-alphanumerics each count as one token; NULL for NULL text
+    * (same -1-sentinel guard as [[tokenCountWs]]). */
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    when(text.isNotNull,
+      size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))))
 
   /** Document fingerprint: md5 of the whitespace-normalized, lowercased
     * text — the canonical exact-dedup key. */

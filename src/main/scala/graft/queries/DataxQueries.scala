@@ -970,12 +970,15 @@ object DataxQueries {
           posexplode(col("features")).as(Seq("dim", "feature")))
         .orderBy("asset_id", "dim"),
       Some("""WITH a AS (
+          -- a NULL payload decodes to NULL features; the inner
+          -- posexplode on the engine side then emits no rows for it,
+          -- so the replay skips null-text assets entirely
           SELECT doc_id AS asset_id,
                  CASE WHEN doc_id % 3 = 0 THEN 'image'
                       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
                  CAST(octet_length(text::BLOB) AS INT) AS n_bytes,
                  md5(text) AS h
-          FROM documents)
+          FROM documents WHERE text IS NOT NULL)
         SELECT asset_id, media_type, n_bytes, CAST(d AS INT) AS dim,
                CAST(ascii(substr(h, CAST(d AS INT) + 1, 1)) AS FLOAT) AS feature
         FROM a, unnest(range(0, 8)) AS t(d)
@@ -1560,8 +1563,10 @@ object DataxQueries {
           "doc_id", "text", budget = 128, shards = 32)
         .orderBy("doc_id"),
       Some(s"""WITH RECURSIVE tk AS (
+          -- coalesce matches the engine: NULL text packs as 0 tokens
+          -- (a NULL n would poison the fold's fill state downstream)
           SELECT doc_id, CAST(doc_id % 32 AS INT) AS shard,
-                 CAST(len($TOKS) AS INT) AS n
+                 CAST(coalesce(len($TOKS), 0) AS INT) AS n
           FROM documents),
         r AS (
           SELECT *, CAST(row_number() OVER (PARTITION BY shard

@@ -63,4 +63,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r1.map(_._2) == Seq(19, 10, 20, 6)) // utf8 byte lengths
     assert(r1.forall(_._3.length == 4))
   }
+
+  test("extractFeatures: a NULL payload (undecodable asset) keeps its row " +
+       "with null features instead of killing the executor") {
+    // null-replay audit finding: a.payload.length NPE'd the task — a
+    // single corrupt asset in a 100 TB scan must not fail the job
+    val withNull = Seq(
+        (1L, Some("img bytes"), "s0", Some(9L)),
+        (2L, Option.empty[String], "s1", Option.empty[Long]))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = Multimodal.extractFeatures(
+        Multimodal.assets(withNull), dim = 4)
+      .orderBy("asset_id")
+      .select($"asset_id", $"n_bytes", $"features")
+      .as[(Long, Int, Option[Seq[Float]])].collect().toSeq
+    assert(r.map(_._1) == Seq(1L, 2L), s"null asset lost its row: $r")
+    assert(r(1)._2 == 0 && r(1)._3.isEmpty,
+      s"null payload must yield (0, null features): ${r(1)}")
+    assert(r(0)._3.exists(_.length == 4), "real asset unaffected")
+  }
 }
