@@ -484,10 +484,18 @@ object DataxQueries {
       // single-partition window: harness-side split assignment over
       // fixture-scale data (BatchFiles scaladoc), not a shipped path
       val half = ntile(2).over(Window.orderBy(col("ts"), col("id"))) - 1
-      val clicks = e.filter(col("event_type") === "click")
+      // validate-at-ingest: rows without a key or event time cannot
+      // participate in keyed watermark semantics (asofJoinStream also
+      // drops them internally as crash protection, but filtering HERE
+      // keeps the watermark — max ts over rows reaching the engine's
+      // watermark node — a well-defined function of the valid rows on
+      // both the drive and oracle sides)
+      val clicks = e.filter(col("event_type") === "click" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id").as("key"), col("ts"),
           col("event_id").as("id"))
-      val views = e.filter(col("event_type") === "view")
+      val views = e.filter(col("event_type") === "view" &&
+          col("user_id").isNotNull && col("ts").isNotNull)
         .groupBy("user_id", "ts").agg(max("event_id").as("id"))
         .select(col("user_id").as("key"), col("ts"), col("id"))
       // keepSplitCol=false: the synthetic half column must not leak
@@ -525,11 +533,16 @@ object DataxQueries {
   }
 
   private val D53AsofSql: String = """WITH v AS (
+          -- null key/ts rows are invalid for keyed watermark semantics
+          -- and are filtered at ingest on the drive side too
           SELECT user_id, ts, max(event_id) AS right_id FROM events
-          WHERE event_type = 'view' GROUP BY user_id, ts),
+          WHERE event_type = 'view' AND user_id IS NOT NULL
+            AND ts IS NOT NULL
+          GROUP BY user_id, ts),
         c AS (
           SELECT user_id AS key, event_id AS left_id, ts FROM events
-          WHERE event_type = 'click'),
+          WHERE event_type = 'click' AND user_id IS NOT NULL
+            AND ts IS NOT NULL),
         -- the final AvailableNow watermark: min over sources of the
         -- ms-truncated max event time, minus the 10-minute delay
         wm AS (
@@ -1127,7 +1140,8 @@ object DataxQueries {
       Some("""SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
                event_type, CAST(count(*) AS BIGINT) AS n_events,
                min(value) AS min_value, max(value) AS max_value
-        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
     QueryDef("d15_sliding_window",
       (s, dir) => StreamOps.slidingCounts(t(s, dir, "events"))
@@ -1136,7 +1150,7 @@ object DataxQueries {
           SELECT event_type,
                  unnest([time_bucket(INTERVAL 30 MINUTE, ts),
                          time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws
-          FROM events)
+          FROM events WHERE ts IS NOT NULL)
         SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
                CAST(count(*) AS BIGINT) AS n_events
         FROM e GROUP BY 1, 2 ORDER BY window_start, event_type""")),
@@ -1448,11 +1462,14 @@ object DataxQueries {
       (s, dir) => StreamOps.sessionize(t(s, dir, "events"), gapMinutes = 60)
         .orderBy("user_id", "session_id"),
       Some("""WITH flagged AS (
+          -- sessions need a non-null (user, ts) — the engine's
+          -- event-time contract
           SELECT user_id, ts, value,
                  CASE WHEN lag(ts) OVER w IS NULL THEN 1
                       WHEN date_diff('second', lag(ts) OVER w, ts) > 3600 THEN 1
                       ELSE 0 END AS _new
-          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         sess AS (
           SELECT user_id, ts,
                  CAST(sum(_new) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
@@ -1698,15 +1715,24 @@ object DataxQueries {
           .orderBy("user_id", "click_id")
       },
       Some("""WITH v AS (
+          -- rights need a defined (key, ts) to ever be "the latest
+          -- right at-or-before" (the engine drops them)
           SELECT user_id, ts, max(event_id) AS view_id FROM events
-          WHERE event_type = 'view' GROUP BY user_id, ts),
+          WHERE event_type = 'view' AND user_id IS NOT NULL
+            AND ts IS NOT NULL
+          GROUP BY user_id, ts),
         c AS (
           SELECT user_id, event_id AS click_id, ts FROM events
           WHERE event_type = 'click')
+        -- the CASEs neutralize DuckDB's ASOF nulls-last quirk: a NULL-ts
+        -- click sorts after every view there and "matches" the latest
+        -- one, where v.ts <= NULL is never true — the engine (and SQL)
+        -- leave such a left unmatched
         SELECT c.user_id, c.click_id,
                strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
-               v.view_id,
-               strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+               CASE WHEN c.ts IS NULL THEN NULL ELSE v.view_id END AS view_id,
+               CASE WHEN c.ts IS NULL THEN NULL
+                    ELSE strftime(v.ts, '%Y-%m-%d %H:%M:%S') END AS view_ts
         FROM c ASOF LEFT JOIN v
           ON c.user_id = v.user_id AND v.ts <= c.ts
         ORDER BY c.user_id, c.click_id""")),

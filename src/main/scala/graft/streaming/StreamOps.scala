@@ -175,6 +175,10 @@ object StreamOps {
     * Streaming: apply after `withWatermark("ts", ...)`. */
   def tumblingStats(events: DataFrame, width: String = "1 hour"): DataFrame =
     events
+      // explicit event-time contract: a null-ts event belongs to no
+      // window (Spark's window() drops it implicitly; the filter makes
+      // the drop visible and oracle-replayable)
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -190,6 +194,8 @@ object StreamOps {
   def slidingCounts(events: DataFrame, width: String = "1 hour",
                     slide: String = "30 minutes"): DataFrame =
     events
+      // same null-ts contract as tumblingStats
+      .filter(col("ts").isNotNull)
       .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .select(
@@ -332,7 +338,16 @@ object StreamOps {
     // resolves atomically).
     val rPay = struct(rightCols.map { case (from, to) => col(from).as(to) }.toSeq: _*)
     val rPayType = right.select(rPay).schema.head.dataType
-    val rightSide = right.select(
+    // a right row with a null ts has no position on the timeline (it
+    // would sort FIRST and become "the latest right" for early lefts),
+    // and a null key matches nothing under SQL equality (Spark windows
+    // would group it with null-key lefts) — both are dropped. Lefts
+    // pass unfiltered: a null-ts/key left keeps its row and resolves
+    // unmatched (nulls sort first, before every surviving right).
+    // Hostile-events replay finding.
+    val rightClean = right.filter(
+      (col(rightTs).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
+    val rightSide = rightClean.select(
       keyCols ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"), rPay.as("_rpay")) ++
         left.columns.filterNot(keys.contains).map(c => lit(null).as(s"_l_$c")): _*)
     val leftSide = left.select(
@@ -531,9 +546,19 @@ object StreamOps {
     val rPay = payloadCols(right)
     def tagged[P](packFn: Seq[String] => Column)
                  (implicit enc: Encoder[AsOfRow[P]]): Dataset[AsOfRow[P]] = {
-      def tag(df: DataFrame, isLeft: Boolean, pay: Seq[String]) = df.select(
-        col("key").cast("long"), normTsIfNtz(df, "ts"),
-        packFn(pay).as("payload"), lit(isLeft).as("is_left")).as[AsOfRow[P]]
+      // rows without a key or event time cannot participate in keyed
+      // watermark semantics — a null ts NPE'd the state handler and
+      // KILLED the query (hostile-events replay finding; one corrupt
+      // row must never take down a production stream), and a null key
+      // cannot decode into the primitive-keyed state row. Dropping them
+      // IS the documented batch equivalence: the batch face leaves a
+      // null-ts left unmatched, and such a left can never become
+      // watermark-ripe here anyway.
+      def tag(df: DataFrame, isLeft: Boolean, pay: Seq[String]) = df
+        .filter(col("key").isNotNull && col("ts").isNotNull)
+        .select(
+          col("key").cast("long"), normTsIfNtz(df, "ts"),
+          packFn(pay).as("payload"), lit(isLeft).as("is_left")).as[AsOfRow[P]]
       tag(left, true, lPay).unionByName(tag(right, false, rPay))
     }
     val (matched, unpackFn) = payloadCodec match {
@@ -804,6 +829,13 @@ object StreamOps {
     * oracle-checkable in ANSI SQL. */
   def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // sessions need a non-null (user, event time): a null user_id is
+    // not an identity (SQL: null = null is unknown) and a null ts has
+    // no position in the gap arithmetic — both would otherwise form
+    // phantom sessions (Spark windows group null keys; null ts sorts
+    // first and date-diffs to null). Dropped, per the event-time
+    // contract (hostile-events replay finding).
+    val clean = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
     val byUser = Window.partitionBy("user_id").orderBy("ts")
     // Gap in whole seconds (timestamp→long floors to epoch seconds,
     // matching the oracle's date_diff('second',...) truncation); normTs
@@ -812,7 +844,7 @@ object StreamOps {
       normTs(col("ts")).cast("long") -
         lag(normTs(col("ts")), 1).over(byUser).cast("long") > gapMinutes * 60L, 1)
       .otherwise(0)
-    events
+    clean
       .withColumn("_new", newSession)
       .withColumn("session_id",
         sum(when(lag(col("ts"), 1).over(byUser).isNull, 1).otherwise(col("_new")))

@@ -464,6 +464,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream: null-key / null-ts rows are dropped, not query-killers") {
+    // hostile-events replay finding: a single null-ts row NPE'd the
+    // state handler and PERMANENTLY killed the query — one corrupt row
+    // must never take down a production stream
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Option[Long], Option[Timestamp], Long)]
+    val rMem = MemoryStream[(Option[Long], Option[Timestamp], Long)]
+    def named(m: MemoryStream[(Option[Long], Option[Timestamp], Long)]) =
+      m.toDF().toDF("key", "ts", "id").withWatermark("ts", "10 minutes")
+    val q = StreamOps.asofJoinStream(named(lMem), named(rMem))
+      .writeStream.format("memory").queryName("asof_nulls")
+      .outputMode("append").start()
+    try {
+      rMem.addData(
+        (Some(1L), Some(ts("2026-01-01 10:00:00")), 1L),
+        (None, Some(ts("2026-01-01 10:01:00")), 66L), // null key
+        (Some(1L), None, 77L)) // null ts
+      lMem.addData(
+        (Some(1L), Some(ts("2026-01-01 10:30:00")), 100L),
+        (None, Some(ts("2026-01-01 10:30:00")), 200L),
+        (Some(1L), None, 300L))
+      q.processAllAvailable()
+      // ripen left 100: advance both inputs' watermarks past 10:30
+      rMem.addData((Some(9L), Some(ts("2026-01-01 11:00:00")), 9L))
+      lMem.addData((Some(9L), Some(ts("2026-01-01 11:00:00")), 900L))
+      q.processAllAvailable()
+      val out = spark.table("asof_nulls")
+        .as[(Long, Long, Timestamp, Option[Long], Option[Timestamp])]
+        .collect().toSeq.sortBy(_._2)
+      assert(out.map(x => (x._1, x._2, x._4)) == Seq((1L, 100L, Some(1L))),
+        s"null-key/ts rows must vanish (no crash, no match, no emit): $out")
+    } finally q.stop()
+  }
+
   test("asofJoinStream == batch asofJoin on seeded RANDOM streams with " +
        "within-watermark arrival disorder") {
     // The fixture specs pin hand-picked timelines; this pins the state
