@@ -25,6 +25,21 @@ object DataxQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The testdata embedding dimensionality. The ANN/centroid family
+    * presumes a FIXED-dimension vector space: a null or ragged vector
+    * is a data error, filtered at the query boundary on BOTH the
+    * engine and oracle sides (validate-at-ingest), not silently folded
+    * into LSH buckets or centroid means (hostile-embeddings replay:
+    * unfiltered, 5 of 9 vector queries skewed or errored). */
+  private val EmbDim = 64
+  private def embT(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").filter(
+      col("embedding").isNotNull && size(col("embedding")) === EmbDim)
+  /** The oracle-side face of [[embT]]: splice `FROM $EMB` wherever an
+    * embeddings oracle reads the table. */
+  private val EMB =
+    "(SELECT * FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64)"
+
   /** Scratch-dir cleanup for the streaming batch-drive entries (d52/d53):
     * both return lineage-cut frames, so their inputs/checkpoints are
     * deletable the moment the operator returns. */
@@ -93,7 +108,7 @@ object DataxQueries {
     * nearest-centroid assignment, 4-probe search, top-5 per query. */
   private val IvfSql: String = {
     s"""WITH v AS (
-          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
         c AS (
           SELECT id AS centroid_id, vec AS cvec FROM v, st
@@ -106,7 +121,7 @@ object DataxQueries {
             FROM v CROSS JOIN c) WHERE rn = 1),
         q AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-          FROM embeddings WHERE vec_id < 16),
+          FROM $EMB WHERE vec_id < 16),
         pr AS (
           SELECT query_id, qvec, centroid_id FROM (
             SELECT q.query_id, q.qvec, c.centroid_id,
@@ -159,7 +174,7 @@ object DataxQueries {
           FROM $prev c LEFT JOIN m$i m ON c.centroid_id = m.centroid_id)"""
     }
     s"""WITH v AS (
-          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
         c0 AS (
           SELECT id AS centroid_id, vec AS cvec FROM v, st
@@ -184,7 +199,7 @@ object DataxQueries {
       s"(CASE WHEN ${planeDot(p)} >= 0 THEN '1' ELSE '0' END)")
       .mkString("\n               || ")
     s"""WITH v AS (
-          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         b AS (
           SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS n,
                $bucket AS bucket
@@ -220,7 +235,7 @@ object DataxQueries {
     val caseArms = (0 until tables)
       .map(tbl => s"WHEN $tbl THEN bucket_t$tbl").mkString(" ")
     s"""WITH v AS (
-          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         b AS (
           SELECT id, vec, sqrt(${dotSql("vec", "vec")}) AS n,
                $bucketCols
@@ -318,7 +333,7 @@ object DataxQueries {
           FROM (SELECT r, power(1.0 - acos(least(1.0, 0.4)) / pi(), r) AS pr
                 FROM (SELECT greatest(4, coalesce(
                     (SELECT CAST(min(p) AS INT) FROM range(1, 62) t(p)
-                     WHERE ((SELECT count(*) FROM embeddings) >> CAST(p AS INT)) <= 16), 62)) AS r))),
+                     WHERE ((SELECT count(*) FROM $EMB) >> CAST(p AS INT)) <= 16), 62)) AS r))),
         -- plane-grid extents are DERIVED, not assumed (r11 advice): the
         -- tbl range matches bandsFor's maxTables=64 clamp, the p range
         -- matches planesFor's hard cap (p < 62 loop bound, so r <= 62
@@ -329,7 +344,7 @@ object DataxQueries {
           SELECT CASE WHEN min(len(embedding)) = max(len(embedding))
                  THEN CAST(max(len(embedding)) AS INT)
                  ELSE error('d10b oracle: ragged embedding dimensions') END AS nd
-          FROM embeddings),
+          FROM $EMB),
         seeds AS (
           SELECT CAST(t.tbl AS INT) AS tbl, CAST(p.p AS INT) AS p, CAST(u.j AS INT) AS j,
                  (t.tbl::HUGEINT * $golden
@@ -348,7 +363,7 @@ object DataxQueries {
           SELECT tbl, p, list(CASE WHEN xor(z3, z3 >> 31) % 2 = 1 THEN 1.0 ELSE -1.0 END
                               ORDER BY j) AS s
           FROM s2 GROUP BY tbl, p),
-        v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+        v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         b AS (SELECT id, vec, sqrt(${listDotSql("vec", "vec")}) AS n FROM v),
         dots AS (
           SELECT v.id, pl.tbl, pl.p,
@@ -810,15 +825,15 @@ object DataxQueries {
      * engines -> bit-identical doubles. */
     QueryDef("d08_cosine_topk",
       (s, dir) => Similarity.bruteForceTopK(
-          t(s, dir, "embeddings"),
-          t(s, dir, "embeddings").filter(col("vec_id") < 16),
+          embT(s, dir),
+          embT(s, dir).filter(col("vec_id") < 16),
           k = 5)
         .orderBy("query_id", "rank"),
-      Some("""WITH v AS (
-          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+      Some(s"""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         q AS (
           SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-          FROM embeddings WHERE vec_id < 16),
+          FROM $EMB WHERE vec_id < 16),
         scored AS (
           SELECT query_id, id,
             list_reduce(list_prepend(0.0, list_transform(range(1, len(vec)+1),
@@ -842,9 +857,9 @@ object DataxQueries {
     QueryDef("d09_ivf_topk",
       (s, dir) => {
         val (centroids, assigned) =
-          Similarity.ivfIndex(t(s, dir, "embeddings"), nCentroids = 16)
+          Similarity.ivfIndex(embT(s, dir), nCentroids = 16)
         Similarity.ivfTopK(centroids, assigned,
-            t(s, dir, "embeddings").filter(col("vec_id") < 16),
+            embT(s, dir).filter(col("vec_id") < 16),
             k = 5, nProbe = 4)
           .orderBy("query_id", "rank")
       },
@@ -855,7 +870,7 @@ object DataxQueries {
      * bucket assignment and cosine verify exactly (threshold calibrated
      * to the near-orthogonal synthetic embeddings). */
     QueryDef("d10_embedding_neardups",
-      (s, dir) => Dedup.embeddingNearDups(t(s, dir, "embeddings"),
+      (s, dir) => Dedup.embeddingNearDups(embT(s, dir),
           "vec_id", "embedding", planes = 4, threshold = 0.25)
         .orderBy("id_a", "id_b"),
       Some(EmbeddingNearDupSql)),
@@ -865,7 +880,7 @@ object DataxQueries {
      * matrices seeded by planeSignsSeeded, union of bucket collisions,
      * exact-cosine verify. The whole pipeline replays in DuckDB. */
     QueryDef("d10a_embedding_neardups_banded",
-      (s, dir) => Dedup.embeddingNearDupsBanded(t(s, dir, "embeddings"),
+      (s, dir) => Dedup.embeddingNearDupsBanded(embT(s, dir),
           "vec_id", "embedding", tables = 3, planesPerTable = 4,
           threshold = 0.25)
         .orderBy("id_a", "id_b"),
@@ -891,7 +906,7 @@ object DataxQueries {
      * vs brute force as n grows 10x, bounded candidate load,
      * BandSignatures == the literal composition). */
     QueryDef("d10b_embedding_neardups_banded_auto",
-      (s, dir) => Dedup.embeddingNearDupsBandedAuto(t(s, dir, "embeddings"),
+      (s, dir) => Dedup.embeddingNearDupsBandedAuto(embT(s, dir),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b"),
       Some(D10bSql)),
@@ -901,7 +916,7 @@ object DataxQueries {
      * fold is not) — promotes k-means from spec-only to a full hash
      * compare. Two rounds over the stride seed, 16 centroids. */
     QueryDef("d29_kmeans_centroids",
-      (s, dir) => Similarity.kmeansCentroidsOrdered(t(s, dir, "embeddings"),
+      (s, dir) => Similarity.kmeansCentroidsOrdered(embT(s, dir),
           nCentroids = 16, iterations = 2)
         .orderBy("centroid_id", "dim"),
       Some(KmeansSql)),
@@ -909,11 +924,11 @@ object DataxQueries {
     /* Per-class embedding centroids (sequential id-ordered double fold
      * -> deterministic at any parallelism, bit-identical across engines). */
     QueryDef("d25_label_centroids",
-      (s, dir) => Similarity.labelCentroids(t(s, dir, "embeddings"))
+      (s, dir) => Similarity.labelCentroids(embT(s, dir))
         .orderBy("label", "dim"),
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
           SELECT label, vec_id AS id, d - 1 AS dim, vec[d] AS x
-          FROM (SELECT label, vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          FROM (SELECT label, vec_id, embedding::DOUBLE[] AS vec FROM $EMB),
                unnest(range(1, 65)) AS t(d))
         SELECT label, CAST(dim AS INT) AS dim,
                list_reduce(list_prepend(0.0, list(x ORDER BY id)),
@@ -1626,11 +1641,11 @@ object DataxQueries {
      * stride-seeded assignment (the d09 pattern) and the within-cluster
      * pair scan. */
     QueryDef("d39_semantic_dedup",
-      (s, dir) => Similarity.semanticDedup(t(s, dir, "embeddings"),
+      (s, dir) => Similarity.semanticDedup(embT(s, dir),
           nCentroids = 16, threshold = 0.3)
         .orderBy("vec_id"),
       Some(s"""WITH v AS (
-          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
         c AS (
           SELECT id AS centroid_id, vec AS cvec FROM v, st
@@ -1662,11 +1677,11 @@ object DataxQueries {
      * auto width never engages below ~4k-wide clusters, so the exact
      * within-cluster scan is replayed 1:1). */
     QueryDef("d39a_semantic_dedup_auto",
-      (s, dir) => Similarity.semanticDedupAuto(t(s, dir, "embeddings"),
+      (s, dir) => Similarity.semanticDedupAuto(embT(s, dir),
           threshold = 0.3)
         .orderBy("vec_id"),
       Some(s"""WITH v AS (
-          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         k AS (SELECT least(4096, greatest(16,
                 CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM v),
         st AS (SELECT greatest(1, count(*) // (SELECT k FROM k)) AS stride
