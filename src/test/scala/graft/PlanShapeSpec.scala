@@ -14,10 +14,22 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
+  /** Assert each filter reached a scan, without pinning the full
+    * bracketed PushedFilters list: extra beneficial pushdown (e.g. a
+    * loader null-guard adding IsNotNull) must never fail a plan test.
+    * (r12 lesson: the d08 assert pinned the exact list and went red on
+    * a strictly-better plan.) */
+  private def assertPushed(p: String, filters: String*): Unit = {
+    val pushedLines = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+    filters.foreach { f =>
+      assert(pushedLines.contains(f),
+        s"filter `$f` must reach a scan; pushed lines were:\n$pushedLines\nfull plan:\n$p")
+    }
+  }
+
   test("c01: filters pushed to the scan, sort+limit fused") {
     val p = plan("c01_catalog_search")
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
-      s"expected pushed filters:\n$p")
+    assertPushed(p, "IsNotNull(o_orderstatus)")
     assert(p.contains("TakeOrderedAndProject"), "page must not global-sort")
   }
 
@@ -38,7 +50,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("h01: aggregation is a partial/final pair (map-side combine)") {
     val p = plan("h01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected 2 HashAggregates:\n$p")
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assertPushed(p, "IsNotNull(l_shipdate)")
   }
 
   test("w01: max_by partial-aggregates before the exchange") {
@@ -80,8 +92,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("d08: query side broadcasts with its filter pushed") {
     val p = plan("d08_cosine_topk")
     assert(p.contains("BroadcastExchange"))
-    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,16)]"),
-      s"query-side filter must reach the scan:\n$p")
+    assertPushed(p, "IsNotNull(vec_id)", "LessThan(vec_id,16)")
   }
 
   test("h10: decorrelated to aggregates — no lineitem self-join, top-k fused") {
@@ -90,8 +101,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // exactly one lineitem scan feeds one per-order aggregation pass
     assert("Scan parquet [^\n]*lineitem".r.findAllIn(p).size == 1,
       s"lineitem must be scanned exactly once:\n$p")
-    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)"),
-      s"order-status filter must reach the orders scan:\n$p")
+    assertPushed(p, "IsNotNull(o_orderstatus)", "EqualTo(o_orderstatus,F)")
     assert(p.contains("TakeOrderedAndProject"), "limit must not global-sort")
   }
 
