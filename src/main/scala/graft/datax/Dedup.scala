@@ -306,16 +306,38 @@ object Dedup {
     * bucket's member ids (bounded by bucket size, LSH's intrinsic skew
     * unit), expand to sorted in-bucket (id_a < id_b) pairs, distinct
     * across buckets. Grouping, never a self-join: a self-join would
-    * execute the (expensive) signature subtree once per side. */
-  private def bucketCandidatePairs(rows: DataFrame,
-                                   bucketCols: Seq[String]): DataFrame = {
+    * execute the (expensive) signature subtree once per side.
+    *
+    * `maxOccupancy`: when set, a bucket wider than the bound raises at
+    * EXECUTION time (a `raise_error` grafted on the data path, so
+    * Catalyst cannot prune it and no extra job runs) — the runtime
+    * tripwire for the fixed-parameter LSH scale bug: in-bucket pair
+    * expansion is quadratic in occupancy, and parameters sized for one
+    * corpus silently blow up at the next (the 10x study's measured
+    * ~102x on d10a, SCALE.md). None = unguarded (callers whose load is
+    * the answer's own size, e.g. MinHash over a dup-heavy corpus). */
+  private def bucketCandidatePairs(rows: DataFrame, bucketCols: Seq[String],
+                                   maxOccupancy: Option[Int] = None): DataFrame = {
     val buckets = rows.groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val guarded = maxOccupancy match {
+      case None => buckets
+      case Some(m) => buckets.withColumn("ids",
+        when(size(col("ids")) > m, raise_error(concat(
+          lit("[graft-dedup] hot LSH bucket: "),
+          size(col("ids")).cast("string"),
+          lit(s" ids collided in one bucket (maxOccupancy=$m). The " +
+            "(tables, planes) parameters are too small for this corpus — " +
+            "in-bucket pair expansion is quadratic in occupancy. Derive " +
+            "parameters from n (embeddingNearDupsBandedAuto / bandsFor), " +
+            "or pass allowHotBuckets=true to accept the quadratic cost."))))
+          .otherwise(col("ids")))
+    }
     val pairCombos = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))),
         y => struct(x.as("id_a"), y.as("id_b")))))
-    buckets.select(explode(pairCombos).as("p"))
+    guarded.select(explode(pairCombos).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
@@ -1266,6 +1288,14 @@ object Dedup {
     * in hand, use the auto form — its one count pass is noise next to
     * the quadratic downside.
     *
+    * Runtime tripwire (round 13): because a fixed-parameter call CAN
+    * still be handed a corpus it wasn't sized for, buckets wider than
+    * `maxOccupancy` (default 1024 — 64x the bandsFor design occupancy
+    * of 16, so honest skew never trips it) raise at execution time
+    * unless `allowHotBuckets=true` is passed. The d10a registry entry
+    * passes it (the documented pedagogical contrast); production
+    * callers should not.
+    *
     * Plan shape: plane projections are scan-side — ONE native
     * [[graft.functions.BandSignatures]] call yields all L bucket
     * strings with the plane tensor as a codegen reference object
@@ -1278,9 +1308,12 @@ object Dedup {
     * exact cosine. */
   def embeddingNearDupsBanded(vectors: DataFrame, idCol: String, vecCol: String,
                               tables: Int = 8, planesPerTable: Int = 8,
-                              threshold: Double = 0.9): DataFrame = {
+                              threshold: Double = 0.9,
+                              allowHotBuckets: Boolean = false,
+                              maxOccupancy: Int = 1024): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
+    require(maxOccupancy >= 2, s"maxOccupancy=$maxOccupancy must be >= 2")
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val dim = probeDim(vectors, vecCol)
@@ -1299,7 +1332,8 @@ object Dedup {
     val bucketRows = v.select(col("id"),
       posexplode(graft.functions.BandSignatures.sigs(col("vec"), allPlanes))
         .as(Seq("tbl", "bucket")))
-    val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"))
+    val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"),
+      if (allowHotBuckets) None else Some(maxOccupancy))
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("_n"))
@@ -1322,6 +1356,10 @@ object Dedup {
                                   vecCol: String, threshold: Double = 0.9,
                                   targetRecall: Double = 0.9): DataFrame = {
     val (tables, r) = bandsFor(vectors.count(), threshold, targetRecall)
-    embeddingNearDupsBanded(vectors, idCol, vecCol, tables, r, threshold)
+    // allowHotBuckets: (L, r) here ARE derived from n, so a bucket past
+    // the occupancy bound means genuinely duplicate-heavy data — the
+    // candidate load is the answer's own size, not a parameter bug.
+    embeddingNearDupsBanded(vectors, idCol, vecCol, tables, r, threshold,
+      allowHotBuckets = true)
   }
 }

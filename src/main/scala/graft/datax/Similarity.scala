@@ -32,6 +32,53 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The vector-space entry contract (round 13): every ANN/centroid
+    * operator here presumes a fixed-dimension space, so a null or
+    * ragged vector is a DATA error — and a production corpus quietly
+    * shrinking under a silent filter is a debugging trap. Policy is
+    * explicit:
+    *
+    *  - `"fail"` (default): the first malformed row raises at
+    *    execution time (`raise_error` grafted on the vector path —
+    *    un-prunable, zero extra jobs), naming the offense and the
+    *    opt-outs. Matches the engine's fail-loud posture.
+    *  - `"drop"`: silent filter. ONLY for callers whose downstream
+    *    contract applies the identical filter (e.g. the query
+    *    registry, whose DuckDB oracles read through the same
+    *    `WHERE embedding IS NOT NULL AND len = dim`) — symmetric
+    *    drop on both sides is a contract, not a trap.
+    *  - `"dropWarn"`: filter, but first count the malformed rows
+    *    (one cheap column-pruned probe) and print the dropped count
+    *    to stderr when nonzero — the streaming-unfriendly but
+    *    operator-friendly middle ground for ad-hoc corpus work.
+    */
+  def validEmbeddings(vectors: DataFrame, vecCol: String, dim: Int,
+                      onMalformed: String = "fail"): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    val bad = col(vecCol).isNull || size(col(vecCol)) =!= dim
+    onMalformed match {
+      case "fail" =>
+        vectors.withColumn(vecCol,
+          when(bad, raise_error(concat(
+            lit(s"[graft-similarity] malformed embedding in `$vecCol`: " +
+              s"expected a non-null $dim-dim vector, got "),
+            when(col(vecCol).isNull, lit("NULL"))
+              .otherwise(concat(lit("dim="), size(col(vecCol)).cast("string"))),
+            lit(". Clean the corpus, or pass onMalformed=\"drop\" / " +
+              "\"dropWarn\" to filter such rows."))))
+            .otherwise(col(vecCol)))
+      case "drop" => vectors.filter(!bad)
+      case "dropWarn" =>
+        val dropped = vectors.filter(bad).count()
+        if (dropped > 0) System.err.println(
+          s"[graft-similarity] validEmbeddings($vecCol, dim=$dim): dropped " +
+            s"$dropped malformed row(s) (null or ragged).")
+        vectors.filter(!bad)
+      case other => throw new IllegalArgumentException(
+        s"""onMalformed="$other": expected "fail", "drop", or "dropWarn"""")
+    }
+  }
+
   /** Exact cosine top-k: for each query vector, the k nearest vectors
     * (excluding itself), rank 1 = nearest; ties broken by id.
     *
@@ -389,8 +436,12 @@ object Similarity {
       // contract that only within-cluster pairs count.
       val hotV = assigned.filter(col("centroid_id").isin(hot: _*))
       val (tables, r) = Dedup.bandsFor(hotRows, threshold)
+      // allowHotBuckets: this IS the dup-heavy reroute — (L, r) derive
+      // from hotRows, so a hot bucket here is the data (near-identical
+      // vectors), and its pairs are exactly what SemDeDup must drop.
       val hotPairs = Dedup.embeddingNearDupsBanded(
-          hotV.select(col("id"), col("vec")), "id", "vec", tables, r, threshold)
+          hotV.select(col("id"), col("vec")), "id", "vec", tables, r, threshold,
+          allowHotBuckets = true)
       val asg = assigned.select(col("id"), col("centroid_id"))
       val hotDropped = hotPairs
         .join(asg.select(col("id").as("id_a"), col("centroid_id").as("_ca")), "id_a")

@@ -30,11 +30,17 @@ object DataxQueries {
     * is a data error, filtered at the query boundary on BOTH the
     * engine and oracle sides (validate-at-ingest), not silently folded
     * into LSH buckets or centroid means (hostile-embeddings replay:
-    * unfiltered, 5 of 9 vector queries skewed or errored). */
+    * unfiltered, 5 of 9 vector queries skewed or errored).
+    *
+    * Policy is `onMalformed="drop"` — the documented exception to the
+    * library default ([[graft.datax.Similarity.validEmbeddings]] fails
+    * loudly): here the DuckDB oracles read through the IDENTICAL
+    * filter ([[EMB]]), so the drop is symmetric by contract, and the
+    * driver's hash compare would catch either side diverging. */
   private val EmbDim = 64
   private def embT(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings").filter(
-      col("embedding").isNotNull && size(col("embedding")) === EmbDim)
+    Similarity.validEmbeddings(t(s, dir, "embeddings"), "embedding", EmbDim,
+      onMalformed = "drop")
   /** The oracle-side face of [[embT]]: splice `FROM $EMB` wherever an
     * embeddings oracle reads the table. */
   private val EMB =
@@ -882,7 +888,13 @@ object DataxQueries {
     QueryDef("d10a_embedding_neardups_banded",
       (s, dir) => Dedup.embeddingNearDupsBanded(embT(s, dir),
           "vec_id", "embedding", tables = 3, planesPerTable = 4,
-          threshold = 0.25)
+          threshold = 0.25,
+          // the documented pedagogical contrast entry: fixed small
+          // params DELIBERATELY kept (vs d10b's derived ones) so the
+          // scale study can show the quadratic blowup — the explicit
+          // opt-out is exactly what the round-13 occupancy tripwire
+          // requires of such a caller (default-safe for everyone else)
+          allowHotBuckets = true)
         .orderBy("id_a", "id_b"),
       Some(EmbeddingNearDupBandedSql)),
 

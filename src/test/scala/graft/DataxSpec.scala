@@ -440,6 +440,47 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-parameter banded LSH trips the occupancy guard on an oversized corpus; allowHotBuckets opts out") {
+    // the d10a scale bug made un-silent (round 13): parameters sized for
+    // a small corpus (here 2 tables x 2 planes — 4 buckets/table) handed
+    // a corpus whose occupancy dwarfs the bandsFor design point. All
+    // vectors identical -> every id lands in ONE bucket per table.
+    val dim = 8
+    def identicalCorpus(n: Int) = {
+      val v = Array.tabulate(dim)(j => 0.1f * (j + 1))
+      (1 to n).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    }
+    // default bound (1024): 1100 colliding ids must raise LOUDLY at
+    // execution, before any quadratic pair expansion runs
+    val big = identicalCorpus(1100)
+    val ex = intercept[Throwable] {
+      Dedup.embeddingNearDupsBanded(big, "vec_id", "embedding",
+        tables = 2, planesPerTable = 2, threshold = 0.9).count()
+    }
+    val chain = Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("hot LSH bucket"),
+      s"expected the occupancy tripwire, got:\n$chain")
+    assert(chain.contains("allowHotBuckets"),
+      "the error must name the opt-out so the signal is actionable")
+    // explicit opt-out: same shape under a small bound, quadratic cost
+    // accepted, answer exact (all pairs of identical vectors)
+    val small = identicalCorpus(80)
+    val n = Dedup.embeddingNearDupsBanded(small, "vec_id", "embedding",
+      tables = 2, planesPerTable = 2, threshold = 0.9,
+      allowHotBuckets = true, maxOccupancy = 64).count()
+    assert(n == 80L * 79 / 2, s"opt-out path must still be exact, got $n")
+    // and the guard honors a caller-supplied bound below default
+    val ex2 = intercept[Throwable] {
+      Dedup.embeddingNearDupsBanded(small, "vec_id", "embedding",
+        tables = 2, planesPerTable = 2, threshold = 0.9,
+        maxOccupancy = 64).count()
+    }
+    val chain2 = Iterator.iterate(ex2)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain2.contains("hot LSH bucket"), s"custom bound ignored:\n$chain2")
+  }
+
   test("planted near-dups on the REAL embeddings table: bandsFor recall >= 0.9 at cosine 0.9") {
     // The synthetic embeddings are near-orthogonal (max pairwise cosine
     // ~0.5), so the r5 recall claims at the 0.9 design point were only
