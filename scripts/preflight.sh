@@ -13,12 +13,26 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Both gates verify tests actually RAN (r13 ADVICE: `testOnly` with a
+# misspelled suite matches zero tests and sbt exits 0 — the exact
+# failure mode this script exists to prevent). ScalaTest prints one
+# "Total number of tests run: N" summary per test run; require N > 0.
+out="$(mktemp)"
+trap 'rm -f "$out"' EXIT
+
 if [ "$#" -gt 0 ]; then
   suites="$*"
   echo "== preflight (fast): compile + testOnly $suites"
-  sbt -batch "Test/compile" "testOnly $suites"
+  sbt -batch "Test/compile" "testOnly $suites" | tee "$out"
 else
   echo "== preflight (full): compile + full suite"
-  sbt -batch "Test/compile" test
+  sbt -batch "Test/compile" test | tee "$out"
 fi
-echo "== preflight OK"
+
+total=$(grep -oE 'Total number of tests run: [0-9]+' "$out" \
+  | awk '{s += $NF} END {print s + 0}')
+if [ "$total" -eq 0 ]; then
+  echo "== preflight FAILED: 0 tests executed (suite name typo? nothing matched)" >&2
+  exit 1
+fi
+echo "== preflight OK ($total tests ran)"

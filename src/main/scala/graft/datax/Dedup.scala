@@ -315,14 +315,28 @@ object Dedup {
     * expansion is quadratic in occupancy, and parameters sized for one
     * corpus silently blow up at the next (the 10x study's measured
     * ~102x on d10a, SCALE.md). None = unguarded (callers whose load is
-    * the answer's own size, e.g. MinHash over a dup-heavy corpus). */
+    * the answer's own size, e.g. MinHash over a dup-heavy corpus) —
+    * but not blind: the unguarded path emits the max observed bucket
+    * occupancy (and bucket count) as an `observe()` metric named
+    * `graft.lsh.occupancy.<seq>`, riding the same bucket aggregate the
+    * guard would (no extra job), so a production caller's metrics
+    * pipeline sees the candidate load even when no failure is wanted
+    * (round-14 telemetry; DataxSpec pins it on a planted hot corpus). */
+  private val occupancySeq = new java.util.concurrent.atomic.AtomicLong()
+
   private def bucketCandidatePairs(rows: DataFrame, bucketCols: Seq[String],
                                    maxOccupancy: Option[Int] = None): DataFrame = {
     val buckets = rows.groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val guarded = maxOccupancy match {
-      case None => buckets
+      case None =>
+        // unique per call: observe names must not collide inside one
+        // plan (e.g. a union of two LSH passes)
+        buckets.observe(
+          s"graft.lsh.occupancy.${occupancySeq.incrementAndGet()}",
+          coalesce(max(size(col("ids"))), lit(0)).as("max_bucket_occupancy"),
+          count(lit(1)).as("buckets"))
       case Some(m) => buckets.withColumn("ids",
         when(size(col("ids")) > m, raise_error(concat(
           lit("[graft-dedup] hot LSH bucket: "),
@@ -331,7 +345,7 @@ object Dedup {
             "(tables, planes) parameters are too small for this corpus — " +
             "in-bucket pair expansion is quadratic in occupancy. Derive " +
             "parameters from n (embeddingNearDupsBandedAuto / bandsFor), " +
-            "or pass allowHotBuckets=true to accept the quadratic cost."))))
+            "or pass maxOccupancy=None to accept the quadratic cost."))))
           .otherwise(col("ids")))
     }
     val pairCombos = flatten(transform(col("ids"), (x, i) =>
@@ -1288,13 +1302,18 @@ object Dedup {
     * in hand, use the auto form — its one count pass is noise next to
     * the quadratic downside.
     *
-    * Runtime tripwire (round 13): because a fixed-parameter call CAN
-    * still be handed a corpus it wasn't sized for, buckets wider than
-    * `maxOccupancy` (default 1024 — 64x the bandsFor design occupancy
-    * of 16, so honest skew never trips it) raise at execution time
-    * unless `allowHotBuckets=true` is passed. The d10a registry entry
-    * passes it (the documented pedagogical contrast); production
-    * callers should not.
+    * Runtime tripwire (round 13; API collapsed round 14): because a
+    * fixed-parameter call CAN still be handed a corpus it wasn't sized
+    * for, buckets wider than `maxOccupancy` (default `Some(1024)` —
+    * 64x the bandsFor design occupancy of 16, so honest skew never
+    * trips it) raise at execution time. `maxOccupancy = None` is the
+    * explicit opt-out: no guard, quadratic cost accepted — but the
+    * max observed occupancy still surfaces as an `observe()` metric
+    * (`graft.lsh.occupancy.<seq>`) so the load stays visible. The d10a
+    * registry entry opts out (the documented pedagogical contrast);
+    * production callers should not. One knob, not two: the previous
+    * (allowHotBuckets, maxOccupancy) pair made "allow, but with an
+    * explicit bound" expressible and silently ignored the bound.
     *
     * Plan shape: plane projections are scan-side — ONE native
     * [[graft.functions.BandSignatures]] call yields all L bucket
@@ -1309,11 +1328,10 @@ object Dedup {
   def embeddingNearDupsBanded(vectors: DataFrame, idCol: String, vecCol: String,
                               tables: Int = 8, planesPerTable: Int = 8,
                               threshold: Double = 0.9,
-                              allowHotBuckets: Boolean = false,
-                              maxOccupancy: Int = 1024): DataFrame = {
+                              maxOccupancy: Option[Int] = Some(1024)): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
-    require(maxOccupancy >= 2, s"maxOccupancy=$maxOccupancy must be >= 2")
+    maxOccupancy.foreach(m => require(m >= 2, s"maxOccupancy=$m must be >= 2"))
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val dim = probeDim(vectors, vecCol)
@@ -1333,7 +1351,7 @@ object Dedup {
       posexplode(graft.functions.BandSignatures.sigs(col("vec"), allPlanes))
         .as(Seq("tbl", "bucket")))
     val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"),
-      if (allowHotBuckets) None else Some(maxOccupancy))
+      maxOccupancy)
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("_n"))
@@ -1356,10 +1374,11 @@ object Dedup {
                                   vecCol: String, threshold: Double = 0.9,
                                   targetRecall: Double = 0.9): DataFrame = {
     val (tables, r) = bandsFor(vectors.count(), threshold, targetRecall)
-    // allowHotBuckets: (L, r) here ARE derived from n, so a bucket past
-    // the occupancy bound means genuinely duplicate-heavy data — the
-    // candidate load is the answer's own size, not a parameter bug.
+    // maxOccupancy=None: (L, r) here ARE derived from n, so a bucket
+    // past the occupancy bound means genuinely duplicate-heavy data —
+    // the candidate load is the answer's own size, not a parameter
+    // bug. The occupancy observe() metric keeps that load visible.
     embeddingNearDupsBanded(vectors, idCol, vecCol, tables, r, threshold,
-      allowHotBuckets = true)
+      maxOccupancy = None)
   }
 }

@@ -36,12 +36,18 @@ object Similarity {
     * operator here presumes a fixed-dimension space, so a null or
     * ragged vector is a DATA error — and a production corpus quietly
     * shrinking under a silent filter is a debugging trap. Policy is
-    * explicit:
     *
     *  - `"fail"` (default): the first malformed row raises at
-    *    execution time (`raise_error` grafted on the vector path —
-    *    un-prunable, zero extra jobs), naming the offense and the
-    *    opt-outs. Matches the engine's fail-loud posture.
+    *    execution time. The `raise_error` is grafted as a FILTER
+    *    condition, not a projected column: Catalyst's ColumnPruning
+    *    drops unused Project expressions (side effects are not
+    *    preserved), so a column graft would silently vanish for a
+    *    caller that validates and then never reads the vector column
+    *    again — whereas a Filter can only be removed when its
+    *    condition is provably true, which a non-foldable raise_error
+    *    branch never is. Pinned by ValidEmbeddingsSpec's prune-path
+    *    negative control (validate → select id only → still raises).
+    *    Zero extra jobs; names the offense and the opt-outs.
     *  - `"drop"`: silent filter. ONLY for callers whose downstream
     *    contract applies the identical filter (e.g. the query
     *    registry, whose DuckDB oracles read through the same
@@ -51,22 +57,33 @@ object Similarity {
     *    (one cheap column-pruned probe) and print the dropped count
     *    to stderr when nonzero — the streaming-unfriendly but
     *    operator-friendly middle ground for ad-hoc corpus work.
+    *  - `"quarantine"`: the dead-letter mode (the engine's ST3
+    *    posture — the reference dead-letters every failed payload
+    *    rather than dropping it, `app/tmdb_client.py:76-85`):
+    *    malformed rows are appended to `quarantineDir` as parquet
+    *    with a `malformed_reason` column (`null_vector` /
+    *    `ragged_dim_<n>`), then the clean rows flow on. Costs one
+    *    extra pass over the input (the quarantine write), same as
+    *    any dead-letter sink; the main path is the identical filter
+    *    `"drop"` applies.
     */
   def validEmbeddings(vectors: DataFrame, vecCol: String, dim: Int,
-                      onMalformed: String = "fail"): DataFrame = {
+                      onMalformed: String = "fail",
+                      quarantineDir: Option[String] = None): DataFrame = {
     require(dim > 0, s"dim=$dim must be positive")
     val bad = col(vecCol).isNull || size(col(vecCol)) =!= dim
     onMalformed match {
       case "fail" =>
-        vectors.withColumn(vecCol,
+        vectors.filter(
           when(bad, raise_error(concat(
             lit(s"[graft-similarity] malformed embedding in `$vecCol`: " +
               s"expected a non-null $dim-dim vector, got "),
             when(col(vecCol).isNull, lit("NULL"))
               .otherwise(concat(lit("dim="), size(col(vecCol)).cast("string"))),
             lit(". Clean the corpus, or pass onMalformed=\"drop\" / " +
-              "\"dropWarn\" to filter such rows."))))
-            .otherwise(col(vecCol)))
+              "\"dropWarn\" / \"quarantine\" to filter such rows.")))
+            .cast("boolean"))
+            .otherwise(lit(true)))
       case "drop" => vectors.filter(!bad)
       case "dropWarn" =>
         val dropped = vectors.filter(bad).count()
@@ -74,8 +91,18 @@ object Similarity {
           s"[graft-similarity] validEmbeddings($vecCol, dim=$dim): dropped " +
             s"$dropped malformed row(s) (null or ragged).")
         vectors.filter(!bad)
+      case "quarantine" =>
+        val dir = quarantineDir.getOrElse(throw new IllegalArgumentException(
+          """onMalformed="quarantine" requires quarantineDir=Some(path)"""))
+        vectors.filter(bad)
+          .withColumn("malformed_reason",
+            when(col(vecCol).isNull, lit("null_vector"))
+              .otherwise(concat(lit("ragged_dim_"),
+                size(col(vecCol)).cast("string"))))
+          .write.mode("append").parquet(dir)
+        vectors.filter(!bad)
       case other => throw new IllegalArgumentException(
-        s"""onMalformed="$other": expected "fail", "drop", or "dropWarn"""")
+        s"""onMalformed="$other": expected "fail", "drop", "dropWarn", or "quarantine"""")
     }
   }
 
@@ -436,12 +463,14 @@ object Similarity {
       // contract that only within-cluster pairs count.
       val hotV = assigned.filter(col("centroid_id").isin(hot: _*))
       val (tables, r) = Dedup.bandsFor(hotRows, threshold)
-      // allowHotBuckets: this IS the dup-heavy reroute — (L, r) derive
-      // from hotRows, so a hot bucket here is the data (near-identical
-      // vectors), and its pairs are exactly what SemDeDup must drop.
+      // maxOccupancy=None: this IS the dup-heavy reroute — (L, r)
+      // derive from hotRows, so a hot bucket here is the data
+      // (near-identical vectors), and its pairs are exactly what
+      // SemDeDup must drop. The occupancy observe() metric still
+      // reports the candidate load.
       val hotPairs = Dedup.embeddingNearDupsBanded(
           hotV.select(col("id"), col("vec")), "id", "vec", tables, r, threshold,
-          allowHotBuckets = true)
+          maxOccupancy = None)
       val asg = assigned.select(col("id"), col("centroid_id"))
       val hotDropped = hotPairs
         .join(asg.select(col("id").as("id_a"), col("centroid_id").as("_ca")), "id_a")

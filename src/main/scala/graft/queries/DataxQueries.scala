@@ -894,7 +894,7 @@ object DataxQueries {
           // scale study can show the quadratic blowup — the explicit
           // opt-out is exactly what the round-13 occupancy tripwire
           // requires of such a caller (default-safe for everyone else)
-          allowHotBuckets = true)
+          maxOccupancy = None)
         .orderBy("id_a", "id_b"),
       Some(EmbeddingNearDupBandedSql)),
 

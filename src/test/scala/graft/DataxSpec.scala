@@ -461,24 +461,68 @@ class DataxSpec extends AnyFunSuite {
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain.contains("hot LSH bucket"),
       s"expected the occupancy tripwire, got:\n$chain")
-    assert(chain.contains("allowHotBuckets"),
+    assert(chain.contains("maxOccupancy=None"),
       "the error must name the opt-out so the signal is actionable")
-    // explicit opt-out: same shape under a small bound, quadratic cost
-    // accepted, answer exact (all pairs of identical vectors)
+    // explicit opt-out (one knob since round 14: maxOccupancy=None —
+    // the old allowHotBuckets+bound pair silently ignored the bound):
+    // same shape, quadratic cost accepted, answer exact (all pairs of
+    // identical vectors)
     val small = identicalCorpus(80)
     val n = Dedup.embeddingNearDupsBanded(small, "vec_id", "embedding",
       tables = 2, planesPerTable = 2, threshold = 0.9,
-      allowHotBuckets = true, maxOccupancy = 64).count()
+      maxOccupancy = None).count()
     assert(n == 80L * 79 / 2, s"opt-out path must still be exact, got $n")
     // and the guard honors a caller-supplied bound below default
     val ex2 = intercept[Throwable] {
       Dedup.embeddingNearDupsBanded(small, "vec_id", "embedding",
         tables = 2, planesPerTable = 2, threshold = 0.9,
-        maxOccupancy = 64).count()
+        maxOccupancy = Some(64)).count()
     }
     val chain2 = Iterator.iterate(ex2)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain2.contains("hot LSH bucket"), s"custom bound ignored:\n$chain2")
+  }
+
+  test("opted-out LSH emits bucket-occupancy telemetry via observe()") {
+    // verdict r13 #6: paths that legitimately run unguarded
+    // (maxOccupancy=None — d39a's hot reroute, the auto-banded form)
+    // must still surface candidate load. Planted hot corpus: 90
+    // identical vectors -> every id in ONE bucket per table, so the
+    // max observed occupancy must be exactly 90.
+    val dim = 8
+    val v = Array.tabulate(dim)(j => 0.1f * (j + 1))
+    val hot = (1 to 90).map(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    val metrics = scala.collection.concurrent.TrieMap[String, Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, row) => metrics.put(k, row) }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pairs = Dedup.embeddingNearDupsBanded(hot, "vec_id", "embedding",
+        tables = 2, planesPerTable = 2, threshold = 0.9,
+        maxOccupancy = None).count()
+      assert(pairs == 90L * 89 / 2)
+      // QueryExecutionListener delivery is async: poll with a deadline
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var row: Option[Row] = None
+      while (row.isEmpty && System.nanoTime() < deadline) {
+        row = metrics.collectFirst {
+          case (k, r) if k.startsWith("graft.lsh.occupancy") => r
+        }
+        if (row.isEmpty) Thread.sleep(50)
+      }
+      assert(row.nonEmpty, s"no graft.lsh.occupancy metric observed; saw: ${metrics.keys}")
+      assert(row.get.getAs[Int]("max_bucket_occupancy") == 90,
+        s"expected max occupancy 90, got ${row.get}")
+      assert(row.get.getAs[Long]("buckets") == 2L, // one hot bucket per table
+        s"expected 2 buckets, got ${row.get}")
+    } finally spark.listenerManager.unregister(listener)
   }
 
   test("planted near-dups on the REAL embeddings table: bandsFor recall >= 0.9 at cosine 0.9") {

@@ -14,22 +14,32 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.executedPlan.toString
 
-  /** Assert each filter reached a scan, without pinning the full
-    * bracketed PushedFilters list: extra beneficial pushdown (e.g. a
-    * loader null-guard adding IsNotNull) must never fail a plan test.
-    * (r12 lesson: the d08 assert pinned the exact list and went red on
-    * a strictly-better plan.) */
-  private def assertPushed(p: String, filters: String*): Unit = {
-    val pushedLines = p.linesIterator.filter(_.contains("PushedFilters:")).mkString("\n")
+  /** Assert each filter reached the scan OF THE NAMED TABLE, without
+    * pinning the full bracketed PushedFilters list: extra beneficial
+    * pushdown (e.g. a loader null-guard adding IsNotNull) must never
+    * fail a plan test. (r12 lesson: the d08 assert pinned the exact
+    * list and went red on a strictly-better plan. r13 ADVICE: an
+    * unscoped match passes when the filter lands on the WRONG table's
+    * scan, and bare substring matching lets `LessThan(x,16)` match
+    * `LessThan(x,160)` — so the match is scoped to scan lines whose
+    * parquet location names `table`, and each filter must be followed
+    * by a list delimiter.) */
+  private def assertPushed(p: String, table: String, filters: String*): Unit = {
+    val scanLines = p.linesIterator
+      .filter(l => l.contains("PushedFilters:") && l.contains(s"/$table.parquet"))
+      .mkString("\n")
+    assert(scanLines.nonEmpty,
+      s"no `$table` scan with PushedFilters in plan:\n$p")
     filters.foreach { f =>
-      assert(pushedLines.contains(f),
-        s"filter `$f` must reach a scan; pushed lines were:\n$pushedLines\nfull plan:\n$p")
+      val anchored = (java.util.regex.Pattern.quote(f) + "[,\\]]").r
+      assert(anchored.findFirstIn(scanLines).isDefined,
+        s"filter `$f` must reach the `$table` scan; its pushed lines were:\n$scanLines\nfull plan:\n$p")
     }
   }
 
   test("c01: filters pushed to the scan, sort+limit fused") {
     val p = plan("c01_catalog_search")
-    assertPushed(p, "IsNotNull(o_orderstatus)")
+    assertPushed(p, "orders", "IsNotNull(o_orderstatus)")
     assert(p.contains("TakeOrderedAndProject"), "page must not global-sort")
   }
 
@@ -50,7 +60,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("h01: aggregation is a partial/final pair (map-side combine)") {
     val p = plan("h01_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"expected 2 HashAggregates:\n$p")
-    assertPushed(p, "IsNotNull(l_shipdate)")
+    assertPushed(p, "lineitem", "IsNotNull(l_shipdate)")
   }
 
   test("w01: max_by partial-aggregates before the exchange") {
@@ -92,7 +102,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("d08: query side broadcasts with its filter pushed") {
     val p = plan("d08_cosine_topk")
     assert(p.contains("BroadcastExchange"))
-    assertPushed(p, "IsNotNull(vec_id)", "LessThan(vec_id,16)")
+    assertPushed(p, "embeddings", "IsNotNull(vec_id)", "LessThan(vec_id,16)")
   }
 
   test("h10: decorrelated to aggregates — no lineitem self-join, top-k fused") {
@@ -101,7 +111,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // exactly one lineitem scan feeds one per-order aggregation pass
     assert("Scan parquet [^\n]*lineitem".r.findAllIn(p).size == 1,
       s"lineitem must be scanned exactly once:\n$p")
-    assertPushed(p, "IsNotNull(o_orderstatus)", "EqualTo(o_orderstatus,F)")
+    assertPushed(p, "orders", "IsNotNull(o_orderstatus)", "EqualTo(o_orderstatus,F)")
     assert(p.contains("TakeOrderedAndProject"), "limit must not global-sort")
   }
 
