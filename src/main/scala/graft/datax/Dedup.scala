@@ -1238,7 +1238,11 @@ object Dedup {
     * [[embeddingNearDupsBandedAuto]] is the recall-holding form. */
   def embeddingNearDupsAuto(vectors: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.9): DataFrame =
-    embeddingNearDups(vectors, idCol, vecCol, planesFor(vectors.count()), threshold)
+    // maxOccupancy=None: planes ARE derived from n here, so occupancy
+    // sits at the design point by construction; the observe() metric
+    // keeps the load visible (same rationale as the banded auto form)
+    embeddingNearDups(vectors, idCol, vecCol, planesFor(vectors.count()),
+      threshold, maxOccupancy = None)
 
   /** Dimension of the FIRST non-null, non-empty vector (0 when none
     * exist). Probing `limit(1)` without the null filter either NPEs on
@@ -1253,8 +1257,26 @@ object Dedup {
     v.limit(0).select(col("id").as("id_a"), col("id").as("id_b"),
       lit(0.0).as("cosine"))
 
+  /** Single-table hyperplane LSH near-dup pairs — the demo/oracle form
+    * (one table cannot hold recall as planes grow; see [[planesFor]]'s
+    * recall warning and [[embeddingNearDupsBanded]] for the production
+    * construction).
+    *
+    * Round 14: rebuilt on the same bucket-GROUPING construction as the
+    * banded form ([[bucketCandidatePairs]]) instead of a bucket
+    * self-join. Values are identical (same buckets, same id_a < id_b
+    * pairs, same cosine expression tree — the d10 oracle pins it), but
+    * the self-join executed the signature subtree once PER SIDE, and —
+    * the real motive — it had no occupancy protection at all: the 30x
+    * scale anchor measured the fixed-planes registry entry at 8.9x
+    * wall for 3x data (quadratic in-bucket expansion, the d10a-class
+    * trap) with nothing to trip. Grouping routes it through the same
+    * `maxOccupancy` guard (default Some(1024)) and, when opted out,
+    * the same `graft.lsh.occupancy` observe() telemetry. */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
-                        planes: Int = 8, threshold: Double = 0.9): DataFrame = {
+                        planes: Int = 8, threshold: Double = 0.9,
+                        maxOccupancy: Option[Int] = Some(1024)): DataFrame = {
+    maxOccupancy.foreach(m => require(m >= 2, s"maxOccupancy=$m must be >= 2"))
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     val dim = probeDim(vectors, vecCol)
@@ -1267,16 +1289,16 @@ object Dedup {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, "1").otherwise("0")
     }
+    val bucketRows = v.select(col("id"), concat_ws("", sigExprs: _*).as("bucket"))
+    val cand = bucketCandidatePairs(bucketRows, Seq("bucket"), maxOccupancy)
     // norms once per vector, not once per candidate pair
-    val bucketed = v.select(col("id"), col("vec"),
-      Similarity.norm(col("vec")).as("_n"),
-      concat_ws("", sigExprs: _*).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("_n").as("_na"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("_n").as("_nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+    val withN = v.select(col("id"), col("vec"),
+      Similarity.norm(col("vec")).as("_n"))
+    cand
+      .join(withN.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("_n").as("_na")), "id_a")
+      .join(withN.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("_n").as("_nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         (Similarity.dot(col("vec_a"), col("vec_b")) / (col("_na") * col("_nb")))
           .as("cosine"))

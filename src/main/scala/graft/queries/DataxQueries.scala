@@ -874,10 +874,15 @@ object DataxQueries {
     /* Random-hyperplane LSH near-dup pairs; the deterministic ±1 plane
      * matrix is baked into BOTH sides as literals, so the oracle replays
      * bucket assignment and cosine verify exactly (threshold calibrated
-     * to the near-orthogonal synthetic embeddings). */
+     * to the near-orthogonal synthetic embeddings). Like d10a, the
+     * fixed plane count is the documented pedagogical contrast (the
+     * 30x anchor measured it at 8.9x wall for 3x data), so the entry
+     * opts out of the occupancy guard explicitly; production callers
+     * get the default tripwire. */
     QueryDef("d10_embedding_neardups",
       (s, dir) => Dedup.embeddingNearDups(embT(s, dir),
-          "vec_id", "embedding", planes = 4, threshold = 0.25)
+          "vec_id", "embedding", planes = 4, threshold = 0.25,
+          maxOccupancy = None)
         .orderBy("id_a", "id_b"),
       Some(EmbeddingNearDupSql)),
 

@@ -481,6 +481,18 @@ class DataxSpec extends AnyFunSuite {
     val chain2 = Iterator.iterate(ex2)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain2.contains("hot LSH bucket"), s"custom bound ignored:\n$chain2")
+    // round 14: the SINGLE-TABLE form now routes through the same
+    // guard (it previously self-joined on bucket with no protection —
+    // the 30x anchor measured its fixed-planes registry entry at 8.9x
+    // wall for 3x data with nothing to trip)
+    val ex3 = intercept[Throwable] {
+      Dedup.embeddingNearDups(big, "vec_id", "embedding",
+        planes = 2, threshold = 0.9).count()
+    }
+    val chain3 = Iterator.iterate(ex3)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain3.contains("hot LSH bucket"),
+      s"single-table form must carry the occupancy guard too:\n$chain3")
   }
 
   test("opted-out LSH emits bucket-occupancy telemetry via observe()") {
