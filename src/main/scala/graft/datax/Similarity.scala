@@ -486,7 +486,10 @@ object Similarity {
 
   /** IVF-probed approximate top-k: per query, search only the `nProbe`
     * nearest centroids' buckets. At 100 TB the assigned table is written
-    * partitioned by centroid_id, so a probe is a partition-pruned scan. */
+    * partitioned by centroid_id, so a probe is a partition-pruned scan —
+    * that storage layout is [[ivfIndexWrite]] and the pruned probe over
+    * it is [[ivfTopKIndexed]] (round 14: previously this sentence was a
+    * claim without an implementation). */
   def ivfTopK(centroids: DataFrame, assigned: DataFrame, queries: DataFrame,
               k: Int, nProbe: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -508,5 +511,62 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cosine").desc, col("id").asc)))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "id", "cosine")
+  }
+
+  /** Persist an IVF index in the layout [[ivfTopK]]'s scale note
+    * promises: `<dir>/centroids.parquet` (K rows) and
+    * `<dir>/assigned.parquet` PARTITIONED BY centroid_id — one
+    * directory per bucket, so a probe over the persisted index is a
+    * partition-PRUNED scan (directory-level: unprobed buckets
+    * contribute zero bytes read, zero tasks — not a data filter
+    * evaluated per row). This is the 100-TB serving shape: the index
+    * builds once (the expensive assign pass over the corpus), then
+    * every query batch reads only its nProbe buckets.
+    *
+    * `kmeansIterations > 0` builds the Lloyd-refined quantizer
+    * ([[ivfIndexKMeans]]); 0 (default) the stride-sampled one
+    * ([[ivfIndex]], deterministic — the oracle-replayable form). */
+  def ivfIndexWrite(vectors: DataFrame, dir: String, nCentroids: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    kmeansIterations: Int = 0): Unit = {
+    val (centroids, assigned) =
+      if (kmeansIterations > 0)
+        ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)
+      else ivfIndex(vectors, nCentroids, idCol, vecCol)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/assigned.parquet")
+  }
+
+  /** Probe a persisted [[ivfIndexWrite]] index: identical results to
+    * [[ivfTopK]] over the same (centroids, assigned) pair — spec-pinned
+    * — but the assigned scan carries `PartitionFilters:
+    * [centroid_id IN (...)]`, so only the UNION of the queries' nProbe
+    * buckets is read from storage.
+    *
+    * The probe set must reach the scan as LITERALS for directory-level
+    * pruning (a join cannot prune partitions at planning time), so the
+    * per-query nearest-centroid ranks are computed once against the
+    * K-row centroid table and the distinct probed ids collected — a
+    * K-BOUNDED driver pull (<= min(queries x nProbe, K) values), the
+    * same budget every centroid operator here already pays. [[ivfTopK]]
+    * then re-restricts each query to its OWN nProbe buckets, so the
+    * union-level pruning never widens a query's candidate set. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame, k: Int, nProbe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val q = queries.select(col(idCol).as("query_id"), toDouble(col(vecCol)).as("qvec"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("_sim"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("_sim").desc, col("centroid_id").asc)))
+      .filter(col("_rn") <= nProbe)
+      .select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val assigned = spark.read.parquet(s"$dir/assigned.parquet")
+      .filter(col("centroid_id").isin(probed: _*))
+    ivfTopK(centroids, assigned, queries, k, nProbe, idCol, vecCol)
   }
 }

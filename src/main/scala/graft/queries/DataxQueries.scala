@@ -871,6 +871,27 @@ object DataxQueries {
       },
       Some(IvfSql)),
 
+    /* The PERSISTED-index twin of d09 — same build, same probe, but
+     * through the round-14 serving layout: assigned written PARTITIONED
+     * BY centroid_id, probe re-read as a partition-pruned scan (only
+     * the union of the queries' nProbe buckets contributes bytes or
+     * tasks). Values are identical to d09 by construction (lossless
+     * double round-trip, same deterministic stride centroids), so the
+     * SAME IvfSql oracle hash-gates it; the plan property (nonempty
+     * PartitionFilters on the assigned scan) is spec-pinned. */
+    QueryDef("d09a_ivf_topk_indexed",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09a").toString
+        try {
+          Similarity.ivfIndexWrite(embT(s, dir), tmp, nCentroids = 16)
+          Similarity.ivfTopKIndexed(s, tmp,
+              embT(s, dir).filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(IvfSql)),
+
     /* Random-hyperplane LSH near-dup pairs; the deterministic ±1 plane
      * matrix is baked into BOTH sides as literals, so the oracle replays
      * bucket assignment and cosine verify exactly (threshold calibrated

@@ -833,6 +833,38 @@ class DataxSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("persisted IVF index: partition-pruned probe == in-memory ivfTopK exactly") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+    try {
+      Similarity.ivfIndexWrite(emb, dir, nCentroids = 16)
+      val queries = emb.filter($"vec_id" < 16)
+      val indexed = Similarity.ivfTopKIndexed(spark, dir, queries,
+        k = 5, nProbe = 4)
+      val (c, a) = Similarity.ivfIndex(emb, nCentroids = 16)
+      val direct = Similarity.ivfTopK(c, a, queries, k = 5, nProbe = 4)
+      // exact row equality: the parquet double round-trip is lossless
+      // and the stride centroids are deterministic, so the persisted
+      // path must not move a single cosine bit
+      assert(indexed.orderBy("query_id", "rank").collect().toSeq
+        == direct.orderBy("query_id", "rank").collect().toSeq)
+      // the scale property the layout exists for: the assigned scan is
+      // partition-PRUNED (directory-level, probed buckets only), not a
+      // per-row data filter over the full index
+      val plan = indexed.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("assigned.parquet") && l.contains("PartitionFilters"))
+        .getOrElse(fail(s"no assigned.parquet scan with PartitionFilters:\n$plan"))
+      assert(!scanLine.contains("PartitionFilters: []")
+          && scanLine.contains("centroid_id"),
+        s"probe must prune on centroid_id partitions:\n$scanLine")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("approx profile (HLL path): same shape, estimates within 10% of exact") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val cols = Seq("o_custkey", "o_orderstatus")
