@@ -1403,4 +1403,151 @@ object Dedup {
     embeddingNearDupsBanded(vectors, idCol, vecCol, tables, r, threshold,
       maxOccupancy = None)
   }
+
+  // ---- incremental embedding dedup (round 14): the batch x index
+  // shape the text family has had since d49, for vectors ----
+
+  private def embSidecarParams(tables: Int, planes: Int, dim: Int): String =
+    s"L=$tables,r=$planes,dim=$dim"
+
+  /** Fail fast when a stored embedding band table's parameters disagree
+    * with the increment call's — the vector twin of
+    * [[validateBandSidecar]], with `dim` in the contract too (the
+    * seeded plane matrices depend on it, so a dim mismatch buckets
+    * nothing in common and silently admits near-dups). Validates every
+    * distinct params value for the same mixed-sidecar reason. */
+  private def validateEmbSidecar(ib: DataFrame, tables: Int, planes: Int,
+                                 dim: Int): Unit =
+    if (ib.columns.contains("params")) {
+      val expect = embSidecarParams(tables, planes, dim)
+      val got = ib.select("params").distinct().collect().map(_.getString(0))
+      val bad = got.filterNot(_ == expect)
+      require(bad.isEmpty, s"embedding band sidecar holds params " +
+        s"[${bad.mkString("; ")}] but the increment call uses [$expect]" +
+        (if (got.length > 1) " (mixed-parameter sidecar — likely " +
+          "accumulated across restarts with changed settings)" else "") +
+        "; rebuild the sidecar or match the parameters")
+    }
+
+  /** The storable (id, tbl, bucket) band-signature SIDECAR for an
+    * embedding index — the vector twin of [[bandSignatures]]: build it
+    * once when vectors enter the corpus, store it bucketed/partitioned
+    * by (tbl, bucket), and every later increment skips the corpus-side
+    * signature pass entirely. Self-describing via the same `params`
+    * column trick (here (L, r, dim) — all three change the buckets). */
+  def embeddingBandSignatures(vectors: DataFrame, idCol: String,
+                              vecCol: String, tables: Int = 8,
+                              planesPerTable: Int = 8): DataFrame = {
+    require(tables >= 1 && planesPerTable >= 1,
+      s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
+    val v = vectors.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val dim = probeDim(vectors, vecCol)
+    if (dim == 0)
+      return v.limit(0).select(col("id"), lit(0).as("tbl"),
+        lit("").as("bucket"), lit("").as("params"))
+    embSigRows(v, tables, planesPerTable, dim)
+      .withColumn("params", lit(embSidecarParams(tables, planesPerTable, dim)))
+  }
+
+  /** (id, tbl, bucket) rows for all L tables — the shared scan-side
+    * projection of the banded family. */
+  private def embSigRows(v: DataFrame, tables: Int, planes: Int,
+                         dim: Int): DataFrame = {
+    val allPlanes: Seq[Seq[Seq[Double]]] = (0 until tables).map { tbl =>
+      planeSignsSeeded(tbl, planes, dim).map(_.toSeq).toSeq
+    }
+    v.select(col("id"),
+      posexplode(graft.functions.BandSignatures.sigs(col("vec"), allPlanes))
+        .as(Seq("tbl", "bucket")))
+  }
+
+  /** Exact-cosine verification across two vector sides: id_a resolves
+    * in `nv`, id_b in `iv` — the vector twin of [[verifyJaccardSides]].
+    * Norms once per side, never per pair. */
+  private def verifyCosineSides(cand: DataFrame, nv: DataFrame,
+                                iv: DataFrame, threshold: Double): DataFrame = {
+    val a = nv.select(col("id").as("id_a"), col("vec").as("vec_a"),
+      Similarity.norm(col("vec")).as("_na"))
+    val b = iv.select(col("id").as("id_b"), col("vec").as("vec_b"),
+      Similarity.norm(col("vec")).as("_nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (Similarity.dot(col("vec_a"), col("vec_b")) / (col("_na") * col("_nb")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** INCREMENTAL embedding near-dup detection: banded-LSH pairs between
+    * a NEW batch of vectors and an EXISTING index — the vector twin of
+    * [[incrementalNearDups]], and the same 100 TB operational shape: a
+    * new embedding shard is deduplicated against the standing corpus
+    * without ever re-pairing the corpus with itself. Returns
+    * (id_a = batch id, id_b = index id, cosine >= threshold).
+    *
+    * Scale shape: both sides reduce to (id, tbl, bucket) rows via the
+    * same seeded-plane construction as [[embeddingNearDupsBanded]]; the
+    * candidate join is batch-bands x index-bands on (tbl, bucket),
+    * where AQE broadcasts the batch side when it is small (the normal
+    * case: batch << corpus) and handles hot-bucket skew as join skew.
+    * The plane space is DIM-anchored to the INDEX (the authoritative
+    * vector space); inputs are assumed validated
+    * ([[Similarity.validEmbeddings]]) like the whole vector family.
+    * Within-batch duplicates are [[embeddingNearDupsBanded]]'s job on
+    * the batch alone — the standing corpus is already deduplicated, by
+    * induction (same contract as the text [[dedupIncrement]]). */
+  def embeddingNearDupsIncremental(newVecs: DataFrame, index: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   tables: Int = 8, planesPerTable: Int = 8,
+                                   threshold: Double = 0.9): DataFrame = {
+    require(tables >= 1 && planesPerTable >= 1,
+      s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
+    val nv = newVecs.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val iv = index.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val dim = probeDim(index, vecCol)
+    if (dim == 0) // empty index: nothing to collide with
+      return emptyPairFrame(nv)
+    val cand = embSigRows(nv, tables, planesPerTable, dim)
+      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(embSigRows(iv, tables, planesPerTable, dim)
+          .select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .select("id_a", "id_b").distinct()
+    verifyCosineSides(cand, nv, iv, threshold)
+  }
+
+  /** [[embeddingNearDupsIncremental]] against a PRECOMPUTED
+    * [[embeddingBandSignatures]] sidecar — the steady-state increment:
+    * corpus-side signatures are never recomputed, and corpus-side
+    * VECTORS re-enter only for the (candidate-sized) slice of index ids
+    * that actually collided with the batch (semi-join fetch — at 100 TB
+    * the index vector table is read candidate-order, not corpus-order).
+    * Output ≡ the direct form with the same parameters (DataxSpec pins
+    * the equality); parameter drift between sidecar and call fails fast
+    * via the params column. */
+  def embeddingNearDupsIncrementalPrebanded(newVecs: DataFrame,
+      index: DataFrame, indexBands: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 8, planesPerTable: Int = 8,
+      threshold: Double = 0.9): DataFrame = {
+    require(tables >= 1 && planesPerTable >= 1,
+      s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
+    val nv = newVecs.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val dim = probeDim(newVecs, vecCol)
+    if (dim == 0) // empty/unusable batch: no pairs
+      return emptyPairFrame(nv)
+    validateEmbSidecar(indexBands, tables, planesPerTable, dim)
+    val cand = embSigRows(nv, tables, planesPerTable, dim)
+      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(indexBands.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .select("id_a", "id_b").distinct()
+    val touched = index.join(cand.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_semi")
+    val iv = touched.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    verifyCosineSides(cand, nv, iv, threshold)
+  }
 }

@@ -222,8 +222,12 @@ object DataxQueries {
     * bucket strings (each table's ±1 plane matrix baked as literals from
     * [[Dedup.planeSignsSeeded]]), union of per-table bucket collisions,
     * one exact-cosine verify. */
-  private val EmbeddingNearDupBandedSql: String = {
-    val (tables, planes) = (3, 4)
+  /** The fixed-parameter banded hyperplane-LSH replay, with the pair
+    * condition a parameter (the same trick [[minhashPairsSqlCond]]
+    * plays for text): `a.id < bb.id` gives the d10a all-pairs form; a
+    * side-splitting predicate gives the d10c batch-vs-index form. */
+  private def embBandedPairsSql(tables: Int, planes: Int,
+                                threshold: Double, pairCond: String): String = {
     def signList(s: Array[Double]) =
       s.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
     def planeDot(s: Array[Double]) =
@@ -252,13 +256,22 @@ object DataxQueries {
         cand AS (
           SELECT DISTINCT a.id AS id_a, bb.id AS id_b
           FROM br a JOIN br bb
-            ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.id < bb.id),
+            ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND $pairCond),
         pairs AS (
           SELECT id_a, id_b, ${dotSql("x.vec", "y.vec")} / (x.n * y.n) AS cosine
           FROM cand JOIN b x ON cand.id_a = x.id JOIN b y ON cand.id_b = y.id)
         SELECT id_a, id_b, cosine FROM pairs
-        WHERE cosine >= 0.25 ORDER BY id_a, id_b"""
+        WHERE cosine >= $threshold ORDER BY id_a, id_b"""
   }
+
+  private val EmbeddingNearDupBandedSql: String =
+    embBandedPairsSql(3, 4, 0.25, "a.id < bb.id")
+
+  /** d10c: the SAME banded construction, pairs restricted to
+    * batch (id % 10 = 0) x index (id % 10 <> 0) — replaying the
+    * incremental form's side split. */
+  private val EmbeddingNearDupIncrementalSql: String =
+    embBandedPairsSql(3, 4, 0.25, "a.id % 10 = 0 AND bb.id % 10 <> 0")
 
   /** The shared MinHash-LSH CTE chain (shingles -> signatures -> banded
     * rows) — prefixed by every oracle that replays the LSH pipeline
@@ -948,6 +961,25 @@ object DataxQueries {
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b"),
       Some(D10bSql)),
+
+    /* INCREMENTAL embedding dedup (round 14) — the batch x index shape
+     * the text family has had since d49, for vectors: every 10th vec_id
+     * plays the "new shard", the rest the standing index; pairs are
+     * strictly cross-side (within-batch dedup is the banded form's job
+     * on the batch alone). Same fixed (3, 4) seeded planes as d10a, so
+     * the whole pipeline replays in DuckDB with only the pair condition
+     * changed; the prebanded sidecar twin is spec-pinned equal. */
+    QueryDef("d10c_embedding_neardups_incremental",
+      (s, dir) => {
+        val all = embT(s, dir)
+        Dedup.embeddingNearDupsIncremental(
+            all.filter(col("vec_id") % 10 === 0),
+            all.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", tables = 3, planesPerTable = 4,
+            threshold = 0.25)
+          .orderBy("id_a", "id_b")
+      },
+      Some(EmbeddingNearDupIncrementalSql)),
 
     /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
      * (avg() is summation-order-dependent; the id-ordered sequential

@@ -865,6 +865,61 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental embedding dedup == cross-side pairs of the full banded form") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val index = emb.filter($"vec_id" % 10 =!= 0)
+    val inc = Dedup.embeddingNearDupsIncremental(batch, index,
+        "vec_id", "embedding", tables = 3, planesPerTable = 4,
+        threshold = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: the full banded run over the union, restricted to
+    // pairs that straddle the split and re-oriented (batch, index)
+    val full = Dedup.embeddingNearDupsBanded(emb, "vec_id", "embedding",
+        tables = 3, planesPerTable = 4, threshold = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val cross = full
+      .filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+      .map(p => if (p._1 % 10 == 0) p else (p._2, p._1))
+    assert(inc.nonEmpty, "fixture must produce cross-side pairs or the pin is vacuous")
+    assert(inc == cross,
+      s"batch x index pairs must equal the full form's cross-side slice " +
+        s"(${inc.size} vs ${cross.size})")
+  }
+
+  test("prebanded embedding increment == direct form; param drift fails fast") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val index = emb.filter($"vec_id" % 10 =!= 0)
+    val sidecar = Dedup.embeddingBandSignatures(index, "vec_id", "embedding",
+      tables = 3, planesPerTable = 4)
+    val pre = Dedup.embeddingNearDupsIncrementalPrebanded(batch, index,
+        sidecar, "vec_id", "embedding", tables = 3, planesPerTable = 4,
+        threshold = 0.25)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val direct = Dedup.embeddingNearDupsIncremental(batch, index,
+        "vec_id", "embedding", tables = 3, planesPerTable = 4,
+        threshold = 0.25)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(pre.nonEmpty && pre == direct,
+      "sidecar path must be row-identical (cosine included) to the direct form")
+    // a sidecar built with different (L, r, dim) would bucket nothing in
+    // common and silently admit near-dups — the params column fails fast
+    val drifted = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupsIncrementalPrebanded(batch, index, sidecar,
+        "vec_id", "embedding", tables = 2, planesPerTable = 4,
+        threshold = 0.25)
+    }
+    assert(drifted.getMessage.contains("L=3,r=4,dim=64")
+        && drifted.getMessage.contains("L=2,r=4,dim=64"),
+      s"mismatch message must show both parameter sets: ${drifted.getMessage}")
+    // empty index: nothing to collide with, same schema, no crash
+    assert(Dedup.embeddingNearDupsIncremental(batch, index.limit(0),
+      "vec_id", "embedding").count() == 0)
+  }
+
   test("approx profile (HLL path): same shape, estimates within 10% of exact") {
     val orders = Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val cols = Seq("o_custkey", "o_orderstatus")
