@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the incremental embedding dedup (round 14): times
+  * [[graft.datax.Dedup.embeddingNearDupsIncremental]] with (L, r)
+  * DERIVED FROM THE INDEX SIZE via bandsFor — the production
+  * parameterization its scaladoc prescribes — on a ScaleData corpus
+  * split batch (vec_id % 10 = 0) vs index (rest). The contrast to the
+  * registry's fixed-(3,4) d10c entry at the same scales is the
+  * measured argument that parameter derivation, not the batch x index
+  * shape itself, is what holds the join linear (SCALE.md round 14).
+  *
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_THRESHOLD (default 0.9 — the
+  * near-dup design point; ScaleData plants partners at ~0.96 so the
+  * output is non-trivial), SPARK_GRAFT_CPUS. */
+object IncLoadProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val threshold = sys.env.getOrElse("SPARK_GRAFT_THRESHOLD", "0.9").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+    val index = emb.filter(col("vec_id") % 10 =!= 0)
+    val (nBatch, nIndex) = (batch.count(), index.count())
+    val (tables, r) = graft.datax.Dedup.bandsFor(nIndex, threshold)
+    val t0 = System.nanoTime()
+    val pairs = graft.datax.Dedup.embeddingNearDupsIncremental(
+      batch, index, "vec_id", "embedding", tables, r, threshold).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(s"""{"probe":"inc_load","sfDir":"$sfDir","threshold":$threshold,""" +
+      s""""nBatch":$nBatch,"nIndex":$nIndex,"tables":$tables,"r":$r,""" +
+      f""""pairs":$pairs,"tSec":$wall%.2f}""")
+    spark.stop()
+  }
+}

@@ -1495,7 +1495,15 @@ object Dedup {
     * ([[Similarity.validEmbeddings]]) like the whole vector family.
     * Within-batch duplicates are [[embeddingNearDupsBanded]]'s job on
     * the batch alone — the standing corpus is already deduplicated, by
-    * induction (same contract as the text [[dedupIncrement]]). */
+    * induction (same contract as the text [[dedupIncrement]]).
+    *
+    * PARAMETERS SCALE WITH THE INDEX, same rule as the banded family:
+    * per-bucket load here is batch-occupancy x index-occupancy, so
+    * fixed (L, r) on a growing index is the d10a-class trap in join
+    * form — derive them from the INDEX size via [[bandsFor]] (and
+    * rebuild the sidecar when they change; the params column enforces
+    * agreement). The d10c registry entry keeps fixed (3, 4) for oracle
+    * replay at driver SFs, like its d10/d10a siblings. */
   def embeddingNearDupsIncremental(newVecs: DataFrame, index: DataFrame,
                                    idCol: String, vecCol: String,
                                    tables: Int = 8, planesPerTable: Int = 8,

@@ -36,6 +36,7 @@ object Similarity {
     * operator here presumes a fixed-dimension space, so a null or
     * ragged vector is a DATA error — and a production corpus quietly
     * shrinking under a silent filter is a debugging trap. Policy is
+    * explicit:
     *
     *  - `"fail"` (default): the first malformed row raises at
     *    execution time. The `raise_error` is grafted as a FILTER
