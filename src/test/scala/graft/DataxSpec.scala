@@ -440,7 +440,7 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
-  test("fixed-parameter banded LSH trips the occupancy guard on an oversized corpus; allowHotBuckets opts out") {
+  test("fixed-parameter banded LSH trips the occupancy guard on an oversized corpus; maxOccupancy=None opts out") {
     // the d10a scale bug made un-silent (round 13): parameters sized for
     // a small corpus (here 2 tables x 2 planes — 4 buckets/table) handed
     // a corpus whose occupancy dwarfs the bandsFor design point. All
