@@ -3,13 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 
 /** Scale probe for the incremental embedding dedup (round 14): times
-  * [[graft.datax.Dedup.embeddingNearDupsIncremental]] with (L, r)
-  * DERIVED FROM THE INDEX SIZE via bandsFor — the production
-  * parameterization its scaladoc prescribes — on a ScaleData corpus
-  * split batch (vec_id % 10 = 0) vs index (rest). The contrast to the
-  * registry's fixed-(3,4) d10c entry at the same scales is the
-  * measured argument that parameter derivation, not the batch x index
-  * shape itself, is what holds the join linear (SCALE.md round 14).
+  * [[graft.datax.Dedup.embeddingNearDupsIncrementalAuto]] — (L, r)
+  * DERIVED FROM THE INDEX SIZE via bandsFor, now an API (round 15)
+  * instead of caller discipline — on a ScaleData corpus split batch
+  * (vec_id % 10 = 0) vs index (rest). The contrast to the registry's
+  * fixed-(3,4) d10c entry at the same scales is the measured argument
+  * that parameter derivation, not the batch x index shape itself, is
+  * what holds the join linear (SCALE.md round 14).
   *
   * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_THRESHOLD (default 0.9 — the
   * near-dup design point; ScaleData plants partners at ~0.96 so the
@@ -33,10 +33,11 @@ object IncLoadProbe {
     val batch = emb.filter(col("vec_id") % 10 === 0)
     val index = emb.filter(col("vec_id") % 10 =!= 0)
     val (nBatch, nIndex) = (batch.count(), index.count())
+    // reported for the JSON line; the auto form re-derives them inside
     val (tables, r) = graft.datax.Dedup.bandsFor(nIndex, threshold)
     val t0 = System.nanoTime()
-    val pairs = graft.datax.Dedup.embeddingNearDupsIncremental(
-      batch, index, "vec_id", "embedding", tables, r, threshold).count()
+    val pairs = graft.datax.Dedup.embeddingNearDupsIncrementalAuto(
+      batch, index, "vec_id", "embedding", threshold).count()
     val wall = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":"inc_load","sfDir":"$sfDir","threshold":$threshold,""" +
       s""""nBatch":$nBatch,"nIndex":$nIndex,"tables":$tables,"r":$r,""" +

@@ -318,23 +318,32 @@ object Dedup {
     * the answer's own size, e.g. MinHash over a dup-heavy corpus) —
     * but not blind: the unguarded path emits the max observed bucket
     * occupancy (and bucket count) as an `observe()` metric named
-    * `graft.lsh.occupancy.<seq>`, riding the same bucket aggregate the
-    * guard would (no extra job), so a production caller's metrics
-    * pipeline sees the candidate load even when no failure is wanted
-    * (round-14 telemetry; DataxSpec pins it on a planted hot corpus). */
-  private val occupancySeq = new java.util.concurrent.atomic.AtomicLong()
-
+    * `graft.lsh.occupancy.<metricTag>`, riding the same bucket
+    * aggregate the guard would (no extra job), so a production caller's
+    * metrics pipeline sees the candidate load even when no failure is
+    * wanted (round-14 telemetry; DataxSpec pins it on a planted hot
+    * corpus).
+    *
+    * Metric names are DETERMINISTIC (round 15): each public entrypoint
+    * supplies a stable `metricTag`, so a metrics pipeline keys on the
+    * exact name (`graft.lsh.occupancy.minhash`,
+    * `.embedding_banded`, ...) instead of prefix-matching a
+    * process-global sequence number. Self-joins of one call's output
+    * are safe (Spark allows the same CollectMetrics node to recur in a
+    * plan — the d21 shape); composing two DIFFERENT opted-out calls to
+    * the SAME entrypoint inside ONE action fails at analysis with
+    * Spark's duplicate-observed-metrics error — split the action or
+    * guard one side, rather than silently un-keying the metric. */
   private def bucketCandidatePairs(rows: DataFrame, bucketCols: Seq[String],
-                                   maxOccupancy: Option[Int] = None): DataFrame = {
+                                   maxOccupancy: Option[Int] = None,
+                                   metricTag: String = "lsh"): DataFrame = {
     val buckets = rows.groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val guarded = maxOccupancy match {
       case None =>
-        // unique per call: observe names must not collide inside one
-        // plan (e.g. a union of two LSH passes)
         buckets.observe(
-          s"graft.lsh.occupancy.${occupancySeq.incrementAndGet()}",
+          s"graft.lsh.occupancy.$metricTag",
           coalesce(max(size(col("ids"))), lit(0)).as("max_bucket_occupancy"),
           count(lit(1)).as("buckets"))
       case Some(m) => buckets.withColumn("ids",
@@ -356,6 +365,68 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct CROSS-SIDE candidate pairs between two (bucket-key..., id)
+    * relations — the batch x index twin of [[bucketCandidatePairs]],
+    * shared by every incremental band join (text d49/d52, vector d10c).
+    * Per-bucket load here is batch-occupancy x index-occupancy, so a
+    * fixed-parameter call on a grown index is the d10a-class trap in
+    * JOIN form — SCALE.md (round 14, "Incremental embedding dedup at
+    * 10x/30x") measured it at 61x wall for 3x data. The construction
+    * keeps the index side STREAMING (never shuffled corpus-order):
+    *
+    *  1. group the batch side by bucket (tiny — batch << corpus);
+    *  2. broadcast-semi-join the index rows against the touched bucket
+    *     keys (index scans past the broadcast, no index shuffle);
+    *  3. group ONLY the touched index rows by bucket (the shuffle is
+    *     collision-sized, exactly the load being bounded);
+    *  4. join the two per-bucket id arrays and expand.
+    *
+    * `maxBucketLoad`: when set, a bucket whose batch x index product
+    * exceeds the bound raises at EXECUTION time, BEFORE the pair
+    * expansion runs (the raise rides the array column the expansion
+    * must read). Default callers get `Some(1L << 20)` — the pair count
+    * a same-side bucket at [[bucketCandidatePairs]]' default
+    * `maxOccupancy = Some(1024)` would produce, so the two guards trip
+    * at the same candidate load. None = opted out (auto-derived
+    * parameters, pedagogical registry entries), but the max observed
+    * product still ships as the deterministic
+    * `graft.lsh.occupancy.<metricTag>` observe() metric. */
+  private def crossBucketCandidatePairs(aRows: DataFrame, bRows: DataFrame,
+                                        bucketCols: Seq[String],
+                                        maxBucketLoad: Option[Long],
+                                        metricTag: String): DataFrame = {
+    val keys = bucketCols.map(col)
+    val aB = aRows.groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids_a"))
+    val touched = bRows.join(aB.select(keys: _*), bucketCols, "left_semi")
+    val bB = touched.groupBy(keys: _*)
+      .agg(sort_array(collect_list(col("id"))).as("ids_b"))
+    val joined = bB.join(aB, bucketCols)
+    val load = size(col("ids_a")).cast("long") * size(col("ids_b")).cast("long")
+    val guarded = maxBucketLoad match {
+      case None =>
+        joined.observe(s"graft.lsh.occupancy.$metricTag",
+          coalesce(max(load), lit(0L)).as("max_bucket_load"),
+          count(lit(1)).as("buckets"))
+      case Some(m) => joined.withColumn("ids_a",
+        when(load > m, raise_error(concat(
+          lit("[graft-dedup] hot LSH bucket (batch x index): "),
+          size(col("ids_a")).cast("string"), lit(" batch ids x "),
+          size(col("ids_b")).cast("string"),
+          lit(s" index ids collided in one bucket (maxBucketLoad=$m). " +
+            "The (tables, planes) / (numHashes, bands) parameters are " +
+            "too small for this index — per-bucket candidate load is the " +
+            "PRODUCT of the two occupancies. Derive parameters from the " +
+            "INDEX size (bandsFor / the *IncrementalAuto form) and " +
+            "rebuild the sidecar, or pass maxBucketLoad=None to accept " +
+            "the cost."))))
+        .otherwise(col("ids_a")))
+    }
+    guarded.select(explode(col("ids_a")).as("id_a"), col("ids_b"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"))
+      .distinct()
+  }
+
   /** [[minhashNearDups]] over an already-built shingle relation — lets
     * eager callers (dedupCorpus) own the cache lifecycle. */
   private def minhashNearDupsOn(exploded: DataFrame, numHashes: Int,
@@ -364,7 +435,8 @@ object Dedup {
     // inputs share 4 md5 digests (chunk scheme) — hash-aggregate
     // codegen's subexpression elimination computes each digest once
     val banded = bandedSigs(exploded, numHashes, bands)
-    verifyJaccard(bucketCandidatePairs(banded, Seq("band", "bsig")),
+    verifyJaccard(bucketCandidatePairs(banded, Seq("band", "bsig"),
+        metricTag = "minhash"),
       exploded, threshold)
   }
 
@@ -474,28 +546,37 @@ object Dedup {
     * batch ≪ corpus). Verification is the count-based exact Jaccard
     * with the lossless size-ratio prune, across the two shingle
     * relations. Within-batch duplicates are [[dedupCorpus]]'s job —
-    * see [[dedupIncrement]] for the composed step. */
+    * see [[dedupIncrement]] for the composed step.
+    *
+    * `maxBucketLoad` (round 15): the per-bucket batch x index product
+    * bound — the two-sided form of the [[bucketCandidatePairs]]
+    * occupancy tripwire, default ON at the same effective candidate
+    * load (2^20 pairs/bucket). Parameters sized for one index silently
+    * blow up as it grows (per-bucket load is the occupancy PRODUCT —
+    * SCALE.md measured the vector twin at 61x wall for 3x data);
+    * `None` opts out and emits the max product as the
+    * `graft.lsh.occupancy.inc_text` observe() metric instead. */
   def incrementalNearDups(newDocs: DataFrame, index: DataFrame,
                           idCol: String, textCol: String, k: Int = 4,
                           numHashes: Int = 16, bands: Int = 4,
-                          threshold: Double = 0.5): DataFrame = {
+                          threshold: Double = 0.5,
+                          maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     incrementalNearDupsOn(docShingleRows(newDocs, idCol, textCol, k),
-      docShingleRows(index, idCol, textCol, k), numHashes, bands, threshold)
+      docShingleRows(index, idCol, textCol, k), numHashes, bands, threshold,
+      maxBucketLoad)
   }
 
   /** [[incrementalNearDups]] over already-built shingle relations — lets
     * eager callers (dedupIncrement) own the cache lifecycle. */
   private def incrementalNearDupsOn(ne: DataFrame, ie: DataFrame,
                                     numHashes: Int, bands: Int,
-                                    threshold: Double): DataFrame = {
-    val cand = bandedSigs(ne, numHashes, bands)
-      .select(col("band"), col("bsig"), col("id").as("id_a"))
-      .join(bandedSigs(ie, numHashes, bands)
-          .select(col("band"), col("bsig"), col("id").as("id_b")),
-        Seq("band", "bsig"))
-      .select("id_a", "id_b").distinct()
+                                    threshold: Double,
+                                    maxBucketLoad: Option[Long]): DataFrame = {
+    val cand = crossBucketCandidatePairs(
+      bandedSigs(ne, numHashes, bands), bandedSigs(ie, numHashes, bands),
+      Seq("band", "bsig"), maxBucketLoad, metricTag = "inc_text")
     verifyJaccardSides(cand, ne, ie, threshold)
   }
 
@@ -508,16 +589,18 @@ object Dedup {
     * 16 min-aggregates over every index document to one band join
     * (batch side broadcast) plus a semi-join text fetch of the touched
     * docs. Output ≡ [[incrementalNearDups]] with the same parameters
-    * (DataxSpec pins the equality). */
+    * (DataxSpec pins the equality); `maxBucketLoad` as there. */
   def incrementalNearDupsPrebanded(newDocs: DataFrame, index: DataFrame,
                                    indexBands: DataFrame, idCol: String,
                                    textCol: String, k: Int = 4,
                                    numHashes: Int = 16, bands: Int = 4,
-                                   threshold: Double = 0.5): DataFrame = {
+                                   threshold: Double = 0.5,
+                                   maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     prebandedPairsOn(docShingleRows(newDocs, idCol, textCol, k), index,
-      indexBands, idCol, textCol, k, numHashes, bands, threshold)._1
+      indexBands, idCol, textCol, k, numHashes, bands, threshold,
+      maxBucketLoad)._1
   }
 
   /** The prebanded candidate + verify pipeline over an already-built
@@ -528,14 +611,13 @@ object Dedup {
   private def prebandedPairsOn(ne: DataFrame, index: DataFrame,
                                indexBands: DataFrame, idCol: String,
                                textCol: String, k: Int, numHashes: Int,
-                               bands: Int,
-                               threshold: Double): (DataFrame, Seq[DataFrame]) = {
+                               bands: Int, threshold: Double,
+                               maxBucketLoad: Option[Long]): (DataFrame, Seq[DataFrame]) = {
     validateBandSidecar(indexBands, k, numHashes, bands)
-    val cand = bandedSigs(ne, numHashes, bands)
-      .select(col("band"), col("bsig"), col("id").as("id_a"))
-      .join(indexBands.select(col("band"), col("bsig"), col("id").as("id_b")),
-        Seq("band", "bsig"))
-      .select("id_a", "id_b").distinct()
+    val cand = crossBucketCandidatePairs(
+      bandedSigs(ne, numHashes, bands),
+      indexBands.select(col("band"), col("bsig"), col("id")),
+      Seq("band", "bsig"), maxBucketLoad, metricTag = "inc_text_prebanded")
       // consumed three times below (verify join x2 + size join); tiny
       // (collision pairs), and caching prevents re-running the band join
       .cache()
@@ -560,12 +642,21 @@ object Dedup {
     * Eager like [[dedupCorpus]]: the cross-match id list materializes
     * inside and every shingle cache is released before returning; the
     * returned plan is batch ANTI JOIN small-list with no forced
-    * broadcast (AQE decides from the list's real size). */
+    * broadcast (AQE decides from the list's real size).
+    *
+    * `maxBucketLoad` guards the cross-index band join (see
+    * [[incrementalNearDups]]); the within-batch pass carries its own
+    * same-side telemetry. Null/empty-text batch rows are handled
+    * null-safely (they fingerprint-group together) but NOT reported —
+    * compose [[TextStats.validDocuments]] in front of the batch to
+    * dead-letter or count them ([[Similarity.validEmbeddings]]'
+    * ST3 posture, applied to text). */
   def dedupIncrement(newDocs: DataFrame, index: DataFrame, idCol: String,
                      textCol: String, k: Int = 4, numHashes: Int = 16,
                      bands: Int = 4, threshold: Double = 0.5,
                      indexBands: Option[DataFrame] = None,
-                     indexFps: Option[DataFrame] = None): DataFrame = {
+                     indexFps: Option[DataFrame] = None,
+                     maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     // the batch's shingle relation is built ONCE and feeds both the
@@ -581,13 +672,13 @@ object Dedup {
         // signature work
         case Some(ib) =>
           val (pairs, caches) = prebandedPairsOn(ne, index, ib, idCol,
-            textCol, k, numHashes, bands, threshold)
+            textCol, k, numHashes, bands, threshold, maxBucketLoad)
           caches.foreach(track)
           pairs
         case None =>
           incrementalNearDupsOn(ne,
             track(docShingleRows(index, idCol, textCol, k)),
-            numHashes, bands, threshold)
+            numHashes, bands, threshold, maxBucketLoad)
       }
       // sub-k-token docs produce no shingles: exact-fingerprint collisions
       // against the index catch them (same rule dedupCorpus applies
@@ -1290,7 +1381,8 @@ object Dedup {
       when(dot >= 0, "1").otherwise("0")
     }
     val bucketRows = v.select(col("id"), concat_ws("", sigExprs: _*).as("bucket"))
-    val cand = bucketCandidatePairs(bucketRows, Seq("bucket"), maxOccupancy)
+    val cand = bucketCandidatePairs(bucketRows, Seq("bucket"), maxOccupancy,
+      metricTag = "embedding")
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("_n"))
@@ -1373,7 +1465,7 @@ object Dedup {
       posexplode(graft.functions.BandSignatures.sigs(col("vec"), allPlanes))
         .as(Seq("tbl", "bucket")))
     val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"),
-      maxOccupancy)
+      maxOccupancy, metricTag = "embedding_banded")
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("_n"))
@@ -1415,19 +1507,31 @@ object Dedup {
     * [[validateBandSidecar]], with `dim` in the contract too (the
     * seeded plane matrices depend on it, so a dim mismatch buckets
     * nothing in common and silently admits near-dups). Validates every
-    * distinct params value for the same mixed-sidecar reason. */
+    * distinct params value for the same mixed-sidecar reason.
+    *
+    * Unlike the text twin ([[validateBandSidecar]], lenient for
+    * hand-built tables), the params column is REQUIRED here (round 15):
+    * `dim` participates in the bucket contract — the prebanded form can
+    * only probe dim from the BATCH, so a params-less sidecar built in a
+    * different vector space would silently bucket nothing in common and
+    * admit every near-dup, the exact failure the column exists to
+    * prevent. [[embeddingBandSignatures]] always writes it. */
   private def validateEmbSidecar(ib: DataFrame, tables: Int, planes: Int,
-                                 dim: Int): Unit =
-    if (ib.columns.contains("params")) {
-      val expect = embSidecarParams(tables, planes, dim)
-      val got = ib.select("params").distinct().collect().map(_.getString(0))
-      val bad = got.filterNot(_ == expect)
-      require(bad.isEmpty, s"embedding band sidecar holds params " +
-        s"[${bad.mkString("; ")}] but the increment call uses [$expect]" +
-        (if (got.length > 1) " (mixed-parameter sidecar — likely " +
-          "accumulated across restarts with changed settings)" else "") +
-        "; rebuild the sidecar or match the parameters")
-    }
+                                 dim: Int): Unit = {
+    require(ib.columns.contains("params"),
+      "embedding band sidecar has no `params` column — build it with " +
+        "embeddingBandSignatures (dim participates in the bucket " +
+        "contract; an unparameterized sidecar cannot be checked against " +
+        "the call and a dim drift silently admits near-dups)")
+    val expect = embSidecarParams(tables, planes, dim)
+    val got = ib.select("params").distinct().collect().map(_.getString(0))
+    val bad = got.filterNot(_ == expect)
+    require(bad.isEmpty, s"embedding band sidecar holds params " +
+      s"[${bad.mkString("; ")}] but the increment call uses [$expect]" +
+      (if (got.length > 1) " (mixed-parameter sidecar — likely " +
+        "accumulated across restarts with changed settings)" else "") +
+      "; rebuild the sidecar or match the parameters")
+  }
 
   /** The storable (id, tbl, bucket) band-signature SIDECAR for an
     * embedding index — the vector twin of [[bandSignatures]]: build it
@@ -1503,11 +1607,21 @@ object Dedup {
     * form — derive them from the INDEX size via [[bandsFor]] (and
     * rebuild the sidecar when they change; the params column enforces
     * agreement). The d10c registry entry keeps fixed (3, 4) for oracle
-    * replay at driver SFs, like its d10/d10a siblings. */
+    * replay at driver SFs, like its d10/d10a siblings.
+    *
+    * `maxBucketLoad` (round 15): the per-bucket batch x index product
+    * tripwire, default ON at 2^20 pairs/bucket — the same effective
+    * candidate load as the same-side family's `maxOccupancy = Some(1024)`.
+    * SCALE.md's 30x study measured exactly this join at 61x wall for 3x
+    * data on fixed (3, 4); the raise names the fix
+    * ([[embeddingNearDupsIncrementalAuto]]). `None` opts out; the max
+    * observed product then ships as the deterministic
+    * `graft.lsh.occupancy.inc_embedding` observe() metric. */
   def embeddingNearDupsIncremental(newVecs: DataFrame, index: DataFrame,
                                    idCol: String, vecCol: String,
                                    tables: Int = 8, planesPerTable: Int = 8,
-                                   threshold: Double = 0.9): DataFrame = {
+                                   threshold: Double = 0.9,
+                                   maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     val nv = newVecs.select(col(idCol).as("id"),
@@ -1517,13 +1631,33 @@ object Dedup {
     val dim = probeDim(index, vecCol)
     if (dim == 0) // empty index: nothing to collide with
       return emptyPairFrame(nv)
-    val cand = embSigRows(nv, tables, planesPerTable, dim)
-      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(embSigRows(iv, tables, planesPerTable, dim)
-          .select(col("tbl"), col("bucket"), col("id").as("id_b")),
-        Seq("tbl", "bucket"))
-      .select("id_a", "id_b").distinct()
+    val cand = crossBucketCandidatePairs(
+      embSigRows(nv, tables, planesPerTable, dim),
+      embSigRows(iv, tables, planesPerTable, dim),
+      Seq("tbl", "bucket"), maxBucketLoad, metricTag = "inc_embedding")
     verifyCosineSides(cand, nv, iv, threshold)
+  }
+
+  /** [[embeddingNearDupsIncremental]] with (L, r) DERIVED FROM THE INDEX
+    * SIZE via [[bandsFor]] — the production parameterization the direct
+    * form's scaladoc prescribes and IncLoadProbe measured sublinear
+    * (1.5x wall for 3x data, vs 61x for the fixed-parameter shape;
+    * SCALE.md round 14), as an API instead of caller discipline. One
+    * `count()` of the index per call; at the steady state, prefer
+    * counting once at sidecar-build time and storing the derived (L, r)
+    * with the [[embeddingBandSignatures]] sidecar.
+    *
+    * maxBucketLoad=None like the other auto forms: parameters ARE
+    * derived from n here, so a bucket past the bound means genuinely
+    * duplicate-heavy data — the candidate load is the answer's own
+    * size, not a parameter bug. The `graft.lsh.occupancy.inc_embedding`
+    * observe() metric keeps that load visible. */
+  def embeddingNearDupsIncrementalAuto(newVecs: DataFrame, index: DataFrame,
+                                       idCol: String, vecCol: String,
+                                       threshold: Double = 0.9): DataFrame = {
+    val (tables, r) = bandsFor(index.count(), threshold)
+    embeddingNearDupsIncremental(newVecs, index, idCol, vecCol, tables, r,
+      threshold, maxBucketLoad = None)
   }
 
   /** [[embeddingNearDupsIncremental]] against a PRECOMPUTED
@@ -1534,11 +1668,12 @@ object Dedup {
     * the index vector table is read candidate-order, not corpus-order).
     * Output ≡ the direct form with the same parameters (DataxSpec pins
     * the equality); parameter drift between sidecar and call fails fast
-    * via the params column. */
+    * via the params column; `maxBucketLoad` as on the direct form. */
   def embeddingNearDupsIncrementalPrebanded(newVecs: DataFrame,
       index: DataFrame, indexBands: DataFrame, idCol: String, vecCol: String,
       tables: Int = 8, planesPerTable: Int = 8,
-      threshold: Double = 0.9): DataFrame = {
+      threshold: Double = 0.9,
+      maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     val nv = newVecs.select(col(idCol).as("id"),
@@ -1547,11 +1682,11 @@ object Dedup {
     if (dim == 0) // empty/unusable batch: no pairs
       return emptyPairFrame(nv)
     validateEmbSidecar(indexBands, tables, planesPerTable, dim)
-    val cand = embSigRows(nv, tables, planesPerTable, dim)
-      .select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(indexBands.select(col("tbl"), col("bucket"), col("id").as("id_b")),
-        Seq("tbl", "bucket"))
-      .select("id_a", "id_b").distinct()
+    val cand = crossBucketCandidatePairs(
+      embSigRows(nv, tables, planesPerTable, dim),
+      indexBands.select(col("tbl"), col("bucket"), col("id")),
+      Seq("tbl", "bucket"), maxBucketLoad,
+      metricTag = "inc_embedding_prebanded")
     val touched = index.join(cand.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_semi")
     val iv = touched.select(col(idCol).as("id"),

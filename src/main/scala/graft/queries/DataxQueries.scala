@@ -968,7 +968,14 @@ object DataxQueries {
      * strictly cross-side (within-batch dedup is the banded form's job
      * on the batch alone). Same fixed (3, 4) seeded planes as d10a, so
      * the whole pipeline replays in DuckDB with only the pair condition
-     * changed; the prebanded sidecar twin is spec-pinned equal. */
+     * changed; the prebanded sidecar twin is spec-pinned equal. Like
+     * d10/d10a, the fixed plane count is the documented pedagogical
+     * contrast (the 30x anchor measured it at 61x wall for 3x data), so
+     * the entry opts out of the round-15 batch x index load tripwire
+     * explicitly; production callers get the default
+     * maxBucketLoad=Some(1<<20), and the derived-parameter form is
+     * embeddingNearDupsIncrementalAuto (IncLoadProbe's 1.5x-for-3x
+     * measurement). */
     QueryDef("d10c_embedding_neardups_incremental",
       (s, dir) => {
         val all = embT(s, dir)
@@ -976,7 +983,7 @@ object DataxQueries {
             all.filter(col("vec_id") % 10 === 0),
             all.filter(col("vec_id") % 10 =!= 0),
             "vec_id", "embedding", tables = 3, planesPerTable = 4,
-            threshold = 0.25)
+            threshold = 0.25, maxBucketLoad = None)
           .orderBy("id_a", "id_b")
       },
       Some(EmbeddingNearDupIncrementalSql)),
