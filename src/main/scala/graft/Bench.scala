@@ -260,12 +260,20 @@ object Bench {
     // clean run can repair the floor, not wedge every future run into
     // the degraded file until a human intervenes (review finding)
     val sfMatchesPrior = BenchTrust.parseSf(priorRaw).forall(_ == sfDir)
+    // MONOTONE floor (round 15): a trusted run slower IN TOTAL than the
+    // committed floor must not re-base it — the r14 window passed every
+    // per-query gate at a uniform ~1.3x and rebased 60.94 -> 81.5 s.
+    // forall: a missing/corrupt prior lets a clean run establish the
+    // floor. SPARK_GRAFT_ACCEPT_PRIOR=1 stays the explicit re-base.
+    val totalNotWorse = BenchTrust.parseTotal(priorRaw).forall(total <= _)
     val floorSafe = BenchTrust.floorSafe(only.nonEmpty, trusted, allMeasured,
-      priorRegressed.isEmpty, acceptPrior, sfMatchesPrior)
+      priorRegressed.isEmpty, acceptPrior, sfMatchesPrior, totalNotWorse)
     val outFile = if (floorSafe) "BENCH_LOCAL.json" else "BENCH_LOCAL_DEGRADED.json"
     if (!floorSafe)
       System.err.println(s"[bench] floor-unsafe run (filtered=${only.nonEmpty}, " +
         s"trusted=$trusted, sfMatchesPrior=$sfMatchesPrior, " +
+        s"totalNotWorse=$totalNotWorse (total=$total vs floor=" +
+        s"${BenchTrust.parseTotal(priorRaw).getOrElse(Double.NaN)}), " +
         s"prior_regressed=[${priorRegressed.keys.toSeq.sorted.mkString(",")}]) " +
         s"-> writing $outFile, BENCH_LOCAL.json untouched")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

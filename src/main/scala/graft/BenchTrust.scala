@@ -85,16 +85,37 @@ object BenchTrust {
     * full-suite run at a DIFFERENT SF skips the prior compare entirely,
     * so prior_regressed is vacuously empty and the run would silently
     * replace the floor with numbers at another scale; a scale-study run
-    * must never take the slot), and no residual prior regression.
-    * `acceptPrior` is the operator's explicit override for both the
-    * regression and the SF residency (an intentional slowdown, or an
-    * intentional floor re-base at a new SF). Everything else routes to
-    * BENCH_LOCAL_DEGRADED.json: evidence kept, floor intact. */
+    * must never take the slot), no residual prior regression, AND a
+    * total no worse than the committed floor's (`totalNotWorse` —
+    * round 15: MONOTONICITY. The r14 driver window ran every one of
+    * 100 queries 1.23x-median slower on an untouched-code diff, yet
+    * passed every per-query gate — no single ratio reached the 2x
+    * priorTol — and legally rebased the 60.94 s floor to 81.5 s,
+    * silently re-widening the prior_regressed gate by 34%. The floor's
+    * job is to record the box's DEMONSTRATED capability, so only a run
+    * at least as fast as the floor may replace it; a slower trusted
+    * run is evidence of a window or a regression, and either way
+    * belongs in the degraded file until adjudicated). `acceptPrior` is
+    * the operator's explicit override for all three residuals (an
+    * intentional slowdown, an intentional re-base at a new SF).
+    * Everything else routes to BENCH_LOCAL_DEGRADED.json: evidence
+    * kept, floor intact. */
   def floorSafe(filtered: Boolean, trusted: Boolean, allMeasured: Boolean,
                 priorRegressedEmpty: Boolean, acceptPrior: Boolean,
-                sfMatchesPrior: Boolean = true): Boolean =
+                sfMatchesPrior: Boolean = true,
+                totalNotWorse: Boolean = true): Boolean =
     !filtered && trusted && allMeasured &&
-      ((priorRegressedEmpty && sfMatchesPrior) || acceptPrior)
+      ((priorRegressedEmpty && sfMatchesPrior && totalNotWorse) || acceptPrior)
+
+  /** The prior run's `"value"` (total seconds) — the committed floor's
+    * total for the monotonicity rule. None on a missing/corrupt prior
+    * (a fresh floor can then be established by any floor-safe run). */
+  def parseTotal(json: String): Option[Double] =
+    "\"value\"\\s*:\\s*(-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)".r
+      .findFirstMatchIn(json).flatMap { m =>
+        try Some(m.group(1).toDouble)
+        catch { case _: NumberFormatException => None }
+      }
 
   /** The prior run's `"sf"` field — [[priorOutliers]] is only meaningful
     * against a prior at the SAME scale factor (a dev run at a smaller SF

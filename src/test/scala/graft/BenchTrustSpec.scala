@@ -102,6 +102,41 @@ class BenchTrustSpec extends AnyFunSuite {
       "acceptPrior is the explicit floor re-base at a new SF")
   }
 
+  test("floorSafe is MONOTONE (round 15): the r14 shape — a uniformly ~1.3x-elevated " +
+    "trusted run with empty prior_regressed must NOT re-base the floor") {
+    // the r14 driver window: trusted:true, untrusted:[], all measured,
+    // every per-query ratio ~1.23-1.75x (under the 2x priorTol, so
+    // prior_regressed empty) — yet the TOTAL ran 60.94 -> 81.5 s. The
+    // box's demonstrated capability is still 60.94; only a run at least
+    // that fast may take the slot.
+    val floor = Map("a" -> 10.0, "b" -> 20.0, "c" -> 30.0)
+    val elevated = floor.view.mapValues(_ * 1.3).toMap
+    assert(BenchTrust.priorOutliers(elevated, floor, 2.0).isEmpty,
+      "precondition: uniform 1.3x passes the per-query prior gate")
+    val totalNotWorse = elevated.values.sum <= floor.values.sum
+    assert(!totalNotWorse)
+    assert(!BenchTrust.floorSafe(false, true, true,
+      priorRegressedEmpty = true, acceptPrior = false,
+      sfMatchesPrior = true, totalNotWorse = totalNotWorse),
+      "the uniform-elevation run must route to BENCH_LOCAL_DEGRADED.json")
+    // an equal-or-faster run still takes the slot; acceptPrior is the
+    // explicit re-base for an intentional slowdown
+    assert(BenchTrust.floorSafe(false, true, true, true, false,
+      sfMatchesPrior = true, totalNotWorse = true))
+    assert(BenchTrust.floorSafe(false, true, true, true, acceptPrior = true,
+      sfMatchesPrior = true, totalNotWorse = false))
+  }
+
+  test("parseTotal reads the committed floor's total; absent/corrupt -> None") {
+    assert(BenchTrust.parseTotal(
+      """{"metric":"total","value":60.942053609,"unit":"sec"}""")
+      .contains(60.942053609))
+    assert(BenchTrust.parseTotal("""{"metric":"total"}""").isEmpty)
+    assert(BenchTrust.parseTotal("").isEmpty)
+    // scientific notation, same grammar as parseQueriesMap
+    assert(BenchTrust.parseTotal("""{"value":6.1E1}""").contains(61.0))
+  }
+
   test("parseSf extracts the prior run's scale dir (same-SF guard for priorOutliers)") {
     assert(BenchTrust.parseSf("""{"queries":{},"sf":"/root/testdata/sf0.1"}""")
       .contains("/root/testdata/sf0.1"))
