@@ -29,7 +29,11 @@ else
   sbt -batch "Test/compile" test | tee "$out"
 fi
 
-total=$(grep -oE 'Total number of tests run: [0-9]+' "$out" \
+# `|| true`: when the summary line is absent entirely (testOnly matched
+# zero suites and ScalaTest never ran), grep exits 1 and, under `set -e`,
+# would abort this assignment before the diagnostic below could print
+# (r14 ADVICE) — the gate must fail closed WITH its message
+total=$( { grep -oE 'Total number of tests run: [0-9]+' "$out" || true; } \
   | awk '{s += $NF} END {print s + 0}')
 if [ "$total" -eq 0 ]; then
   echo "== preflight FAILED: 0 tests executed (suite name typo? nothing matched)" >&2
