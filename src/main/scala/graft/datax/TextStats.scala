@@ -88,6 +88,70 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** The text-side entry contract (round 15) — the exact twin of
+    * [[Similarity.validEmbeddings]], so both modalities dead-letter
+    * alike (the reference's ST3 posture, `app/tmdb_client.py:76-85`):
+    * a NULL or whitespace-only document is a DATA error the dedup
+    * family otherwise handles SILENTLY (null-safe fingerprints group
+    * them, sub-k docs are invisible to MinHash — nothing ever reports
+    * them; [[Dedup.dedupIncrement]]'s scaladoc points here). Policies:
+    *
+    *  - `"fail"` (default): first malformed row raises at execution
+    *    time, grafted as a FILTER condition so ColumnPruning cannot
+    *    delete it (the validEmbeddings prune-path lesson). Zero extra
+    *    jobs.
+    *  - `"drop"`: silent filter — only for callers whose downstream
+    *    contract applies the identical filter.
+    *  - `"dropWarn"`: filter + one column-pruned count, dropped total
+    *    to stderr when nonzero.
+    *  - `"quarantine"`: malformed rows append to `quarantineDir` as
+    *    parquet with a `malformed_reason` column (`null_text` /
+    *    `empty_text`), then the clean rows flow on. EAGER, like the
+    *    vector twin: the dead-letter write runs AT CALL TIME with
+    *    mode("append") — calling twice appends twice, and the input
+    *    is read once for the write and once for the main path (make
+    *    the source deterministic, or dedup the quarantine output by
+    *    id downstream).
+    */
+  def validDocuments(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     onMalformed: String = "fail",
+                     quarantineDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    // \s+, not trim(): Spark's trim strips only ASCII spaces — a
+    // tab-only document would silently pass a trim-based emptiness test
+    val bad = col(textCol).isNull ||
+      regexp_replace(col(textCol), "\\s+", "") === ""
+    onMalformed match {
+      case "fail" =>
+        docs.filter(
+          when(bad, raise_error(concat(
+            lit(s"[graft-textstats] malformed document in `$textCol`: got "),
+            when(col(textCol).isNull, lit("NULL text"))
+              .otherwise(lit("whitespace-only text")),
+            lit(". Clean the corpus, or pass onMalformed=\"drop\" / " +
+              "\"dropWarn\" / \"quarantine\" to filter such rows.")))
+            .cast("boolean"))
+            .otherwise(lit(true)))
+      case "drop" => docs.filter(!bad)
+      case "dropWarn" =>
+        val dropped = docs.filter(bad).count()
+        if (dropped > 0) System.err.println(
+          s"[graft-textstats] validDocuments($textCol): dropped $dropped " +
+            "malformed row(s) (null or whitespace-only).")
+        docs.filter(!bad)
+      case "quarantine" =>
+        val dir = quarantineDir.getOrElse(throw new IllegalArgumentException(
+          """onMalformed="quarantine" requires quarantineDir=Some(path)"""))
+        docs.filter(bad)
+          .withColumn("malformed_reason",
+            when(col(textCol).isNull, lit("null_text"))
+              .otherwise(lit("empty_text")))
+          .write.mode("append").parquet(dir)
+        docs.filter(!bad)
+      case other => throw new IllegalArgumentException(
+        s"""onMalformed="$other": expected "fail", "drop", "dropWarn", or "quarantine"""")
+    }
+  }
+
   // ------------------------------------------------------------------
   // Document-level quality filters (the Gopher/MassiveText family):
   // these two are DataFrame ops — repetition needs a per-doc aggregate.
