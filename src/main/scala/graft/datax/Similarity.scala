@@ -66,7 +66,15 @@ object Similarity {
     *    `ragged_dim_<n>`), then the clean rows flow on. Costs one
     *    extra pass over the input (the quarantine write), same as
     *    any dead-letter sink; the main path is the identical filter
-    *    `"drop"` applies.
+    *    `"drop"` applies. The write is EAGER — it runs AT CALL TIME
+    *    with mode("append"), so merely composing the pipeline
+    *    (plan inspection, a retry wrapper, calling this twice while
+    *    building) appends duplicate quarantine rows even if the
+    *    returned frame is never executed, and the two passes over a
+    *    NON-deterministic source may see different rows. Call once,
+    *    on a deterministic input; dedup the quarantine output by id
+    *    downstream if a replay wrapper may re-invoke it. Text twin:
+    *    [[TextStats.validDocuments]].
     */
   def validEmbeddings(vectors: DataFrame, vecCol: String, dim: Int,
                       onMalformed: String = "fail",
@@ -537,6 +545,68 @@ object Similarity {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/assigned.parquet")
+    // build-time corpus size, for the staleness bound the append path
+    // (ivfIndexAppend/ivfIndexStaleness) maintains
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    Seq(vectors.count()).toDF("built_n")
+      .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
+  }
+
+  /** Assign vectors to a GIVEN centroid table (nearest by cosine, ties
+    * to the lower centroid_id) — the quantizer applied without
+    * recomputing it; output (id, vec double[], centroid_id), the
+    * assigned-table schema [[ivfTopK]] consumes. One broadcast pass. */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assign(vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec")),
+      centroids)
+
+  /** APPEND new vectors to a persisted [[ivfIndexWrite]] index without a
+    * rebuild — the serving-path increment at 100 TB (a full rebuild
+    * re-assigns the whole corpus; an append assigns only the new shard):
+    * the new vectors are quantized against the index's EXISTING
+    * centroids (one broadcast pass over the batch) and the rows land
+    * INSIDE the existing centroid_id partition directories (dynamic
+    * partition append), so [[ivfTopKIndexed]]'s directory-level pruning
+    * is untouched. Probing the appended index ≡ probing a one-shot
+    * index over the union UNDER THE SAME QUANTIZER (spec-pinned): the
+    * append changes bucket CONTENTS, never bucket GEOMETRY.
+    *
+    * That fixed geometry is also the staleness trade: appended vectors
+    * were not seen by the quantizer, so as the appended fraction grows
+    * the centroids drift off the true corpus distribution and a given
+    * nProbe scans more wrong buckets for the same recall — the same
+    * compact/expire discipline [[graft.streaming.DedupStream]] applies
+    * to its sidecars. [[ivfIndexStaleness]] tracks the fraction;
+    * re-quantize (a fresh [[ivfIndexWrite]] over the full corpus) when
+    * it passes ~0.5, or earlier if bucket-size skew grows (SCALE.md
+    * round 15). Idempotence is the CALLER's: replaying an append
+    * duplicates rows (parquet append), the [[graft.streaming]] replay
+    * guards are the pattern if delivery is at-least-once. */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     newVectors: DataFrame,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    ivfAssign(newVectors, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$dir/assigned.parquet")
+  }
+
+  /** Appended-since-build fraction of a persisted index:
+    * (rows now - rows at build) / rows at build. None for an index
+    * written before the build_meta sidecar existed. The count is
+    * parquet-metadata-cheap; see [[ivfIndexAppend]] for the
+    * re-quantize rule it feeds. */
+  def ivfIndexStaleness(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Option[Double] = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/build_meta.parquet")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) return None
+    val builtN = spark.read.parquet(s"$dir/build_meta.parquet")
+      .head().getLong(0)
+    val nowN = spark.read.parquet(s"$dir/assigned.parquet").count()
+    Some((nowN - builtN).toDouble / builtN)
   }
 
   /** Probe a persisted [[ivfIndexWrite]] index: identical results to

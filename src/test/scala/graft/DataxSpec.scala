@@ -524,12 +524,12 @@ class DataxSpec extends AnyFunSuite {
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var row: Option[Row] = None
       while (row.isEmpty && System.nanoTime() < deadline) {
-        row = metrics.collectFirst {
-          case (k, r) if k.startsWith("graft.lsh.occupancy") => r
-        }
+        // EXACT name (round 15): metric names derive from a stable
+        // per-entrypoint tag, so pipelines key on them directly
+        row = metrics.get("graft.lsh.occupancy.embedding_banded")
         if (row.isEmpty) Thread.sleep(50)
       }
-      assert(row.nonEmpty, s"no graft.lsh.occupancy metric observed; saw: ${metrics.keys}")
+      assert(row.nonEmpty, s"no graft.lsh.occupancy.embedding_banded metric; saw: ${metrics.keys}")
       assert(row.get.getAs[Int]("max_bucket_occupancy") == 90,
         s"expected max occupancy 90, got ${row.get}")
       assert(row.get.getAs[Long]("buckets") == 2L, // one hot bucket per table
@@ -859,6 +859,47 @@ class DataxSpec extends AnyFunSuite {
       assert(!scanLine.contains("PartitionFilters: []")
           && scanLine.contains("centroid_id"),
         s"probe must prune on centroid_id partitions:\n$scanLine")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("ivfIndexAppend: probe == same-quantizer rebuild over the union; pruning intact; staleness tracked") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    // split on residue 3, NOT 0: the stride quantizer picks ids
+    // divisible by stride (a multiple of 5 here), so excluding %5==0
+    // from the base would leave it zero centroids
+    val base = emb.filter($"vec_id" % 5 =!= 3) // index built on 80%
+    val shard = emb.filter($"vec_id" % 5 === 3) // appended later
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfapp").toString
+    try {
+      Similarity.ivfIndexWrite(base, dir, nCentroids = 16)
+      Similarity.ivfIndexAppend(spark, dir, shard)
+      val queries = emb.filter($"vec_id" < 16)
+      val appended = Similarity.ivfTopKIndexed(spark, dir, queries,
+        k = 5, nProbe = 4)
+      // the pin: append changes bucket CONTENTS, never GEOMETRY — the
+      // appended index probes exactly like a rebuild of the union UNDER
+      // THE SAME QUANTIZER (base's centroids, every vector re-assigned)
+      val centroids = Similarity.ivfIndex(base, nCentroids = 16)._1
+      val rebuilt = Similarity.ivfTopK(centroids,
+        Similarity.ivfAssign(emb, centroids), queries, k = 5, nProbe = 4)
+      assert(appended.orderBy("query_id", "rank").collect().toSeq
+        == rebuilt.orderBy("query_id", "rank").collect().toSeq)
+      // appended rows landed inside the pruned layout, not beside it
+      val plan = appended.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("assigned.parquet") && l.contains("PartitionFilters"))
+        .getOrElse(fail(s"no assigned.parquet scan with PartitionFilters:\n$plan"))
+      assert(!scanLine.contains("PartitionFilters: []"),
+        s"append must preserve partition pruning:\n$scanLine")
+      // staleness = appended/built — the re-quantize signal
+      val (nBase, nShard) = (base.count(), shard.count())
+      val staleness = Similarity.ivfIndexStaleness(spark, dir)
+      assert(staleness.exists(s => math.abs(s - nShard.toDouble / nBase) < 1e-12),
+        s"expected ${nShard.toDouble / nBase}, got $staleness")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
