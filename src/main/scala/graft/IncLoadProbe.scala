@@ -13,7 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_THRESHOLD (default 0.9 — the
   * near-dup design point; ScaleData plants partners at ~0.96 so the
-  * output is non-trivial), SPARK_GRAFT_CPUS. */
+  * output is non-trivial), SPARK_GRAFT_CPUS. SPARK_GRAFT_FIXED="L,r"
+  * switches to the EXPLICIT form at those fixed parameters with the
+  * DEFAULT maxBucketLoad tripwire — on a corpus the parameters weren't
+  * sized for, the measurement is time-to-raise: what the round-15
+  * guard converts the 61x quadratic blowup into. */
 object IncLoadProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,15 +37,36 @@ object IncLoadProbe {
     val batch = emb.filter(col("vec_id") % 10 === 0)
     val index = emb.filter(col("vec_id") % 10 =!= 0)
     val (nBatch, nIndex) = (batch.count(), index.count())
+    val fixed = sys.env.get("SPARK_GRAFT_FIXED")
+      .map(_.split(",").map(_.trim.toInt))
     // reported for the JSON line; the auto form re-derives them inside
-    val (tables, r) = graft.datax.Dedup.bandsFor(nIndex, threshold)
+    val (tables, r) = fixed match {
+      case Some(Array(l, rr)) => (l, rr)
+      case _ => graft.datax.Dedup.bandsFor(nIndex, threshold)
+    }
     val t0 = System.nanoTime()
-    val pairs = graft.datax.Dedup.embeddingNearDupsIncrementalAuto(
-      batch, index, "vec_id", "embedding", threshold).count()
+    val outcome =
+      try {
+        val pairs = (fixed match {
+          case Some(Array(l, rr)) => graft.datax.Dedup
+            .embeddingNearDupsIncremental(batch, index, "vec_id",
+              "embedding", l, rr, threshold) // default tripwire ON
+          case _ => graft.datax.Dedup.embeddingNearDupsIncrementalAuto(
+            batch, index, "vec_id", "embedding", threshold)
+        }).count()
+        s""""pairs":$pairs"""
+      } catch {
+        case e: Throwable =>
+          val tripped = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .exists(t => Option(t.getMessage).exists(_.contains("hot LSH bucket")))
+          s""""tripped":$tripped"""
+      }
     val wall = (System.nanoTime() - t0) / 1e9
     println(s"""{"probe":"inc_load","sfDir":"$sfDir","threshold":$threshold,""" +
+      s""""mode":"${if (fixed.isDefined) "fixed" else "auto"}",""" +
       s""""nBatch":$nBatch,"nIndex":$nIndex,"tables":$tables,"r":$r,""" +
-      f""""pairs":$pairs,"tSec":$wall%.2f}""")
+      f"""$outcome,"tSec":$wall%.2f}""")
     spark.stop()
   }
 }

@@ -53,12 +53,13 @@ object DedupStream {
     * caller starts the returned writer (choosing trigger/checkpoint). */
   def writer(incoming: DataFrame, indexRoot: String, idCol: String,
              textCol: String, k: Int = 4, numHashes: Int = 16,
-             bands: Int = 8, threshold: Double = 0.5): DataStreamWriter[Row] =
+             bands: Int = 8, threshold: Double = 0.5,
+             maxBucketLoad: Option[Long] = Some(1L << 20)): DataStreamWriter[Row] =
     incoming.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexRoot, idCol, textCol, k,
-          numHashes, bands, threshold)
+          numHashes, bands, threshold, maxBucketLoad)
       }
 
   /** One micro-batch of the loop — public so the crash-replay contract
@@ -69,7 +70,8 @@ object DedupStream {
   def processBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                    idCol: String, textCol: String, k: Int = 4,
                    numHashes: Int = 16, bands: Int = 8,
-                   threshold: Double = 0.5): Unit = {
+                   threshold: Double = 0.5,
+                   maxBucketLoad: Option[Long] = Some(1L << 20)): Unit = {
     val spark = batch.sparkSession
     val (docsDir, bandsDir, fpsDir) =
       (s"$indexRoot/docs", s"$indexRoot/bands", s"$indexRoot/fps")
@@ -91,7 +93,8 @@ object DedupStream {
             index.select(batch.columns.map(col): _*),
             idCol, textCol, k, numHashes, bands, threshold,
             indexBands = priorOnly(bandsDir),
-            indexFps = priorOnly(fpsDir))
+            indexFps = priorOnly(fpsDir),
+            maxBucketLoad = maxBucketLoad)
         case None => // first batch: the index does not exist yet
           Dedup.dedupCorpus(b, idCol, textCol, k, numHashes, bands,
             threshold)
@@ -143,11 +146,12 @@ object DedupStream {
                       numHashes: Int = 16, bands: Int = 8,
                       threshold: Double = 0.5,
                       onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
-                        _ => ()): Unit = {
+                        _ => (),
+                      maxBucketLoad: Option[Long] = Some(1L << 20)): Unit = {
     val trace = StreamOps.driveCollectingProgress(
       incoming.sparkSession.streams,
       writer(incoming, indexRoot, idCol, textCol, k, numHashes, bands,
-          threshold)
+          threshold, maxBucketLoad)
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start())
@@ -180,13 +184,14 @@ object DedupStream {
                          threshold: Double = 0.5,
                          maxFilesPerTrigger: Int = 1,
                          onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
-                           _ => ()): DataFrame = {
+                           _ => (),
+                         maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     val incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     runAvailableNow(incoming, indexRoot, idCol, textCol, checkpointDir,
-      k, numHashes, bands, threshold, onProgress)
+      k, numHashes, bands, threshold, onProgress, maxBucketLoad)
     visibleIndex(spark, s"$indexRoot/docs")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .localCheckpoint(eager = true)

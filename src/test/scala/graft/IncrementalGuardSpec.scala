@@ -166,6 +166,36 @@ class IncrementalGuardSpec extends AnyFunSuite {
       s"auto must equal the explicit form at the derived ($tables, $r)")
   }
 
+  test("the streaming face threads maxBucketLoad to the cross-index join") {
+    val root = java.nio.file.Files.createTempDirectory("graft-guard-stream").toString
+    try {
+      val txt = "the quick brown fox jumps over the lazy dog again and again"
+      val batch0 = Seq((1L, txt, "en")).toDF("doc_id", "text", "lang")
+      graft.streaming.DedupStream.processBatch(batch0, 0L, root,
+        "doc_id", "text", maxBucketLoad = Some(20L))
+      // 25 batch copies x 1 index doc = 25 per-bucket products > 20
+      val batch1 = (101L to 125L).map(i => (i, txt, "en"))
+        .toDF("doc_id", "text", "lang")
+      val ex = intercept[Throwable] {
+        graft.streaming.DedupStream.processBatch(batch1, 1L, root,
+          "doc_id", "text", maxBucketLoad = Some(20L))
+      }
+      assert(chain(ex).contains("hot LSH bucket (batch x index)"),
+        s"streaming face must thread the bound:\n${chain(ex)}")
+      // and with the default bound the same batch lands normally: one
+      // survivor (all 25 are dups of each other AND of the index doc ->
+      // zero accepted; the index keeps only batch 0's doc)
+      graft.streaming.DedupStream.processBatch(batch1, 1L, root,
+        "doc_id", "text")
+      val docs = spark.read.parquet(s"$root/docs")
+      assert(docs.count() == 1L,
+        "all 25 redelivered dups must collapse against the index")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("embedding sidecar without a params column is rejected (dim is part of the bucket contract)") {
     val batch = identicalVecs(1 to 3)
     val index = identicalVecs(11 to 14)
