@@ -149,6 +149,48 @@ object DataxQueries {
         ORDER BY query_id, rank"""
   }
 
+  /** d09b: [[IvfSql]] with the quantizer derived from the BASE subset
+    * (vec_id % 5 <> 3) and EVERY vector assigned to it — the
+    * closed-form of write(base) + append(shard) under a fixed
+    * geometry. */
+  private val IvfAppendSql: String = {
+    s"""WITH v AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
+        vb AS (SELECT * FROM v WHERE id % 5 <> 3),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM vb),
+        c AS (
+          SELECT id AS centroid_id, vec AS cvec FROM vb, st
+          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        asg AS (
+          SELECT id, vec, centroid_id FROM (
+            SELECT v.id, v.vec, c.centroid_id,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY ${cosSql("v.vec", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+            FROM v CROSS JOIN c) WHERE rn = 1),
+        q AS (
+          SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+          FROM $EMB WHERE vec_id < 16),
+        pr AS (
+          SELECT query_id, qvec, centroid_id FROM (
+            SELECT q.query_id, q.qvec, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSql("q.qvec", "c.cvec")} DESC, c.centroid_id ASC) AS rn
+            FROM q CROSS JOIN c) WHERE rn <= 4),
+        scored AS (
+          SELECT pr.query_id, asg.id,
+                 ${dotSql("asg.vec", "pr.qvec")}
+                   / (sqrt(${dotSql("asg.vec", "asg.vec")})
+                      * sqrt(${dotSql("pr.qvec", "pr.qvec")})) AS cosine
+          FROM pr JOIN asg ON pr.centroid_id = asg.centroid_id
+          WHERE asg.id <> pr.query_id)
+        SELECT query_id, rank, id, cosine FROM (
+          SELECT query_id, id, cosine,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, id ASC) AS INT) AS rank
+          FROM scored) WHERE rank <= 5
+        ORDER BY query_id, rank"""
+  }
+
   /** Two Lloyd rounds replayed in SQL: stride seed (as [[IvfSql]]),
     * then per round nearest-centroid assignment (cosine, centroid_id
     * tie-break) and ORDERED-fold per-dimension means (the d25 pattern —
@@ -343,7 +385,16 @@ object DataxQueries {
     * ([[mul64Sql]]). Validated bit-exact against the Spark pairs at
     * sf0.01 (54 pairs) and sf0.1 (L=57, r=7; 859 pairs), cosine delta
     * 0.0. */
-  private val D10bSql: String = {
+  /** The derived-parameter hyperplane-LSH replay, parameterized (round
+    * 15) by the bandsFor SIZE source (`nSql` — the full table for the
+    * d10b self form, the index side for the d10d incremental form) and
+    * the candidate pair condition (`candCond` — `a.id < bb.id` for
+    * unordered self pairs, a side-splitting predicate for batch x
+    * index). Everything else — the splitmix64 seeded planes in HUGEINT
+    * mod-2^64 arithmetic, the data-derived grid extents, the
+    * bucket-string construction — is shared verbatim, so d10b's proven
+    * bit-exact replay gates the incremental auto form too. */
+  private def hyperplaneAutoSql(nSql: String, candCond: String): String = {
     val golden = "11400714819323198485::HUGEINT"
     s"""WITH prm AS (
           SELECT r, CAST(least(CASE WHEN pr >= 1.0 THEN 1.0
@@ -352,7 +403,7 @@ object DataxQueries {
           FROM (SELECT r, power(1.0 - acos(least(1.0, 0.4)) / pi(), r) AS pr
                 FROM (SELECT greatest(4, coalesce(
                     (SELECT CAST(min(p) AS INT) FROM range(1, 62) t(p)
-                     WHERE ((SELECT count(*) FROM $EMB) >> CAST(p AS INT)) <= 16), 62)) AS r))),
+                     WHERE (($nSql) >> CAST(p AS INT)) <= 16), 62)) AS r))),
         -- plane-grid extents are DERIVED, not assumed (r11 advice): the
         -- tbl range matches bandsFor's maxTables=64 clamp, the p range
         -- matches planesFor's hard cap (p < 62 loop bound, so r <= 62
@@ -392,11 +443,20 @@ object DataxQueries {
                FROM dots GROUP BY id, tbl),
         cand AS (SELECT DISTINCT a.id AS id_a, bb.id AS id_b
                  FROM br a JOIN br bb
-                   ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.id < bb.id),
+                   ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND $candCond),
         pairs AS (SELECT id_a, id_b, ${listDotSql("x.vec", "y.vec")} / (x.n * y.n) AS cosine
                   FROM cand JOIN b x ON cand.id_a = x.id JOIN b y ON cand.id_b = y.id)
         SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4 ORDER BY id_a, id_b"""
   }
+
+  private val D10bSql: String =
+    hyperplaneAutoSql(s"SELECT count(*) FROM $EMB", "a.id < bb.id")
+
+  /** d10d: (L, r) from the INDEX side's count (vec_id % 10 <> 0), pairs
+    * strictly cross-side (batch id_a, index id_b). */
+  private val D10dSql: String = hyperplaneAutoSql(
+    s"SELECT count(*) FROM $EMB WHERE vec_id % 10 <> 0",
+    "a.id % 10 = 0 AND bb.id % 10 <> 0")
 
   /** d49: new batch = ids ≡ 0 (mod 3), index = the rest. */
   private val IncrementalPairsSql: String =
@@ -905,6 +965,32 @@ object DataxQueries {
       },
       Some(IvfSql)),
 
+    /* Persisted-IVF APPEND (round 15): the index is built on 80% of the
+     * corpus (vec_id % 5 <> 3 — residue 3, NOT 0: the stride quantizer
+     * picks ids divisible by stride, a multiple of 5 here), the
+     * remaining shard is ivfIndexAppend-ed against the STORED
+     * centroids, and the probe reads the merged partitioned layout.
+     * The oracle replays the same-quantizer contract closed-form:
+     * stride centroids from the base subset, EVERY vector (base +
+     * shard) assigned to them, the d09 probe on top — append changes
+     * bucket contents, never geometry. */
+    QueryDef("d09b_ivf_append",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09b").toString
+        try {
+          val all = embT(s, dir)
+          Similarity.ivfIndexWrite(all.filter(col("vec_id") % 5 =!= 3),
+            tmp, nCentroids = 16)
+          Similarity.ivfIndexAppend(s, tmp,
+            all.filter(col("vec_id") % 5 === 3))
+          Similarity.ivfTopKIndexed(s, tmp,
+              all.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(IvfAppendSql)),
+
     /* Random-hyperplane LSH near-dup pairs; the deterministic ±1 plane
      * matrix is baked into BOTH sides as literals, so the oracle replays
      * bucket assignment and cosine verify exactly (threshold calibrated
@@ -987,6 +1073,27 @@ object DataxQueries {
           .orderBy("id_a", "id_b")
       },
       Some(EmbeddingNearDupIncrementalSql)),
+
+    /* The AUTO twin of d10c (round 15) — (L, r) derived from the INDEX
+     * size via bandsFor, i.e. the production parameterization
+     * IncLoadProbe measured sublinear (1.57x wall for 3x data) where
+     * the fixed form blew up 61x; same oracle machinery as d10b (the
+     * seeded planes and the recall rule recomputed bit-exactly in
+     * DuckDB), with the bandsFor size source switched to the index
+     * side and the pair condition to cross-side. Threshold 0.4 for the
+     * same reason as d10b: the highest level where the near-orthogonal
+     * synthetic embeddings pair at all, and one where bandsFor stays
+     * un-clamped at the driver SFs. */
+    QueryDef("d10d_embedding_neardups_incremental_auto",
+      (s, dir) => {
+        val all = embT(s, dir)
+        Dedup.embeddingNearDupsIncrementalAuto(
+            all.filter(col("vec_id") % 10 === 0),
+            all.filter(col("vec_id") % 10 =!= 0),
+            "vec_id", "embedding", threshold = 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some(D10dSql)),
 
     /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
      * (avg() is summation-order-dependent; the id-ordered sequential
