@@ -593,6 +593,33 @@ object Similarity {
       .parquet(s"$dir/assigned.parquet")
   }
 
+  /** Small-file maintenance for an appended index: every
+    * [[ivfIndexAppend]] adds at least one file per touched centroid
+    * partition, so a long-running serving index pays one file-open per
+    * append per bucket at probe time. Runs [[graft.ops.Compact]] PER
+    * PARTITION DIRECTORY — the data files inside `centroid_id=N` don't
+    * carry the partition column (partitionBy strips it), so a per-dir
+    * rewrite-and-swap preserves the pruned layout exactly; probing
+    * before and after is row-identical (spec-pinned). Same
+    * single-writer contract as Compact: never run concurrently with
+    * appends. Returns (filesBefore, filesAfter) summed over
+    * partitions. */
+  def ivfIndexCompact(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      slack: Int = 4): (Int, Int) = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+    parts.foldLeft((0, 0)) { case ((b, a), p) =>
+      // toUri.getPath, not toString: the hadoop Path renders with a
+      // file: scheme that java.nio (Compact's walker) reads as relative
+      val (pb, pa) = graft.ops.Compact.compact(spark,
+        p.getPath.toUri.getPath, targetBytes, slack)
+      (b + pb, a + pa)
+    }
+  }
+
   /** Appended-since-build fraction of a persisted index:
     * (rows now - rows at build) / rows at build. None for an index
     * written before the build_meta sidecar existed. The count is

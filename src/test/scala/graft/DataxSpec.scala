@@ -900,6 +900,20 @@ class DataxSpec extends AnyFunSuite {
       val staleness = Similarity.ivfIndexStaleness(spark, dir)
       assert(staleness.exists(s => math.abs(s - nShard.toDouble / nBase) < 1e-12),
         s"expected ${nShard.toDouble / nBase}, got $staleness")
+      // small-file maintenance: per-partition compaction preserves both
+      // the pruned layout and the probe rows exactly
+      val before = appended.orderBy("query_id", "rank").collect().toSeq
+      val (fb, fa) = Similarity.ivfIndexCompact(spark, dir, slack = 0)
+      assert(fa < fb, s"append left $fb files; compact must shrink, got $fa")
+      val after = Similarity.ivfTopKIndexed(spark, dir, queries,
+        k = 5, nProbe = 4)
+      assert(after.orderBy("query_id", "rank").collect().toSeq == before,
+        "compaction must not move a single probe row")
+      val planAfter = after.queryExecution.executedPlan.toString
+      assert(planAfter.linesIterator.exists(l =>
+          l.contains("assigned.parquet") && l.contains("PartitionFilters")
+            && !l.contains("PartitionFilters: []")),
+        s"compaction must preserve partition pruning:\n$planAfter")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
