@@ -118,6 +118,33 @@ object Bench {
     // ENTIRE duration is indistinguishable from a healthy one by the
     // relative rule; the full canary trace is emitted so a reader can
     // compare absolute floors across rounds.
+    // I/O-AXIS canary (round 15): the synthetic canary above is
+    // codegen-compile + dispatch bound — the axes of the box's
+    // minutes-long 10-50x windows — but the round-15 adjudication
+    // caught a DIFFERENT degradation shape: trusted runs, every
+    // synthetic canary at its healthy floor, yet shuffle/scan-bound
+    // queries uniformly ~1.2-1.5x elevated. This canary reads a real
+    // table at the timed SF (scan + hash-agg + shuffle), so its
+    // absolute value is comparable ACROSS runs at the same sfDir —
+    // shipped as evidence (start/end pair in the artifact), NOT a
+    // trust rule: within-run relative rules provably cannot see
+    // uniform elevation (SCALE.md "Bench trust IV"), and this number
+    // exists precisely so a reader can classify which axis an
+    // elevated-but-trusted run degraded on.
+    def ioCanary(): Double = {
+      import org.apache.spark.sql.functions._
+      val ts = (1 to 3).map { _ =>
+        spark.sqlContext.clearCache()
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(md5(col("text").cast("string")).as("h"))
+          .groupBy(substring(col("h"), 1, 2)).agg(count(lit(1)).as("n"))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val ioCanaryStart = ioCanary()
     val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "10").toInt.max(1)
     val canaryTol = sys.env.getOrElse("SPARK_GRAFT_CANARY_TOL", "2.0").toDouble
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_MAX_PASSES", "3").toInt.max(1)
@@ -236,7 +263,8 @@ object Bench {
     val priorJson = priorRegressed.toSeq.sortBy(_._1)
       .map { case (n, ratio) => "\"" + n + "\":" + f"$ratio%.2f" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"canary":[${allCanaries.head},${allCanaries.last}],"canaries":$canariesJson,"trusted":$trusted,"untrusted":$untrustedJson,"prior_regressed":$priorJson,"passes":$pass,"sf":"$sfDir"}"""
+    val ioCanaryEnd = ioCanary()
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"canary":[${allCanaries.head},${allCanaries.last}],"canaries":$canariesJson,"io_canary":[${f"$ioCanaryStart%.3f"},${f"$ioCanaryEnd%.3f"}],"trusted":$trusted,"untrusted":$untrustedJson,"prior_regressed":$priorJson,"passes":$pass,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout ([info]/[success] lines), which can defeat a
     // line-oriented parse downstream — drop a clean copy next to the
