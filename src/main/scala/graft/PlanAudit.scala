@@ -30,6 +30,8 @@ object PlanAudit {
       "d23a_contamination_bloom", "d45_importance_weights",
       "d46_token_budget", "h09_custdist", "d47_source_overlap",
       "d48_dup_spans", "d49_incremental_dedup",
+      "d10c_embedding_neardups_incremental",
+      "d10d_embedding_neardups_incremental_auto",
       "h10_sole_return_supplier", "d50_snapshot_diff", "d51_data_card")
     for (name <- interesting) {
       println(s"\n##### $name")
