@@ -603,6 +603,51 @@ object Dedup {
       maxBucketLoad)._1
   }
 
+  /** [[incrementalNearDupsPrebanded]] with (k, numHashes, bands) read
+    * FROM the sidecar's params column instead of re-supplied by the
+    * caller — the steady-state form with zero redundant parameter
+    * discipline: the sidecar already pins the construction, so passing
+    * the values again only creates the drift the params check exists
+    * to catch. Requires a single-valued params column
+    * ([[bandSignatures]] always writes one). */
+  def incrementalNearDupsFromSidecar(newDocs: DataFrame, index: DataFrame,
+                                     indexBands: DataFrame, idCol: String,
+                                     textCol: String,
+                                     threshold: Double = 0.5,
+                                     maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+    val (k, numHashes, bands) = textSidecarParams(indexBands)
+    incrementalNearDupsPrebanded(newDocs, index, indexBands, idCol, textCol,
+      k, numHashes, bands, threshold, maxBucketLoad)
+  }
+
+  /** The single (k, h, b) triple a text sidecar was built with, parsed
+    * from its params column; loud on a missing column or a
+    * mixed-parameter sidecar. */
+  private def textSidecarParams(ib: DataFrame): (Int, Int, Int) = {
+    val got = distinctSidecarParams(ib)
+    val re = """k=(\d+),h=(\d+),b=(\d+)""".r
+    got match {
+      case re(k, h, b) => (k.toInt, h.toInt, b.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unparseable band-sidecar params [$other]; rebuild with bandSignatures")
+    }
+  }
+
+  /** The sidecar's one distinct params value — shared by both
+    * modalities' FromSidecar forms. */
+  private def distinctSidecarParams(ib: DataFrame): String = {
+    require(ib.columns.contains("params"),
+      "sidecar has no `params` column — the FromSidecar form derives " +
+        "its parameters from it; build the sidecar with " +
+        "bandSignatures / embeddingBandSignatures")
+    val got = ib.select("params").distinct().collect().map(_.getString(0))
+    require(got.length == 1, s"sidecar holds ${got.length} distinct params " +
+      s"values [${got.mkString("; ")}] — a mixed-parameter sidecar (likely " +
+      "accumulated across restarts with changed settings) cannot drive an " +
+      "increment; rebuild it")
+    got(0)
+  }
+
   /** The prebanded candidate + verify pipeline over an already-built
     * batch shingle relation — shared by [[incrementalNearDupsPrebanded]]
     * (lazy, registry-released) and [[dedupIncrement]] (eager, tracked).
@@ -1692,5 +1737,27 @@ object Dedup {
     val iv = touched.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     verifyCosineSides(cand, nv, iv, threshold)
+  }
+
+  /** [[embeddingNearDupsIncrementalPrebanded]] with (L, r) read FROM the
+    * sidecar's params column — the vector twin of
+    * [[incrementalNearDupsFromSidecar]], and the recommended
+    * steady-state call: the sidecar pins (L, r, dim), the batch's dim
+    * still fails fast against it, and no caller re-supplies values
+    * whose only failure mode is drifting from the store. */
+  def embeddingNearDupsIncrementalFromSidecar(newVecs: DataFrame,
+      index: DataFrame, indexBands: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.9,
+      maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+    val got = distinctSidecarParams(indexBands)
+    val re = """L=(\d+),r=(\d+),dim=(\d+)""".r
+    val (tables, planes) = got match {
+      case re(l, r, _) => (l.toInt, r.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unparseable embedding-sidecar params [$other]; rebuild with " +
+          "embeddingBandSignatures")
+    }
+    embeddingNearDupsIncrementalPrebanded(newVecs, index, indexBands,
+      idCol, vecCol, tables, planes, threshold, maxBucketLoad)
   }
 }

@@ -196,6 +196,53 @@ class IncrementalGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("FromSidecar forms derive parameters from the stored params column") {
+    // vector side: == the explicit prebanded call at the sidecar's own
+    // (L, r); zero caller-supplied parameters left to drift
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val batch = emb.filter($"vec_id" % 10 === 0)
+    val index = emb.filter($"vec_id" % 10 =!= 0)
+    val sidecar = Dedup.embeddingBandSignatures(index, "vec_id", "embedding",
+      tables = 3, planesPerTable = 4)
+    val from = Dedup.embeddingNearDupsIncrementalFromSidecar(batch, index,
+        sidecar, "vec_id", "embedding", threshold = 0.25)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val explicit = Dedup.embeddingNearDupsIncrementalPrebanded(batch, index,
+        sidecar, "vec_id", "embedding", tables = 3, planesPerTable = 4,
+        threshold = 0.25)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(from.nonEmpty && from == explicit)
+    // text side: same contract over the (k, h, b) params
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val b = Seq((1L, txt)).toDF("doc_id", "text")
+    val ix = Seq((101L, txt), (102L, "entirely unrelated words about ships"))
+      .toDF("doc_id", "text")
+    val tside = Dedup.bandSignatures(ix, "doc_id", "text", k = 4,
+      numHashes = 16, bands = 8)
+    val tFrom = Dedup.incrementalNearDupsFromSidecar(b, ix, tside,
+        "doc_id", "text", threshold = 0.3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val tExpl = Dedup.incrementalNearDupsPrebanded(b, ix, tside,
+        "doc_id", "text", k = 4, numHashes = 16, bands = 8, threshold = 0.3)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(tFrom.nonEmpty && tFrom == tExpl)
+    // a mixed-parameter sidecar cannot drive an increment
+    val mixed = tside.union(
+      Dedup.bandSignatures(ix, "doc_id", "text", k = 4, numHashes = 16,
+        bands = 4))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupsFromSidecar(b, ix, mixed, "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("mixed-parameter"), ex.getMessage)
+    // and a params-less one is rejected before any work runs
+    val bare = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupsFromSidecar(b, ix, tside.drop("params"),
+        "doc_id", "text")
+    }
+    assert(bare.getMessage.contains("params"), bare.getMessage)
+  }
+
   test("embedding sidecar without a params column is rejected (dim is part of the bucket contract)") {
     val batch = identicalVecs(1 to 3)
     val index = identicalVecs(11 to 14)
