@@ -620,6 +620,137 @@ object Similarity {
     }
   }
 
+  // ---- product quantization (round 15): the in-bucket compression
+  // half of the IVF-PQ serving shape — IVF prunes which buckets a
+  // query reads (d09a's partitioned layout), PQ shrinks what each
+  // bucket row COSTS: an m-byte code per vector instead of the full
+  // float vector (here 64 float32 -> 8 codes, 32x), scanned via
+  // per-query lookup tables with zero per-pair vector arithmetic ----
+
+  /** Per-subspace PQ codebook: the vector space is split into `m`
+    * contiguous subspaces of dim/m dimensions, and each subspace gets
+    * `ksub` centroids taken from the SAME stride-sampled vectors the
+    * IVF quantizer uses ([[ivfIndex]]'s deterministic, oracle-replayable
+    * rule) — centroid j of subspace s is the j-th sampled vector's s-th
+    * slice. Output (sub, cid, cvec), cid = 0-based ordinal in id order.
+    * Lloyd refinement per subspace would tighten cells (the
+    * [[ivfIndexKMeans]] contrast); the stride form is the deterministic
+    * baseline every oracle can replay. */
+  def pqCentroids(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && ksub >= 2, s"m=$m, ksub=$ksub out of range")
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val n = v.count()
+    val stride = math.max(1L, n / ksub)
+    val samp = v.filter(col("id") % stride === 0)
+      .orderBy("id").limit(ksub)
+      .withColumn("cid",
+        row_number().over(Window.orderBy("id")).cast("int") - 1)
+    val dsub = probeDimOf(vectors, vecCol, m)
+    samp.select(col("cid"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+        col("vec"))
+      .select(col("sub"), col("cid"),
+        slice(col("vec"), col("sub") * dsub + 1, lit(dsub)).as("cvec"))
+  }
+
+  /** dim/m with the divisibility check — PQ slices must tile the
+    * vector exactly. */
+  private def probeDimOf(vectors: DataFrame, vecCol: String, m: Int): Int = {
+    val dim = vectors.select(size(col(vecCol)).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0, "cannot probe vector dimension from an empty table")
+    require(dim % m == 0, s"dim=$dim is not divisible by m=$m subspaces")
+    dim / m
+  }
+
+  /** Collected codebook as a literal tensor: subspaces x ksub x dsub —
+    * a K-bounded driver pull (m x ksub rows), the same budget every
+    * centroid operator here pays; literals keep the encode/LUT work
+    * scan-side with no join. */
+  private def collectCodebook(centroids: DataFrame): Array[Array[Array[Double]]] =
+    centroids.select("sub", "cid", "cvec").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
+      }.toArray
+
+  /** Ordered-fold squared L2 between a sliced column and a literal
+    * centroid: left fold over ascending dimensions — the bit-exact
+    * cross-engine pattern (d08/d25). */
+  private def sqDist(sl: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(sl, typedLit(c), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ-encode vectors against a [[pqCentroids]] codebook: per
+    * subspace, the 0-based index of the nearest centroid (squared L2;
+    * EXACT-tie goes to the LOWEST cid — `array_position` returns the
+    * first occurrence of the minimum). Output (id, sub, code) rows —
+    * the storable code table, m * log2(ksub) bits of payload per
+    * vector. Scan-side: the codebook rides as literals, no join, no
+    * shuffle. On normalized vectors squared-L2 order ≡ cosine order,
+    * so PQ serves the cosine family unchanged ([[pqTopK]]). */
+  def pqEncode(vectors: DataFrame, centroids: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val book = collectCodebook(centroids)
+    val m = book.length
+    require(m >= 1, "empty codebook")
+    val dsub = book.head.head.length
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val codeCols = (0 until m).map { s =>
+      val sl = slice(col("vec"), s * dsub + 1, dsub)
+      val dists = array(book(s).map(c => sqDist(sl, c.toSeq)): _*)
+      (array_position(dists, array_min(dists)).cast("int") - 1).as(s"_c$s")
+    }
+    v.select(col("id") +: codeCols: _*)
+      .select(col("id"), posexplode(array((0 until m).map(s => col(s"_c$s")): _*))
+        .as(Seq("sub", "code")))
+  }
+
+  /** Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over a PQ
+    * code table: each query precomputes one m x ksub lookup table
+    * (exact squared L2 from its own slices to every centroid — the
+    * query side stays UN-quantized, hence asymmetric), and a
+    * candidate's score is m table lookups summed in subspace order —
+    * no per-pair vector arithmetic at all. The scan reads the CODE
+    * table (m small ints/vector), not the vectors: at 100 TB that is
+    * the 32x-less-IO brute-force fallback, and composed with the d09a
+    * partitioned layout (store codes per centroid partition) it is the
+    * standard IVF-PQ serving shape. Output (query_id, rank, id,
+    * adc_dist), rank 1 = nearest, ties by id; `adc_dist` approximates
+    * squared L2 — on normalized vectors the induced order approximates
+    * the cosine order ([[bruteForceTopK]] is the exact baseline, spec
+    * pins recall on planted structure). */
+  def pqTopK(centroids: DataFrame, codes: DataFrame, queries: DataFrame,
+             k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val book = collectCodebook(centroids)
+    val m = book.length
+    require(m >= 1, "empty codebook")
+    val dsub = book.head.head.length
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qvec"))
+    val lutCols = (0 until m).map { s =>
+      val sl = slice(col("qvec"), s * dsub + 1, dsub)
+      array(book(s).map(c => sqDist(sl, c.toSeq)): _*)
+    }
+    val withLut = q.select(col("query_id"), array(lutCols: _*).as("lut"))
+    val codeArrays = codes.groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    val scored = codeArrays.crossJoin(broadcast(withLut))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+            (code, t) => element_at(t, code + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "adc_dist")
+  }
+
   /** Appended-since-build fraction of a persisted index:
     * (rows now - rows at build) / rows at build. None for an index
     * written before the build_meta sidecar existed. The count is

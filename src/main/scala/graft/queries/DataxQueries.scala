@@ -149,6 +149,37 @@ object DataxQueries {
         ORDER BY query_id, rank"""
   }
 
+  /** Shared PQ replay CTEs (d09c/d09d): stride-sampled subspace
+    * codebook (8 subspaces x 16 centroids x 8 dims over the 64-dim
+    * vectors — centroid j of subspace s is the j-th sampled vector's
+    * s-th slice, the IVF stride rule reused), then per-(vector,
+    * subspace) nearest-centroid codes with squared-L2 folded over
+    * ascending dims (ordered left fold, the d08/d25 bit-exact pattern)
+    * and exact ties to the LOWEST cid — ≡ Spark's
+    * `array_position(dists, array_min(dists))` first-occurrence rule. */
+  private val PqCtes: String = {
+    def sq(a: String, b: String): String =
+      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+         |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)""".stripMargin
+    s"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        samp AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec
+                 FROM (SELECT id, vec FROM v, st
+                       WHERE id % stride = 0 ORDER BY id LIMIT 16)),
+        cent AS (SELECT CAST(s.s AS INT) AS sub, CAST(samp.cid AS INT) AS cid,
+                        samp.vec[s.s*8+1 : s.s*8+8] AS cvec
+                 FROM samp, range(0, 8) s(s)),
+        dists AS (SELECT v.id, c.sub, c.cid,
+                    ${sq("(v.vec[c.sub*8+1 : c.sub*8+8])", "c.cvec")} AS d
+                  FROM v CROSS JOIN cent c),
+        codes AS (
+          SELECT id, sub, cid AS code FROM (
+            SELECT id, sub, cid,
+              row_number() OVER (PARTITION BY id, sub
+                ORDER BY d ASC, cid ASC) AS rn
+            FROM dists) WHERE rn = 1)"""
+  }
+
   /** d09b: [[IvfSql]] with the quantizer derived from the BASE subset
     * (vec_id % 5 <> 3) and EVERY vector assigned to it — the
     * closed-form of write(base) + append(shard) under a fixed
@@ -1094,6 +1125,61 @@ object DataxQueries {
           .orderBy("id_a", "id_b")
       },
       Some(D10dSql)),
+
+    /* PRODUCT QUANTIZATION codes (round 15) — the in-bucket compression
+     * half of IVF-PQ: 8 subspaces x 16 centroids over the 64-dim
+     * vectors, stride-sampled codebook (the deterministic IVF rule per
+     * subspace), nearest-centroid code per (vector, subspace). 8 codes
+     * of 4 bits replace 256 bytes of float32 — the 100 TB ANN corpus
+     * stores THIS table (partitioned by the d09a centroid layout) and
+     * touches real vectors only to rerank. Exploded to (vec_id, sub,
+     * code) rows for a scalar hash compare. */
+    QueryDef("d09c_pq_codes",
+      (s, dir) => {
+        val all = embT(s, dir)
+        Similarity.pqEncode(all, Similarity.pqCentroids(all))
+          .select(col("id").as("vec_id"), col("sub"), col("code"))
+          .orderBy("vec_id", "sub")
+      },
+      Some(s"""WITH $PqCtes
+        SELECT id AS vec_id, sub, code FROM codes ORDER BY vec_id, sub""")),
+
+    /* PQ asymmetric-distance top-k (round 15): each query builds one
+     * 8x16 exact-distance lookup table from its own (un-quantized)
+     * slices; a candidate's score is 8 table lookups summed in
+     * subspace order — zero per-pair vector arithmetic, and the scan
+     * reads the code table, not the vectors. The oracle recomputes the
+     * same terms per (query, sub, code) and folds them in subspace
+     * order (ordered list fold — bit-exact cross-engine). */
+    QueryDef("d09d_pq_topk",
+      (s, dir) => {
+        val all = embT(s, dir)
+        val cent = Similarity.pqCentroids(all)
+        Similarity.pqTopK(cent, Similarity.pqEncode(all, cent),
+            all.filter(col("vec_id") < 16), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $PqCtes,
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM $EMB WHERE vec_id < 16),
+        term AS (SELECT q.query_id, codes.id, codes.sub,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                     i -> ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i])
+                        * ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i]))),
+                     (acc, x) -> acc + x) AS t
+                 FROM q CROSS JOIN codes
+                 JOIN cent c ON c.sub = codes.sub AND c.cid = codes.code
+                 WHERE codes.id <> q.query_id),
+        sc AS (SELECT query_id, id,
+                 list_reduce(list_prepend(0.0, list(t ORDER BY sub)),
+                   (acc, x) -> acc + x) AS adc_dist
+               FROM term GROUP BY query_id, id)
+        SELECT query_id, rank, id, adc_dist FROM (
+          SELECT query_id, id, adc_dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, id ASC) AS INT) AS rank
+          FROM sc) WHERE rank <= 5
+        ORDER BY query_id, rank""")),
 
     /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
      * (avg() is summation-order-dependent; the id-ordered sequential

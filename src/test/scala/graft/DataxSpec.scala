@@ -865,6 +865,40 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: self-coding codebook, codes in range, exact duplicates retrieved at rank 1 with adc 0") {
+    // 16 strictly-increasing vectors, n = 16 -> stride 1: EVERY vector
+    // is sampled, so the codebook is the vectors themselves and each
+    // must encode to its own cid in all 8 subspaces (own distance 0,
+    // all slices distinct)
+    val base = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(64)(j => (i * 64 + j).toFloat / 100f)))
+    val df16 = base.toDF("vec_id", "embedding")
+    val cent = Similarity.pqCentroids(df16)
+    assert(cent.count() == 8L * 16)
+    val selfCodes = Similarity.pqEncode(df16, cent)
+      .as[(Long, Int, Int)].collect()
+    assert(selfCodes.length == 16 * 8)
+    assert(selfCodes.forall { case (id, _, code) => code == id.toInt },
+      "a sampled vector must code to its own ordinal in every subspace")
+    // plant exact copies (ids 100+i of vector i), encode the union
+    // against the SAME codebook: a copy shares all 8 codes with its
+    // twin, so its ADC distance to it is exactly 0.0 and every other
+    // candidate differs in at least one code -> the twin is rank 1
+    val union = (base ++ base.map { case (i, v) => (100L + i, v) })
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(union, cent)
+    assert(codes.filter($"code" < 0 || $"code" >= 16).count() == 0)
+    val top1 = Similarity.pqTopK(cent, codes,
+        union.filter($"vec_id" >= 100), k = 1)
+      .select("query_id", "id", "adc_dist")
+      .as[(Long, Long, Double)].collect()
+    assert(top1.length == 16)
+    top1.foreach { case (q, id, adc) =>
+      assert(id == q - 100 && adc == 0.0,
+        s"copy $q must retrieve its twin at adc 0, got ($id, $adc)")
+    }
+  }
+
   test("ivfIndexAppend: probe == same-quantizer rebuild over the union; pruning intact; staleness tracked") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
