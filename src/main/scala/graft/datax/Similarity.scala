@@ -751,6 +751,82 @@ object Similarity {
       .select("query_id", "rank", "id", "adc_dist")
   }
 
+  /** Persist the composed IVF-PQ index — the standard 100 TB ANN
+    * serving shape, both halves of which exist separately above:
+    * the IVF quantizer prunes WHICH buckets a query reads
+    * ([[ivfIndexWrite]]'s partitioned layout), PQ shrinks what each
+    * bucket row COSTS (codes, not vectors). Layout:
+    * `centroids.parquet` (the IVF quantizer), `pq_codebook.parquet`
+    * (the subspace codebook), and `codes.parquet` — (id, codes)
+    * PARTITIONED BY centroid_id, so the probe scan is directory-pruned
+    * AND 32x lighter per row. Vectors themselves are not stored here:
+    * at scale the full-precision table lives elsewhere and is touched
+    * only by an optional exact rerank of the top candidates. */
+  def pqIndexWrite(vectors: DataFrame, dir: String, nCentroids: Int = 16,
+                   m: Int = 8, ksub: Int = 16,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (centroids, assigned) = ivfIndex(vectors, nCentroids, idCol, vecCol)
+    val book = pqCentroids(vectors, m, ksub, idCol, vecCol)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+    val codeArrays = pqEncode(vectors, book, idCol, vecCol)
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+    codeArrays.join(assigned.select("id", "centroid_id"), "id")
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/codes.parquet")
+  }
+
+  /** Probe a persisted [[pqIndexWrite]] index: IVF bucket pruning AND
+    * PQ asymmetric-distance scoring in one pass. Each query ranks the
+    * K centroids (cosine, the [[ivfTopK]] rule), its nProbe bucket ids
+    * reach the codes scan as LITERALS (K-bounded driver pull — the
+    * d09a partition-pruning requirement), candidates are restricted to
+    * each query's OWN buckets via the probes join, and scoring is m
+    * lookups into the query's exact-distance table ([[pqTopK]]'s ADC)
+    * — no stored vector is ever read. With nProbe = nCentroids the
+    * result is EXACTLY [[pqTopK]] over the same codebook (spec-pinned:
+    * pruning never changes in-bucket scores, it only drops buckets). */
+  def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                queries: DataFrame, k: Int, nProbe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val book = collectCodebook(spark.read.parquet(s"$dir/pq_codebook.parquet"))
+    val m = book.length
+    require(m >= 1, "empty codebook")
+    val dsub = book.head.head.length
+    val q = queries.select(col(idCol).as("query_id"),
+      toDouble(col(vecCol)).as("qvec"))
+    val lutCols = (0 until m).map { s =>
+      val sl = slice(col("qvec"), s * dsub + 1, dsub)
+      array(book(s).map(c => sqDist(sl, c.toSeq)): _*)
+    }
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qvec"), col("centroid_id"),
+        cosine(col("qvec"), col("cvec")).as("_sim"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("_sim").desc, col("centroid_id").asc)))
+      .filter(col("_rn") <= nProbe)
+      .select(col("query_id"), col("centroid_id"), array(lutCols: _*).as("lut"))
+    val probedIds = probes.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val codes = spark.read.parquet(s"$dir/codes.parquet")
+      .filter(col("centroid_id").isin(probedIds: _*))
+    val scored = codes.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        aggregate(zip_with(col("codes"), col("lut"),
+            (code, t) => element_at(t, code + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "adc_dist")
+  }
+
   /** Appended-since-build fraction of a persisted index:
     * (rows now - rows at build) / rows at build. None for an index
     * written before the build_meta sidecar existed. The count is

@@ -1181,6 +1181,65 @@ object DataxQueries {
           FROM sc) WHERE rank <= 5
         ORDER BY query_id, rank""")),
 
+    /* The COMPOSED IVF-PQ probe (round 15) — the standard 100 TB ANN
+     * serving shape, persisted and replayed end to end: the IVF
+     * quantizer prunes which buckets a query reads (the d09a
+     * partitioned layout, holding CODES instead of vectors), and
+     * in-bucket scoring is d09d's asymmetric distance over the code
+     * table. The oracle composes the two proven replays: IvfSql's
+     * cosine bucket assignment + probe restriction, PqCtes' codes and
+     * ordered ADC folds. */
+    QueryDef("d09e_ivfpq_topk",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09e").toString
+        try {
+          val all = embT(s, dir)
+          Similarity.pqIndexWrite(all, tmp, nCentroids = 16)
+          Similarity.ivfPqTopK(s, tmp,
+              all.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(s"""WITH $PqCtes,
+        isamp AS (SELECT id, vec FROM v, st
+                  WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp),
+        asg AS (SELECT id, centroid_id FROM (
+            SELECT v.id, ic.centroid_id,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY ${cosSql("v.vec", "ic.icvec")} DESC,
+                              ic.centroid_id ASC) AS rn
+            FROM v CROSS JOIN ic) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM $EMB WHERE vec_id < 16),
+        pr AS (SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, ic.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSql("q.qvec", "ic.icvec")} DESC,
+                              ic.centroid_id ASC) AS rn
+            FROM q CROSS JOIN ic) WHERE rn <= 4),
+        term AS (SELECT q.query_id, codes.id, codes.sub,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                     i -> ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i])
+                        * ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i]))),
+                     (acc, x) -> acc + x) AS t
+                 FROM q JOIN pr ON pr.query_id = q.query_id
+                 JOIN asg ON asg.centroid_id = pr.centroid_id
+                 JOIN codes ON codes.id = asg.id
+                 JOIN cent c ON c.sub = codes.sub AND c.cid = codes.code
+                 WHERE codes.id <> q.query_id),
+        sc AS (SELECT query_id, id,
+                 list_reduce(list_prepend(0.0, list(t ORDER BY sub)),
+                   (acc, x) -> acc + x) AS adc_dist
+               FROM term GROUP BY query_id, id)
+        SELECT query_id, rank, id, adc_dist FROM (
+          SELECT query_id, id, adc_dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, id ASC) AS INT) AS rank
+          FROM sc) WHERE rank <= 5
+        ORDER BY query_id, rank""")),
+
     /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
      * (avg() is summation-order-dependent; the id-ordered sequential
      * fold is not) — promotes k-means from spec-only to a full hash

@@ -899,6 +899,39 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: nProbe = all buckets == plain pqTopK; partial probe prunes code partitions") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    try {
+      Similarity.pqIndexWrite(emb, dir, nCentroids = 16)
+      val queries = emb.filter($"vec_id" < 8)
+      // probing EVERY bucket must reproduce the un-pruned ADC scan
+      // exactly: pruning drops buckets, never changes in-bucket scores
+      val all = Similarity.ivfPqTopK(spark, dir, queries, k = 5,
+          nProbe = 16)
+        .orderBy("query_id", "rank").collect().toSeq
+      val book = Similarity.pqCentroids(emb)
+      val flat = Similarity.pqTopK(book, Similarity.pqEncode(emb, book),
+          queries, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(all.nonEmpty && all == flat)
+      // the scale property: a partial probe reads only its buckets
+      val pruned = Similarity.ivfPqTopK(spark, dir, queries, k = 5,
+        nProbe = 4)
+      val plan = pruned.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("codes.parquet") && l.contains("PartitionFilters"))
+        .getOrElse(fail(s"no codes.parquet scan with PartitionFilters:\n$plan"))
+      assert(!scanLine.contains("PartitionFilters: []")
+          && scanLine.contains("centroid_id"),
+        s"probe must prune code partitions:\n$scanLine")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("ivfIndexAppend: probe == same-quantizer rebuild over the union; pruning intact; staleness tracked") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
