@@ -735,15 +735,22 @@ object Similarity {
       array(book(s).map(c => sqDist(sl, c.toSeq)): _*)
     }
     val withLut = q.select(col("query_id"), array(lutCols: _*).as("lut"))
-    val codeArrays = codes.groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
+    // accept either code-table shape: the stored/array form (id, codes)
+    // as pqIndexWrite persists it — the steady-state probe then does
+    // ZERO per-call preparation — or pqEncode's exploded (id, sub,
+    // code) rows, grouped here once for ad-hoc callers
+    val codeArrays =
+      if (codes.columns.contains("codes")) codes.select("id", "codes")
+      else codes.groupBy("id")
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          s => s.getField("code")).as("codes"))
+    // native codegen'd lookup loop on the per-pair hot path — the
+    // interpreted HOF fold measured MORE CPU than the 64-dim dot it
+    // replaces (PqProbe; AdcSpec pins bit-equality to the fold)
     val scored = codeArrays.crossJoin(broadcast(withLut))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        aggregate(zip_with(col("codes"), col("lut"),
-            (code, t) => element_at(t, code + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+        graft.functions.AdcLookup.adc(col("codes"), col("lut")).as("adc_dist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -817,9 +824,7 @@ object Similarity {
     val scored = codes.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
-        aggregate(zip_with(col("codes"), col("lut"),
-            (code, t) => element_at(t, code + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+        graft.functions.AdcLookup.adc(col("codes"), col("lut")).as("adc_dist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native asymmetric-distance lookup for the PQ probe: given a
+  * candidate's code array (`array<int>`, one code per subspace) and a
+  * query's lookup table (`array<array<double>>`, per-subspace distances
+  * to every centroid), returns sum over subspaces of `lut[s][code[s]]`.
+  *
+  * This is THE per-pair hot path of [[graft.datax.Similarity.pqTopK]] /
+  * `ivfPqTopK` — the built-in composition
+  * `aggregate(zip_with(codes, lut, (c, t) => element_at(t, c + 1)), ...)`
+  * pays per-element interpreted lambdas and boxing on every candidate,
+  * which PqProbe measured at MORE CPU than the codegen'd 64-dim dot it
+  * replaces (the compression won IO but lost compute). Same shape as
+  * [[DotProduct]]: a tight codegen'd loop plus a matching interpreted
+  * `nullSafeEval`, summing in ascending subspace order — bit-identical
+  * to the fold and to the DuckDB oracle's ordered `list_reduce`.
+  *
+  * Null semantics: NULL if either argument is NULL (BinaryExpression
+  * default); codes and table rows are assumed element-non-null, the
+  * encode path's output domain. Codes are 0-based indexes into the
+  * matching subspace's table (bounds are the encoder's contract, like
+  * element dimension is for the dot). */
+case class AdcLookup(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_adc requires (array<int>, array<array<double>>), got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val n = math.min(codes.numElements(), lut.numElements())
+    var acc = 0.0
+    var s = 0
+    while (s < n) {
+      acc += lut.getArray(s).getDouble(codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $n; $s++) {
+         |  $acc += $y.getArray($s).getDouble($x.getInt($s));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookup =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcLookup {
+  /** DataFrame-API entry: `adc(codes, lut)` as a Column. */
+  def adc(codes: Column, lut: Column): Column =
+    Bridge.column(AdcLookup(Bridge.expression(codes), Bridge.expression(lut)))
+}

@@ -865,6 +865,25 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("AdcLookup native expression == the HOF lookup fold, bit-identical") {
+    // the DotProduct contract applied to the PQ hot path: same
+    // ascending-subspace left fold, zero boxing
+    val rows = (0 until 50).map { i =>
+      val codes = Array.tabulate(8)(s => (i * 7 + s * 3) % 16)
+      val lut = Array.tabulate(8, 16)((s, c) => (i + s * 17 + c) * 0.013)
+      (i.toLong, codes, lut.map(_.toSeq).toSeq)
+    }
+    val df = rows.toDF("id", "codes", "lut")
+    val both = df.select(
+      graft.functions.AdcLookup.adc($"codes", $"lut").as("native"),
+      aggregate(zip_with($"codes", $"lut",
+          (code, t) => element_at(t, code + 1)),
+        lit(0.0), (acc, x) => acc + x).as("fold"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, f) => assert(n == f) } // bit-identical
+  }
+
   test("PQ: self-coding codebook, codes in range, exact duplicates retrieved at rank 1 with adc 0") {
     // 16 strictly-increasing vectors, n = 16 -> stride 1: EVERY vector
     // is sampled, so the codebook is the vectors themselves and each
