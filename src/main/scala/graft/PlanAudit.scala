@@ -32,6 +32,10 @@ object PlanAudit {
       "d48_dup_spans", "d49_incremental_dedup",
       "d10c_embedding_neardups_incremental",
       "d10d_embedding_neardups_incremental_auto",
+      // d09e is lineage-cut (localCheckpoint over a scratch index), so
+      // its plan properties are spec-pinned instead (DataxSpec
+      // PartitionFilters test); d09d shows the ADC scoring shape
+      "d09d_pq_topk",
       "h10_sole_return_supplier", "d50_snapshot_diff", "d51_data_card")
     for (name <- interesting) {
       println(s"\n##### $name")
