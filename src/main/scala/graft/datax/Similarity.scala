@@ -668,8 +668,8 @@ object Similarity {
     * a K-bounded driver pull (m x ksub rows), the same budget every
     * centroid operator here pays; literals keep the encode/LUT work
     * scan-side with no join. */
-  private def collectCodebook(centroids: DataFrame): Array[Array[Array[Double]]] =
-    centroids.select("sub", "cid", "cvec").collect()
+  private def collectCodebook(codebook: DataFrame): Array[Array[Array[Double]]] =
+    codebook.select("sub", "cid", "cvec").collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map { case (_, rows) =>
         rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
@@ -690,9 +690,9 @@ object Similarity {
     * vector. Scan-side: the codebook rides as literals, no join, no
     * shuffle. On normalized vectors squared-L2 order ≡ cosine order,
     * so PQ serves the cosine family unchanged ([[pqTopK]]). */
-  def pqEncode(vectors: DataFrame, centroids: DataFrame,
+  def pqEncode(vectors: DataFrame, codebook: DataFrame,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val book = collectCodebook(centroids)
+    val book = collectCodebook(codebook)
     val m = book.length
     require(m >= 1, "empty codebook")
     val dsub = book.head.head.length
@@ -721,10 +721,10 @@ object Similarity {
     * squared L2 — on normalized vectors the induced order approximates
     * the cosine order ([[bruteForceTopK]] is the exact baseline, spec
     * pins recall on planted structure). */
-  def pqTopK(centroids: DataFrame, codes: DataFrame, queries: DataFrame,
+  def pqTopK(codebook: DataFrame, codes: DataFrame, queries: DataFrame,
              k: Int,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val book = collectCodebook(centroids)
+    val book = collectCodebook(codebook)
     val m = book.length
     require(m >= 1, "empty codebook")
     val dsub = book.head.head.length
