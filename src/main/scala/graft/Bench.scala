@@ -288,20 +288,26 @@ object Bench {
     // clean run can repair the floor, not wedge every future run into
     // the degraded file until a human intervenes (review finding)
     val sfMatchesPrior = BenchTrust.parseSf(priorRaw).forall(_ == sfDir)
-    // MONOTONE floor (round 15): a trusted run slower IN TOTAL than the
-    // committed floor must not re-base it — the r14 window passed every
-    // per-query gate at a uniform ~1.3x and rebased 60.94 -> 81.5 s.
-    // forall: a missing/corrupt prior lets a clean run establish the
-    // floor. SPARK_GRAFT_ACCEPT_PRIOR=1 stays the explicit re-base.
-    val totalNotWorse = BenchTrust.parseTotal(priorRaw).forall(total <= _)
+    // MONOTONE floor (round 15; intersection round 16): a trusted run
+    // slower than the committed floor must not re-base it — the r14
+    // window passed every per-query gate at a uniform ~1.3x and rebased
+    // 60.94 -> 81.5 s. The totals compare over the INTERSECTION of
+    // query names (BenchTrust.totalNotWorse): raw-total compare broke
+    // whenever the registry grew (every future run totals above a floor
+    // that predates the new queries) or shrank (a run could rebase the
+    // floor lower illegitimately). Permissive when the prior lacks a
+    // queries map — a clean run can then establish the floor.
+    // SPARK_GRAFT_ACCEPT_PRIOR=1 stays the explicit re-base.
+    val totalNotWorse = BenchTrust.totalNotWorse(
+      results.map { case (n, (r, _, _)) => n -> r.median }.toMap, prior)
     val floorSafe = BenchTrust.floorSafe(only.nonEmpty, trusted, allMeasured,
       priorRegressed.isEmpty, acceptPrior, sfMatchesPrior, totalNotWorse)
     val outFile = if (floorSafe) "BENCH_LOCAL.json" else "BENCH_LOCAL_DEGRADED.json"
     if (!floorSafe)
       System.err.println(s"[bench] floor-unsafe run (filtered=${only.nonEmpty}, " +
         s"trusted=$trusted, sfMatchesPrior=$sfMatchesPrior, " +
-        s"totalNotWorse=$totalNotWorse (total=$total vs floor=" +
-        s"${BenchTrust.parseTotal(priorRaw).getOrElse(Double.NaN)}), " +
+        s"totalNotWorse=$totalNotWorse (shared-name totals vs the " +
+        s"committed floor; this run's full total=$total), " +
         s"prior_regressed=[${priorRegressed.keys.toSeq.sorted.mkString(",")}]) " +
         s"-> writing $outFile, BENCH_LOCAL.json untouched")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

@@ -107,6 +107,29 @@ object BenchTrust {
     !filtered && trusted && allMeasured &&
       ((priorRegressedEmpty && sfMatchesPrior && totalNotWorse) || acceptPrior)
 
+  /** The monotone-floor comparison, over the INTERSECTION of query
+    * names (round 16 — review finding): comparing raw run totals broke
+    * the moment the registry grew — a floor committed before N new
+    * queries existed makes every future healthy full-suite run total
+    * above it, failing the gate forever absent an explicit re-base;
+    * and conversely, REMOVING a registry query would let a run rebase
+    * the floor lower with no box speedup at all. Summing only the
+    * shared names compares like with like: new queries ride along
+    * without blocking (they gain prior protection the first time a
+    * floor-safe run records them), removed ones stop counting on both
+    * sides. Permissive (true) when the intersection is empty — a
+    * missing/corrupt/renamed-world prior must let a clean run repair
+    * the floor, exactly like [[parseTotal]]'s None did. Negative
+    * medians (crashed queries) are excluded on either side: a crash
+    * sentinel must not subtract from a total. */
+  def totalNotWorse(current: Map[String, Double],
+                    prior: Map[String, Double]): Boolean = {
+    val shared = current.keySet.intersect(prior.keySet)
+      .filter(n => current(n) >= 0 && prior(n) >= 0).toSeq
+    shared.isEmpty ||
+      shared.map(current).sum <= shared.map(prior).sum
+  }
+
   /** The prior run's `"value"` (total seconds) — the committed floor's
     * total for the monotonicity rule. None on a missing/corrupt prior
     * (a fresh floor can then be established by any floor-safe run). */

@@ -37,21 +37,31 @@ object IncLoadProbe {
     val batch = emb.filter(col("vec_id") % 10 === 0)
     val index = emb.filter(col("vec_id") % 10 =!= 0)
     val (nBatch, nIndex) = (batch.count(), index.count())
-    val fixed = sys.env.get("SPARK_GRAFT_FIXED")
-      .map(_.split(",").map(_.trim.toInt))
-    // reported for the JSON line; the auto form re-derives them inside
-    val (tables, r) = fixed match {
-      case Some(Array(l, rr)) => (l, rr)
-      case _ => graft.datax.Dedup.bandsFor(nIndex, threshold)
+    // parse ONCE, loudly: a malformed SPARK_GRAFT_FIXED (wrong arity,
+    // non-numeric) must fail here, not silently fall through to the
+    // auto form while the JSON still reports "mode":"fixed" (review
+    // finding, round 15) — the artifact would mislabel which form was
+    // measured. The mode string below derives from THIS validated value.
+    val fixed: Option[(Int, Int)] = sys.env.get("SPARK_GRAFT_FIXED").map { s =>
+      s.split(",").map(_.trim) match {
+        case Array(l, rr) if l.forall(_.isDigit) && rr.forall(_.isDigit)
+            && l.nonEmpty && rr.nonEmpty =>
+          (l.toInt, rr.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"""SPARK_GRAFT_FIXED="$s": expected exactly two ints "L,r"""")
+      }
     }
+    // reported for the JSON line; the auto form re-derives them inside
+    val (tables, r) = fixed.getOrElse(
+      graft.datax.Dedup.bandsFor(nIndex, threshold))
     val t0 = System.nanoTime()
     val outcome =
       try {
         val pairs = (fixed match {
-          case Some(Array(l, rr)) => graft.datax.Dedup
+          case Some((l, rr)) => graft.datax.Dedup
             .embeddingNearDupsIncremental(batch, index, "vec_id",
               "embedding", l, rr, threshold) // default tripwire ON
-          case _ => graft.datax.Dedup.embeddingNearDupsIncrementalAuto(
+          case None => graft.datax.Dedup.embeddingNearDupsIncrementalAuto(
             batch, index, "vec_id", "embedding", threshold)
         }).count()
         s""""pairs":$pairs"""

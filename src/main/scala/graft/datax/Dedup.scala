@@ -291,15 +291,30 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs, verified with exact Jaccard.
     * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
-    * (> 0). */
+    * (> 0).
+    *
+    * `metricSuffix` (round 16): appended to the occupancy metric name
+    * (`graft.lsh.occupancy.minhash.<suffix>`) so two observed calls to
+    * the SAME entrypoint can compose inside ONE action — Spark fails
+    * duplicate observation names at analysis (the round-15 deterministic
+    * names are a documented fail-fast), and the union-of-two-LSH-passes
+    * pipeline is exactly the caller that needs to disambiguate. Empty
+    * (default) keeps the stable per-entrypoint name a metrics pipeline
+    * keys on. Same knob on every entrypoint that can emit the metric. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 4, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      metricSuffix: String = ""): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     minhashNearDupsOn(docShingleRows(docs, idCol, textCol, k),
-      numHashes, bands, threshold)
+      numHashes, bands, threshold, metricSuffix)
   }
+
+  /** `base` or `base.suffix` — the observed-metric name rule shared by
+    * every entrypoint taking `metricSuffix`. */
+  private def tagged(base: String, suffix: String): String =
+    if (suffix.isEmpty) base else s"$base.$suffix"
 
   /** Distinct sorted candidate pairs from (bucket-key..., id) rows: the
     * bucket-GROUPING construction every LSH here shares — collect each
@@ -332,8 +347,10 @@ object Dedup {
     * are safe (Spark allows the same CollectMetrics node to recur in a
     * plan — the d21 shape); composing two DIFFERENT opted-out calls to
     * the SAME entrypoint inside ONE action fails at analysis with
-    * Spark's duplicate-observed-metrics error — split the action or
-    * guard one side, rather than silently un-keying the metric. */
+    * Spark's duplicate-observed-metrics error — pass distinct
+    * `metricSuffix` values on the public entrypoints (round 16; the
+    * union-of-two-LSH-passes caller), or split the action / guard one
+    * side, rather than silently un-keying the metric. */
   private def bucketCandidatePairs(rows: DataFrame, bucketCols: Seq[String],
                                    maxOccupancy: Option[Int] = None,
                                    metricTag: String = "lsh"): DataFrame = {
@@ -430,13 +447,14 @@ object Dedup {
   /** [[minhashNearDups]] over an already-built shingle relation — lets
     * eager callers (dedupCorpus) own the cache lifecycle. */
   private def minhashNearDupsOn(exploded: DataFrame, numHashes: Int,
-                                bands: Int, threshold: Double): DataFrame = {
+                                bands: Int, threshold: Double,
+                                metricSuffix: String = ""): DataFrame = {
     // signatures as codegen'd min-aggregates (bandedSigs); the 16 agg
     // inputs share 4 md5 digests (chunk scheme) — hash-aggregate
     // codegen's subexpression elimination computes each digest once
     val banded = bandedSigs(exploded, numHashes, bands)
     verifyJaccard(bucketCandidatePairs(banded, Seq("band", "bsig"),
-        metricTag = "minhash"),
+        metricTag = tagged("minhash", metricSuffix)),
       exploded, threshold)
   }
 
@@ -560,12 +578,13 @@ object Dedup {
                           idCol: String, textCol: String, k: Int = 4,
                           numHashes: Int = 16, bands: Int = 4,
                           threshold: Double = 0.5,
-                          maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+                          maxBucketLoad: Option[Long] = Some(1L << 20),
+                          metricSuffix: String = ""): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     incrementalNearDupsOn(docShingleRows(newDocs, idCol, textCol, k),
       docShingleRows(index, idCol, textCol, k), numHashes, bands, threshold,
-      maxBucketLoad)
+      maxBucketLoad, metricSuffix)
   }
 
   /** [[incrementalNearDups]] over already-built shingle relations — lets
@@ -573,10 +592,12 @@ object Dedup {
   private def incrementalNearDupsOn(ne: DataFrame, ie: DataFrame,
                                     numHashes: Int, bands: Int,
                                     threshold: Double,
-                                    maxBucketLoad: Option[Long]): DataFrame = {
+                                    maxBucketLoad: Option[Long],
+                                    metricSuffix: String = ""): DataFrame = {
     val cand = crossBucketCandidatePairs(
       bandedSigs(ne, numHashes, bands), bandedSigs(ie, numHashes, bands),
-      Seq("band", "bsig"), maxBucketLoad, metricTag = "inc_text")
+      Seq("band", "bsig"), maxBucketLoad,
+      metricTag = tagged("inc_text", metricSuffix))
     verifyJaccardSides(cand, ne, ie, threshold)
   }
 
@@ -595,12 +616,13 @@ object Dedup {
                                    textCol: String, k: Int = 4,
                                    numHashes: Int = 16, bands: Int = 4,
                                    threshold: Double = 0.5,
-                                   maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+                                   maxBucketLoad: Option[Long] = Some(1L << 20),
+                                   metricSuffix: String = ""): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     prebandedPairsOn(docShingleRows(newDocs, idCol, textCol, k), index,
       indexBands, idCol, textCol, k, numHashes, bands, threshold,
-      maxBucketLoad)._1
+      maxBucketLoad, metricSuffix)._1
   }
 
   /** [[incrementalNearDupsPrebanded]] with (k, numHashes, bands) read
@@ -614,10 +636,11 @@ object Dedup {
                                      indexBands: DataFrame, idCol: String,
                                      textCol: String,
                                      threshold: Double = 0.5,
-                                     maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+                                     maxBucketLoad: Option[Long] = Some(1L << 20),
+                                     metricSuffix: String = ""): DataFrame = {
     val (k, numHashes, bands) = textSidecarParams(indexBands)
     incrementalNearDupsPrebanded(newDocs, index, indexBands, idCol, textCol,
-      k, numHashes, bands, threshold, maxBucketLoad)
+      k, numHashes, bands, threshold, maxBucketLoad, metricSuffix)
   }
 
   /** The single (k, h, b) triple a text sidecar was built with, parsed
@@ -657,12 +680,14 @@ object Dedup {
                                indexBands: DataFrame, idCol: String,
                                textCol: String, k: Int, numHashes: Int,
                                bands: Int, threshold: Double,
-                               maxBucketLoad: Option[Long]): (DataFrame, Seq[DataFrame]) = {
+                               maxBucketLoad: Option[Long],
+                               metricSuffix: String = ""): (DataFrame, Seq[DataFrame]) = {
     validateBandSidecar(indexBands, k, numHashes, bands)
     val cand = crossBucketCandidatePairs(
       bandedSigs(ne, numHashes, bands),
       indexBands.select(col("band"), col("bsig"), col("id")),
-      Seq("band", "bsig"), maxBucketLoad, metricTag = "inc_text_prebanded")
+      Seq("band", "bsig"), maxBucketLoad,
+      metricTag = tagged("inc_text_prebanded", metricSuffix))
       // consumed three times below (verify join x2 + size join); tiny
       // (collision pairs), and caching prevents re-running the band join
       .cache()
@@ -1373,12 +1398,13 @@ object Dedup {
     * recall collapses as the plane count grows (see [[planesFor]]);
     * [[embeddingNearDupsBandedAuto]] is the recall-holding form. */
   def embeddingNearDupsAuto(vectors: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double = 0.9): DataFrame =
+                            threshold: Double = 0.9,
+                            metricSuffix: String = ""): DataFrame =
     // maxOccupancy=None: planes ARE derived from n here, so occupancy
     // sits at the design point by construction; the observe() metric
     // keeps the load visible (same rationale as the banded auto form)
     embeddingNearDups(vectors, idCol, vecCol, planesFor(vectors.count()),
-      threshold, maxOccupancy = None)
+      threshold, maxOccupancy = None, metricSuffix = metricSuffix)
 
   /** Dimension of the FIRST non-null, non-empty vector (0 when none
     * exist). Probing `limit(1)` without the null filter either NPEs on
@@ -1411,7 +1437,8 @@ object Dedup {
     * the same `graft.lsh.occupancy` observe() telemetry. */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String,
                         planes: Int = 8, threshold: Double = 0.9,
-                        maxOccupancy: Option[Int] = Some(1024)): DataFrame = {
+                        maxOccupancy: Option[Int] = Some(1024),
+                        metricSuffix: String = ""): DataFrame = {
     maxOccupancy.foreach(m => require(m >= 2, s"maxOccupancy=$m must be >= 2"))
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
@@ -1427,7 +1454,7 @@ object Dedup {
     }
     val bucketRows = v.select(col("id"), concat_ws("", sigExprs: _*).as("bucket"))
     val cand = bucketCandidatePairs(bucketRows, Seq("bucket"), maxOccupancy,
-      metricTag = "embedding")
+      metricTag = tagged("embedding", metricSuffix))
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("_n"))
@@ -1487,7 +1514,8 @@ object Dedup {
   def embeddingNearDupsBanded(vectors: DataFrame, idCol: String, vecCol: String,
                               tables: Int = 8, planesPerTable: Int = 8,
                               threshold: Double = 0.9,
-                              maxOccupancy: Option[Int] = Some(1024)): DataFrame = {
+                              maxOccupancy: Option[Int] = Some(1024),
+                              metricSuffix: String = ""): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     maxOccupancy.foreach(m => require(m >= 2, s"maxOccupancy=$m must be >= 2"))
@@ -1510,7 +1538,7 @@ object Dedup {
       posexplode(graft.functions.BandSignatures.sigs(col("vec"), allPlanes))
         .as(Seq("tbl", "bucket")))
     val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"),
-      maxOccupancy, metricTag = "embedding_banded")
+      maxOccupancy, metricTag = tagged("embedding_banded", metricSuffix))
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("_n"))
@@ -1531,14 +1559,15 @@ object Dedup {
     * threshold stays >= `targetRecall`, with both knobs visible. */
   def embeddingNearDupsBandedAuto(vectors: DataFrame, idCol: String,
                                   vecCol: String, threshold: Double = 0.9,
-                                  targetRecall: Double = 0.9): DataFrame = {
+                                  targetRecall: Double = 0.9,
+                                  metricSuffix: String = ""): DataFrame = {
     val (tables, r) = bandsFor(vectors.count(), threshold, targetRecall)
     // maxOccupancy=None: (L, r) here ARE derived from n, so a bucket
     // past the occupancy bound means genuinely duplicate-heavy data —
     // the candidate load is the answer's own size, not a parameter
     // bug. The occupancy observe() metric keeps that load visible.
     embeddingNearDupsBanded(vectors, idCol, vecCol, tables, r, threshold,
-      maxOccupancy = None)
+      maxOccupancy = None, metricSuffix = metricSuffix)
   }
 
   // ---- incremental embedding dedup (round 14): the batch x index
@@ -1666,7 +1695,8 @@ object Dedup {
                                    idCol: String, vecCol: String,
                                    tables: Int = 8, planesPerTable: Int = 8,
                                    threshold: Double = 0.9,
-                                   maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+                                   maxBucketLoad: Option[Long] = Some(1L << 20),
+                                   metricSuffix: String = ""): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     val nv = newVecs.select(col(idCol).as("id"),
@@ -1679,7 +1709,8 @@ object Dedup {
     val cand = crossBucketCandidatePairs(
       embSigRows(nv, tables, planesPerTable, dim),
       embSigRows(iv, tables, planesPerTable, dim),
-      Seq("tbl", "bucket"), maxBucketLoad, metricTag = "inc_embedding")
+      Seq("tbl", "bucket"), maxBucketLoad,
+      metricTag = tagged("inc_embedding", metricSuffix))
     verifyCosineSides(cand, nv, iv, threshold)
   }
 
@@ -1699,10 +1730,11 @@ object Dedup {
     * observe() metric keeps that load visible. */
   def embeddingNearDupsIncrementalAuto(newVecs: DataFrame, index: DataFrame,
                                        idCol: String, vecCol: String,
-                                       threshold: Double = 0.9): DataFrame = {
+                                       threshold: Double = 0.9,
+                                       metricSuffix: String = ""): DataFrame = {
     val (tables, r) = bandsFor(index.count(), threshold)
     embeddingNearDupsIncremental(newVecs, index, idCol, vecCol, tables, r,
-      threshold, maxBucketLoad = None)
+      threshold, maxBucketLoad = None, metricSuffix = metricSuffix)
   }
 
   /** [[embeddingNearDupsIncremental]] against a PRECOMPUTED
@@ -1718,7 +1750,8 @@ object Dedup {
       index: DataFrame, indexBands: DataFrame, idCol: String, vecCol: String,
       tables: Int = 8, planesPerTable: Int = 8,
       threshold: Double = 0.9,
-      maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+      maxBucketLoad: Option[Long] = Some(1L << 20),
+      metricSuffix: String = ""): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     val nv = newVecs.select(col(idCol).as("id"),
@@ -1731,7 +1764,7 @@ object Dedup {
       embSigRows(nv, tables, planesPerTable, dim),
       indexBands.select(col("tbl"), col("bucket"), col("id")),
       Seq("tbl", "bucket"), maxBucketLoad,
-      metricTag = "inc_embedding_prebanded")
+      metricTag = tagged("inc_embedding_prebanded", metricSuffix))
     val touched = index.join(cand.select(col("id_b").as(idCol)).distinct(),
       Seq(idCol), "left_semi")
     val iv = touched.select(col(idCol).as("id"),
@@ -1748,7 +1781,8 @@ object Dedup {
   def embeddingNearDupsIncrementalFromSidecar(newVecs: DataFrame,
       index: DataFrame, indexBands: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.9,
-      maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+      maxBucketLoad: Option[Long] = Some(1L << 20),
+      metricSuffix: String = ""): DataFrame = {
     val got = distinctSidecarParams(indexBands)
     val re = """L=(\d+),r=(\d+),dim=(\d+)""".r
     val (tables, planes) = got match {
@@ -1758,6 +1792,6 @@ object Dedup {
           "embeddingBandSignatures")
     }
     embeddingNearDupsIncrementalPrebanded(newVecs, index, indexBands,
-      idCol, vecCol, tables, planes, threshold, maxBucketLoad)
+      idCol, vecCol, tables, planes, threshold, maxBucketLoad, metricSuffix)
   }
 }

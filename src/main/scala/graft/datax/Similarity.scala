@@ -834,18 +834,43 @@ object Similarity {
 
   /** Appended-since-build fraction of a persisted index:
     * (rows now - rows at build) / rows at build. None for an index
-    * written before the build_meta sidecar existed. The count is
+    * written before the build_meta sidecar existed, and None for an
+    * index built over an EMPTY corpus (builtN = 0 — a fraction of
+    * nothing is not a signal; feeding Infinity/NaN to the re-quantize
+    * rule would be nonsense, and such an index needs a rebuild the
+    * moment it holds any rows anyway). The count is
     * parquet-metadata-cheap; see [[ivfIndexAppend]] for the
-    * re-quantize rule it feeds. */
+    * re-quantize rule it feeds. Works on both persisted layouts: the
+    * plain [[ivfIndexWrite]] one (`assigned.parquet`) and the IVF-PQ
+    * [[pqIndexWrite]] one (`codes.parquet`). */
   def ivfIndexStaleness(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Option[Double] = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/build_meta.parquet")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(metaPath)) return None
     val builtN = spark.read.parquet(s"$dir/build_meta.parquet")
-      .head().getLong(0)
-    val nowN = spark.read.parquet(s"$dir/assigned.parquet").count()
+      .select("built_n").head().getLong(0)
+    if (builtN == 0L) return None
+    val nowN = spark.read.parquet(s"$dir/${rowTableOf(spark, dir)}").count()
     Some((nowN - builtN).toDouble / builtN)
+  }
+
+  /** Which row table a persisted index directory holds:
+    * `assigned.parquet` ([[ivfIndexWrite]]) or `codes.parquet`
+    * ([[pqIndexWrite]]) — the maintenance family (staleness, compact,
+    * skew) works on either layout. Loud when neither exists. */
+  private def rowTableOf(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    def exists(name: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+      p.getFileSystem(conf).exists(p)
+    }
+    if (exists("assigned.parquet")) "assigned.parquet"
+    else if (exists("codes.parquet")) "codes.parquet"
+    else throw new IllegalArgumentException(
+      s"$dir holds neither assigned.parquet nor codes.parquet — not an " +
+        "ivfIndexWrite/pqIndexWrite index directory")
   }
 
   /** Probe a persisted [[ivfIndexWrite]] index: identical results to

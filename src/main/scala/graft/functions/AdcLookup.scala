@@ -26,8 +26,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * Null semantics: NULL if either argument is NULL (BinaryExpression
   * default); codes and table rows are assumed element-non-null, the
   * encode path's output domain. Codes are 0-based indexes into the
-  * matching subspace's table (bounds are the encoder's contract, like
-  * element dimension is for the dot). */
+  * matching subspace's table, and BOTH eval paths bounds-check them
+  * (round 16): on UnsafeArrayData — the codegen hot path — an
+  * out-of-range `getDouble` reads arbitrary buffer memory and returns
+  * GARBAGE distances instead of failing, so a code table encoded
+  * against a different/larger-ksub codebook would silently yield wrong
+  * top-k. The check is one branch per subspace next to a random memory
+  * read (noise), and the raise names the drift class (codebook/codes
+  * mismatch) so the fix is in the message. */
 case class AdcLookup(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -48,7 +54,11 @@ case class AdcLookup(left: Expression, right: Expression)
     var acc = 0.0
     var s = 0
     while (s < n) {
-      acc += lut.getArray(s).getDouble(codes.getInt(s))
+      val row = lut.getArray(s)
+      val code = codes.getInt(s)
+      if (code < 0 || code >= row.numElements())
+        throw AdcLookup.outOfRange(code, s, row.numElements())
+      acc += row.getDouble(code)
       s += 1
     }
     acc
@@ -59,11 +69,21 @@ case class AdcLookup(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      val code = ctx.freshName("code")
+      // the companion module instance, not a static forwarder — the
+      // forwarder's presence depends on scalac details; MODULE$ doesn't
+      val cls = classOf[AdcLookup].getName + "$.MODULE$"
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $s = 0; $s < $n; $s++) {
-         |  $acc += $y.getArray($s).getDouble($x.getInt($s));
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $y.getArray($s);
+         |  int $code = $x.getInt($s);
+         |  if ($code < 0 || $code >= $row.numElements()) {
+         |    throw $cls.outOfRange($code, $s, $row.numElements());
+         |  }
+         |  $acc += $row.getDouble($code);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -78,4 +98,15 @@ object AdcLookup {
   /** DataFrame-API entry: `adc(codes, lut)` as a Column. */
   def adc(codes: Column, lut: Column): Column =
     Bridge.column(AdcLookup(Bridge.expression(codes), Bridge.expression(lut)))
+
+  /** The named out-of-range raise both eval paths share — called from
+    * generated code too, so it must stay a plain public method on the
+    * companion (referenced as `AdcLookup$.MODULE$`). */
+  def outOfRange(code: Int, sub: Int, ksub: Int): RuntimeException =
+    new IllegalArgumentException(
+      s"[graft-adc] code $code out of range [0, $ksub) in subspace $sub: " +
+        "the code table was encoded against a DIFFERENT codebook than the " +
+        "lookup table was built from (ksub/codebook drift). Re-encode the " +
+        "codes with this codebook (pqEncode), or probe with the index's " +
+        "own stored codebook (ivfPqTopK reads both from one directory).")
 }

@@ -127,6 +127,36 @@ class BenchTrustSpec extends AnyFunSuite {
       sfMatchesPrior = true, totalNotWorse = false))
   }
 
+  test("totalNotWorse compares over the INTERSECTION of query names (round 16): " +
+    "registry growth must not wedge the gate, shrinkage must not rebase it lower") {
+    val floor = Map("a" -> 10.0, "b" -> 20.0, "c" -> 30.0)
+    // GROWTH: same speed on the shared names + 7 new queries' honest
+    // cost. A raw-total compare (60 + new > 60) would fail every future
+    // healthy run forever; the shared-name compare passes.
+    val grown = floor ++ Map("d_new1" -> 5.0, "d_new2" -> 9.0)
+    assert(BenchTrust.totalNotWorse(grown, floor),
+      "new registry entries must not block the floor gate")
+    // ...but a genuinely slower run still fails on the shared names
+    val grownSlower = floor.view.mapValues(_ * 1.3).toMap + ("d_new1" -> 5.0)
+    assert(!BenchTrust.totalNotWorse(grownSlower, floor))
+    // SHRINKAGE: dropping a query must not count as a speedup — the
+    // removed name stops counting on BOTH sides, so a same-speed run
+    // passes and a slower one still fails
+    val shrunkSame = floor - "c"
+    assert(BenchTrust.totalNotWorse(shrunkSame, floor))
+    val shrunkSlower = (floor - "c").view.mapValues(_ * 1.5).toMap
+    assert(!BenchTrust.totalNotWorse(shrunkSlower, floor),
+      "removing a query must not let an elevated run rebase the floor")
+    // permissive fallbacks: no prior map / disjoint names — a clean run
+    // must be able to repair a missing or renamed-world floor
+    assert(BenchTrust.totalNotWorse(floor, Map.empty))
+    assert(BenchTrust.totalNotWorse(floor, Map("zz" -> 1.0)))
+    // crash sentinels (-1 medians) excluded on either side: a crashed
+    // query must not subtract from a total
+    assert(!BenchTrust.totalNotWorse(
+      Map("a" -> 15.0, "b" -> -1.0), Map("a" -> 10.0, "b" -> 20.0)))
+  }
+
   test("parseTotal reads the committed floor's total; absent/corrupt -> None") {
     assert(BenchTrust.parseTotal(
       """{"metric":"total","value":60.942053609,"unit":"sec"}""")

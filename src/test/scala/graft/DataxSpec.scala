@@ -884,6 +884,103 @@ class DataxSpec extends AnyFunSuite {
     both.foreach { case (n, f) => assert(n == f) } // bit-identical
   }
 
+  test("AdcLookup bounds-checks codes in BOTH eval paths: out-of-range raises named error, never garbage") {
+    // review finding (round 15): on UnsafeArrayData — the codegen hot
+    // path — an out-of-range getDouble reads arbitrary buffer memory
+    // and returns garbage distances, so codes encoded against a
+    // larger-ksub codebook would silently yield wrong top-k. Both
+    // paths must raise the named drift error instead.
+    val lut = Seq(Seq(Seq(0.0, 1.0), Seq(2.0, 3.0))) // 2 subspaces x ksub=2
+    // codegen path: code 5 out of range [0, 2)
+    val bad = Seq((Array(0, 5), lut.head)).toDF("codes", "lut")
+    val ex = intercept[Exception] {
+      bad.select(graft.functions.AdcLookup.adc($"codes", $"lut")).collect()
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("[graft-adc] code 5 out of range [0, 2) in subspace 1"),
+      s"expected the named bounds raise, got:\n$chain")
+    // negative codes too
+    val neg = Seq((Array(-1, 0), lut.head)).toDF("codes", "lut")
+    val exNeg = intercept[Exception] {
+      neg.select(graft.functions.AdcLookup.adc($"codes", $"lut")).collect()
+    }
+    val chainNeg = Iterator.iterate(exNeg: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chainNeg.contains("[graft-adc] code -1 out of range"))
+    // interpreted path (nullSafeEval) — the same check, directly
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val expr = graft.functions.AdcLookup(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0, 5), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        lut.head.map(_.toArray).toArray, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+    val exInt = intercept[IllegalArgumentException] {
+      expr.nullSafeEval(
+        new GenericArrayData(Array(0, 5)),
+        new GenericArrayData(lut.head.map(r =>
+          new GenericArrayData(r.toArray)).toArray))
+    }
+    assert(exInt.getMessage.contains("[graft-adc] code 5 out of range"))
+    // in-range values still bit-identical to the fold (regression guard)
+    val ok = Seq((Array(1, 0), lut.head)).toDF("codes", "lut")
+      .select(graft.functions.AdcLookup.adc($"codes", $"lut"))
+      .as[Double].head()
+    assert(ok == 1.0 + 2.0)
+  }
+
+  test("metricSuffix: two opted-out calls to the SAME entrypoint compose in one action") {
+    // review finding (round 15): the deterministic per-entrypoint
+    // metric names made the union-of-two-LSH-passes composition an
+    // analysis-time duplicate-observed-metrics error — the suffix is
+    // the caller-supplied disambiguator, while the default keeps the
+    // stable name a metrics pipeline keys on.
+    val dim = 8
+    def group(base: Long, v: Float) =
+      (0 until 10).map(i => (base + i,
+        Array.tabulate(dim)(j => v * (j + 1)))).toDF("vec_id", "embedding")
+    val g1 = group(0L, 0.1f)
+    val g2 = group(100L, -0.2f) // different direction: no cross-group pairs
+    def pass(df: org.apache.spark.sql.DataFrame, suffix: String) =
+      Dedup.embeddingNearDupsBanded(df, "vec_id", "embedding",
+        tables = 2, planesPerTable = 2, threshold = 0.9,
+        maxOccupancy = None, metricSuffix = suffix)
+    // same default name in one action: the documented fail-fast
+    val ex = intercept[Exception] {
+      pass(g1, "").union(pass(g2, "")).count()
+    }
+    assert(Option(ex.getMessage).exists(_.toLowerCase.contains("metric")),
+      s"expected the duplicate-observed-metrics analysis error, got: $ex")
+    // distinct suffixes: composes, both groups' pairs intact
+    val metrics = scala.collection.concurrent.TrieMap[String, Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, row) => metrics.put(k, row) }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val n = pass(g1, "pass1").union(pass(g2, "pass2")).count()
+      assert(n == 2L * (10 * 9 / 2), s"both passes' pairs must survive, got $n")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!(metrics.contains("graft.lsh.occupancy.embedding_banded.pass1")
+          && metrics.contains("graft.lsh.occupancy.embedding_banded.pass2"))
+          && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(metrics.contains("graft.lsh.occupancy.embedding_banded.pass1")
+          && metrics.contains("graft.lsh.occupancy.embedding_banded.pass2"),
+        s"both suffixed metrics must land; saw: ${metrics.keys}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("PQ: self-coding codebook, codes in range, exact duplicates retrieved at rank 1 with adc 0") {
     // 16 strictly-increasing vectors, n = 16 -> stride 1: EVERY vector
     // is sampled, so the codebook is the vectors themselves and each
