@@ -149,28 +149,38 @@ object DataxQueries {
         ORDER BY query_id, rank"""
   }
 
-  /** Shared PQ replay CTEs (d09c/d09d): stride-sampled subspace
-    * codebook (8 subspaces x 16 centroids x 8 dims over the 64-dim
-    * vectors — centroid j of subspace s is the j-th sampled vector's
-    * s-th slice, the IVF stride rule reused), then per-(vector,
-    * subspace) nearest-centroid codes with squared-L2 folded over
-    * ascending dims (ordered left fold, the d08/d25 bit-exact pattern)
-    * and exact ties to the LOWEST cid — ≡ Spark's
-    * `array_position(dists, array_min(dists))` first-occurrence rule. */
-  private val PqCtes: String = {
-    def sq(a: String, b: String): String =
-      s"""list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-         |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)""".stripMargin
+  /** Ordered squared-L2 fold over the 8-dim subspace slices — the PQ
+    * replays' distance fragment (the d08/d25 bit-exact pattern). */
+  private def pqSq(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+       |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (acc, x) -> acc + x)""".stripMargin
+
+  /** Shared PQ replay CTEs (d09c/d09d/d09e, parameterized for d09f):
+    * stride-sampled subspace codebook (8 subspaces x 16 centroids x 8
+    * dims over the 64-dim vectors — centroid j of subspace s is the
+    * j-th sampled vector's s-th slice, the IVF stride rule reused),
+    * then per-(vector, subspace) nearest-centroid codes with squared-L2
+    * folded over ascending dims (ordered left fold, the d08/d25
+    * bit-exact pattern) and exact ties to the LOWEST cid — ≡ Spark's
+    * `array_position(dists, array_min(dists))` first-occurrence rule.
+    *
+    * `baseCond` restricts which vectors DERIVE the codebook (the `vb`
+    * CTE — stride, samples); codes are always computed over ALL
+    * vectors against it. TRUE (the d09c/d/e form) makes vb ≡ v; the
+    * d09f append replay derives from the base subset and codes the
+    * union — the frozen-codebook closed form. */
+  private def pqCtes(baseCond: String = "TRUE"): String = {
     s"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
-        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        vb AS (SELECT * FROM v WHERE $baseCond),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM vb),
         samp AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec
-                 FROM (SELECT id, vec FROM v, st
+                 FROM (SELECT id, vec FROM vb, st
                        WHERE id % stride = 0 ORDER BY id LIMIT 16)),
         cent AS (SELECT CAST(s.s AS INT) AS sub, CAST(samp.cid AS INT) AS cid,
                         samp.vec[s.s*8+1 : s.s*8+8] AS cvec
                  FROM samp, range(0, 8) s(s)),
         dists AS (SELECT v.id, c.sub, c.cid,
-                    ${sq("(v.vec[c.sub*8+1 : c.sub*8+8])", "c.cvec")} AS d
+                    ${pqSq("(v.vec[c.sub*8+1 : c.sub*8+8])", "c.cvec")} AS d
                   FROM v CROSS JOIN cent c),
         codes AS (
           SELECT id, sub, cid AS code FROM (
@@ -179,6 +189,7 @@ object DataxQueries {
                 ORDER BY d ASC, cid ASC) AS rn
             FROM dists) WHERE rn = 1)"""
   }
+  private val PqCtes: String = pqCtes()
 
   /** d09b: [[IvfSql]] with the quantizer derived from the BASE subset
     * (vec_id % 5 <> 3) and EVERY vector assigned to it — the
@@ -220,6 +231,100 @@ object DataxQueries {
                    ORDER BY cosine DESC, id ASC) AS INT) AS rank
           FROM scored) WHERE rank <= 5
         ORDER BY query_id, rank"""
+  }
+
+  /** The IVF-PQ probe CTEs following [[pqCtes]]'s `codes` in the
+    * chain: stride IVF centroids from the SAME base subset (`vb`),
+    * every vector bucketed against them, queries (vec_id < 16) ranked
+    * to their nProbe buckets, and per-(query, candidate) ADC terms
+    * folded in subspace order. Ends at `sc` (query_id, id, adc_dist)
+    * so callers pick their own rank/limit tail (d09e/f take top-5 by
+    * ADC; d09g reranks the top-20 exactly). */
+  private def IvfPqCoreCtes(baseCond: String, nProbe: Int): String =
+    s"""isamp AS (SELECT id, vec FROM vb, st
+                  WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp),
+        asg AS (SELECT id, centroid_id FROM (
+            SELECT v.id, ic.centroid_id,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY ${cosSql("v.vec", "ic.icvec")} DESC,
+                              ic.centroid_id ASC) AS rn
+            FROM v CROSS JOIN ic) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM $EMB WHERE vec_id < 16),
+        pr AS (SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, ic.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSql("q.qvec", "ic.icvec")} DESC,
+                              ic.centroid_id ASC) AS rn
+            FROM q CROSS JOIN ic) WHERE rn <= $nProbe),
+        term AS (SELECT q.query_id, codes.id, codes.sub,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                     i -> ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i])
+                        * ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i]))),
+                     (acc, x) -> acc + x) AS t
+                 FROM q JOIN pr ON pr.query_id = q.query_id
+                 JOIN asg ON asg.centroid_id = pr.centroid_id
+                 JOIN codes ON codes.id = asg.id
+                 JOIN cent c ON c.sub = codes.sub AND c.cid = codes.code
+                 WHERE codes.id <> q.query_id),
+        sc AS (SELECT query_id, id,
+                 list_reduce(list_prepend(0.0, list(t ORDER BY sub)),
+                   (acc, x) -> acc + x) AS adc_dist
+               FROM term GROUP BY query_id, id)"""
+
+  /** The full composed IVF-PQ replay (d09e, and d09f with the
+    * quantizer/codebook derived from `baseCond`'s subset): [[pqCtes]]'
+    * codes + [[IvfPqCoreCtes]]' pruned ADC scores, top-5 per query. */
+  private def IvfPqSql(baseCond: String = "TRUE"): String =
+    s"""WITH ${pqCtes(baseCond)},
+        ${IvfPqCoreCtes(baseCond, nProbe = 4)}
+        SELECT query_id, rank, id, adc_dist FROM (
+          SELECT query_id, id, adc_dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, id ASC) AS INT) AS rank
+          FROM sc) WHERE rank <= 5
+        ORDER BY query_id, rank"""
+
+  /** Two per-subspace Lloyd rounds over the stride codebook seed
+    * (d09h) — [[KmeansSql]]'s pattern keyed on (sub, cid): assignment
+    * is the pqEncode rule (ordered squared-L2 fold over the 8-dim
+    * slice, exact ties to the LOWEST cid), means are the sequential
+    * id-ordered double fold / count per (sub, cid, dim), empty cells
+    * keep the previous centroid via the left join. */
+  private val PqKmeansSql: String = {
+    def round(i: Int): String = {
+      val prev = if (i == 1) "cent" else s"c${i - 1}"
+      s"""a$i AS (
+          SELECT id, sub, cid AS code FROM (
+            SELECT d.id, d.sub, d.cid,
+                   row_number() OVER (PARTITION BY d.id, d.sub
+                     ORDER BY d.d ASC, d.cid ASC) AS rn
+            FROM (SELECT v.id, c.sub, c.cid,
+                    ${pqSq("(v.vec[c.sub*8+1 : c.sub*8+8])", "c.cvec")} AS d
+                  FROM v CROSS JOIN $prev c) d) WHERE rn = 1),
+        m$i AS (
+          SELECT sub, cid, list(mm ORDER BY dim) AS cvec
+          FROM (
+            SELECT sub, code AS cid, dim,
+                   list_reduce(list_prepend(0.0, list(x ORDER BY id)),
+                     (p, q) -> p + q) / count(*) AS mm
+            FROM (
+              SELECT a.id, a.sub, a.code, d - 1 AS dim,
+                     v.vec[a.sub*8 + d] AS x
+              FROM a$i a JOIN v ON v.id = a.id, unnest(range(1, 9)) AS t(d))
+            GROUP BY sub, code, dim)
+          GROUP BY sub, cid),
+        c$i AS (
+          SELECT c.sub, c.cid, coalesce(m.cvec, c.cvec) AS cvec
+          FROM $prev c LEFT JOIN m$i m ON m.sub = c.sub AND m.cid = c.cid)"""
+    }
+    s"""WITH ${pqCtes()},
+        ${round(1)},
+        ${round(2)}
+        SELECT sub, cid, CAST(d - 1 AS INT) AS dim, cvec[d] AS value
+        FROM c2, unnest(range(1, 9)) AS t(d)
+        ORDER BY sub, cid, dim"""
   }
 
   /** Two Lloyd rounds replayed in SQL: stride seed (as [[IvfSql]]),
@@ -1201,44 +1306,88 @@ object DataxQueries {
             .localCheckpoint(eager = true)
         } finally rmrf(s, tmp)
       },
+      Some(IvfPqSql())),
+
+    /* IVF-PQ APPEND (round 16) — maintenance parity for the serving
+     * index the d09e scaladoc calls the standard 100 TB shape: built on
+     * 80% of the corpus (the d09b residue-3 split), the remaining shard
+     * pqIndexAppend-ed — encoded with the STORED codebook, bucketed
+     * with the STORED centroids, O(shard) — and probed through the
+     * merged partitioned layout. The oracle is the d09f closed form of
+     * write(base) + append(shard) under frozen geometry: quantizer AND
+     * codebook derived from the base subset, every vector coded and
+     * assigned against them (the pqCtes baseCond parameter). */
+    QueryDef("d09f_ivfpq_append",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09f").toString
+        try {
+          val all = embT(s, dir)
+          Similarity.pqIndexWrite(all.filter(col("vec_id") % 5 =!= 3),
+            tmp, nCentroids = 16)
+          Similarity.pqIndexAppend(s, tmp,
+            all.filter(col("vec_id") % 5 === 3))
+          Similarity.ivfPqTopK(s, tmp,
+              all.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(IvfPqSql(baseCond = "id % 5 <> 3"))),
+
+    /* EXACT-RERANK over the IVF-PQ candidates (round 16) — the
+     * documented answer to ADC's noise-regime recall, as an oracle
+     * entry: the persisted index retrieves top-20 by asymmetric
+     * distance (codes only), the 20 candidates' full-precision vectors
+     * are fetched candidate-order, and the final top-5 is exact cosine.
+     * The oracle composes the d09e replay (ADC top-R) with the d08
+     * exact-cosine rank over exactly that candidate set. */
+    QueryDef("d09g_ivfpq_reranked",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09g").toString
+        try {
+          val all = embT(s, dir)
+          Similarity.pqIndexWrite(all, tmp, nCentroids = 16)
+          Similarity.ivfPqTopKReranked(s, tmp,
+              all.filter(col("vec_id") < 16), all,
+              k = 5, rerank = 20, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
       Some(s"""WITH $PqCtes,
-        isamp AS (SELECT id, vec FROM v, st
-                  WHERE id % stride = 0 ORDER BY id LIMIT 16),
-        ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp),
-        asg AS (SELECT id, centroid_id FROM (
-            SELECT v.id, ic.centroid_id,
-                   row_number() OVER (PARTITION BY v.id
-                     ORDER BY ${cosSql("v.vec", "ic.icvec")} DESC,
-                              ic.centroid_id ASC) AS rn
-            FROM v CROSS JOIN ic) WHERE rn = 1),
-        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-              FROM $EMB WHERE vec_id < 16),
-        pr AS (SELECT query_id, centroid_id FROM (
-            SELECT q.query_id, ic.centroid_id,
-                   row_number() OVER (PARTITION BY q.query_id
-                     ORDER BY ${cosSql("q.qvec", "ic.icvec")} DESC,
-                              ic.centroid_id ASC) AS rn
-            FROM q CROSS JOIN ic) WHERE rn <= 4),
-        term AS (SELECT q.query_id, codes.id, codes.sub,
-                   list_reduce(list_prepend(0.0, list_transform(range(1, 9),
-                     i -> ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i])
-                        * ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i]))),
-                     (acc, x) -> acc + x) AS t
-                 FROM q JOIN pr ON pr.query_id = q.query_id
-                 JOIN asg ON asg.centroid_id = pr.centroid_id
-                 JOIN codes ON codes.id = asg.id
-                 JOIN cent c ON c.sub = codes.sub AND c.cid = codes.code
-                 WHERE codes.id <> q.query_id),
-        sc AS (SELECT query_id, id,
-                 list_reduce(list_prepend(0.0, list(t ORDER BY sub)),
-                   (acc, x) -> acc + x) AS adc_dist
-               FROM term GROUP BY query_id, id)
-        SELECT query_id, rank, id, adc_dist FROM (
+        ${IvfPqCoreCtes("TRUE", nProbe = 4)},
+        cand AS (SELECT query_id, id FROM (
           SELECT query_id, id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, id ASC) AS rank
+          FROM sc) WHERE rank <= 20),
+        ex AS (SELECT c.query_id, c.id,
+                 ${dotSql("v.vec", "q.qvec")}
+                   / (sqrt(${dotSql("v.vec", "v.vec")})
+                      * sqrt(${dotSql("q.qvec", "q.qvec")})) AS cosine
+               FROM cand c JOIN v ON v.id = c.id
+               JOIN q ON q.query_id = c.query_id)
+        SELECT query_id, rank, id, cosine FROM (
+          SELECT query_id, id, cosine,
                  CAST(row_number() OVER (PARTITION BY query_id
-                   ORDER BY adc_dist ASC, id ASC) AS INT) AS rank
-          FROM sc) WHERE rank <= 5
+                   ORDER BY cosine DESC, id ASC) AS INT) AS rank
+          FROM ex) WHERE rank <= 5
         ORDER BY query_id, rank""")),
+
+    /* LLOYD-REFINED PQ CODEBOOK (round 16) — the d29 treatment applied
+     * to the subspace codebook: two Lloyd rounds over the stride seed,
+     * per (sub, cid, dim) means as the sequential id-ordered double
+     * fold / count (bit-exact cross-engine), assignment = the pqEncode
+     * rule (ordered squared-L2 fold, ties to the LOWEST cid), empty
+     * cells keep their previous centroid. Flattened to (sub, cid, dim,
+     * value) rows for the scalar hash compare. */
+    QueryDef("d09h_pq_codebook_kmeans",
+      (s, dir) => Similarity.pqCentroidsKMeans(embT(s, dir),
+          m = 8, ksub = 16, iterations = 2)
+        .select(col("sub"), col("cid"),
+          posexplode(col("cvec")).as(Seq("dim", "value")))
+        .orderBy("sub", "cid", "dim"),
+      Some(PqKmeansSql)),
 
     /* Lloyd-refined IVF centroids, oracle-stable: ordered-fold means
      * (avg() is summation-order-dependent; the id-ordered sequential

@@ -54,24 +54,47 @@ object DedupStream {
   def writer(incoming: DataFrame, indexRoot: String, idCol: String,
              textCol: String, k: Int = 4, numHashes: Int = 16,
              bands: Int = 8, threshold: Double = 0.5,
-             maxBucketLoad: Option[Long] = Some(1L << 20)): DataStreamWriter[Row] =
+             maxBucketLoad: Option[Long] = Some(1L << 20),
+             onMalformed: Option[String] = None,
+             quarantineDir: Option[String] = None): DataStreamWriter[Row] =
     incoming.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexRoot, idCol, textCol, k,
-          numHashes, bands, threshold, maxBucketLoad)
+          numHashes, bands, threshold, maxBucketLoad, onMalformed,
+          quarantineDir)
       }
 
   /** One micro-batch of the loop — public so the crash-replay contract
     * is directly testable: calling it again with the SAME batchId (the
     * replay case, including after a crash that left only some of the
     * three partitions written) rewrites that batch's partitions and
-    * leaves the index exactly as a single clean run would. */
+    * leaves the index exactly as a single clean run would.
+    *
+    * `onMalformed` (round 16): the [[graft.datax.TextStats.validDocuments]]
+    * entry contract ON the ingest loop — continuous ingest is the one
+    * place the ST3 dead-letter posture must be an option on the drive,
+    * not compose-in-front caller discipline (no human watches a
+    * micro-batch). `None` (default) keeps the historical behavior:
+    * null/whitespace docs flow into the dedup rules, which handle them
+    * silently (null-safe fingerprints group them; sub-k docs are
+    * invisible to MinHash) — they may enter the index. `Some("fail"/
+    * "drop"/"dropWarn"/"quarantine")` applies validDocuments to each
+    * micro-batch FIRST, over the persisted batch frame (so quarantine's
+    * extra pass reads the cache, not the source twice). Quarantine
+    * replay caveat: the dead-letter write is a plain append, so a
+    * Structured Streaming replay of a crashed batch can append its
+    * malformed rows twice — dedup the quarantine output by id
+    * downstream (the validDocuments scaladoc's standing rule); the
+    * INDEX stays exactly-once via the partition-overwrite protocol
+    * regardless. */
   def processBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                    idCol: String, textCol: String, k: Int = 4,
                    numHashes: Int = 16, bands: Int = 8,
                    threshold: Double = 0.5,
-                   maxBucketLoad: Option[Long] = Some(1L << 20)): Unit = {
+                   maxBucketLoad: Option[Long] = Some(1L << 20),
+                   onMalformed: Option[String] = None,
+                   quarantineDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val (docsDir, bandsDir, fpsDir) =
       (s"$indexRoot/docs", s"$indexRoot/bands", s"$indexRoot/fps")
@@ -85,8 +108,13 @@ object DedupStream {
       else None
     // the batch frame re-executes its source per action; the dedup
     // pipeline reads it several times
-    val b = batch.persist()
+    val raw = batch.persist()
     try {
+      val b = onMalformed match {
+        case Some(mode) => graft.datax.TextStats.validDocuments(
+          raw, textCol, mode, quarantineDir)
+        case None => raw
+      }
       val survivors = (priorOnly(docsDir) match {
         case Some(index) =>
           Dedup.dedupIncrement(b,
@@ -130,7 +158,7 @@ object DedupStream {
             .write.mode("overwrite").parquet(s"$fpsDir/batch=$batchId")))
         ()
       } finally { survivors.unpersist(); () }
-    } finally { b.unpersist(); () }
+    } finally { raw.unpersist(); () }
     ()
   }
 
@@ -147,11 +175,13 @@ object DedupStream {
                       threshold: Double = 0.5,
                       onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                         _ => (),
-                      maxBucketLoad: Option[Long] = Some(1L << 20)): Unit = {
+                      maxBucketLoad: Option[Long] = Some(1L << 20),
+                      onMalformed: Option[String] = None,
+                      quarantineDir: Option[String] = None): Unit = {
     val trace = StreamOps.driveCollectingProgress(
       incoming.sparkSession.streams,
       writer(incoming, indexRoot, idCol, textCol, k, numHashes, bands,
-          threshold, maxBucketLoad)
+          threshold, maxBucketLoad, onMalformed, quarantineDir)
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start())
@@ -185,13 +215,16 @@ object DedupStream {
                          maxFilesPerTrigger: Int = 1,
                          onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                            _ => (),
-                         maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+                         maxBucketLoad: Option[Long] = Some(1L << 20),
+                         onMalformed: Option[String] = None,
+                         quarantineDir: Option[String] = None): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     val incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     runAvailableNow(incoming, indexRoot, idCol, textCol, checkpointDir,
-      k, numHashes, bands, threshold, onProgress, maxBucketLoad)
+      k, numHashes, bands, threshold, onProgress, maxBucketLoad,
+      onMalformed, quarantineDir)
     visibleIndex(spark, s"$indexRoot/docs")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .localCheckpoint(eager = true)

@@ -1103,6 +1103,199 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("pqIndexAppend: probe == frozen-geometry rebuild over the union; staleness/skew/compact work on the PQ layout") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    // residue 3, not 0: the stride quantizer picks ids divisible by
+    // stride (see the ivfIndexAppend spec)
+    val base = emb.filter($"vec_id" % 5 =!= 3)
+    val shard = emb.filter($"vec_id" % 5 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqapp").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pqreb").toString
+    try {
+      Similarity.pqIndexWrite(base, dir, nCentroids = 16)
+      Similarity.pqIndexAppend(spark, dir, shard)
+      val queries = emb.filter($"vec_id" < 16)
+      val appended = Similarity.ivfPqTopK(spark, dir, queries, k = 5, nProbe = 4)
+      // the pin: append changes bucket contents and code rows, never
+      // geometry — probing the appended index ≡ probing a
+      // pqIndexWriteWith rebuild of the union under the SAME stored
+      // (centroids, codebook)
+      val centroids = Similarity.ivfIndex(base, nCentroids = 16)._1
+      val book = Similarity.pqCentroids(base)
+      Similarity.pqIndexWriteWith(emb, dir2, centroids, book)
+      val rebuilt = Similarity.ivfPqTopK(spark, dir2, queries, k = 5, nProbe = 4)
+      assert(appended.orderBy("query_id", "rank").collect().toSeq
+        == rebuilt.orderBy("query_id", "rank").collect().toSeq)
+      // appended code rows landed inside the pruned layout
+      val plan = appended.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("codes.parquet") && l.contains("PartitionFilters")
+            && !l.contains("PartitionFilters: []")),
+        s"append must preserve code-partition pruning:\n$plan")
+      // the maintenance family reads the PQ layout too
+      val (nBase, nShard) = (base.count(), shard.count())
+      val staleness = Similarity.ivfIndexStaleness(spark, dir)
+      assert(staleness.exists(s => math.abs(s - nShard.toDouble / nBase) < 1e-12),
+        s"expected ${nShard.toDouble / nBase}, got $staleness")
+      // skew: max/median of the per-bucket rows, checked against an
+      // independent computation off the same table
+      val counts = spark.read.parquet(s"$dir/codes.parquet")
+        .groupBy("centroid_id").count()
+        .as[(Long, Long)].collect().map(_._2).sorted
+      val median =
+        if (counts.length % 2 == 1) counts(counts.length / 2).toDouble
+        else (counts(counts.length / 2 - 1) + counts(counts.length / 2)) / 2.0
+      val skew = Similarity.ivfIndexSkew(spark, dir)
+      assert(skew.exists(s => math.abs(s - counts.last / median) < 1e-12),
+        s"expected ${counts.last / median}, got $skew")
+      // compaction on the codes layout: fewer files, identical probe
+      val before = appended.orderBy("query_id", "rank").collect().toSeq
+      val (fb, fa) = Similarity.ivfIndexCompact(spark, dir, slack = 0)
+      assert(fa < fb, s"append left $fb files; compact must shrink, got $fa")
+      val after = Similarity.ivfPqTopK(spark, dir, queries, k = 5, nProbe = 4)
+      assert(after.orderBy("query_id", "rank").collect().toSeq == before,
+        "compaction must not move a single probe row")
+    } finally Seq(dir, dir2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("ivfPqTopKReranked: R = corpus & nProbe = all IS brute force; exact rerank recovers what ADC misorders") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqrr").toString
+    try {
+      Similarity.pqIndexWrite(emb, dir, nCentroids = 16)
+      val queries = emb.filter($"vec_id" < 8)
+      val n = emb.count().toInt
+      // the exactness pin: retrieving EVERY candidate and reranking
+      // exactly is bruteForceTopK, bit for bit (same fold, same ties)
+      val reranked = Similarity.ivfPqTopKReranked(spark, dir, queries, emb,
+          k = 5, rerank = n, nProbe = 16)
+        .orderBy("query_id", "rank").collect().toSeq
+      val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(reranked.nonEmpty && reranked == brute)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    // the recall pin, on a corpus built so ADC MUST misorder: ADC is
+    // squared L2 on un-normalized vectors, cosine is scale-invariant —
+    // a 2x-scaled twin of the query direction has cosine 1.0 (the true
+    // nearest) but large L2 distance to every codebook cell the query
+    // is near, so the ADC-only top-1 picks the L2-nearest distractor
+    // (v3, one dim off the query — cosine < 1) while the exact rerank
+    // of the SAME retrieved set recovers the twin. The query direction
+    // is NOT any base vector's (else the base vector ties the twin at
+    // cosine 1.0 and wins on id).
+    val dim = 64
+    val base = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => (i * dim + j).toFloat / 100f)))
+    val u = base(3)._2.clone(); u(0) += 0.05f // near v3, distinct direction
+    val twin = (100L, u.map(_ * 2.0f)) // the query's direction, 2x magnitude
+    val corpus = (base :+ twin).toDF("vec_id", "embedding")
+    val query = Seq((200L, u)).toDF("vec_id", "embedding")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pqrr2").toString
+    try {
+      Similarity.pqIndexWrite(corpus, dir2, nCentroids = 4, m = 8, ksub = 16)
+      val adcOnly = Similarity.ivfPqTopK(spark, dir2, query, k = 1, nProbe = 4)
+        .select("id").as[Long].collect()
+      val rr = Similarity.ivfPqTopKReranked(spark, dir2, query, corpus,
+          k = 1, rerank = 17, nProbe = 4)
+        .select("id", "cosine").as[(Long, Double)].collect()
+      assert(rr.length == 1 && rr.head._1 == 100L
+          && math.abs(rr.head._2 - 1.0) < 1e-12,
+        s"rerank must recover the scaled twin at cosine 1, got ${rr.toSeq}")
+      assert(adcOnly.headOption.contains(3L),
+        s"precondition: ADC-only must pick the same-magnitude v3, got ${adcOnly.toSeq}")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir2)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("pqCentroidsKMeans: fixed point on the self-coding fixture; encode error never increases on real data") {
+    // 16 vectors, ksub=16, stride 1: the seed cells hold exactly one
+    // member each (self-coding), so assignment is the identity and the
+    // per-cell mean is the member itself — Lloyd must be a FIXED POINT
+    val base = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(64)(j => (i * 64 + j).toFloat / 100f)))
+    val df16 = base.toDF("vec_id", "embedding")
+    val seed = Similarity.pqCentroids(df16)
+      .orderBy("sub", "cid").as[(Int, Int, Seq[Double])].collect().toSeq
+    val refined = Similarity.pqCentroidsKMeans(df16, iterations = 2)
+      .orderBy("sub", "cid").as[(Int, Int, Seq[Double])].collect().toSeq
+    assert(refined == seed, "Lloyd over singleton cells must not move")
+
+    // on the real (non-uniform) embeddings, each Lloyd round weakly
+    // decreases the total encode distance — the reason the refined
+    // book exists; computed driver-side against both books
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val vecs = emb.as[(Long, Array[Float])].collect()
+      .map { case (_, v) => v.map(_.toDouble) }
+    def encodeError(bookDf: org.apache.spark.sql.DataFrame): Double = {
+      val book = bookDf.orderBy("sub", "cid")
+        .as[(Int, Int, Seq[Double])].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3.toArray))
+      vecs.map { v =>
+        book.zipWithIndex.map { case (cells, s) =>
+          cells.map { c =>
+            var d = 0.0
+            var j = 0
+            while (j < 8) {
+              val x = v(s * 8 + j) - c(j); d += x * x; j += 1
+            }
+            d
+          }.min
+        }.sum
+      }.sum
+    }
+    val e0 = encodeError(Similarity.pqCentroids(emb))
+    val e1 = encodeError(Similarity.pqCentroidsKMeans(emb, iterations = 1))
+    val e2 = encodeError(Similarity.pqCentroidsKMeans(emb, iterations = 2))
+    assert(e1 <= e0 && e2 <= e1,
+      s"Lloyd must not increase encode error: $e0 -> $e1 -> $e2")
+    assert(e1 < e0, "one round on non-uniform data must actually tighten")
+  }
+
+  test("probe subtrees execute once: the checkpointed probes cut the centroids re-scan out of the served plan") {
+    // verdict r15 #2: ivfPqTopK/ivfTopKIndexed computed the queries x
+    // centroids rank twice — once for the pruning pull, once as the
+    // scoring join's broadcast side. The probes frame is now
+    // localCheckpoint'ed before the collect, so the SERVED plan reads
+    // the materialized probes (a scan) instead of re-executing the
+    // rank — no centroids.parquet scan may remain in it. Values are
+    // pinned by the d09a/d09e oracles and the equality specs above.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-once").toString
+    try {
+      Similarity.ivfIndexWrite(emb, dir, nCentroids = 16)
+      val ivf = Similarity.ivfTopKIndexed(spark, dir, queries, k = 5, nProbe = 4)
+      assert(!ivf.queryExecution.executedPlan.toString.contains("centroids.parquet"),
+        "ivfTopKIndexed must not re-execute the centroid rank in the served plan")
+      val dirPq = java.nio.file.Files.createTempDirectory("graft-once2").toString
+      try {
+        Similarity.pqIndexWrite(emb, dirPq, nCentroids = 16)
+        val pq = Similarity.ivfPqTopK(spark, dirPq, queries, k = 5, nProbe = 4)
+        assert(!pq.queryExecution.executedPlan.toString.contains("centroids.parquet"),
+          "ivfPqTopK must not re-execute the centroid rank + LUT build in the served plan")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dirPq)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("incremental embedding dedup == cross-side pairs of the full banded form") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")

@@ -1266,6 +1266,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(docIds == Seq(3L, 31L))
   }
 
+  test("processBatch onMalformed=quarantine: malformed rows dead-letter with reasons, survivors unchanged; default keeps the historical pass-through") {
+    import graft.streaming.DedupStream
+    // verdict r15 #4: continuous ingest is the one place the ST3
+    // dead-letter posture must be an option ON the drive — before this,
+    // validDocuments was compose-in-front caller discipline and the
+    // loop silently relied on null-safe fingerprint rules.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-valid").toString
+    val root = s"$dir/index"
+    val qdir = s"$dir/quarantine"
+    def docIds = DedupStream.visibleIndex(spark, s"$root/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def proc(b: org.apache.spark.sql.DataFrame, id: Long) =
+      DedupStream.processBatch(b, id, root, "doc_id", "text", bands = 8,
+        threshold = 0.4, onMalformed = Some("quarantine"),
+        quarantineDir = Some(qdir))
+    proc(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "   \t ")).toDF("doc_id", "text"), 0L)
+    assert(docIds == Seq(1L), "only the clean doc enters the index")
+    def quarantined = spark.read.parquet(qdir)
+      .select("doc_id", "malformed_reason").as[(Long, String)]
+      .collect().toMap
+    assert(quarantined == Map(2L -> "null_text", 3L -> "empty_text"),
+      s"dead-letters carry reasons, got $quarantined")
+    // survivors of a later batch are untouched by the validation: the
+    // near-dup still drops against the index, the novel doc appends,
+    // the malformed row dead-letters
+    proc(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog at dawn today"),
+      (11L, "fresh new content appearing for the first time right here"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text"), 1L)
+    assert(docIds == Seq(1L, 11L),
+      "near-dup drops, novel appends — dedup semantics unchanged")
+    assert(quarantined == Map(2L -> "null_text", 3L -> "empty_text",
+      12L -> "null_text"))
+    // default (None): the historical silent pass-through — malformed
+    // rows flow into the null-safe dedup rules and may enter the index
+    val root2 = s"$dir/index2"
+    DedupStream.processBatch(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      0L, root2, "doc_id", "text", bands = 8, threshold = 0.4)
+    val ids2 = DedupStream.visibleIndex(spark, s"$root2/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids2 == Seq(1L, 2L),
+      "default keeps the pre-round-16 behavior: the null doc passes through")
+  }
+
   test("ingestAvailableNow: multi-file AvailableNow drive == the sequential processBatch composition") {
     import graft.streaming.{BatchFiles, DedupStream}
     val dir = java.nio.file.Files.createTempDirectory("graft-d52-spec").toString
