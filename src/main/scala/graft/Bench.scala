@@ -144,6 +144,35 @@ object Bench {
       }.sorted
       ts(1)
     }
+    // PRE-RUN I/O WARMUP (round 16, verdict #3): the box's round-15
+    // degradation axis was a START-LOADED I/O window — five-for-five
+    // fresh JVMs began with the scan+shuffle canary 2-3x elevated and
+    // the elevation DRAINED over the run ([0.457 -> 0.147] in the r15
+    // driver run), so the alphabetically-early c-family ate the cold
+    // window every run. One throwaway full pass over every table at the
+    // timed SF (noop sink — real reads, not metadata counts) before the
+    // first canary lets the elevation drain on un-timed work; the
+    // io_canary [start, end] pair then measures whether it worked
+    // (converged ≈ drained). SPARK_GRAFT_IO_WARMUP=0 disables (the A/B
+    // knob); the spent seconds ship in the artifact as io_warmup.
+    val ioWarmupOn = !sys.env.get("SPARK_GRAFT_IO_WARMUP").contains("0")
+    val ioWarmupSec: Double =
+      if (!ioWarmupOn) -1.0
+      else {
+        val t0 = System.nanoTime()
+        val root = new org.apache.hadoop.fs.Path(sfDir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .foreach { p =>
+            try spark.read.parquet(p.toString)
+              .write.format("noop").mode("overwrite").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] io warmup ${p.getName} failed: ${e.getMessage}")
+            }
+          }
+        (System.nanoTime() - t0) / 1e9
+      }
     val ioCanaryStart = ioCanary()
     val canaryEvery = sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "10").toInt.max(1)
     val canaryTol = sys.env.getOrElse("SPARK_GRAFT_CANARY_TOL", "2.0").toDouble
@@ -264,7 +293,7 @@ object Bench {
       .map { case (n, ratio) => "\"" + n + "\":" + f"$ratio%.2f" }
       .mkString("{", ",", "}")
     val ioCanaryEnd = ioCanary()
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"canary":[${allCanaries.head},${allCanaries.last}],"canaries":$canariesJson,"io_canary":[${f"$ioCanaryStart%.3f"},${f"$ioCanaryEnd%.3f"}],"trusted":$trusted,"untrusted":$untrustedJson,"prior_regressed":$priorJson,"passes":$pass,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"spread":$spread,"failed":$failed,"canary":[${allCanaries.head},${allCanaries.last}],"canaries":$canariesJson,"io_canary":[${f"$ioCanaryStart%.3f"},${f"$ioCanaryEnd%.3f"}],"io_warmup":${f"$ioWarmupSec%.2f"},"trusted":$trusted,"untrusted":$untrustedJson,"prior_regressed":$priorJson,"passes":$pass,"sf":"$sfDir"}"""
     println(json)
     // sbt decorates stdout ([info]/[success] lines), which can defeat a
     // line-oriented parse downstream — drop a clean copy next to the
