@@ -73,8 +73,10 @@ object Similarity {
     *    returned frame is never executed, and the two passes over a
     *    NON-deterministic source may see different rows. Call once,
     *    on a deterministic input; dedup the quarantine output by id
-    *    downstream if a replay wrapper may re-invoke it. Text twin:
-    *    [[TextStats.validDocuments]].
+    *    downstream if a replay wrapper may re-invoke it — or use
+    *    [[validEmbeddingsSplit]], the LAZY face that returns both
+    *    frames and leaves the dead-letter write (and its idempotence)
+    *    to the caller's sink. Text twin: [[TextStats.validDocuments]].
     */
   def validEmbeddings(vectors: DataFrame, vecCol: String, dim: Int,
                       onMalformed: String = "fail",
@@ -113,6 +115,31 @@ object Similarity {
       case other => throw new IllegalArgumentException(
         s"""onMalformed="$other": expected "fail", "drop", "dropWarn", or "quarantine"""")
     }
+  }
+
+  /** The LAZY dead-letter face of [[validEmbeddings]] (round 16 — the
+    * quarantine mode's eager-write wart designed away for callers who
+    * can own the sink): returns (clean, quarantine) as two PURE frames
+    * over the same input — the quarantine side carries the same
+    * `malformed_reason` column the eager mode writes — with NO side
+    * effect at call time. Composing, inspecting, or retry-wrapping the
+    * pipeline appends nothing; the caller writes the quarantine frame
+    * as part of their own action and owns its idempotence (a
+    * foreachBatch caller lands it next to the batch output; a batch
+    * caller writes it once). The two frames share the input SCAN, not
+    * a materialization — executing both reads the source twice, so
+    * persist upstream if the source is non-deterministic (the same
+    * rule the eager mode documents). Text twin:
+    * [[TextStats.validDocumentsSplit]]. */
+  def validEmbeddingsSplit(vectors: DataFrame, vecCol: String,
+                           dim: Int): (DataFrame, DataFrame) = {
+    require(dim > 0, s"dim=$dim must be positive")
+    val bad = col(vecCol).isNull || size(col(vecCol)) =!= dim
+    (vectors.filter(!bad),
+      vectors.filter(bad).withColumn("malformed_reason",
+        when(col(vecCol).isNull, lit("null_vector"))
+          .otherwise(concat(lit("ragged_dim_"),
+            size(col(vecCol)).cast("string")))))
   }
 
   /** Exact cosine top-k: for each query vector, the k nearest vectors
@@ -851,11 +878,24 @@ object Similarity {
     * AND 32x lighter per row. Vectors themselves are not stored here:
     * at scale the full-precision table lives elsewhere and is touched
     * only by an optional exact rerank of the top candidates. */
+  /** `kmeansIterations` / `pqKmeansIterations` (round 16 — the
+    * [[ivfIndexWrite]] quality knob, for both halves): > 0 Lloyd-refines
+    * the coarse quantizer ([[ivfIndexKMeans]]) and/or the subspace
+    * codebook ([[pqCentroidsKMeans]]); 0 (default) keeps the
+    * deterministic stride forms — the oracle-replayable baseline. */
   def pqIndexWrite(vectors: DataFrame, dir: String, nCentroids: Int = 16,
                    m: Int = 8, ksub: Int = 16,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val centroids = ivfIndex(vectors, nCentroids, idCol, vecCol)._1
-    val book = pqCentroids(vectors, m, ksub, idCol, vecCol)
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   kmeansIterations: Int = 0,
+                   pqKmeansIterations: Int = 0): Unit = {
+    val centroids =
+      if (kmeansIterations > 0)
+        ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
+      else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+    val book =
+      if (pqKmeansIterations > 0)
+        pqCentroidsKMeans(vectors, m, ksub, pqKmeansIterations, idCol, vecCol)
+      else pqCentroids(vectors, m, ksub, idCol, vecCol)
     pqIndexWriteWith(vectors, dir, centroids, book, idCol, vecCol)
   }
 

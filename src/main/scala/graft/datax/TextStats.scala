@@ -111,7 +111,8 @@ object TextStats {
     *    mode("append") — calling twice appends twice, and the input
     *    is read once for the write and once for the main path (make
     *    the source deterministic, or dedup the quarantine output by
-    *    id downstream).
+    *    id downstream — or use [[validDocumentsSplit]], the lazy
+    *    face that leaves the write to the caller's sink).
     */
   def validDocuments(docs: org.apache.spark.sql.DataFrame, textCol: String,
                      onMalformed: String = "fail",
@@ -150,6 +151,22 @@ object TextStats {
       case other => throw new IllegalArgumentException(
         s"""onMalformed="$other": expected "fail", "drop", "dropWarn", or "quarantine"""")
     }
+  }
+
+  /** The LAZY dead-letter face of [[validDocuments]] — the text twin of
+    * [[Similarity.validEmbeddingsSplit]]: (clean, quarantine) as two
+    * pure frames (quarantine carries `malformed_reason`), no side
+    * effect at call time; the caller owns the dead-letter write and its
+    * idempotence. Both frames share the input scan — persist upstream
+    * if the source is non-deterministic. */
+  def validDocumentsSplit(docs: org.apache.spark.sql.DataFrame,
+                          textCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val bad = col(textCol).isNull ||
+      regexp_replace(col(textCol), "\\s+", "") === ""
+    (docs.filter(!bad),
+      docs.filter(bad).withColumn("malformed_reason",
+        when(col(textCol).isNull, lit("null_text"))
+          .otherwise(lit("empty_text"))))
   }
 
   // ------------------------------------------------------------------

@@ -1162,6 +1162,43 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("pqIndexWrite quality knobs: refined components == pqIndexWriteWith of the same refinements") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 8)
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-pqk1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pqk2").toString
+    try {
+      // the Lloyd-refined codebook path is deterministic (ordered
+      // folds), so the knob must be EXACTLY the manual composition
+      Similarity.pqIndexWrite(emb, dir1, nCentroids = 16,
+        pqKmeansIterations = 2)
+      Similarity.pqIndexWriteWith(emb, dir2,
+        Similarity.ivfIndex(emb, nCentroids = 16)._1,
+        Similarity.pqCentroidsKMeans(emb, iterations = 2))
+      val a = Similarity.ivfPqTopK(spark, dir1, queries, k = 5, nProbe = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      val b = Similarity.ivfPqTopK(spark, dir2, queries, k = 5, nProbe = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(a.nonEmpty && a == b)
+      // the coarse-quantizer knob (avg-means Lloyd — quality path, not
+      // oracle-stable): the served index stays probe-able end to end
+      val dir3 = java.nio.file.Files.createTempDirectory("graft-pqk3").toString
+      try {
+        Similarity.pqIndexWrite(emb, dir3, nCentroids = 16,
+          kmeansIterations = 1, pqKmeansIterations = 1)
+        val c = Similarity.ivfPqTopK(spark, dir3, queries, k = 5, nProbe = 4)
+        assert(c.count() == 8L * 5)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir3)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    } finally Seq(dir1, dir2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("ivfPqTopKReranked: R = corpus & nProbe = all IS brute force; exact rerank recovers what ADC misorders") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")

@@ -104,6 +104,22 @@ class ValidDocumentsSpec extends AnyFunSuite {
       s"doc 1 collides with the index, doc 2 survives; got $survivors")
   }
 
+  test("validDocumentsSplit: lazy twin of quarantine — same partition, zero side effects") {
+    // round 16: the eager quarantine's call-time write is a documented
+    // footgun; the split face returns both frames pure. Pin: clean ==
+    // the drop-mode output, quarantine rows/reasons == what the eager
+    // mode writes — and calling/composing repeatedly writes NOTHING.
+    val (clean, quarantine) = TextStats.validDocumentsSplit(fixture, "text")
+    val (clean2, _) = TextStats.validDocumentsSplit(fixture, "text") // re-call: pure
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(clean2.union(clean).select("doc_id").distinct().count() == 2)
+    val reasons = quarantine.select("doc_id", "malformed_reason")
+      .as[(Long, String)].collect().toMap
+    assert(reasons == Map(
+      3L -> "null_text", 4L -> "empty_text", 5L -> "empty_text"),
+      s"same reasons as the eager dead-letter, got $reasons")
+  }
+
   test("invalid policy / missing quarantine dir reject loudly") {
     val badPolicy = intercept[IllegalArgumentException] {
       TextStats.validDocuments(fixture, "text", onMalformed = "ignore")

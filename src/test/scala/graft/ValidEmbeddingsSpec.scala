@@ -113,6 +113,20 @@ class ValidEmbeddingsSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 6)
   }
 
+  test("validEmbeddingsSplit: lazy twin of quarantine — same partition, zero side effects") {
+    // round 16: the split face returns (clean, quarantine) pure — the
+    // composition-safe alternative to the eager dead-letter write
+    val (clean, quarantine) = Similarity.validEmbeddingsSplit(
+      fixture, "embedding", 3)
+    assert(clean.select("vec_id").as[Long].collect().toSet == Set(1L, 2L),
+      "clean side == the drop-mode output")
+    val reasons = quarantine.select("vec_id", "malformed_reason")
+      .as[(Long, String)].collect().toMap
+    assert(reasons == Map(
+      3L -> "null_vector", 4L -> "ragged_dim_2", 5L -> "ragged_dim_0"),
+      s"same reasons as the eager dead-letter, got $reasons")
+  }
+
   test("invalid policy / missing quarantine dir reject loudly") {
     val badPolicy = intercept[IllegalArgumentException] {
       Similarity.validEmbeddings(fixture, "embedding", 3, onMalformed = "ignore")
