@@ -877,12 +877,16 @@ object Similarity {
     * PARTITIONED BY centroid_id, so the probe scan is directory-pruned
     * AND 32x lighter per row. Vectors themselves are not stored here:
     * at scale the full-precision table lives elsewhere and is touched
-    * only by an optional exact rerank of the top candidates. */
-  /** `kmeansIterations` / `pqKmeansIterations` (round 16 — the
+    * only by an optional exact rerank of the top candidates.
+    *
+    * `kmeansIterations` / `pqKmeansIterations` (round 16 — the
     * [[ivfIndexWrite]] quality knob, for both halves): > 0 Lloyd-refines
     * the coarse quantizer ([[ivfIndexKMeans]]) and/or the subspace
     * codebook ([[pqCentroidsKMeans]]); 0 (default) keeps the
-    * deterministic stride forms — the oracle-replayable baseline. */
+    * deterministic stride forms — the oracle-replayable baseline. For
+    * the residual-encoded variant (textbook IVFADC — codes quantize
+    * `vec - centroid`, not the raw vector) see
+    * [[pqIndexWriteResidual]]. */
   def pqIndexWrite(vectors: DataFrame, dir: String, nCentroids: Int = 16,
                    m: Int = 8, ksub: Int = 16,
                    idCol: String = "vec_id", vecCol: String = "embedding",
@@ -915,12 +919,7 @@ object Similarity {
     pqCodeRows(vectors, centroids, codebook, idCol, vecCol)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
-    val book = collectCodebook(codebook)
-    val spark = vectors.sparkSession
-    import spark.implicits._
-    Seq((vectors.count(), book.length, book.headOption.map(_.length).getOrElse(0)))
-      .toDF("built_n", "m", "ksub")
-      .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
+    writePqMeta(vectors, dir, codebook, residual = false)
   }
 
   /** The stored codes-table rows for one corpus slice: (id, codes
@@ -936,6 +935,111 @@ object Similarity {
         s => s.getField("code")).as("codes"))
       .join(ivfAssign(vectors, centroids, idCol, vecCol)
         .select("id", "centroid_id"), "id")
+
+  /** Per-vector IVF residuals: (id, centroid_id, vec = vector MINUS its
+    * assigned centroid) — the quantity textbook IVF-PQ (IVFADC, Jégou
+    * et al. 2011) actually codes: residual norms are a fraction of raw
+    * norms once the coarse quantizer has absorbed the bucket's common
+    * direction, so the same (m, ksub) code budget quantizes residuals
+    * tighter than raw vectors. One broadcast assign pass + one
+    * scan-side zip_with; exact double subtraction, so the whole
+    * residual pipeline stays oracle-replayable. */
+  private def residualRows(vectors: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String): DataFrame =
+    ivfAssign(vectors, centroids, idCol, vecCol)
+      .join(broadcast(centroids), "centroid_id")
+      .select(col("id"), col("centroid_id"),
+        zip_with(col("vec"), col("cvec"), (x, y) => x - y).as("vec"))
+
+  /** Residual-trained subspace codebook: [[pqCentroids]]' stride rule
+    * applied to the RESIDUAL table of a given coarse quantizer. */
+  def pqCentroidsResidual(vectors: DataFrame, centroids: DataFrame,
+                          m: Int = 8, ksub: Int = 16,
+                          idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqCentroids(residualRows(vectors, centroids, idCol, vecCol),
+      m, ksub, "id", "vec")
+
+  /** (id, codes, centroid_id) rows of the RESIDUAL-encoded layout —
+    * the residual twin of [[pqCodeRows]]; the assignment rides the
+    * residual frame, never recomputed. */
+  private def residualCodeRows(res: DataFrame, codebook: DataFrame): DataFrame =
+    pqEncode(res, codebook, "id", "vec")
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("codes"))
+      .join(res.select("id", "centroid_id"), "id")
+
+  /** Persist the RESIDUAL-encoded IVF-PQ index (textbook IVFADC): same
+    * layout and maintenance family as [[pqIndexWrite]], but the
+    * codebook is trained on — and the codes quantize — each vector's
+    * residual against its assigned centroid, so the same m x ksub code
+    * budget spends zero bits re-describing the bucket's common
+    * direction (spec measures the encode-error drop on real data). The
+    * index is SELF-DESCRIBING: build_meta carries `residual = true`,
+    * and [[ivfPqTopK]] / [[pqIndexAppend]] read the flag — a probe
+    * then builds its lookup table per (query, probed centroid) from
+    * `qvec - cvec` (the asymmetric side of IVFADC; K-bounded extra LUT
+    * work, zero extra scan cost), and an append residual-encodes the
+    * shard against the stored geometry. `pqKmeansIterations` > 0
+    * Lloyd-refines the residual codebook ([[pqCentroidsKMeans]] over
+    * the residual table — deterministic ordered folds).
+    *
+    * REGIME BOUNDARY (measured, spec-pinned): residual coding wins
+    * exactly when the coarse quantizer carries information the
+    * codebook cannot — on clustered corpora (the shape real embedding
+    * corpora have) the error drop is wide, but on near-orthogonal
+    * noise the orthogonality identity ||v - c||^2 ~= ||v||^2 + ||c||^2
+    * means subtracting an unrelated centroid ADDS energy and residual
+    * coding LOSES to [[pqIndexWrite]]'s raw form. Same boundary as
+    * ADC recall itself (SCALE.md round 15): pick per corpus. */
+  def pqIndexWriteResidual(vectors: DataFrame, dir: String,
+                           nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           kmeansIterations: Int = 0,
+                           pqKmeansIterations: Int = 0): Unit = {
+    val centroids =
+      if (kmeansIterations > 0)
+        ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
+      else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+    val res = residualRows(vectors, centroids, idCol, vecCol)
+    val book =
+      if (pqKmeansIterations > 0)
+        pqCentroidsKMeans(res, m, ksub, pqKmeansIterations, "id", "vec")
+      else pqCentroids(res, m, ksub, "id", "vec")
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+    residualCodeRows(res, book)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/codes.parquet")
+    writePqMeta(vectors, dir, book, residual = true)
+  }
+
+  /** The PQ build_meta sidecar: (built_n, m, ksub, residual) — the
+    * staleness denominator, the construction params, and the encoding
+    * flag the probe/append faces key on. */
+  private def writePqMeta(vectors: DataFrame, dir: String,
+                          codebook: DataFrame, residual: Boolean): Unit = {
+    val book = collectCodebook(codebook)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    Seq((vectors.count(), book.length,
+        book.headOption.map(_.length).getOrElse(0), residual))
+      .toDF("built_n", "m", "ksub", "residual")
+      .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
+  }
+
+  /** The stored `residual` flag of a persisted PQ index; false for
+    * indexes written before the flag existed (raw-vector encoding was
+    * the only form then). */
+  private def residualFlagOf(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Boolean = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/build_meta.parquet")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) return false
+    val meta = spark.read.parquet(s"$dir/build_meta.parquet")
+    meta.columns.contains("residual") &&
+      meta.select("residual").head().getBoolean(0)
+  }
 
   /** APPEND a new shard to a persisted [[pqIndexWrite]] index without a
     * rebuild — the [[ivfIndexAppend]] increment for the IVF-PQ serving
@@ -956,8 +1060,15 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
     val book = spark.read.parquet(s"$dir/pq_codebook.parquet")
-    pqCodeRows(newVectors, centroids, book, idCol, vecCol)
-      .write.mode("append").partitionBy("centroid_id")
+    // self-describing encode: a residual index ([[pqIndexWriteResidual]])
+    // residual-encodes the shard against the stored geometry — the flag
+    // lives in build_meta, never re-supplied by the caller
+    val rows =
+      if (residualFlagOf(spark, dir))
+        residualCodeRows(residualRows(newVectors, centroids, idCol, vecCol),
+          book)
+      else pqCodeRows(newVectors, centroids, book, idCol, vecCol)
+    rows.write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
   }
 
@@ -979,12 +1090,20 @@ object Similarity {
     val m = book.length
     require(m >= 1, "empty codebook")
     val dsub = book.head.head.length
+    val residual = residualFlagOf(spark, dir)
     val q = queries.select(col(idCol).as("query_id"),
       toDouble(col(vecCol)).as("qvec"))
-    val lutCols = (0 until m).map { s =>
-      val sl = slice(col("qvec"), s * dsub + 1, dsub)
+    // residual index (IVFADC): the asymmetric side subtracts the PROBED
+    // centroid from the query, so the LUT is per (query, centroid) —
+    // built here where cvec is in scope, K-bounded extra work, same
+    // scan cost. Raw index: one LUT per query from qvec directly.
+    def lutOf(v: Column): Column = array((0 until m).map { s =>
+      val sl = slice(v, s * dsub + 1, dsub)
       array(book(s).map(c => sqDist(sl, c.toSeq)): _*)
-    }
+    }: _*)
+    val lutSrc =
+      if (residual) zip_with(col("qvec"), col("cvec"), (x, y) => x - y)
+      else col("qvec")
     // localCheckpoint before the distinct-ids collect (round 16 —
     // verdict finding): the queries x centroids rank feeds BOTH the
     // pruning pull and the broadcast side of the codes join, and
@@ -993,13 +1112,13 @@ object Similarity {
     // nProbe rows carrying one m x ksub LUT each — executor-resident,
     // never a driver pull.
     val probes = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qvec"), col("centroid_id"),
+      .select(col("query_id"), col("qvec"), col("cvec"), col("centroid_id"),
         cosine(col("qvec"), col("cvec")).as("_sim"))
       .withColumn("_rn", row_number().over(
         Window.partitionBy("query_id")
           .orderBy(col("_sim").desc, col("centroid_id").asc)))
       .filter(col("_rn") <= nProbe)
-      .select(col("query_id"), col("centroid_id"), array(lutCols: _*).as("lut"))
+      .select(col("query_id"), col("centroid_id"), lutOf(lutSrc).as("lut"))
       .localCheckpoint(eager = true)
     val probedIds = probes.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq

@@ -286,6 +286,79 @@ object DataxQueries {
           FROM sc) WHERE rank <= 5
         ORDER BY query_id, rank"""
 
+  /** The RESIDUAL IVF-PQ replay (d09i — textbook IVFADC): the stride
+    * IVF quantizer assigns every vector, residuals are exact double
+    * subtraction `vec - centroid`, the subspace codebook is the stride
+    * rule over the RESIDUAL table (same sampled ids — the residual
+    * frame keeps v's ids and count), codes quantize residual slices,
+    * and each query's lookup terms subtract the PROBED centroid first
+    * (the asymmetric side is per (query, centroid)). Same ordered
+    * folds and first-min tie rule as [[pqCtes]]. */
+  private val ResidualIvfPqSql: String = {
+    s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        isamp AS (SELECT id, vec FROM v, st
+                  WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp),
+        asg AS (SELECT id, centroid_id FROM (
+            SELECT v.id, ic.centroid_id,
+                   row_number() OVER (PARTITION BY v.id
+                     ORDER BY ${cosSql("v.vec", "ic.icvec")} DESC,
+                              ic.centroid_id ASC) AS rn
+            FROM v CROSS JOIN ic) WHERE rn = 1),
+        r AS (SELECT v.id, a.centroid_id,
+                list_transform(range(1, 65), i -> v.vec[i] - ic.icvec[i]) AS rvec
+              FROM v JOIN asg a ON a.id = v.id
+              JOIN ic ON ic.centroid_id = a.centroid_id),
+        samp AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, rvec
+                 FROM (SELECT id, rvec FROM r, st
+                       WHERE id % stride = 0 ORDER BY id LIMIT 16)),
+        cent AS (SELECT CAST(s.s AS INT) AS sub, CAST(samp.cid AS INT) AS cid,
+                        samp.rvec[s.s*8+1 : s.s*8+8] AS cvec
+                 FROM samp, range(0, 8) s(s)),
+        dists AS (SELECT r.id, c.sub, c.cid,
+                    ${pqSq("(r.rvec[c.sub*8+1 : c.sub*8+8])", "c.cvec")} AS d
+                  FROM r CROSS JOIN cent c),
+        codes AS (
+          SELECT id, sub, cid AS code FROM (
+            SELECT id, sub, cid,
+              row_number() OVER (PARTITION BY id, sub
+                ORDER BY d ASC, cid ASC) AS rn
+            FROM dists) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM $EMB WHERE vec_id < 16),
+        pr AS (SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, ic.centroid_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY ${cosSql("q.qvec", "ic.icvec")} DESC,
+                              ic.centroid_id ASC) AS rn
+            FROM q CROSS JOIN ic) WHERE rn <= 4),
+        qr AS (SELECT pr.query_id, pr.centroid_id,
+                 list_transform(range(1, 65), i -> q.qvec[i] - ic.icvec[i]) AS qrvec
+               FROM pr JOIN q ON q.query_id = pr.query_id
+               JOIN ic ON ic.centroid_id = pr.centroid_id),
+        term AS (SELECT qr.query_id, codes.id, codes.sub,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+                     i -> ((qr.qrvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i])
+                        * ((qr.qrvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i]))),
+                     (acc, x) -> acc + x) AS t
+                 FROM qr
+                 JOIN asg ON asg.centroid_id = qr.centroid_id
+                 JOIN codes ON codes.id = asg.id
+                 JOIN cent c ON c.sub = codes.sub AND c.cid = codes.code
+                 WHERE codes.id <> qr.query_id),
+        sc AS (SELECT query_id, id,
+                 list_reduce(list_prepend(0.0, list(t ORDER BY sub)),
+                   (acc, x) -> acc + x) AS adc_dist
+               FROM term GROUP BY query_id, id)
+        SELECT query_id, rank, id, adc_dist FROM (
+          SELECT query_id, id, adc_dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, id ASC) AS INT) AS rank
+          FROM sc) WHERE rank <= 5
+        ORDER BY query_id, rank"""
+  }
+
   /** Two per-subspace Lloyd rounds over the stride codebook seed
     * (d09h) — [[KmeansSql]]'s pattern keyed on (sub, cid): assignment
     * is the pqEncode rule (ordered squared-L2 fold over the 8-dim
@@ -1373,6 +1446,27 @@ object DataxQueries {
                    ORDER BY cosine DESC, id ASC) AS INT) AS rank
           FROM ex) WHERE rank <= 5
         ORDER BY query_id, rank""")),
+
+    /* RESIDUAL IVF-PQ (round 16) — textbook IVFADC: the codebook trains
+     * on, and the codes quantize, each vector's residual against its
+     * assigned centroid (exact double subtraction, so the whole
+     * pipeline replays), and each query's LUT subtracts the PROBED
+     * centroid (per-(query, centroid) asymmetric side). The index is
+     * self-describing (build_meta residual=true) — the SAME ivfPqTopK
+     * call serves raw and residual layouts. */
+    QueryDef("d09i_ivfpq_residual",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09i").toString
+        try {
+          val all = embT(s, dir)
+          Similarity.pqIndexWriteResidual(all, tmp, nCentroids = 16)
+          Similarity.ivfPqTopK(s, tmp,
+              all.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(ResidualIvfPqSql)),
 
     /* LLOYD-REFINED PQ CODEBOOK (round 16) — the d29 treatment applied
      * to the subspace codebook: two Lloyd rounds over the stride seed,

@@ -1254,6 +1254,105 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("residual IVF-PQ: self-describing index retrieves exact twins at adc 0 through build AND append; residual encode error beats raw on real data") {
+    // 16 strictly-increasing vectors, n=16 -> stride 1: every RESIDUAL
+    // is a sampled cell, so the residual codebook self-codes and an
+    // exact copy's ADC distance to its twin is exactly 0 — the same
+    // invariant the raw-PQ spec pins, now through the residual path
+    val base = (0 until 16).map(i =>
+      (i.toLong, Array.tabulate(64)(j => (i * 64 + j).toFloat / 100f)))
+    val df16 = base.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqres").toString
+    try {
+      Similarity.pqIndexWriteResidual(df16, dir, nCentroids = 4)
+      val query = Seq((200L, base(3)._2)).toDF("vec_id", "embedding")
+      val top1 = Similarity.ivfPqTopK(spark, dir, query, k = 1, nProbe = 4)
+        .select("id", "adc_dist").as[(Long, Double)].collect()
+      assert(top1.toSeq == Seq((3L, 0.0)),
+        s"the twin must surface at adc 0 through the residual LUT, got ${top1.toSeq}")
+      // APPEND on a residual index must residual-encode the shard
+      // against the STORED geometry (build_meta residual=true — the
+      // flag is the index's, not the caller's): an appended exact copy
+      // lands at adc 0 too; a raw-encoded shard would score garbage
+      val shard = Seq((300L, base(3)._2)).toDF("vec_id", "embedding")
+      Similarity.pqIndexAppend(spark, dir, shard)
+      val top2 = Similarity.ivfPqTopK(spark, dir, query, k = 2, nProbe = 4)
+        .select("rank", "id", "adc_dist").as[(Int, Long, Double)].collect()
+        .sortBy(_._1)
+      assert(top2.toSeq == Seq((1, 3L, 0.0), (2, 300L, 0.0)),
+        s"appended twin must share codes with the original, got ${top2.toSeq}")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+
+    // the reason residual encoding exists — and its regime boundary,
+    // both pinned. Total encode error = sum of min-cell squared L2
+    // over (vector, subspace), driver-side for both forms.
+    def totalError(vecsDf: org.apache.spark.sql.DataFrame,
+                   bookDf: org.apache.spark.sql.DataFrame,
+                   idC: String, vecC: String): Double = {
+      val book = bookDf.orderBy("sub", "cid")
+        .as[(Int, Int, Seq[Double])].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.sortBy(_._2).map(_._3.toArray))
+      val vecs = vecsDf.select(col(idC), col(vecC)).collect()
+        .map(_.getSeq[Double](1).toArray)
+      vecs.map { v =>
+        book.zipWithIndex.map { case (cells, s) =>
+          cells.map { c =>
+            var d = 0.0; var j = 0
+            while (j < 8) { val x = v(s * 8 + j) - c(j); d += x * x; j += 1 }
+            d
+          }.min
+        }.sum
+      }.sum
+    }
+    def errorsOf(corpus: org.apache.spark.sql.DataFrame,
+                 nCentroids: Int): (Double, Double) = {
+      val rawVecs = corpus.select(col("vec_id").as("id"),
+        Similarity.toDouble(col("embedding")).as("vec"))
+      val rawErr = totalError(rawVecs, Similarity.pqCentroids(corpus), "id", "vec")
+      val centroids = Similarity.ivfIndex(corpus, nCentroids)._1
+      val res = Similarity.ivfAssign(corpus, centroids)
+        .join(broadcast(centroids), "centroid_id")
+        .select(col("id"),
+          zip_with(col("vec"), col("cvec"), (x, y) => x - y).as("vec"))
+      (rawErr, totalError(res,
+        Similarity.pqCentroidsResidual(corpus, centroids), "id", "vec"))
+    }
+    // CLUSTERED corpus — 64 tight clusters x 2 members, MORE clusters
+    // than the 16 PQ cells can describe but few enough for the 64
+    // coarse centroids: raw PQ must spend its cells on 16 of the 64
+    // cluster centers and pays full center distance on the rest, while
+    // the coarse quantizer absorbs every center and leaves PQ only the
+    // tiny within-cluster offsets — residual error must drop by a wide
+    // margin. (A same-grid fixture where the IVF and PQ stride samples
+    // coincide makes the two errors EQUAL identically — residual
+    // coding's win requires the quantizer to carry information the
+    // codebook cannot.)
+    val clustered = (0 until 128).map { id =>
+      val kk = id / 2
+      (id.toLong, Array.tabulate(64) { j =>
+        (((kk * 64 + j) * 2654435761L % 17).toFloat - 8f) +
+          0.01f * (((id * 40503L + j) % 7).toFloat - 3f)
+      })
+    }.toDF("vec_id", "embedding")
+    val (rawC, resC) = errorsOf(clustered, nCentroids = 64)
+    assert(resC < 0.5 * rawC,
+      s"clustered data: residual must tighten quantization, raw=$rawC residual=$resC")
+    // NOISE regime (the near-orthogonal synthetic embeddings): the
+    // orthogonality identity ||v - c||^2 ~= ||v||^2 + ||c||^2 means
+    // subtracting an unrelated centroid ADDS energy — residual coding
+    // is WORSE here, exactly like ADC recall (the d09d regime notes).
+    // Pinned so the boundary is documented behavior, not a surprise.
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val (rawN, resN) = errorsOf(emb, nCentroids = 16)
+    assert(resN > rawN,
+      s"noise regime: residual coding is expected to LOSE, raw=$rawN residual=$resN")
+  }
+
   test("pqCentroidsKMeans: fixed point on the self-coding fixture; encode error never increases on real data") {
     // 16 vectors, ksub=16, stride 1: the seed cells hold exactly one
     // member each (self-coding), so assignment is the identity and the
