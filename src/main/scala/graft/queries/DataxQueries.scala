@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.datax.{Curation, Dedup, Multimodal, Profile, Similarity, TextStats}
-import graft.streaming.{BatchFiles, DedupStream, StreamOps}
+import graft.streaming.{BatchFiles, DedupStream, EmbedStream, StreamOps}
 
 /** Scale-extension operators — dedup / similarity search / multimodal /
   * text analysis / event-time windows — over the `documents`,
@@ -523,6 +523,40 @@ object DataxQueries {
     * incremental form's side split. */
   private val EmbeddingNearDupIncrementalSql: String =
     embBandedPairsSql(3, 4, 0.25, "a.id % 10 = 0 AND bb.id % 10 <> 0")
+
+  /** d55: the two-batch EMBEDDING ingest fold replayed in SQL — the
+    * vector twin of [[D52Sql]]. Batch A = vec_id ≡ 0,1 (mod 4), batch
+    * B = ≡ 2,3 (BatchFiles splits=4 drained 2 per trigger). All
+    * verified near-dup pairs come from the fixed (3, 4) banded
+    * construction ([[embBandedPairsSql]], cosine >= 0.25); the loop's
+    * rule is pair DOMINATION (the semanticDedup one), not transitive
+    * closure: within a batch every id_b of a within-batch pair drops
+    * (pairs are id_a < id_b over the FULL batch), then a B id pairing
+    * any A-SURVIVOR drops. No fingerprint side — an exact duplicate is
+    * cosine 1 and always collides. */
+  private val D55Sql: String = s"""WITH p_all AS (
+          SELECT id_a, id_b FROM (
+            ${embBandedPairsSql(3, 4, 0.25, "a.id < bb.id")})),
+        a_drop AS (SELECT id_b AS id FROM p_all
+                   WHERE id_a % 4 < 2 AND id_b % 4 < 2),
+        s_a AS (SELECT vec_id AS id FROM $EMB
+                WHERE vec_id % 4 < 2
+                  AND vec_id NOT IN (SELECT id FROM a_drop)),
+        b_drop AS (
+          SELECT id_b AS id FROM p_all
+          WHERE id_a % 4 >= 2 AND id_b % 4 >= 2
+          UNION
+          SELECT p.id_a FROM p_all p JOIN s_a ON p.id_b = s_a.id
+          WHERE p.id_a % 4 >= 2
+          UNION
+          SELECT p.id_b FROM p_all p JOIN s_a ON p.id_a = s_a.id
+          WHERE p.id_b % 4 >= 2),
+        s_b AS (SELECT vec_id AS id FROM $EMB
+                WHERE vec_id % 4 >= 2
+                  AND vec_id NOT IN (SELECT id FROM b_drop))
+        SELECT e.vec_id, e.label FROM $EMB e
+        WHERE e.vec_id IN (SELECT id FROM s_a UNION SELECT id FROM s_b)
+        ORDER BY e.vec_id"""
 
   /** The shared MinHash-LSH CTE chain (shingles -> signatures -> banded
     * rows) — prefixed by every oracle that replays the LSH pipeline
@@ -1446,6 +1480,30 @@ object DataxQueries {
                    ORDER BY cosine DESC, id ASC) AS INT) AS rank
           FROM ex) WHERE rank <= 5
         ORDER BY query_id, rank""")),
+
+    /* The EMBEDDING continuous-ingest loop (round 16) — the vector twin
+     * of d52: vectors stream through EmbedStream in two micro-batches
+     * (splits=4, two files per trigger), each batch dedups within
+     * itself (pair domination — larger id of each verified pair drops)
+     * and against the standing index through the STORED band sidecar,
+     * survivors append as batch partitions under the DedupStream
+     * exactly-once protocol. Fixed (3, 4) seeded planes so the whole
+     * two-batch fold replays closed-form in DuckDB. */
+    QueryDef("d55_embed_ingest",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d55").toString
+        try {
+          BatchFiles.write(embT(s, dir).select("vec_id", "embedding", "label"),
+            s"$tmp/src", "vec_id", splits = 4)
+          EmbedStream.ingestAvailableNow(s, s"$tmp/src", s"$tmp/index",
+              s"$tmp/ckpt", "vec_id", "embedding",
+              tables = 3, planesPerTable = 4, threshold = 0.25,
+              maxFilesPerTrigger = 2)
+            .select("vec_id", "label")
+            .orderBy("vec_id")
+        } finally rmrf(s, tmp)
+      },
+      Some(D55Sql)),
 
     /* RESIDUAL IVF-PQ (round 16) — textbook IVFADC: the codebook trains
      * on, and the codes quantize, each vector's residual against its

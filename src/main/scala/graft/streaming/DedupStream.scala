@@ -310,10 +310,18 @@ object DedupStream {
     * Returns the new cutoff, or None when nothing was compacted. */
   def compactIndex(spark: SparkSession, indexRoot: String,
                    keepLastBatches: Int = 1,
-                   targetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+                   targetBytes: Long = 128L * 1024 * 1024): Option[Long] =
+    compactIndexTables(spark, indexRoot, Seq("docs", "bands", "fps"),
+      keepLastBatches, targetBytes)
+
+  /** [[compactIndex]] over an explicit table list — the protocol is
+    * table-agnostic; [[EmbedStream]] runs it over (vecs, bands). */
+  private[streaming] def compactIndexTables(spark: SparkSession,
+      indexRoot: String, tables: Seq[String], keepLastBatches: Int,
+      targetBytes: Long): Option[Long] = {
     require(keepLastBatches >= 1,
       s"keepLastBatches=$keepLastBatches: the in-flight batch is replayable and must stay")
-    Seq("docs", "bands", "fps").flatMap { t =>
+    tables.flatMap { t =>
       compactIndexTable(spark, s"$indexRoot/$t", keepLastBatches, targetBytes)
     }.headOption
   }
@@ -348,7 +356,13 @@ object DedupStream {
     * Returns the expired cutoff (from the docs table), or None when
     * there is no committed epoch to drop. */
   def expireIndex(spark: SparkSession, indexRoot: String): Option[Long] =
-    Seq("docs", "bands", "fps").flatMap { t =>
+    expireIndexTables(spark, indexRoot, Seq("docs", "bands", "fps"))
+
+  /** [[expireIndex]] over an explicit table list ([[EmbedStream]]'s
+    * (vecs, bands)). */
+  private[streaming] def expireIndexTables(spark: SparkSession,
+      indexRoot: String, tables: Seq[String]): Option[Long] =
+    tables.flatMap { t =>
       val dir = s"$indexRoot/$t"
       gcIndexTable(spark, dir) // heal any crashed compaction first
       compactedUpTo(spark, dir).flatMap { c =>
@@ -436,8 +450,9 @@ object DedupStream {
     * with a parquet file (spark.read.parquet on a missing or empty dir
     * cannot infer a schema and fails instead of returning an empty
     * frame). Epoch dirs (batch=-K) count — after heavy compaction the
-    * whole index may live in one. */
-  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    * whole index may live in one. Shared with [[EmbedStream]] (the
+    * vector loop runs the same batch-partition index protocol). */
+  private[streaming] def hasData(spark: SparkSession, dir: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(root) && Option(fs.globStatus(

@@ -1391,6 +1391,103 @@ class StreamingSpec extends AnyFunSuite {
     (8L, "a brand new batch document with entirely fresh content today yes"))
     .toDF("doc_id", "text")
 
+  // the 9-vector fixture for the EmbedStream drive specs — the vector
+  // twin of d52Docs: with splits=3, batch0 = {3,6,9}, batch1 = {1,4,7},
+  // batch2 = {2,5,8}; near-dup pairs {1,3} {4,8} cross-batch, {2,5}
+  // within-batch, {6,7} exact cross-batch, 9 novel. Directions are
+  // deterministic pseudo-random 64-dim vectors (pairwise near-
+  // orthogonal); a partner adds 1% deterministic noise (cosine ~0.9999
+  // >= the 0.9 threshold).
+  private def embedDir(k: Int): Array[Float] =
+    Array.tabulate(64)(j => (((k * 64 + j) * 2654435761L % 17).toFloat - 8f))
+  private def embedNear(k: Int, salt: Int): Array[Float] = {
+    val base = embedDir(k)
+    Array.tabulate(64)(j =>
+      base(j) + 0.01f * (((salt * 40503L + j) % 7).toFloat - 3f))
+  }
+  private def embedVecs = Seq(
+    (3L, embedDir(0)), (6L, embedDir(1)), (9L, embedDir(2)),
+    (1L, embedNear(0, 1)), (4L, embedDir(3)), (7L, embedDir(1)),
+    (2L, embedDir(4)), (5L, embedNear(4, 5)), (8L, embedNear(3, 8)))
+    .toDF("vec_id", "embedding")
+
+  test("EmbedStream: AvailableNow drive == processBatch composition; replay idempotent; retention works") {
+    import graft.streaming.{BatchFiles, DedupStream, EmbedStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-d55-spec").toString
+    BatchFiles.write(embedVecs, s"$dir/src", "vec_id", splits = 3)
+    val streamed = EmbedStream.ingestAvailableNow(spark, s"$dir/src",
+        s"$dir/index", s"$dir/ckpt", "vec_id", "embedding",
+        tables = 3, planesPerTable = 4, threshold = 0.9)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // 1, 7, 8 drop against EARLIER batches' index; 5 drops within-batch
+    assert(streamed == Seq(2L, 3L, 4L, 6L, 9L), s"got $streamed")
+    // == the same splits driven through processBatch by hand
+    val root2 = s"$dir/index2"
+    (0 until 3).foreach { i =>
+      EmbedStream.processBatch(
+        embedVecs.filter(pmod($"vec_id", lit(3)) === i), i.toLong, root2,
+        "vec_id", "embedding", tables = 3, planesPerTable = 4,
+        threshold = 0.9)
+    }
+    def indexIds(root: String) =
+      DedupStream.visibleIndex(spark, s"$root/vecs")
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(indexIds(root2) == streamed, "drive == batch composition")
+    // REPLAY: re-running a batch (the crash-recovery case) rewrites its
+    // partitions — never double-appends, never self-dedups to empty
+    EmbedStream.processBatch(
+      embedVecs.filter(pmod($"vec_id", lit(3)) === 2), 2L, root2,
+      "vec_id", "embedding", tables = 3, planesPerTable = 4,
+      threshold = 0.9)
+    assert(indexIds(root2) == streamed, "replay leaves the index identical")
+    // the bands sidecar rides along, self-describing
+    val params = DedupStream.visibleIndex(spark, s"$root2/bands")
+      .select("params").distinct().as[String].collect()
+    assert(params.toSeq == Seq("L=3,r=4,dim=64"), s"got ${params.toSeq}")
+    // RETENTION: compact folds old batches (layout-only), expire drops
+    // the consolidated generation — the DedupStream protocol over
+    // (vecs, bands)
+    val before = indexIds(root2)
+    assert(EmbedStream.compactIndex(spark, root2) == Some(1L))
+    assert(indexIds(root2) == before, "compaction is layout-only")
+    assert(EmbedStream.expireIndex(spark, root2) == Some(1L))
+    assert(indexIds(root2) == Seq(2L),
+      "expiry forgets the consolidated generation (batches 0-1); only " +
+        "batch 2's survivor {2} remains")
+  }
+
+  test("EmbedStream validateDim: malformed vectors dead-letter with reasons; default fail raises") {
+    import graft.streaming.{DedupStream, EmbedStream}
+    val dir = java.nio.file.Files.createTempDirectory("graft-d55-valid").toString
+    val root = s"$dir/index"
+    val qdir = s"$dir/quarantine"
+    val batch = Seq(
+      (1L, Some(embedDir(0))),
+      (2L, None),
+      (3L, Some(Array(1.0f, 2.0f)))).toDF("vec_id", "embedding")
+    EmbedStream.processBatch(batch, 0L, root, "vec_id", "embedding",
+      tables = 3, planesPerTable = 4, threshold = 0.9,
+      validateDim = Some(64), onMalformed = "quarantine",
+      quarantineDir = Some(qdir))
+    val ids = DedupStream.visibleIndex(spark, s"$root/vecs")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L), "only the clean vector enters the index")
+    val reasons = spark.read.parquet(qdir)
+      .select("vec_id", "malformed_reason").as[(Long, String)]
+      .collect().toMap
+    assert(reasons == Map(2L -> "null_vector", 3L -> "ragged_dim_2"),
+      s"got $reasons")
+    // the loud default: validateDim with onMalformed left at "fail"
+    val ex = intercept[Throwable] {
+      EmbedStream.processBatch(batch, 0L, s"$dir/index2", "vec_id",
+        "embedding", validateDim = Some(64))
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("malformed embedding"), s"got:\n$chain")
+  }
+
   test("ingestAvailableNow survivors == fold-wise d49 dedupIncrement over the same splits") {
     // closes the loop from the streaming face to the ORACLE-GATED batch
     // op: the drive's survivor set must equal dedupCorpus on split 0
