@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the EMBEDDING ingest loop (round 16): drives N
+  * equal batches of a corpus through [[graft.streaming.EmbedStream]]
+  * and prints per-batch wall + survivors — the claim under
+  * measurement: per-batch cost stays near-flat as the index grows,
+  * because the cross-batch step reads the STORED band sidecar (one
+  * columnar scan of (id, tbl, bucket) rows, linear in index size but a
+  * fraction of re-signing the vectors) and index VECTORS re-enter only
+  * candidate-order. The text twin is IngestScaleProbe.
+  *
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_BATCHES (default 8),
+  * SPARK_GRAFT_CPUS (default 8), SPARK_GRAFT_THRESHOLD (default 0.9),
+  * SPARK_GRAFT_COMPACT_EVERY (0 = never — batches accumulate; N>0 runs
+  * EmbedStream.compactIndex after every N batches, measuring the
+  * small-file axis too). */
+object EmbedIngestProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_BATCHES", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val threshold = sys.env.getOrElse("SPARK_GRAFT_THRESHOLD", "0.9").toDouble
+    val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "0").toInt
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull && size(col("embedding")) === 64)
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    // (L, r) from the EVENTUAL index size — the production rule: derive
+    // once for the corpus the index will grow into, store in the sidecar
+    val (tables, r) = graft.datax.Dedup.bandsFor(n, threshold)
+    val root = java.nio.file.Files.createTempDirectory("graft-embingest").toString
+    try {
+      val walls = (0 until nBatches).map { i =>
+        val batch = emb.filter(pmod(col("vec_id"), lit(nBatches)) === i)
+        val t0 = System.nanoTime()
+        graft.streaming.EmbedStream.processBatch(batch, i.toLong,
+          s"$root/index", "vec_id", "embedding", tables, r, threshold)
+        val w = (System.nanoTime() - t0) / 1e9
+        if (compactEvery > 0 && (i + 1) % compactEvery == 0)
+          graft.streaming.EmbedStream.compactIndex(spark, s"$root/index")
+        w
+      }
+      val survivors = graft.streaming.DedupStream
+        .visibleIndex(spark, s"$root/index/vecs").count()
+      println(s"""{"probe":"embed_ingest","sfDir":"$sfDir","n":$n,""" +
+        s""""batches":$nBatches,"tables":$tables,"r":$r,""" +
+        s""""compactEvery":$compactEvery,"survivors":$survivors,""" +
+        s""""perBatchSec":[${walls.map(w => f"$w%.2f").mkString(",")}]}""")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+    spark.stop()
+  }
+}
