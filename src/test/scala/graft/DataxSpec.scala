@@ -1281,6 +1281,15 @@ class DataxSpec extends AnyFunSuite {
         .sortBy(_._1)
       assert(top2.toSeq == Seq((1, 3L, 0.0), (2, 300L, 0.0)),
         s"appended twin must share codes with the original, got ${top2.toSeq}")
+      // the rerank composition is encoding-agnostic: over the residual
+      // index too, R = corpus & nProbe = all is EXACTLY brute force
+      val corpus17 = (base :+ (300L, base(3)._2)).toDF("vec_id", "embedding")
+      val rr = Similarity.ivfPqTopKReranked(spark, dir, query, corpus17,
+          k = 3, rerank = 17, nProbe = 4)
+        .orderBy("rank").collect().toSeq
+      val bf = Similarity.bruteForceTopK(corpus17, query, k = 3)
+        .orderBy("rank").collect().toSeq
+      assert(rr == bf, "rerank over the residual index == brute force at R=corpus")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
