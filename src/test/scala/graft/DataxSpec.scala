@@ -1401,11 +1401,30 @@ class DataxSpec extends AnyFunSuite {
       }.sum
     }
     val e0 = encodeError(Similarity.pqCentroids(emb))
-    val e1 = encodeError(Similarity.pqCentroidsKMeans(emb, iterations = 1))
+    val kmBook = Similarity.pqCentroidsKMeans(emb, iterations = 1)
+    val e1 = encodeError(kmBook)
     val e2 = encodeError(Similarity.pqCentroidsKMeans(emb, iterations = 2))
     assert(e1 <= e0 && e2 <= e1,
       s"Lloyd must not increase encode error: $e0 -> $e1 -> $e2")
     assert(e1 < e0, "one round on non-uniform data must actually tighten")
+    // planted-pair ADC margin does not degrade under the refined book:
+    // an exact copy shares its twin's codes under ANY codebook, so the
+    // twin's ADC distance is exactly the query's own encode error — the
+    // minimum any candidate can reach — and it stays rank 1 (ties to
+    // the twin's lower id). Unlike the self-coding fixture, adc is NOT
+    // 0 here: the refined cells are means, not members.
+    val copies = emb.filter($"vec_id" < 8)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val union = emb.unionByName(copies)
+    val kmCodes = Similarity.pqEncode(union, kmBook)
+    val top1 = Similarity.pqTopK(kmBook, kmCodes, copies, k = 1)
+      .select("query_id", "id")
+      .as[(Long, Long)].collect()
+    assert(top1.length == 8)
+    top1.foreach { case (q, id) =>
+      assert(id == q - 100000,
+        s"planted twin must stay rank-1 under the refined book, got ($q, $id)")
+    }
   }
 
   test("probe subtrees execute once: the checkpointed probes cut the centroids re-scan out of the served plan") {
