@@ -82,9 +82,13 @@ object Similarity {
                       onMalformed: String = "fail",
                       quarantineDir: Option[String] = None): DataFrame = {
     require(dim > 0, s"dim=$dim must be positive")
-    val bad = col(vecCol).isNull || size(col(vecCol)) =!= dim
+    // the malformedness RULE lives once, in the split face — the eager
+    // modes are sinks over it (round-16 review finding: the duplicated
+    // predicate/reason expressions could silently desynchronize)
+    val (clean, quarantine) = validEmbeddingsSplit(vectors, vecCol, dim)
     onMalformed match {
       case "fail" =>
+        val bad = badEmbedding(vecCol, dim)
         vectors.filter(
           when(bad, raise_error(concat(
             lit(s"[graft-similarity] malformed embedding in `$vecCol`: " +
@@ -95,27 +99,27 @@ object Similarity {
               "\"dropWarn\" / \"quarantine\" to filter such rows.")))
             .cast("boolean"))
             .otherwise(lit(true)))
-      case "drop" => vectors.filter(!bad)
+      case "drop" => clean
       case "dropWarn" =>
-        val dropped = vectors.filter(bad).count()
+        val dropped = quarantine.count()
         if (dropped > 0) System.err.println(
           s"[graft-similarity] validEmbeddings($vecCol, dim=$dim): dropped " +
             s"$dropped malformed row(s) (null or ragged).")
-        vectors.filter(!bad)
+        clean
       case "quarantine" =>
         val dir = quarantineDir.getOrElse(throw new IllegalArgumentException(
           """onMalformed="quarantine" requires quarantineDir=Some(path)"""))
-        vectors.filter(bad)
-          .withColumn("malformed_reason",
-            when(col(vecCol).isNull, lit("null_vector"))
-              .otherwise(concat(lit("ragged_dim_"),
-                size(col(vecCol)).cast("string"))))
-          .write.mode("append").parquet(dir)
-        vectors.filter(!bad)
+        quarantine.write.mode("append").parquet(dir)
+        clean
       case other => throw new IllegalArgumentException(
         s"""onMalformed="$other": expected "fail", "drop", "dropWarn", or "quarantine"""")
     }
   }
+
+  /** The shared malformed-vector predicate — ONE definition for the
+    * split and eager faces. */
+  private def badEmbedding(vecCol: String, dim: Int): Column =
+    col(vecCol).isNull || size(col(vecCol)) =!= dim
 
   /** The LAZY dead-letter face of [[validEmbeddings]] (round 16 — the
     * quarantine mode's eager-write wart designed away for callers who
@@ -134,7 +138,7 @@ object Similarity {
   def validEmbeddingsSplit(vectors: DataFrame, vecCol: String,
                            dim: Int): (DataFrame, DataFrame) = {
     require(dim > 0, s"dim=$dim must be positive")
-    val bad = col(vecCol).isNull || size(col(vecCol)) =!= dim
+    val bad = badEmbedding(vecCol, dim)
     (vectors.filter(!bad),
       vectors.filter(bad).withColumn("malformed_reason",
         when(col(vecCol).isNull, lit("null_vector"))
@@ -1001,17 +1005,23 @@ object Similarity {
       if (kmeansIterations > 0)
         ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
       else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
-    val res = residualRows(vectors, centroids, idCol, vecCol)
-    val book =
-      if (pqKmeansIterations > 0)
-        pqCentroidsKMeans(res, m, ksub, pqKmeansIterations, "id", "vec")
-      else pqCentroids(res, m, ksub, "id", "vec")
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
-    residualCodeRows(res, book)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/codes.parquet")
-    writePqMeta(vectors, dir, book, residual = true)
+    // cache: the residual subtree (broadcast assign + zip_with) feeds
+    // the codebook derivation, the encode scan, AND the assignment join
+    // — unpersisted it would re-run the assign pass per consumer
+    // (round-16 review finding)
+    val res = residualRows(vectors, centroids, idCol, vecCol).cache()
+    try {
+      val book =
+        if (pqKmeansIterations > 0)
+          pqCentroidsKMeans(res, m, ksub, pqKmeansIterations, "id", "vec")
+        else pqCentroids(res, m, ksub, "id", "vec")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+      book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+      residualCodeRows(res, book)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$dir/codes.parquet")
+      writePqMeta(vectors, dir, book, residual = true)
+    } finally { res.unpersist(); () }
   }
 
   /** The PQ build_meta sidecar: (built_n, m, ksub, residual) — the
@@ -1212,17 +1222,24 @@ object Similarity {
     * the same recall — the quadratic half of the drift that the
     * row-count staleness fraction cannot see (a perfectly uniform
     * append keeps skew flat at any staleness). Counts come off the
-    * partition listing (a column-pruned count per `centroid_id=N`
-    * dir — parquet footer metadata, no data read). None for an index
-    * with no partitions; empty buckets never materialize as dirs, so
-    * the median is over NON-EMPTY buckets (the serving-cost view: a
-    * probe of an absent dir is free). Works on both layouts, like
-    * [[ivfIndexStaleness]]. */
+    * partition LISTING — one `count()` per `centroid_id=N` dir, each a
+    * parquet-footer metadata read (Catalyst folds a bare count to row
+    * group stats; no data pages, no shuffle) — K driver-looped jobs,
+    * never a corpus scan, so polling it per append is as cheap as the
+    * staleness count (round-16 review finding: the first cut ran a
+    * full groupBy over the row table, contradicting exactly this cost
+    * promise). None for an index with no partitions; empty buckets
+    * never materialize as dirs, so the median is over NON-EMPTY
+    * buckets (the serving-cost view: a probe of an absent dir is
+    * free). Works on both layouts, like [[ivfIndexStaleness]]. */
   def ivfIndexSkew(spark: org.apache.spark.sql.SparkSession,
                    dir: String): Option[Double] = {
-    val counts = spark.read.parquet(s"$dir/${rowTableOf(spark, dir)}")
-      .groupBy("centroid_id").count()
-      .select("count").collect().map(_.getLong(0)).sorted
+    val root = new org.apache.hadoop.fs.Path(s"$dir/${rowTableOf(spark, dir)}")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val counts = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .map(p => spark.read.parquet(p.getPath.toUri.getPath).count())
+      .sorted
     if (counts.isEmpty) None
     else {
       val median =

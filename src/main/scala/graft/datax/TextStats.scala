@@ -117,12 +117,12 @@ object TextStats {
   def validDocuments(docs: org.apache.spark.sql.DataFrame, textCol: String,
                      onMalformed: String = "fail",
                      quarantineDir: Option[String] = None): org.apache.spark.sql.DataFrame = {
-    // \s+, not trim(): Spark's trim strips only ASCII spaces — a
-    // tab-only document would silently pass a trim-based emptiness test
-    val bad = col(textCol).isNull ||
-      regexp_replace(col(textCol), "\\s+", "") === ""
+    // the malformedness RULE lives once, in the split face — the eager
+    // modes are sinks over it (the validEmbeddings structure)
+    val (clean, quarantine) = validDocumentsSplit(docs, textCol)
     onMalformed match {
       case "fail" =>
+        val bad = badDocument(textCol)
         docs.filter(
           when(bad, raise_error(concat(
             lit(s"[graft-textstats] malformed document in `$textCol`: got "),
@@ -132,26 +132,29 @@ object TextStats {
               "\"dropWarn\" / \"quarantine\" to filter such rows.")))
             .cast("boolean"))
             .otherwise(lit(true)))
-      case "drop" => docs.filter(!bad)
+      case "drop" => clean
       case "dropWarn" =>
-        val dropped = docs.filter(bad).count()
+        val dropped = quarantine.count()
         if (dropped > 0) System.err.println(
           s"[graft-textstats] validDocuments($textCol): dropped $dropped " +
             "malformed row(s) (null or whitespace-only).")
-        docs.filter(!bad)
+        clean
       case "quarantine" =>
         val dir = quarantineDir.getOrElse(throw new IllegalArgumentException(
           """onMalformed="quarantine" requires quarantineDir=Some(path)"""))
-        docs.filter(bad)
-          .withColumn("malformed_reason",
-            when(col(textCol).isNull, lit("null_text"))
-              .otherwise(lit("empty_text")))
-          .write.mode("append").parquet(dir)
-        docs.filter(!bad)
+        quarantine.write.mode("append").parquet(dir)
+        clean
       case other => throw new IllegalArgumentException(
         s"""onMalformed="$other": expected "fail", "drop", "dropWarn", or "quarantine"""")
     }
   }
+
+  /** The shared malformed-document predicate — ONE definition for the
+    * split and eager faces. `\s+`-based, not trim(): Spark's trim
+    * strips only ASCII spaces, so a tab-only document would silently
+    * pass a trim-based emptiness test. */
+  private def badDocument(textCol: String): org.apache.spark.sql.Column =
+    col(textCol).isNull || regexp_replace(col(textCol), "\\s+", "") === ""
 
   /** The LAZY dead-letter face of [[validDocuments]] — the text twin of
     * [[Similarity.validEmbeddingsSplit]]: (clean, quarantine) as two
@@ -161,8 +164,7 @@ object TextStats {
     * if the source is non-deterministic. */
   def validDocumentsSplit(docs: org.apache.spark.sql.DataFrame,
                           textCol: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val bad = col(textCol).isNull ||
-      regexp_replace(col(textCol), "\\s+", "") === ""
+    val bad = badDocument(textCol)
     (docs.filter(!bad),
       docs.filter(bad).withColumn("malformed_reason",
         when(col(textCol).isNull, lit("null_text"))

@@ -50,7 +50,9 @@ case class AdcLookup(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
-    val n = math.min(codes.numElements(), lut.numElements())
+    val n = codes.numElements()
+    if (n != lut.numElements())
+      throw AdcLookup.subspaceMismatch(n, lut.numElements())
     var acc = 0.0
     var s = 0
     while (s < n) {
@@ -75,7 +77,10 @@ case class AdcLookup(left: Expression, right: Expression)
       // forwarder's presence depends on scalac details; MODULE$ doesn't
       val cls = classOf[AdcLookup].getName + "$.MODULE$"
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw $cls.subspaceMismatch($n, $y.numElements());
+         |}
          |double $acc = 0.0;
          |for (int $s = 0; $s < $n; $s++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $row = $y.getArray($s);
@@ -109,4 +114,15 @@ object AdcLookup {
         "lookup table was built from (ksub/codebook drift). Re-encode the " +
         "codes with this codebook (pqEncode), or probe with the index's " +
         "own stored codebook (ivfPqTopK reads both from one directory).")
+
+  /** The m-drift twin of [[outOfRange]] (round 16 review finding): a
+    * min-of-the-two fold would silently TRUNCATE a codes/LUT subspace
+    * mismatch — every per-code index in range, no raise, wrong
+    * distances — the exact drift class the bounds check exists for. */
+  def subspaceMismatch(mCodes: Int, mLut: Int): RuntimeException =
+    new IllegalArgumentException(
+      s"[graft-adc] $mCodes code subspaces vs $mLut lookup-table " +
+        "subspaces: the code table and the lookup table come from " +
+        "codebooks with different m (subspace-count drift). Re-encode " +
+        "with this codebook, or probe with the index's own stored one.")
 }

@@ -234,13 +234,15 @@ object DataxQueries {
   }
 
   /** The IVF-PQ probe CTEs following [[pqCtes]]'s `codes` in the
-    * chain: stride IVF centroids from the SAME base subset (`vb`),
-    * every vector bucketed against them, queries (vec_id < 16) ranked
-    * to their nProbe buckets, and per-(query, candidate) ADC terms
-    * folded in subspace order. Ends at `sc` (query_id, id, adc_dist)
-    * so callers pick their own rank/limit tail (d09e/f take top-5 by
-    * ADC; d09g reranks the top-20 exactly). */
-  private def IvfPqCoreCtes(baseCond: String, nProbe: Int): String =
+    * chain — MUST be prefixed by a [[pqCtes]] call, whose `vb`/`st`
+    * CTEs carry the base restriction (this fragment reads them, it
+    * does not re-restrict): stride IVF centroids from that same base
+    * subset, every vector bucketed against them, queries (vec_id < 16)
+    * ranked to their nProbe buckets, and per-(query, candidate) ADC
+    * terms folded in subspace order. Ends at `sc` (query_id, id,
+    * adc_dist) so callers pick their own rank/limit tail (d09e/f take
+    * top-5 by ADC; d09g reranks the top-20 exactly). */
+  private def IvfPqCoreCtes(nProbe: Int): String =
     s"""isamp AS (SELECT id, vec FROM vb, st
                   WHERE id % stride = 0 ORDER BY id LIMIT 16),
         ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp),
@@ -278,7 +280,7 @@ object DataxQueries {
     * codes + [[IvfPqCoreCtes]]' pruned ADC scores, top-5 per query. */
   private def IvfPqSql(baseCond: String = "TRUE"): String =
     s"""WITH ${pqCtes(baseCond)},
-        ${IvfPqCoreCtes(baseCond, nProbe = 4)}
+        ${IvfPqCoreCtes(nProbe = 4)}
         SELECT query_id, rank, id, adc_dist FROM (
           SELECT query_id, id, adc_dist,
                  CAST(row_number() OVER (PARTITION BY query_id
@@ -1462,7 +1464,7 @@ object DataxQueries {
         } finally rmrf(s, tmp)
       },
       Some(s"""WITH $PqCtes,
-        ${IvfPqCoreCtes("TRUE", nProbe = 4)},
+        ${IvfPqCoreCtes(nProbe = 4)},
         cand AS (SELECT query_id, id FROM (
           SELECT query_id, id, adc_dist,
                  row_number() OVER (PARTITION BY query_id

@@ -42,13 +42,22 @@ import graft.datax.{Dedup, Similarity}
   * `pqIndexAppend` under the caller's own at-most-once discipline, and
   * re-quantize on the [[Similarity.ivfIndexStaleness]] /
   * `ivfIndexSkew` triggers.
+  *
+  * (tables, planesPerTable) have NO default (round-16 review finding):
+  * LSH geometry must be sized for the EVENTUAL index, not a fixture —
+  * derive it once via [[Dedup.bandsFor]](expected corpus size,
+  * threshold) before wiring the stream (a too-small fixed geometry is
+  * the d10a-class quadratic trap, and the first batch pins it into the
+  * bands sidecar: later corrections fail the params check and need an
+  * index rebuild). The default `maxBucketLoad` tripwire converts the
+  * mistake into a fail-fast either way.
   */
 object EmbedStream {
 
   /** Wire a streaming DataFrame of vectors into the index loop; the
     * caller starts the returned writer (trigger/checkpoint theirs). */
   def writer(incoming: DataFrame, indexRoot: String, idCol: String,
-             vecCol: String, tables: Int = 3, planesPerTable: Int = 4,
+             vecCol: String, tables: Int, planesPerTable: Int,
              threshold: Double = 0.9,
              maxBucketLoad: Option[Long] = Some(1L << 20),
              validateDim: Option[Int] = None,
@@ -79,8 +88,8 @@ object EmbedStream {
     * why the default here is to validate loudly, not to pass through
     * silently like the null-safe text loop can afford). */
   def processBatch(batch: DataFrame, batchId: Long, indexRoot: String,
-                   idCol: String, vecCol: String, tables: Int = 3,
-                   planesPerTable: Int = 4, threshold: Double = 0.9,
+                   idCol: String, vecCol: String, tables: Int,
+                   planesPerTable: Int, threshold: Double = 0.9,
                    maxBucketLoad: Option[Long] = Some(1L << 20),
                    validateDim: Option[Int] = None,
                    onMalformed: String = "fail",
@@ -145,7 +154,7 @@ object EmbedStream {
   /** One-shot drain (the [[DedupStream.runAvailableNow]] face). */
   def runAvailableNow(incoming: DataFrame, indexRoot: String, idCol: String,
                       vecCol: String, checkpointDir: String,
-                      tables: Int = 3, planesPerTable: Int = 4,
+                      tables: Int, planesPerTable: Int,
                       threshold: Double = 0.9,
                       maxBucketLoad: Option[Long] = Some(1L << 20),
                       validateDim: Option[Int] = None,
@@ -172,7 +181,7 @@ object EmbedStream {
   def ingestAvailableNow(spark: SparkSession, sourceDir: String,
                          indexRoot: String, checkpointDir: String,
                          idCol: String, vecCol: String,
-                         tables: Int = 3, planesPerTable: Int = 4,
+                         tables: Int, planesPerTable: Int,
                          threshold: Double = 0.9,
                          maxFilesPerTrigger: Int = 1,
                          maxBucketLoad: Option[Long] = Some(1L << 20),

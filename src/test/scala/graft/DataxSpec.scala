@@ -926,6 +926,18 @@ class DataxSpec extends AnyFunSuite {
           new GenericArrayData(r.toArray)).toArray))
     }
     assert(exInt.getMessage.contains("[graft-adc] code 5 out of range"))
+    // m-drift raises too (round-16 review finding): a min-of-the-two
+    // fold would silently TRUNCATE a subspace-count mismatch — every
+    // per-code index in range, wrong distances, no error
+    val mdrift = Seq((Array(0, 1, 0), lut.head)).toDF("codes", "lut")
+    val exM = intercept[Exception] {
+      mdrift.select(graft.functions.AdcLookup.adc($"codes", $"lut")).collect()
+    }
+    val chainM = Iterator.iterate(exM: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chainM.contains("[graft-adc] 3 code subspaces vs 2 lookup-table subspaces"),
+      s"expected the subspace-mismatch raise, got:\n$chainM")
     // in-range values still bit-identical to the fold (regression guard)
     val ok = Seq((Array(1, 0), lut.head)).toDF("codes", "lut")
       .select(graft.functions.AdcLookup.adc($"codes", $"lut"))

@@ -1480,7 +1480,7 @@ class StreamingSpec extends AnyFunSuite {
     // the loud default: validateDim with onMalformed left at "fail"
     val ex = intercept[Throwable] {
       EmbedStream.processBatch(batch, 0L, s"$dir/index2", "vec_id",
-        "embedding", validateDim = Some(64))
+        "embedding", tables = 3, planesPerTable = 4, validateDim = Some(64))
     }
     val chain = Iterator.iterate(ex: Throwable)(_.getCause)
       .takeWhile(_ != null)
