@@ -587,6 +587,7 @@ object Similarity {
       if (kmeansIterations > 0)
         ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)
       else ivfIndex(vectors, nCentroids, idCol, vecCol)
+    clearIncTables(vectors.sparkSession, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/assigned.parquet")
@@ -717,14 +718,24 @@ object Similarity {
     * ascending dims, ties to the LOWEST cid), means are the sequential
     * id-ordered double fold / count (bit-exact cross-engine, unlike
     * avg()), empty cells keep their previous centroid. Per round: one
-    * scan-side encode pass (codebook as literals), one slice explode
-    * whose shuffle carries (m x ksub x dsub) mean cells — never
-    * vectors; the m x ksub book is collected and re-literalized each
-    * round (the [[lloyd]] drive). Output (sub, cid, cvec), drop-in for
-    * [[pqEncode]] / [[pqTopK]] / [[pqIndexWriteWith]]. */
+    * scan-side encode pass (codebook as literals), then a slice explode
+    * whose ordered-fold mean carries every member (id, value) pair
+    * through the shuffle — the d25 trade: portability over avg()'s
+    * map-side partials, NOT a cells-only shuffle. Per-(sub, cid, dim)
+    * collected state is the cell's member count (~n/ksub rows — the
+    * r5-diagnosed OOM class at corpus scale), so for unbounded corpora
+    * pass `chunkIds` > 0: the [[labelCentroids]] chunked-range two-level
+    * fold bounds state at max(chunkIds, width/chunkIds) rows per cell,
+    * stays deterministic at any partitioning, and is bit-equal to the
+    * flat fold wherever sums are exact (spec-pinned on integer vectors)
+    * — the flat fold stays the oracle face. The m x ksub book is
+    * collected and re-literalized each round (the [[lloyd]] drive).
+    * Output (sub, cid, cvec), drop-in for [[pqEncode]] / [[pqTopK]] /
+    * [[pqIndexWriteWith]]. */
   def pqCentroidsKMeans(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
                         iterations: Int = 2,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        chunkIds: Long = 0L): DataFrame = {
     require(iterations >= 0, s"iterations=$iterations must be >= 0")
     val spark = vectors.sparkSession
     import spark.implicits._
@@ -743,17 +754,36 @@ object Similarity {
       // rule), so refined books keep the pqEncode contract by
       // construction
       val codes = pqEncode(vectors, book, idCol, vecCol)
-      val means = codes.join(slices, Seq("id", "sub"))
+      val cells = codes.join(slices, Seq("id", "sub"))
         .select(col("sub"), col("code").as("cid"), col("id"),
           posexplode(col("svec")).as(Seq("dim", "_x")))
-        .groupBy("sub", "cid", "dim")
-        .agg(
-          sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
-            .as("_sx"),
-          count(lit(1)).as("_n"))
-        .select(col("sub"), col("cid"), col("dim"),
-          (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
-            / col("_n")).as("_m"))
+      val cellMeans =
+        if (chunkIds <= 0L)
+          cells.groupBy("sub", "cid", "dim")
+            .agg(
+              sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
+                .as("_sx"),
+              count(lit(1)).as("_n"))
+            .select(col("sub"), col("cid"), col("dim"),
+              (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
+                / col("_n")).as("_m"))
+        else
+          cells.withColumn("_chunk", expr(s"id DIV ${chunkIds}L")) // integer DIV: exact at any id magnitude
+            .groupBy("sub", "cid", "dim", "_chunk")
+            .agg(
+              aggregate(
+                sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x")))),
+                lit(0.0), (a, s) => a + s.getField("x")).as("_ps"),
+              count(lit(1)).as("_n"))
+            .groupBy("sub", "cid", "dim")
+            .agg(
+              aggregate(
+                sort_array(collect_list(struct(col("_chunk").as("c"), col("_ps").as("s")))),
+                lit(0.0), (a, s) => a + s.getField("s")).as("_sum"),
+              sum("_n").as("_nn"))
+            .select(col("sub"), col("cid"), col("dim"),
+              (col("_sum") / col("_nn")).as("_m"))
+      val means = cellMeans
         .groupBy("sub", "cid")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("_m")))),
           s => s.getField("_m")).as("_mean"))
@@ -895,14 +925,16 @@ object Similarity {
                    m: Int = 8, ksub: Int = 16,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    kmeansIterations: Int = 0,
-                   pqKmeansIterations: Int = 0): Unit = {
+                   pqKmeansIterations: Int = 0,
+                   pqChunkIds: Long = 0L): Unit = {
     val centroids =
       if (kmeansIterations > 0)
         ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
       else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
     val book =
       if (pqKmeansIterations > 0)
-        pqCentroidsKMeans(vectors, m, ksub, pqKmeansIterations, idCol, vecCol)
+        pqCentroidsKMeans(vectors, m, ksub, pqKmeansIterations, idCol, vecCol,
+          pqChunkIds)
       else pqCentroids(vectors, m, ksub, idCol, vecCol)
     pqIndexWriteWith(vectors, dir, centroids, book, idCol, vecCol)
   }
@@ -918,6 +950,7 @@ object Similarity {
   def pqIndexWriteWith(vectors: DataFrame, dir: String,
                        centroids: DataFrame, codebook: DataFrame,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    clearIncTables(vectors.sparkSession, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     codebook.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
     pqCodeRows(vectors, centroids, codebook, idCol, vecCol)
@@ -1000,7 +1033,8 @@ object Similarity {
                            nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
                            idCol: String = "vec_id", vecCol: String = "embedding",
                            kmeansIterations: Int = 0,
-                           pqKmeansIterations: Int = 0): Unit = {
+                           pqKmeansIterations: Int = 0,
+                           pqChunkIds: Long = 0L): Unit = {
     val centroids =
       if (kmeansIterations > 0)
         ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
@@ -1013,14 +1047,96 @@ object Similarity {
     try {
       val book =
         if (pqKmeansIterations > 0)
-          pqCentroidsKMeans(res, m, ksub, pqKmeansIterations, "id", "vec")
+          pqCentroidsKMeans(res, m, ksub, pqKmeansIterations, "id", "vec",
+            pqChunkIds)
         else pqCentroids(res, m, ksub, "id", "vec")
-      centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-      book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
-      residualCodeRows(res, book)
-        .write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(s"$dir/codes.parquet")
-      writePqMeta(vectors, dir, book, residual = true)
+      writeResidualLayout(vectors, dir, centroids, res, book)
+    } finally { res.unpersist(); () }
+  }
+
+  /** The residual layout's four writes, shared by
+    * [[pqIndexWriteResidual]] and [[pqIndexWriteAuto]] (which has the
+    * centroids / residual frame / codebook already in hand). */
+  private def writeResidualLayout(vectors: DataFrame, dir: String,
+                                  centroids: DataFrame, res: DataFrame,
+                                  book: DataFrame): Unit = {
+    clearIncTables(vectors.sparkSession, dir)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
+    book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+    residualCodeRows(res, book)
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/codes.parquet")
+    writePqMeta(vectors, dir, book, residual = true)
+  }
+
+  /** Summed PQ encode error of `vectors` against `codebook`: per
+    * vector, the min-cell squared L2 summed over subspaces —
+    * distributed and scan-side like [[pqEncode]] (codebook as
+    * literals), one `sum` aggregation. The quantity Lloyd descends and
+    * the raw-vs-residual chooser compares. */
+  private def encodeErrorSum(vectors: DataFrame, codebook: DataFrame,
+                             vecCol: String): Double = {
+    val book = collectCodebook(codebook)
+    val m = book.length
+    require(m >= 1, "empty codebook")
+    val dsub = book.head.head.length
+    val errCols = (0 until m).map { s =>
+      val sl = slice(col("vec"), s * dsub + 1, dsub)
+      array_min(array(book(s).map(c => sqDist(sl, c.toSeq)): _*))
+    }
+    vectors.select(toDouble(col(vecCol)).as("vec"))
+      .select(errCols.reduce(_ + _).as("_e"))
+      .agg(sum("_e")).head(1).headOption.map(_.getDouble(0)).getOrElse(0.0)
+  }
+
+  /** [[pqIndexWrite]] with the raw-vs-residual layout choice made AT
+    * BUILD TIME from the data — the d09i regime boundary as code
+    * instead of caller prose (round 17): residual coding wins exactly
+    * when the coarse quantizer carries information the codebook cannot
+    * (clustered corpora), and LOSES on near-orthogonal noise where
+    * subtracting an unrelated centroid ADDS energy. The chooser trains
+    * BOTH candidate codebooks (one coarse quantizer, shared), measures
+    * each one's summed encode error over a deterministic id-stride
+    * EVALUATION sample (~`ksub * sampleMultiple` rows — wider than the
+    * ksub-row training stride, so neither book self-codes its own
+    * sample to zero), and writes the winning layout. Cost over a plain
+    * build: one extra codebook derivation plus two sample-sized encode
+    * passes — corpus-scan work is unchanged (the losing book never
+    * encodes the corpus). Returns true when residual won; build_meta
+    * records the choice either way, so the index stays self-describing
+    * and every probe/append face works unchanged. */
+  def pqIndexWriteAuto(vectors: DataFrame, dir: String, nCentroids: Int = 16,
+                       m: Int = 8, ksub: Int = 16,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       kmeansIterations: Int = 0,
+                       pqKmeansIterations: Int = 0,
+                       pqChunkIds: Long = 0L,
+                       sampleMultiple: Int = 8): Boolean = {
+    require(sampleMultiple >= 1, s"sampleMultiple=$sampleMultiple must be >= 1")
+    val centroids =
+      if (kmeansIterations > 0)
+        ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
+      else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+    // the residual frame feeds the candidate book, the eval sample, and
+    // (if residual wins) the encode scan — cache like pqIndexWriteResidual
+    val res = residualRows(vectors, centroids, idCol, vecCol).cache()
+    try {
+      def bookOf(v: DataFrame, idC: String, vecC: String): DataFrame =
+        if (pqKmeansIterations > 0)
+          pqCentroidsKMeans(v, m, ksub, pqKmeansIterations, idC, vecC, pqChunkIds)
+        else pqCentroids(v, m, ksub, idC, vecC)
+      val rawBook = bookOf(vectors, idCol, vecCol)
+      val resBook = bookOf(res, "id", "vec")
+      val n = vectors.count()
+      val evalStride = math.max(1L, n / math.max(1L, ksub.toLong * sampleMultiple))
+      val rawErr = encodeErrorSum(
+        vectors.filter(col(idCol) % evalStride === 0), rawBook, vecCol)
+      val resErr = encodeErrorSum(
+        res.filter(col("id") % evalStride === 0), resBook, "vec")
+      val residual = resErr < rawErr
+      if (residual) writeResidualLayout(vectors, dir, centroids, res, resBook)
+      else pqIndexWriteWith(vectors, dir, centroids, rawBook, idCol, vecCol)
+      residual
     } finally { res.unpersist(); () }
   }
 
@@ -1040,7 +1156,9 @@ object Similarity {
 
   /** The stored `residual` flag of a persisted PQ index; false for
     * indexes written before the flag existed (raw-vector encoding was
-    * the only form then). */
+    * the only form then), and false for an existing-but-EMPTY meta (a
+    * crashed/partial overwrite window) — degrading to the pre-flag
+    * default instead of throwing from every probe/append. */
   private def residualFlagOf(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Boolean = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/build_meta.parquet")
@@ -1048,7 +1166,8 @@ object Similarity {
     if (!fs.exists(metaPath)) return false
     val meta = spark.read.parquet(s"$dir/build_meta.parquet")
     meta.columns.contains("residual") &&
-      meta.select("residual").head().getBoolean(0)
+      meta.select("residual").head(1).headOption
+        .exists(r => !r.isNullAt(0) && r.getBoolean(0))
   }
 
   /** APPEND a new shard to a persisted [[pqIndexWrite]] index without a
@@ -1067,19 +1186,129 @@ object Similarity {
     * [[ivfIndexCompact]] all read this layout too. */
   def pqIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newVectors: DataFrame,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
-    val book = spark.read.parquet(s"$dir/pq_codebook.parquet")
-    // self-describing encode: a residual index ([[pqIndexWriteResidual]])
-    // residual-encodes the shard against the stored geometry — the flag
-    // lives in build_meta, never re-supplied by the caller
-    val rows =
-      if (residualFlagOf(spark, dir))
-        residualCodeRows(residualRows(newVectors, centroids, idCol, vecCol),
-          book)
-      else pqCodeRows(newVectors, centroids, book, idCol, vecCol)
-    rows.write.mode("append").partitionBy("centroid_id")
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    shardRows(spark, dir, newVectors, idCol, vecCol)._2
+      .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
+
+  /** One shard's serving-index rows against a persisted index's STORED
+    * geometry, layout- and encoding-aware: (id, vec, centroid_id) for
+    * the plain [[ivfIndexWrite]] layout; (id, codes, centroid_id) for
+    * the PQ one — residual-encoded when build_meta says so (the flag is
+    * the index's, never re-supplied by the caller). Returns (row table
+    * name, rows); shared by [[pqIndexAppend]] and
+    * [[ivfIndexAppendBatch]] so the plain-append and batch-idempotent
+    * faces are byte-rule-identical. */
+  private def shardRows(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        newVectors: DataFrame, idCol: String,
+                        vecCol: String): (String, DataFrame) = {
+    val table = rowTableOf(spark, dir)
+    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val rows =
+      if (table == "assigned.parquet")
+        ivfAssign(newVectors, centroids, idCol, vecCol)
+      else {
+        val book = spark.read.parquet(s"$dir/pq_codebook.parquet")
+        if (residualFlagOf(spark, dir))
+          residualCodeRows(residualRows(newVectors, centroids, idCol, vecCol),
+            book)
+        else pqCodeRows(newVectors, centroids, book, idCol, vecCol)
+      }
+    (table, rows)
+  }
+
+  // ---- replay-idempotent serving-index increment (round 17): the
+  // plain appends above are parquet appends — replaying one under
+  // at-least-once delivery duplicates rows, which both scaladocs
+  // delegate to "the caller's own discipline". The batch face below
+  // closes that seam with the [[graft.streaming.DedupStream]]
+  // batch-partition protocol: each shard lands in a batch-SCOPED
+  // partition of a sibling increment table, written with OVERWRITE, so
+  // a replay rewrites its own rows instead of double-appending ----
+
+  /** The sibling increment table of a serving row table
+    * (`assigned_inc.parquet` / `codes_inc.parquet`): batch-scoped
+    * appends land here, rebuilds clear it. */
+  private def incTableOf(table: String): String =
+    table.stripSuffix(".parquet") + "_inc.parquet"
+
+  /** True when the increment table holds at least one batch partition
+    * with a parquet file (a bare read of an absent/empty dir cannot
+    * infer a schema and would fail instead of returning empty). */
+  private def hasIncRows(spark: org.apache.spark.sql.SparkSession,
+                         incDir: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(incDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(root) && Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(incDir, "batch=*/centroid_id=*/*.parquet")))
+      .exists(_.nonEmpty)
+  }
+
+  /** A REBUILD re-encodes the full corpus — any increment rows are part
+    * of that corpus, so leaving them would double-count them against
+    * the new base. Every write face clears both possible siblings
+    * first. */
+  private def clearIncTables(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("assigned_inc.parquet", "codes_inc.parquet").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
+  }
+
+  /** [[ivfIndexAppend]] / [[pqIndexAppend]] made REPLAY-IDEMPOTENT for
+    * at-least-once drivers (the [[graft.streaming.EmbedStream]] ingest
+    * loop — previously the one unprotected seam in an otherwise
+    * exactly-once pipeline): the shard's rows are encoded against the
+    * STORED geometry exactly as the plain appends do ([[shardRows]] —
+    * layout-aware, residual-aware), but land in a BATCH-SCOPED
+    * partition of the increment sibling table,
+    * `<rowTable>_inc.parquet/batch=N/centroid_id=.../`, via partition
+    * OVERWRITE. Replaying a batchId (Structured Streaming's crash
+    * recovery, which re-runs a batch after ANY mid-batch crash)
+    * therefore REWRITES that batch's rows — never double-appends, never
+    * drops (the [[graft.streaming.DedupStream]] protocol, applied to
+    * the serving index; spec drives the crash-between-writes window).
+    * Requires a deterministic shard per batchId, which Structured
+    * Streaming's offset replay provides.
+    *
+    * Probe and maintenance faces read base UNION increment
+    * ([[servingRows]]) with directory pruning intact on both sides
+    * (centroid_id is a partition column of each); a rebuild (any write
+    * face) clears the increment sibling. [[ivfIndexCompact]] does not
+    * touch increment partitions — each is bounded by its batch size,
+    * and the staleness/skew triggers that force the rebuild also reset
+    * them. The serving index must already EXIST (geometry sized for
+    * the eventual corpus — the same no-fixture-defaults stance as the
+    * ingest loop's LSH geometry); loud on a non-index dir. */
+  def ivfIndexAppendBatch(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, newVectors: DataFrame, batchId: Long,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): Unit = {
+    require(batchId >= 0L, s"batchId=$batchId must be >= 0 (negative ids " +
+      "are reserved by the compaction epoch protocol)")
+    val (table, rows) = shardRows(spark, dir, newVectors, idCol, vecCol)
+    rows.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$dir/${incTableOf(table)}/batch=$batchId")
+  }
+
+  /** The committed row set of a persisted serving index: the base row
+    * table plus every batch partition of the increment sibling.
+    * Identical frame (and plan) to a bare base read when no increment
+    * exists — plain-append indexes see zero change. Filters the probe
+    * faces apply push into BOTH scans (centroid_id is a partition
+    * column on each side of the union). */
+  private def servingRows(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    val table = rowTableOf(spark, dir)
+    val base = spark.read.parquet(s"$dir/$table")
+    val incDir = s"$dir/${incTableOf(table)}"
+    if (!hasIncRows(spark, incDir)) base
+    else base.unionByName(
+      spark.read.parquet(incDir)
+        .select(base.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Probe a persisted [[pqIndexWrite]] index: IVF bucket pruning AND
@@ -1132,7 +1361,7 @@ object Similarity {
       .localCheckpoint(eager = true)
     val probedIds = probes.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
-    val codes = spark.read.parquet(s"$dir/codes.parquet")
+    val codes = servingRows(spark, dir)
       .filter(col("centroid_id").isin(probedIds: _*))
     val scored = codes.join(broadcast(probes), Seq("centroid_id"))
       .filter(col("id") =!= col("query_id"))
@@ -1208,7 +1437,7 @@ object Similarity {
     val builtN = spark.read.parquet(s"$dir/build_meta.parquet")
       .select("built_n").head().getLong(0)
     if (builtN == 0L) return None
-    val nowN = spark.read.parquet(s"$dir/${rowTableOf(spark, dir)}").count()
+    val nowN = servingRows(spark, dir).count()
     Some((nowN - builtN).toDouble / builtN)
   }
 
@@ -1222,24 +1451,58 @@ object Similarity {
     * the same recall — the quadratic half of the drift that the
     * row-count staleness fraction cannot see (a perfectly uniform
     * append keeps skew flat at any staleness). Counts come off the
-    * partition LISTING — one `count()` per `centroid_id=N` dir, each a
-    * parquet-footer metadata read (Catalyst folds a bare count to row
-    * group stats; no data pages, no shuffle) — K driver-looped jobs,
-    * never a corpus scan, so polling it per append is as cheap as the
-    * staleness count (round-16 review finding: the first cut ran a
-    * full groupBy over the row table, contradicting exactly this cost
-    * promise). None for an index with no partitions; empty buckets
-    * never materialize as dirs, so the median is over NON-EMPTY
-    * buckets (the serving-cost view: a probe of an absent dir is
-    * free). Works on both layouts, like [[ivfIndexStaleness]]. */
+    * partition LISTING plus direct parquet FOOTER reads — one listing
+    * pass, then `ParquetFileReader.getRecordCount` per data file: row
+    * counts live in the footer metadata, so no data page is read and
+    * ZERO Spark jobs run (round 17: the previous cut submitted one
+    * `count()` job per partition — metadata-cheap each, but at the
+    * [[centroidsFor]] clamp that was 4096 sequential driver round-trips
+    * for one poll, contradicting exactly this "as cheap as the
+    * staleness count" promise; driver-side footer reads keep the
+    * no-scan property at zero jobs, measured at K=1024 in SCALE.md).
+    * None for an index with no partitions; empty buckets never
+    * materialize as dirs, so the median is over NON-EMPTY buckets (the
+    * serving-cost view: a probe of an absent dir is free). Works on
+    * both layouts, like [[ivfIndexStaleness]]. */
   def ivfIndexSkew(spark: org.apache.spark.sql.SparkSession,
                    dir: String): Option[Double] = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/${rowTableOf(spark, dir)}")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val counts = fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
-      .map(p => spark.read.parquet(p.getPath.toUri.getPath).count())
-      .sorted
+    val conf = spark.sessionState.newHadoopConf()
+    val table = rowTableOf(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf)
+    // (bucket dir name -> footer row count) pairs under one root; the
+    // per-partition reads are independent driver-side IO, so they run
+    // on the parallel-collections pool (footer opens are ~ms each —
+    // sequential at K=1024 x multiple files that was most of a minute,
+    // IndexSkewProbe-measured; parallel it is seconds)
+    def bucketCounts(root: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
+      import scala.collection.parallel.CollectionConverters._
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .par.map { part =>
+          part.getPath.getName ->
+            fs.listStatus(part.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .map { f =>
+                val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+                try reader.getRecordCount finally reader.close()
+              }.sum
+        }.seq.toSeq
+    }
+    val base = bucketCounts(new org.apache.hadoop.fs.Path(s"$dir/$table"))
+    // increment batches ([[ivfIndexAppendBatch]]): per-bucket rows are
+    // the UNION's — merge batch=N/centroid_id=X counts into the bucket
+    val incRoot = new org.apache.hadoop.fs.Path(s"$dir/${incTableOf(table)}")
+    val inc =
+      if (!fs.exists(incRoot)) Seq.empty
+      else fs.listStatus(incRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+        .flatMap(b => bucketCounts(b.getPath))
+    val counts = (base ++ inc).groupBy(_._1)
+      .map { case (_, rows) => rows.map(_._2).sum }
+      .toSeq.sorted
     if (counts.isEmpty) None
     else {
       val median =
@@ -1297,7 +1560,7 @@ object Similarity {
       .localCheckpoint(eager = true)
     val probedIds = probes.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
-    val assigned = spark.read.parquet(s"$dir/assigned.parquet")
+    val assigned = servingRows(spark, dir)
       .filter(col("centroid_id").isin(probedIds: _*))
     scoreProbes(probes, assigned, k)
   }

@@ -1443,6 +1443,39 @@ object DataxQueries {
       },
       Some(IvfPqSql(baseCond = "id % 5 <> 3"))),
 
+    /* REPLAY-IDEMPOTENT serving append (round 17) — the batch-scoped
+     * increment face the ingest loop composes with
+     * (EmbedStream.servingDir): shard 1 is appended TWICE under the
+     * same batchId — the at-least-once replay a crashed Structured
+     * Streaming batch produces — and shard 2 once under the next; the
+     * overwrite-own-batch-partition protocol makes the double append a
+     * rewrite, so the probe through base ∪ increment equals the d09f
+     * frozen-geometry closed form over the full union (quantizer and
+     * codebook from the base subset, every vector coded against them).
+     * A plain pqIndexAppend replay would double shard 1's rows and
+     * diverge — the oracle would catch it. */
+    QueryDef("d09j_ivfpq_append_batch",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09j").toString
+        try {
+          val all = embT(s, dir)
+          Similarity.pqIndexWrite(
+            all.filter(col("vec_id") % 5 =!= 3 && col("vec_id") % 5 =!= 4),
+            tmp, nCentroids = 16)
+          Similarity.ivfIndexAppendBatch(s, tmp,
+            all.filter(col("vec_id") % 5 === 3), 0L)
+          Similarity.ivfIndexAppendBatch(s, tmp,
+            all.filter(col("vec_id") % 5 === 3), 0L) // the crash replay
+          Similarity.ivfIndexAppendBatch(s, tmp,
+            all.filter(col("vec_id") % 5 === 4), 1L)
+          Similarity.ivfPqTopK(s, tmp,
+              all.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(IvfPqSql(baseCond = "id % 5 <> 3 AND id % 5 <> 4"))),
+
     /* EXACT-RERANK over the IVF-PQ candidates (round 16) — the
      * documented answer to ADC's noise-regime recall, as an oracle
      * entry: the persisted index retrieves top-20 by asymmetric

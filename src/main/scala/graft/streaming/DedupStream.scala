@@ -87,7 +87,21 @@ object DedupStream {
     * malformed rows twice — dedup the quarantine output by id
     * downstream (the validDocuments scaladoc's standing rule); the
     * INDEX stays exactly-once via the partition-overwrite protocol
-    * regardless. */
+    * regardless.
+    *
+    * ONE POLICY across the two ingest twins (round 17, stated once):
+    * validation is loud exactly where malformedness is UNDEFINED
+    * inside the operator, silent where it is well-defined. The vector
+    * loop ([[EmbedStream]]) defaults to validate-and-fail because a
+    * null/ragged vector inside the hyperplane LSH has no meaning — any
+    * row that reaches the signatures is already a bug. THIS loop
+    * defaults to pass-through because every dedup rule it runs is
+    * total on degenerate text: null/whitespace docs fingerprint-group
+    * with their exact twins, and sub-k docs are invisible to MinHash —
+    * a "malformed" doc is just a very short document, and whether such
+    * docs belong in the corpus is an upstream curation question
+    * (compose [[graft.datax.TextStats.validDocuments]], or set
+    * `onMalformed`, when the answer is no), not an ingest invariant. */
   def processBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                    idCol: String, textCol: String, k: Int = 4,
                    numHashes: Int = 16, bands: Int = 8,

@@ -35,13 +35,24 @@ import graft.datax.{Dedup, Similarity}
   * cosine 1 and always shares every bucket with its twin.
   *
   * The SERVING index ([[Similarity.ivfIndexWrite]] / `pqIndexWrite`
-  * layouts) is deliberately NOT written here: parquet append is not
-  * replay-idempotent, so the serving increment composes downstream —
-  * feed each batch's survivors (this loop's output is exactly the
-  * deduplicated shard) to [[Similarity.ivfIndexAppend]] /
-  * `pqIndexAppend` under the caller's own at-most-once discipline, and
-  * re-quantize on the [[Similarity.ivfIndexStaleness]] /
-  * `ivfIndexSkew` triggers.
+  * layouts) can ride the same loop (round 17 — previously the one
+  * crash seam left in the pipeline): pass `servingDir` and each
+  * batch's survivors are appended to it via
+  * [[Similarity.ivfIndexAppendBatch]] — the shard lands in a
+  * batch-SCOPED partition of the serving index's increment sibling
+  * table under partition OVERWRITE, so a crash anywhere between the
+  * dedup-index writes and the serving append is healed by Structured
+  * Streaming's replay of the batch (every write in the batch, dedup
+  * AND serving, rewrites its own batch partitions — spec drives
+  * exactly that window). The serving index must already exist with
+  * geometry sized for the eventual corpus (same stance as the LSH
+  * geometry below); re-quantize it on the
+  * [[Similarity.ivfIndexStaleness]] / `ivfIndexSkew` triggers — a
+  * rebuild folds the increment rows into the new base and clears the
+  * sibling. Without `servingDir` the loop behaves as before: feed
+  * survivors downstream under your own discipline (the plain
+  * [[Similarity.ivfIndexAppend]] / `pqIndexAppend` faces remain the
+  * at-most-once path).
   *
   * (tables, planesPerTable) have NO default (round-16 review finding):
   * LSH geometry must be sized for the EVENTUAL index, not a fixture —
@@ -49,8 +60,13 @@ import graft.datax.{Dedup, Similarity}
   * threshold) before wiring the stream (a too-small fixed geometry is
   * the d10a-class quadratic trap, and the first batch pins it into the
   * bands sidecar: later corrections fail the params check and need an
-  * index rebuild). The default `maxBucketLoad` tripwire converts the
-  * mistake into a fail-fast either way.
+  * index rebuild). The `maxBucketLoad` tripwire converts the mistake
+  * into a fail-fast on BOTH passes: the cross batch x index join is
+  * guarded by the load bound directly, and the within-batch pass
+  * derives its per-bucket occupancy bound as sqrt(maxBucketLoad) —
+  * the occupancy whose in-bucket pair expansion equals that load
+  * (round 17; previously the within-batch pass was unguarded and the
+  * scaladoc overclaimed).
   */
 object EmbedStream {
 
@@ -62,13 +78,14 @@ object EmbedStream {
              maxBucketLoad: Option[Long] = Some(1L << 20),
              validateDim: Option[Int] = None,
              onMalformed: String = "fail",
-             quarantineDir: Option[String] = None): DataStreamWriter[Row] =
+             quarantineDir: Option[String] = None,
+             servingDir: Option[String] = None): DataStreamWriter[Row] =
     incoming.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexRoot, idCol, vecCol, tables,
           planesPerTable, threshold, maxBucketLoad, validateDim,
-          onMalformed, quarantineDir)
+          onMalformed, quarantineDir, servingDir)
       }
 
   /** One micro-batch of the loop — public so the crash-replay contract
@@ -86,14 +103,23 @@ object EmbedStream {
     * whose upstream already enforces the vector-space contract (a
     * null/ragged vector inside the LSH is undefined behavior, which is
     * why the default here is to validate loudly, not to pass through
-    * silently like the null-safe text loop can afford). */
+    * silently like the null-safe text loop can afford).
+    *
+    * `servingDir` (round 17): when set, the batch's survivors are also
+    * appended to the serving ANN index at that path via
+    * [[Similarity.ivfIndexAppendBatch]] — batch-scoped, replay-
+    * idempotent (see the object doc). The append runs AFTER the dedup
+    * index writes, inside the same batch scope: a crash between them
+    * leaves the serving index one batch behind until the replay
+    * rewrites both. */
   def processBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                    idCol: String, vecCol: String, tables: Int,
                    planesPerTable: Int, threshold: Double = 0.9,
                    maxBucketLoad: Option[Long] = Some(1L << 20),
                    validateDim: Option[Int] = None,
                    onMalformed: String = "fail",
-                   quarantineDir: Option[String] = None): Unit = {
+                   quarantineDir: Option[String] = None,
+                   servingDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val (vecsDir, bandsDir) = (s"$indexRoot/vecs", s"$indexRoot/bands")
     def priorOnly(dir: String): Option[DataFrame] =
@@ -109,9 +135,18 @@ object EmbedStream {
         case None => raw
       }
       // WITHIN-batch: pairs over the full batch, larger id of each
-      // pair drops (the semanticDedup rule; pairs are (id_a < id_b))
+      // pair drops (the semanticDedup rule; pairs are (id_a < id_b)).
+      // Occupancy bound derived from maxBucketLoad: in-bucket pair
+      // expansion at occupancy w costs ~w^2/2 pairs, so sqrt(load)
+      // trips at the same candidate volume as the cross-join guard
+      // (ADVICE r16: this pass was unguarded while the doc claimed
+      // otherwise — a too-small fixed geometry on a large FIRST batch
+      // hit the quadratic blowup before any cross join existed)
+      val withinOccupancy = maxBucketLoad.map(m =>
+        math.min(Int.MaxValue.toDouble,
+          math.max(2.0, math.sqrt(m.toDouble))).toInt) // guard floor: 2
       val withinDrop = Dedup.embeddingNearDupsBanded(b, idCol, vecCol,
-          tables, planesPerTable, threshold, maxOccupancy = None,
+          tables, planesPerTable, threshold, maxOccupancy = withinOccupancy,
           metricSuffix = "ingest_within")
         .select(col("id_b").as(idCol))
       val withinSurvivors = b.join(withinDrop, Seq(idCol), "left_anti")
@@ -145,6 +180,15 @@ object EmbedStream {
           () => Dedup.embeddingBandSignatures(survivors, idCol, vecCol,
               tables, planesPerTable)
             .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")))
+        // SERVING increment, same batch scope (round 17): also an
+        // overwrite of its own batch partition, so the crash window
+        // between the dedup writes above and this append closes on
+        // replay — both sides rewrite, neither double-appends
+        servingDir.foreach { sd =>
+          Similarity.ivfIndexAppendBatch(spark, sd,
+            survivors.select(batch.columns.map(col).toIndexedSeq: _*),
+            batchId, idCol, vecCol)
+        }
         ()
       } finally { survivors.unpersist(); () }
     } finally { raw.unpersist(); () }
@@ -160,12 +204,14 @@ object EmbedStream {
                       validateDim: Option[Int] = None,
                       onMalformed: String = "fail",
                       quarantineDir: Option[String] = None,
+                      servingDir: Option[String] = None,
                       onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                         _ => ()): Unit = {
     val trace = StreamOps.driveCollectingProgress(
       incoming.sparkSession.streams,
       writer(incoming, indexRoot, idCol, vecCol, tables, planesPerTable,
-          threshold, maxBucketLoad, validateDim, onMalformed, quarantineDir)
+          threshold, maxBucketLoad, validateDim, onMalformed, quarantineDir,
+          servingDir)
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start())
@@ -187,14 +233,15 @@ object EmbedStream {
                          maxBucketLoad: Option[Long] = Some(1L << 20),
                          validateDim: Option[Int] = None,
                          onMalformed: String = "fail",
-                         quarantineDir: Option[String] = None): DataFrame = {
+                         quarantineDir: Option[String] = None,
+                         servingDir: Option[String] = None): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     val incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     runAvailableNow(incoming, indexRoot, idCol, vecCol, checkpointDir,
       tables, planesPerTable, threshold, maxBucketLoad, validateDim,
-      onMalformed, quarantineDir)
+      onMalformed, quarantineDir, servingDir)
     DedupStream.visibleIndex(spark, s"$indexRoot/vecs")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .localCheckpoint(eager = true)

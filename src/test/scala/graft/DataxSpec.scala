@@ -1174,6 +1174,136 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfIndexAppendBatch: replay overwrites its own batch partition; probe == frozen-geometry rebuild; maintenance reads the union; rebuild clears the increment") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 3 && $"vec_id" % 5 =!= 4)
+    val shard1 = emb.filter($"vec_id" % 5 === 3)
+    val shard2 = emb.filter($"vec_id" % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-incapp").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-increb").toString
+    try {
+      Similarity.pqIndexWrite(base, dir, nCentroids = 16)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard1, 0L)
+      // REPLAY of batch 0 (the at-least-once crash-recovery case): the
+      // overwrite rewrites its own batch partition — never doubles
+      Similarity.ivfIndexAppendBatch(spark, dir, shard1, 0L)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard2, 1L)
+      val incRows = spark.read.parquet(s"$dir/codes_inc.parquet")
+      assert(incRows.count() == shard1.count() + shard2.count(),
+        "a replayed batch must not double its rows")
+      // probe == the d09f frozen-geometry rebuild contract, through the
+      // base ∪ increment read face
+      val queries = emb.filter($"vec_id" < 16)
+      val appended = Similarity.ivfPqTopK(spark, dir, queries, k = 5, nProbe = 4)
+      val centroids = Similarity.ivfIndex(base, nCentroids = 16)._1
+      val book = Similarity.pqCentroids(base)
+      Similarity.pqIndexWriteWith(emb, dir2, centroids, book)
+      val rebuilt = Similarity.ivfPqTopK(spark, dir2, queries, k = 5, nProbe = 4)
+      assert(appended.orderBy("query_id", "rank").collect().toSeq
+        == rebuilt.orderBy("query_id", "rank").collect().toSeq)
+      // pruning reaches BOTH sides of the union
+      val plan = appended.queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("codes.parquet") && !l.contains("codes_inc")
+            && l.contains("PartitionFilters") && !l.contains("PartitionFilters: []")),
+        s"base scan must stay partition-pruned:\n$plan")
+      assert(plan.linesIterator.exists(l =>
+          l.contains("codes_inc.parquet") && l.contains("PartitionFilters")
+            && !l.contains("PartitionFilters: []")),
+        s"increment scan must be partition-pruned too:\n$plan")
+      // staleness counts the union; skew merges per-bucket counts
+      val (nBase, nInc) = (base.count(), shard1.count() + shard2.count())
+      val staleness = Similarity.ivfIndexStaleness(spark, dir)
+      assert(staleness.exists(s => math.abs(s - nInc.toDouble / nBase) < 1e-12),
+        s"expected ${nInc.toDouble / nBase}, got $staleness")
+      val counts = spark.read.parquet(s"$dir/codes.parquet")
+        .select("id", "centroid_id")
+        .unionByName(spark.read.parquet(s"$dir/codes_inc.parquet")
+          .select("id", "centroid_id"))
+        .groupBy("centroid_id").count()
+        .as[(Long, Long)].collect().map(_._2).sorted
+      val median =
+        if (counts.length % 2 == 1) counts(counts.length / 2).toDouble
+        else (counts(counts.length / 2 - 1) + counts(counts.length / 2)) / 2.0
+      val skew = Similarity.ivfIndexSkew(spark, dir)
+      assert(skew.exists(s => math.abs(s - counts.last / median) < 1e-12),
+        s"expected ${counts.last / median}, got $skew")
+      // a REBUILD folds the increment into the new base and clears it
+      Similarity.pqIndexWriteWith(emb, dir, centroids, book)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_inc.parquet")),
+        "rebuild must clear the increment sibling")
+      assert(Similarity.ivfIndexStaleness(spark, dir) == Some(0.0))
+      // the PLAIN layout takes batch appends through the same face
+      val dirP = java.nio.file.Files.createTempDirectory("graft-incivf").toString
+      try {
+        Similarity.ivfIndexWrite(base, dirP, nCentroids = 16)
+        Similarity.ivfIndexAppendBatch(spark, dirP, shard1, 0L)
+        Similarity.ivfIndexAppendBatch(spark, dirP, shard1, 0L) // replay
+        val probed = Similarity.ivfTopKIndexed(spark, dirP, queries,
+          k = 5, nProbe = 4)
+        val reference = Similarity.ivfTopK(centroids,
+          Similarity.ivfAssign(base.unionByName(shard1), centroids),
+          queries, k = 5, nProbe = 4)
+        assert(probed.orderBy("query_id", "rank").collect().toSeq
+          == reference.orderBy("query_id", "rank").collect().toSeq)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dirP)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+    } finally Seq(dir, dir2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("pqIndexWriteAuto: build-time chooser follows the measured regime boundary and writes the explicit face's exact layout") {
+    // the d09i clustered fixture: 64 tight clusters x 2 members — the
+    // coarse quantizer absorbs every center, residual must win
+    val clustered = (0 until 128).map { id =>
+      val kk = id / 2
+      (id.toLong, Array.tabulate(64) { j =>
+        (((kk * 64 + j) * 2654435761L % 17).toFloat - 8f) +
+          0.01f * (((id * 40503L + j) % 7).toFloat - 3f)
+      })
+    }.toDF("vec_id", "embedding")
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dirC = java.nio.file.Files.createTempDirectory("graft-autoc").toString
+    val dirC2 = java.nio.file.Files.createTempDirectory("graft-autoc2").toString
+    val dirN = java.nio.file.Files.createTempDirectory("graft-auton").toString
+    val dirN2 = java.nio.file.Files.createTempDirectory("graft-auton2").toString
+    try {
+      assert(Similarity.pqIndexWriteAuto(clustered, dirC, nCentroids = 64),
+        "clustered corpus: auto must pick residual")
+      assert(!Similarity.pqIndexWriteAuto(emb, dirN, nCentroids = 16),
+        "near-orthogonal noise: auto must pick raw")
+      // build_meta records the choice — the index stays self-describing
+      assert(spark.read.parquet(s"$dirC/build_meta.parquet")
+        .select("residual").head().getBoolean(0))
+      assert(!spark.read.parquet(s"$dirN/build_meta.parquet")
+        .select("residual").head().getBoolean(0))
+      // and the written layout IS the explicit face's, probe-identical
+      val qC = clustered.filter($"vec_id" < 8)
+      Similarity.pqIndexWriteResidual(clustered, dirC2, nCentroids = 64)
+      assert(Similarity.ivfPqTopK(spark, dirC, qC, k = 3, nProbe = 4)
+          .orderBy("query_id", "rank").collect().toSeq
+        == Similarity.ivfPqTopK(spark, dirC2, qC, k = 3, nProbe = 4)
+          .orderBy("query_id", "rank").collect().toSeq)
+      val qN = emb.filter($"vec_id" < 8)
+      Similarity.pqIndexWrite(emb, dirN2, nCentroids = 16)
+      assert(Similarity.ivfPqTopK(spark, dirN, qN, k = 3, nProbe = 4)
+          .orderBy("query_id", "rank").collect().toSeq
+        == Similarity.ivfPqTopK(spark, dirN2, qN, k = 3, nProbe = 4)
+          .orderBy("query_id", "rank").collect().toSeq)
+    } finally Seq(dirC, dirC2, dirN, dirN2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("pqIndexWrite quality knobs: refined components == pqIndexWriteWith of the same refinements") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")

@@ -185,4 +185,25 @@ class SimilarityPropertiesSpec extends AnyFunSuite {
       "per-chunk partial sums are exact on integer entries, so the " +
         "two-level fold must reproduce the flat Lloyd refinement bit-for-bit")
   }
+
+  test("pqCentroidsKMeans: chunked fold == flat fold at any chunking " +
+       "(integer vectors keep every subspace-mean sum exact)") {
+    val vecs = genVecs(40, 7501L, dim = 6)
+    def run(chunkIds: Long) =
+      Similarity.pqCentroidsKMeans(toDF(vecs), m = 2, ksub = 4,
+          iterations = 2, chunkIds = chunkIds)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val flat = run(0L)
+    assert(flat.size == 2 * 4, "m x ksub codebook rows")
+    // non-vacuous: at least one cell moved off its stride seed, so both
+    // runs exercised the means step, not just the seed passthrough
+    val seed = Similarity.pqCentroids(toDF(vecs), m = 2, ksub = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(flat != seed, "refinement must change at least one centroid")
+    assert(run(3L) == flat && run(17L) == flat,
+      "per-chunk partial sums are exact on integer entries, so the " +
+        "two-level fold must reproduce the flat refinement bit-for-bit")
+  }
 }

@@ -1456,6 +1456,82 @@ class StreamingSpec extends AnyFunSuite {
         "batch 2's survivor {2} remains")
   }
 
+  test("EmbedStream servingDir: crash between dedup-index write and serving append heals on replay; serving appends are batch-idempotent") {
+    import graft.streaming.{DedupStream, EmbedStream}
+    import graft.datax.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-d55-serve").toString
+    val root = s"$dir/index"
+    val serving = s"$dir/serving"
+    def split(i: Int) = embedVecs.filter(pmod($"vec_id", lit(3)) === i)
+    // bootstrap: batch 0 is the backfill; the serving index is built
+    // ONCE over its survivors (geometry pinned here serves every later
+    // append — the no-fixture-defaults stance)
+    EmbedStream.processBatch(split(0), 0L, root, "vec_id", "embedding",
+      tables = 3, planesPerTable = 4, threshold = 0.9)
+    val backfill = DedupStream.visibleIndex(spark, s"$root/vecs")
+      .select("vec_id", "embedding").localCheckpoint(eager = true)
+    Similarity.pqIndexWrite(backfill, serving, nCentroids = 2)
+    // batch 1, CRASHED between the dedup-index writes and the serving
+    // append: exactly what a run without servingDir leaves behind
+    EmbedStream.processBatch(split(1), 1L, root, "vec_id", "embedding",
+      tables = 3, planesPerTable = 4, threshold = 0.9)
+    // Structured Streaming replays the WHOLE batch: both sides rewrite
+    // their own batch partitions — the seam closes
+    EmbedStream.processBatch(split(1), 1L, root, "vec_id", "embedding",
+      tables = 3, planesPerTable = 4, threshold = 0.9,
+      servingDir = Some(serving))
+    // batch 2 clean, then replayed once more (plain idempotence)
+    (0 until 2).foreach { _ =>
+      EmbedStream.processBatch(split(2), 2L, root, "vec_id", "embedding",
+        tables = 3, planesPerTable = 4, threshold = 0.9,
+        servingDir = Some(serving))
+    }
+    // the serving index holds exactly the dedup survivors, once each:
+    // base = backfill {3,6,9}, increment = batch survivors {4}, {2}
+    val incIds = spark.read.parquet(s"$serving/codes_inc.parquet")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(incIds == Seq(2L, 4L),
+      s"one row per appended survivor, no double-appends: got $incIds")
+    // probe ≡ a frozen-geometry rebuild over the full survivor set —
+    // the converged state a clean never-crashed run would serve
+    val survivors = DedupStream.visibleIndex(spark, s"$root/vecs")
+      .select("vec_id", "embedding").localCheckpoint(eager = true)
+    val rebuilt = s"$dir/rebuilt"
+    Similarity.pqIndexWriteWith(survivors, rebuilt,
+      spark.read.parquet(s"$serving/centroids.parquet"),
+      spark.read.parquet(s"$serving/pq_codebook.parquet"))
+    val queries = embedVecs
+    val a = Similarity.ivfPqTopK(spark, serving, queries, k = 2, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val b = Similarity.ivfPqTopK(spark, rebuilt, queries, k = 2, nProbe = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "replayed crash must converge to the clean run's probe results")
+    // staleness sees the increment; the triggered rebuild then resets it
+    val staleness = Similarity.ivfIndexStaleness(spark, serving)
+    assert(staleness.exists(s => math.abs(s - 2.0 / 3.0) < 1e-12),
+      s"2 appended over 3 built, got $staleness")
+  }
+
+  test("EmbedStream within-batch pass derives its occupancy guard from maxBucketLoad") {
+    import graft.streaming.EmbedStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-d55-guard").toString
+    // three identical vectors share every bucket; maxBucketLoad = 4 ->
+    // within-batch occupancy bound sqrt(4) = 2 -> the triple must raise
+    // (previously this first-batch path was unguarded: ADVICE r16)
+    val batch = Seq((1L, embedDir(0)), (2L, embedDir(0)), (3L, embedDir(0)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Throwable] {
+      EmbedStream.processBatch(batch, 0L, s"$dir/index", "vec_id",
+        "embedding", tables = 1, planesPerTable = 1, threshold = 0.9,
+        maxBucketLoad = Some(4L))
+    }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(chain.contains("hot LSH bucket"), s"got:\n$chain")
+  }
+
   test("EmbedStream validateDim: malformed vectors dead-letter with reasons; default fail raises") {
     import graft.streaming.{DedupStream, EmbedStream}
     val dir = java.nio.file.Files.createTempDirectory("graft-d55-valid").toString
