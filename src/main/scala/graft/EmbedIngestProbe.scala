@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_CPUS (default 8), SPARK_GRAFT_THRESHOLD (default 0.9),
   * SPARK_GRAFT_COMPACT_EVERY (0 = never — batches accumulate; N>0 runs
   * EmbedStream.compactIndex after every N batches, measuring the
-  * small-file axis too). */
+  * small-file axis too), SPARK_GRAFT_SERVING (1 = wire `servingDir`:
+  * batch 0 bootstraps a pqIndexWriteWith base over its survivors with
+  * geometry sized from the FULL corpus, batches 1+ append through the
+  * replay-idempotent batch face — measuring the round-17 serving
+  * composition's per-batch overhead), SPARK_GRAFT_CONSOLIDATE_EVERY
+  * (with SERVING: N>0 runs ivfIndexConsolidate every N batches). */
 object EmbedIngestProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,6 +28,9 @@ object EmbedIngestProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val threshold = sys.env.getOrElse("SPARK_GRAFT_THRESHOLD", "0.9").toDouble
     val compactEvery = sys.env.getOrElse("SPARK_GRAFT_COMPACT_EVERY", "0").toInt
+    val serving = sys.env.getOrElse("SPARK_GRAFT_SERVING", "0") == "1"
+    val consolidateEvery =
+      sys.env.getOrElse("SPARK_GRAFT_CONSOLIDATE_EVERY", "0").toInt
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,21 +48,45 @@ object EmbedIngestProbe {
     val (tables, r) = graft.datax.Dedup.bandsFor(n, threshold)
     val root = java.nio.file.Files.createTempDirectory("graft-embingest").toString
     try {
+      val servingRoot = s"$root/serving"
       val walls = (0 until nBatches).map { i =>
         val batch = emb.filter(pmod(col("vec_id"), lit(nBatches)) === i)
         val t0 = System.nanoTime()
         graft.streaming.EmbedStream.processBatch(batch, i.toLong,
-          s"$root/index", "vec_id", "embedding", tables, r, threshold)
+          s"$root/index", "vec_id", "embedding", tables, r, threshold,
+          servingDir = if (serving && i > 0) Some(servingRoot) else None)
         val w = (System.nanoTime() - t0) / 1e9
+        if (serving && i == 0) {
+          // bootstrap the serving base over the backfill survivors,
+          // geometry sized from the FULL corpus (the production
+          // stance); outside the timed window — a one-time build, not
+          // per-batch cost
+          graft.datax.Similarity.pqIndexWriteWith(
+            graft.streaming.DedupStream
+              .visibleIndex(spark, s"$root/index/vecs")
+              .select("vec_id", "embedding"),
+            servingRoot,
+            graft.datax.Similarity.ivfIndex(emb, nCentroids = 64)._1,
+            graft.datax.Similarity.pqCentroids(emb))
+        }
         if (compactEvery > 0 && (i + 1) % compactEvery == 0)
           graft.streaming.EmbedStream.compactIndex(spark, s"$root/index")
+        if (serving && consolidateEvery > 0 && (i + 1) % consolidateEvery == 0)
+          graft.datax.Similarity.ivfIndexConsolidate(spark, servingRoot)
         w
       }
       val survivors = graft.streaming.DedupStream
         .visibleIndex(spark, s"$root/index/vecs").count()
+      val staleness =
+        if (serving)
+          graft.datax.Similarity.ivfIndexStaleness(spark, servingRoot)
+            .map(s => f"$s%.3f").getOrElse("null")
+        else "null"
       println(s"""{"probe":"embed_ingest","sfDir":"$sfDir","n":$n,""" +
         s""""batches":$nBatches,"tables":$tables,"r":$r,""" +
-        s""""compactEvery":$compactEvery,"survivors":$survivors,""" +
+        s""""compactEvery":$compactEvery,"serving":$serving,""" +
+        s""""consolidateEvery":$consolidateEvery,""" +
+        s""""servingStaleness":$staleness,"survivors":$survivors,""" +
         s""""perBatchSec":[${walls.map(w => f"$w%.2f").mkString(",")}]}""")
     } finally {
       val p = new org.apache.hadoop.fs.Path(root)

@@ -587,7 +587,6 @@ object Similarity {
       if (kmeansIterations > 0)
         ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)
       else ivfIndex(vectors, nCentroids, idCol, vecCol)
-    clearIncTables(vectors.sparkSession, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     assigned.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/assigned.parquet")
@@ -597,6 +596,7 @@ object Similarity {
     import spark.implicits._
     Seq(vectors.count()).toDF("built_n")
       .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
+    clearIncTables(spark, dir)
   }
 
   /** Assign vectors to a GIVEN centroid table (nearest by cosine, ties
@@ -950,13 +950,13 @@ object Similarity {
   def pqIndexWriteWith(vectors: DataFrame, dir: String,
                        centroids: DataFrame, codebook: DataFrame,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    clearIncTables(vectors.sparkSession, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     codebook.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
     pqCodeRows(vectors, centroids, codebook, idCol, vecCol)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
     writePqMeta(vectors, dir, codebook, residual = false)
+    clearIncTables(vectors.sparkSession, dir)
   }
 
   /** The stored codes-table rows for one corpus slice: (id, codes
@@ -1060,13 +1060,13 @@ object Similarity {
   private def writeResidualLayout(vectors: DataFrame, dir: String,
                                   centroids: DataFrame, res: DataFrame,
                                   book: DataFrame): Unit = {
-    clearIncTables(vectors.sparkSession, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
     residualCodeRows(res, book)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
     writePqMeta(vectors, dir, book, residual = true)
+    clearIncTables(vectors.sparkSession, dir)
   }
 
   /** Summed PQ encode error of `vectors` against `codebook`: per
@@ -1086,7 +1086,9 @@ object Similarity {
     }
     vectors.select(toDouble(col(vecCol)).as("vec"))
       .select(errCols.reduce(_ + _).as("_e"))
-      .agg(sum("_e")).head(1).headOption.map(_.getDouble(0)).getOrElse(0.0)
+      // coalesce: sum over ZERO rows is SQL NULL (an id stride that
+      // misses every id — e.g. all-odd ids — yields an empty sample)
+      .agg(coalesce(sum("_e"), lit(0.0))).head().getDouble(0)
   }
 
   /** [[pqIndexWrite]] with the raw-vs-residual layout choice made AT
@@ -1129,10 +1131,17 @@ object Similarity {
       val resBook = bookOf(res, "id", "vec")
       val n = vectors.count()
       val evalStride = math.max(1L, n / math.max(1L, ksub.toLong * sampleMultiple))
+      // anchor the stride to the MINIMUM id so the sample is never
+      // empty (round-17 review finding: all-odd ids — a dedup
+      // survivor set, say — can miss `id % stride == 0` entirely,
+      // which would zero both errors and silently pick raw)
+      val minId = vectors.agg(min(col(idCol).cast("long"))).head().getLong(0)
       val rawErr = encodeErrorSum(
-        vectors.filter(col(idCol) % evalStride === 0), rawBook, vecCol)
+        vectors.filter((col(idCol).cast("long") - minId) % evalStride === 0),
+        rawBook, vecCol)
       val resErr = encodeErrorSum(
-        res.filter(col("id") % evalStride === 0), resBook, "vec")
+        res.filter((col("id").cast("long") - minId) % evalStride === 0),
+        resBook, "vec")
       val residual = resErr < rawErr
       if (residual) writeResidualLayout(vectors, dir, centroids, res, resBook)
       else pqIndexWriteWith(vectors, dir, centroids, rawBook, idCol, vecCol)
@@ -1155,19 +1164,30 @@ object Similarity {
   }
 
   /** The stored `residual` flag of a persisted PQ index; false for
-    * indexes written before the flag existed (raw-vector encoding was
-    * the only form then), and false for an existing-but-EMPTY meta (a
-    * crashed/partial overwrite window) — degrading to the pre-flag
-    * default instead of throwing from every probe/append. */
+    * indexes written before the flag existed (no `residual` column —
+    * raw-vector encoding was the only form then). A FLAG-ERA meta that
+    * exists but holds no row / a null flag (a crashed partial
+    * overwrite) raises a NAMED error instead of either the bare
+    * NoSuchElementException it used to or a silent false — a residual
+    * index probed as raw returns wrong neighbors with no error, and an
+    * append would mix encodings permanently (round-17 review finding;
+    * the degrade-to-false first cut had exactly that failure mode). */
   private def residualFlagOf(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Boolean = {
     val metaPath = new org.apache.hadoop.fs.Path(s"$dir/build_meta.parquet")
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(metaPath)) return false
     val meta = spark.read.parquet(s"$dir/build_meta.parquet")
-    meta.columns.contains("residual") &&
-      meta.select("residual").head(1).headOption
-        .exists(r => !r.isNullAt(0) && r.getBoolean(0))
+    if (!meta.columns.contains("residual")) return false
+    meta.select("residual").head(1).headOption match {
+      case Some(r) if !r.isNullAt(0) => r.getBoolean(0)
+      case _ => throw new IllegalStateException(
+        s"$dir/build_meta.parquet exists but holds no residual flag row " +
+          "— a crashed/partial meta write; the codes' encoding is " +
+          "unknowable, rebuild the index (pqIndexWrite / " +
+          "pqIndexWriteResidual / pqIndexWriteAuto) before probing or " +
+          "appending")
+    }
   }
 
   /** APPEND a new shard to a persisted [[pqIndexWrite]] index without a
@@ -1186,10 +1206,18 @@ object Similarity {
     * [[ivfIndexCompact]] all read this layout too. */
   def pqIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newVectors: DataFrame,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    shardRows(spark, dir, newVectors, idCol, vecCol)._2
-      .write.mode("append").partitionBy("centroid_id")
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (table, rows) = shardRows(spark, dir, newVectors, idCol, vecCol)
+    // loud on a plain-IVF dir (round-17 review finding: writing assign
+    // rows into a fresh codes.parquet sibling would be silently ignored
+    // by every probe — rowTableOf resolves assigned.parquet first)
+    require(table == "codes.parquet",
+      s"$dir holds a plain ivfIndexWrite layout ($table) — use " +
+        "ivfIndexAppend (or the layout-aware ivfIndexAppendBatch), not " +
+        "pqIndexAppend")
+    rows.write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
+  }
 
   /** One shard's serving-index rows against a persisted index's STORED
     * geometry, layout- and encoding-aware: (id, vec, centroid_id) for
@@ -1234,20 +1262,35 @@ object Similarity {
 
   /** True when the increment table holds at least one batch partition
     * with a parquet file (a bare read of an absent/empty dir cannot
-    * infer a schema and would fail instead of returning empty). */
+    * infer a schema and would fail instead of returning empty).
+    * Short-circuiting nested listing, NOT a recursive glob (round-17
+    * review finding: a full `batch=*{@literal /}centroid_id=*` glob
+    * sweeps every file of the increment tree on EVERY probe — two full
+    * LIST passes per probe on an object store; this walk stops at the
+    * first data file). */
   private def hasIncRows(spark: org.apache.spark.sql.SparkSession,
                          incDir: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(incDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.exists(root) && Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(incDir, "batch=*/centroid_id=*/*.parquet")))
-      .exists(_.nonEmpty)
+    fs.exists(root) && fs.listStatus(root).exists { b =>
+      b.isDirectory && b.getPath.getName.startsWith("batch=") &&
+        fs.listStatus(b.getPath).exists { c =>
+          c.isDirectory && c.getPath.getName.startsWith("centroid_id=") &&
+            fs.listStatus(c.getPath).exists(f =>
+              f.isFile && f.getPath.getName.endsWith(".parquet"))
+        }
+    }
   }
 
   /** A REBUILD re-encodes the full corpus — any increment rows are part
     * of that corpus, so leaving them would double-count them against
     * the new base. Every write face clears both possible siblings
-    * first. */
+    * AFTER its base writes complete (round-17 review finding: clearing
+    * first widened the crash window — a crash between the clear and
+    * the base overwrite would silently drop every appended row, where
+    * clear-last leaves at worst a transient double-count that the
+    * rerun's clear heals; mid-rebuild reads are excluded by the
+    * single-writer contract either way). */
   private def clearIncTables(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1295,7 +1338,10 @@ object Similarity {
   }
 
   /** The committed row set of a persisted serving index: the base row
-    * table plus every batch partition of the increment sibling.
+    * table plus every VISIBLE batch partition of the increment sibling
+    * ([[graft.streaming.DedupStream.visibleIndex]] — the marker
+    * resolves epoch visibility during [[ivfIndexConsolidate]]'s crash
+    * windows, exactly as it does for the ingest-loop sidecars).
     * Identical frame (and plan) to a bare base read when no increment
     * exists — plain-append indexes see zero change. Filters the probe
     * faces apply push into BOTH scans (centroid_id is a partition
@@ -1307,8 +1353,32 @@ object Similarity {
     val incDir = s"$dir/${incTableOf(table)}"
     if (!hasIncRows(spark, incDir)) base
     else base.unionByName(
-      spark.read.parquet(incDir)
+      graft.streaming.DedupStream.visibleIndex(spark, incDir)
         .select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** RETENTION for the increment sibling ([[ivfIndexAppendBatch]]):
+    * continuous ingest accumulates one `batch=N` dir (x touched
+    * centroid subdirs) per micro-batch — thousands of small partitions
+    * at steady state, each paying a listing + file open at probe time.
+    * This folds every increment batch at or below (highest batch −
+    * `keepLastBatches`) into ONE epoch partition — still partitioned
+    * by centroid_id inside, ONE file per bucket, so directory pruning
+    * and the probe plan shape are unchanged — committed by the
+    * [[graft.streaming.DedupStream]] epoch/marker protocol (atomic
+    * rename; every crash window closed; the in-flight replayable batch
+    * is never folded). The BASE table is untouched
+    * ([[ivfIndexCompact]] owns its file counts); a full rebuild still
+    * clears the whole sibling. Single-writer like all maintenance
+    * here: run between appends, never concurrently with one. Returns
+    * the committed cutoff, or None when nothing is old enough. */
+  def ivfIndexConsolidate(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, keepLastBatches: Int = 1,
+                          targetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+    val incDir = s"$dir/${incTableOf(rowTableOf(spark, dir))}"
+    if (!hasIncRows(spark, incDir)) None
+    else graft.streaming.DedupStream.compactIndexTableNested(spark, incDir,
+      "centroid_id", keepLastBatches, targetBytes)
   }
 
   /** Probe a persisted [[pqIndexWrite]] index: IVF bucket pruning AND
@@ -1493,13 +1563,23 @@ object Similarity {
     }
     val base = bucketCounts(new org.apache.hadoop.fs.Path(s"$dir/$table"))
     // increment batches ([[ivfIndexAppendBatch]]): per-bucket rows are
-    // the UNION's — merge batch=N/centroid_id=X counts into the bucket
-    val incRoot = new org.apache.hadoop.fs.Path(s"$dir/${incTableOf(table)}")
+    // the UNION's — merge batch=N/centroid_id=X counts into the
+    // bucket, honoring the consolidation marker's visibility rule
+    // (epoch dir + batches above the cutoff; without a marker, plain
+    // batches only — the [[servingRows]] read face's semantics)
+    val incDir = s"$dir/${incTableOf(table)}"
+    val incRoot = new org.apache.hadoop.fs.Path(incDir)
     val inc =
       if (!fs.exists(incRoot)) Seq.empty
-      else fs.listStatus(incRoot).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-        .flatMap(b => bucketCounts(b.getPath))
+      else {
+        val cutoff = graft.streaming.DedupStream.compactedUpTo(spark, incDir)
+        fs.listStatus(incRoot).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+          .filter(s => scala.util.Try(
+              s.getPath.getName.stripPrefix("batch=").toLong).toOption
+            .exists(graft.streaming.DedupStream.visibleBatch(cutoff, _)))
+          .flatMap(b => bucketCounts(b.getPath))
+      }
     val counts = (base ++ inc).groupBy(_._1)
       .map { case (_, rows) => rows.map(_._2).sum }
       .toSeq.sorted

@@ -300,13 +300,27 @@ object DedupStream {
     }
   }
 
+  /** THE batch-visibility rule, value form: with a committed cutoff
+    * `c`, the epoch dir `-(c+2)` plus every batch above `c`; without a
+    * marker, plain batches only. [[visibleIndex]]'s Column filter and
+    * every driver-side dir walk over a batch table
+    * ([[graft.datax.Similarity.ivfIndexSkew]]'s increment listing)
+    * must agree with this ONE predicate — a hand-copied variant that
+    * drifts would silently desynchronize a maintenance view from the
+    * read face during compaction windows. */
+  private[graft] def visibleBatch(cutoff: Option[Long], b: Long): Boolean =
+    cutoff match {
+      case Some(c) => b == -(c + 2) || b > c
+      case None    => b >= 0
+    }
+
   /** The committed row set of one index table: the consolidated epoch
-    * partition plus every batch past the cutoff. Without a marker,
-    * plain batch partitions only (negative dirs from an uncommitted
-    * compaction attempt stay invisible). Public: this is the read face
-    * downstream consumers of the index should use — a raw
-    * `read.parquet(dir)` sees invisible dirs during the (crash-safe)
-    * compaction windows. */
+    * partition plus every batch past the cutoff ([[visibleBatch]] in
+    * Column form). Without a marker, plain batch partitions only
+    * (negative dirs from an uncommitted compaction attempt stay
+    * invisible). Public: this is the read face downstream consumers of
+    * the index should use — a raw `read.parquet(dir)` sees invisible
+    * dirs during the (crash-safe) compaction windows. */
   def visibleIndex(spark: SparkSession, dir: String): DataFrame = {
     val df = spark.read.parquet(dir)
     compactedUpTo(spark, dir) match {
@@ -424,6 +438,47 @@ object DedupStream {
       root.toUri, spark.sessionState.newHadoopConf())
     fc.rename(mtmp, new org.apache.hadoop.fs.Path(root, MarkerName),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** [[compactIndexTable]] for a batch table whose batch dirs hold a
+    * NESTED partition column (the serving-index increment table,
+    * `batch=N/centroid_id=K/...` —
+    * [[graft.datax.Similarity.ivfIndexConsolidate]]): the identical
+    * epoch/marker protocol, but the epoch dir is written
+    * `partitionBy(nestedCol)` so downstream directory pruning on that
+    * column survives consolidation, and the rewrite is hash-routed on
+    * the nested column (each bucket's rows land in exactly one task →
+    * ONE file per nested partition in the epoch, the compacted serving
+    * shape). Same single-writer contract; `keepLastBatches >= 1` keeps
+    * every replayable batch its own dir. */
+  private[graft] def compactIndexTableNested(spark: SparkSession, dir: String,
+      nestedCol: String, keepLastBatches: Int,
+      targetBytes: Long): Option[Long] = {
+    require(keepLastBatches >= 1,
+      s"keepLastBatches=$keepLastBatches: the in-flight batch is replayable and must stay")
+    gcIndexTable(spark, dir)
+    val (fs, root) = hfs(spark, dir)
+    val prev = compactedUpTo(spark, dir)
+    val real = batchDirs(spark, dir).map(_._2).filter(_ >= 0)
+    if (real.isEmpty) return None
+    val cutoff = real.max - keepLastBatches
+    val toFold = real.filter(_ <= cutoff)
+    if (toFold.isEmpty) return None
+    val folded = visibleIndex(spark, dir).filter(col("batch") <= cutoff)
+      .drop("batch")
+    val bytes = toFold.map(b => dirBytes(spark, s"$dir/batch=$b")).sum +
+      prev.map(c => dirBytes(spark, s"$dir/batch=${-(c + 2)}")).getOrElse(0L)
+    val nTasks = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+    fs.delete(tmp, true)
+    folded.repartition(nTasks, col(nestedCol))
+      .write.partitionBy(nestedCol).parquet(tmp.toString)
+    val epoch = new org.apache.hadoop.fs.Path(root, s"batch=${-(cutoff + 2)}")
+    fs.delete(epoch, true)
+    fs.rename(tmp, epoch)
+    commitMarker(spark, dir, cutoff)
+    gcIndexTable(spark, dir)
+    Some(cutoff)
   }
 
   private def compactIndexTable(spark: SparkSession, dir: String,

@@ -46,8 +46,11 @@ import graft.datax.{Dedup, Similarity}
   * AND serving, rewrites its own batch partitions — spec drives
   * exactly that window). The serving index must already exist with
   * geometry sized for the eventual corpus (same stance as the LSH
-  * geometry below); re-quantize it on the
-  * [[Similarity.ivfIndexStaleness]] / `ivfIndexSkew` triggers — a
+  * geometry below); between rebuilds run
+  * [[Similarity.ivfIndexConsolidate]] on the same cadence as
+  * [[compactIndex]] (it folds old increment batches into one epoch
+  * partition under the identical marker protocol), and re-quantize on
+  * the [[Similarity.ivfIndexStaleness]] / `ivfIndexSkew` triggers — a
   * rebuild folds the increment rows into the new base and clears the
   * sibling. Without `servingDir` the loop behaves as before: feed
   * survivors downstream under your own discipline (the plain

@@ -1259,6 +1259,101 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfIndexConsolidate: folds increment batches into one pruned epoch partition; probe/staleness/skew identical; replayable batch untouched") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 3 && $"vec_id" % 5 =!= 4)
+    // three appended batches so consolidation folds TWO (the file-count
+    // win is per folded batch — one file per bucket replaces one per
+    // (batch, bucket))
+    val shard1a = emb.filter($"vec_id" % 10 === 3)
+    val shard1b = emb.filter($"vec_id" % 10 === 8)
+    val shard2 = emb.filter($"vec_id" % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-inccons").toString
+    try {
+      Similarity.pqIndexWrite(base, dir, nCentroids = 16)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard1a, 0L)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard1b, 1L)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard2, 2L)
+      val queries = emb.filter($"vec_id" < 16)
+      def probe() = Similarity.ivfPqTopK(spark, dir, queries, k = 5, nProbe = 4)
+      val before = probe().orderBy("query_id", "rank").collect().toSeq
+      val stBefore = Similarity.ivfIndexStaleness(spark, dir)
+      val skBefore = Similarity.ivfIndexSkew(spark, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def incFiles() = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/codes_inc.parquet", "batch=*/centroid_id=*/*.parquet")).length
+      val filesBefore = incFiles()
+      // batches {0, 1, 2}, keepLastBatches = 1 -> cutoff 1: 0 and 1 fold
+      assert(Similarity.ivfIndexConsolidate(spark, dir) == Some(1L))
+      assert(probe().orderBy("query_id", "rank").collect().toSeq == before,
+        "consolidation is layout-only: not a single probe row moves")
+      assert(Similarity.ivfIndexStaleness(spark, dir) == stBefore)
+      assert(Similarity.ivfIndexSkew(spark, dir) == skBefore)
+      // folded batch dirs are gone; the epoch (batch=-3) holds ONE file
+      // per touched bucket; batch 2 (replayable) keeps its own dir
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/codes_inc.parquet/batch=0")), "folded batch dir must be gc'd")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/codes_inc.parquet/batch=1")), "folded batch dir must be gc'd")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/codes_inc.parquet/batch=-3")), "committed epoch dir")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/codes_inc.parquet/batch=2")), "replayable batch stays")
+      assert(incFiles() < filesBefore,
+        s"consolidation must shrink the file count, $filesBefore -> ${incFiles()}")
+      // pruning survives the epoch layout
+      val plan = probe().queryExecution.executedPlan.toString
+      assert(plan.linesIterator.exists(l =>
+          l.contains("codes_inc.parquet") && l.contains("PartitionFilters")
+            && !l.contains("PartitionFilters: []")),
+        s"epoch scan must stay partition-pruned:\n$plan")
+      // the kept batch is still replay-idempotent after consolidation
+      Similarity.ivfIndexAppendBatch(spark, dir, shard2, 2L)
+      assert(probe().orderBy("query_id", "rank").collect().toSeq == before,
+        "replaying the kept batch leaves the index identical")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("serving-index misuse fails loudly: pqIndexAppend on a plain layout; probing an empty flag-era build_meta") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dirP = java.nio.file.Files.createTempDirectory("graft-loudp").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft-loudr").toString
+    try {
+      // a plain-IVF dir has no codes: the PQ append must refuse, not
+      // write assign rows into a codes.parquet sibling every probe
+      // would silently ignore (round-17 review finding)
+      Similarity.ivfIndexWrite(emb.filter($"vec_id" % 5 =!= 3), dirP,
+        nCentroids = 16)
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.pqIndexAppend(spark, dirP, emb.filter($"vec_id" % 5 === 3))
+      }
+      assert(ex.getMessage.contains("plain ivfIndexWrite layout"),
+        s"got: ${ex.getMessage}")
+      // a flag-era meta with NO row (crashed partial overwrite): the
+      // codes' encoding is unknowable — named error, never a silent
+      // raw probe of residual codes
+      Similarity.pqIndexWriteResidual(emb, dirR, nCentroids = 16)
+      Seq.empty[(Long, Int, Int, Boolean)]
+        .toDF("built_n", "m", "ksub", "residual")
+        .write.mode("overwrite").parquet(s"$dirR/build_meta.parquet")
+      val ex2 = intercept[IllegalStateException] {
+        Similarity.ivfPqTopK(spark, dirR, emb.filter($"vec_id" < 4),
+          k = 2, nProbe = 2)
+      }
+      assert(ex2.getMessage.contains("no residual flag row"),
+        s"got: ${ex2.getMessage}")
+    } finally Seq(dirP, dirR).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("pqIndexWriteAuto: build-time chooser follows the measured regime boundary and writes the explicit face's exact layout") {
     // the d09i clustered fixture: 64 tight clusters x 2 members — the
     // coarse quantizer absorbs every center, residual must win
