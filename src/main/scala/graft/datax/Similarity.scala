@@ -271,6 +271,141 @@ object Similarity {
     (centroids, assign(v, centroids))
   }
 
+  /** Deterministic hash-uniform coin in [0, 1): the d42 md5(seed:id)
+    * rule — a pure function of (seed, tag, id), so every "random"
+    * choice built on it reproduces at any partitioning, run, or
+    * cluster size. First 8 md5 hex chars as a 32-bit uniform. */
+  private def hashUniform(seed: Long, tag: String, id: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(seed.toString), lit(tag),
+      id.cast("string"))), 1, 8), 16, 10).cast("double") / 4294967296.0
+
+  /** RESERVOIR seeding: a uniform k-sample of the corpus as the
+    * quantizer seed — the simplest of the two full-scale seeding
+    * variants the stride pick stands in for at fixture scale (the
+    * stride rule needs ids to be roughly shuffled relative to the data
+    * distribution; a corpus written clustered-by-id feeds it
+    * pathological seeds). Bottom-k by the [[hashUniform]] coin ≡ a
+    * uniform random sample, deterministic and partitioning-invariant;
+    * one scan + one top-k window over k rows per partition (rank via
+    * sort of (coin, id) — ties impossible in practice, broken by id
+    * regardless). Output (centroid_id = source id, cvec) — drop-in for
+    * [[lloyd]] / [[assign]] / [[ivfIndexWrite]]'s given-quantizer
+    * faces. */
+  def ivfSeedsReservoir(vectors: DataFrame, nCentroids: Int, seed: Long = 42L,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(nCentroids >= 1, s"nCentroids=$nCentroids must be >= 1")
+    vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+      .withColumn("_u", hashUniform(seed, "res", col("id")))
+      .orderBy(col("_u"), col("id")).limit(nCentroids)
+      .select(col("id").as("centroid_id"), col("vec").as("cvec"))
+  }
+
+  /** KMEANS|| seeding (Bahmani et al. 2012) — the quality full-scale
+    * seeding variant: instead of one uniform sample, `rounds` passes
+    * each sample points with probability proportional to their current
+    * quantization cost (squared L2 to the nearest center so far), so
+    * the seed set chases uncovered mass — exactly what a uniform or
+    * stride sample misses on skewed cluster sizes. Deterministic
+    * end-to-end: the per-point coin is [[hashUniform]](seed, round,
+    * id), so the seed set is a pure function of (corpus, params) —
+    * reproducible at any partitioning (spec pins bit-equality to an
+    * independent Scala model on integer vectors, where the cost sum is
+    * IEEE-exact; on real floats the ψ normalizer inherits float-sum
+    * order like [[avgMeans]] — the quality-path trade, Lloyd
+    * self-corrects).
+    *
+    * Scale shape per round: current centers ride as literals over ONE
+    * corpus scan (cost + coin — no shuffle), one sum aggregate for ψ,
+    * and an expected `oversample * nCentroids` candidate rows collected
+    * to the driver (the [[lloyd]] K-bounded budget; candidates
+    * accumulate to ~rounds * oversample * k total). The final
+    * reduction (the paper's weighted-clustering step) weights each
+    * candidate by its nearest-member count (one broadcast-assign pass
+    * + count), then picks k by GREEDY FARTHEST-POINT over the
+    * candidate set driver-side — heaviest candidate first, then
+    * repeatedly the candidate farthest (squared L2) from the chosen
+    * set, ties to the lower id. Deterministic, O(candidates² ) on
+    * ~rounds*l rows; a plain top-k by weight would re-concentrate on
+    * big clusters (several candidates SPLIT one cluster's weight and
+    * each still outweighs a small cluster's single row — measured on
+    * the skewed spec fixture: coverage 7 vs the stride pick's 9),
+    * where k-center preserves exactly the coverage the cost-chasing
+    * rounds bought; the [[lloyd]] refinement that follows does the
+    * balancing. Output (centroid_id = source id, cvec), k rows. */
+  def ivfSeedsKMeansParallel(vectors: DataFrame, nCentroids: Int,
+                             rounds: Int = 2, oversample: Double = 2.0,
+                             seed: Long = 42L,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    require(nCentroids >= 1 && rounds >= 1 && oversample > 0,
+      s"nCentroids=$nCentroids, rounds=$rounds, oversample=$oversample out of range")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    // deterministic first center: the minimum id (any fixed pick works;
+    // min-id needs no coin)
+    var centers: Seq[(Long, Seq[Double])] = v.orderBy("id").limit(1)
+      .as[(Long, Seq[Double])].collect().toSeq
+    require(centers.nonEmpty, "cannot seed from an empty corpus")
+    val l = oversample * nCentroids
+    for (r <- 1 to rounds) {
+      val cost = array_min(array(
+        centers.map(c => sqDist(col("vec"), c._2)): _*))
+      val withCost = v.withColumn("_cost", cost)
+      val psi = withCost.agg(sum("_cost")).head().getDouble(0)
+      if (psi > 0) {
+        val known = centers.map(_._1).toSet
+        val picked = withCost
+          .filter(hashUniform(seed, s"r$r", col("id")) * psi < col("_cost") * l)
+          .select("id", "vec").as[(Long, Seq[Double])].collect()
+          .filterNot(p => known.contains(p._1))
+        centers = centers ++ picked.sortBy(_._1)
+      }
+    }
+    // reduction: weights via one broadcast-assign pass, then greedy
+    // farthest-point on the driver (see scaladoc for why not top-k by
+    // weight)
+    val candDF = centers.toDF("centroid_id", "cvec")
+    val weights = assign(v, candDF)
+      .groupBy("centroid_id").agg(count(lit(1)).as("_w"))
+      .as[(Long, Long)].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val first = centers.maxBy { case (cid, _) =>
+      (weights.getOrElse(cid, 0L), -cid) }
+    var chosen = Vector(first)
+    var rest = centers.filterNot(_._1 == first._1)
+    while (chosen.size < nCentroids && rest.nonEmpty) {
+      val next = rest.maxBy { case (cid, cvec) =>
+        (chosen.map(ch => d2(cvec, ch._2)).min, -cid) }
+      chosen = chosen :+ next
+      rest = rest.filterNot(_._1 == next._1)
+    }
+    chosen.toDF("centroid_id", "cvec")
+  }
+
+  /** [[ivfIndexKMeans]] with kmeans|| seeding instead of the stride
+    * sample — the full-scale quality quantizer: cost-chasing seeds
+    * ([[ivfSeedsKMeansParallel]]), then the same Lloyd refinement.
+    * Use when the corpus layout makes the stride pick unrepresentative
+    * (id-clustered writes, heavily skewed cluster sizes). */
+  def ivfIndexKMeansParallel(vectors: DataFrame, nCentroids: Int,
+                             rounds: Int = 2, iterations: Int = 2,
+                             oversample: Double = 2.0, seed: Long = 42L,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val centroids = lloyd(v,
+      ivfSeedsKMeansParallel(vectors, nCentroids, rounds, oversample, seed,
+        idCol, vecCol),
+      iterations, avgMeans)
+    (centroids, assign(v, centroids))
+  }
+
   /** One (centroid, dim) mean table from an assignment — avg(): fastest,
     * map-side partials, summation-order-dependent (Lloyd self-corrects). */
   private def avgMeans(assigned: DataFrame): DataFrame =
@@ -583,12 +718,26 @@ object Similarity {
   def ivfIndexWrite(vectors: DataFrame, dir: String, nCentroids: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     kmeansIterations: Int = 0): Unit = {
-    val (centroids, assigned) =
+    val centroids =
       if (kmeansIterations > 0)
-        ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)
-      else ivfIndex(vectors, nCentroids, idCol, vecCol)
+        ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
+      else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+    ivfIndexWriteWith(vectors, dir, centroids, idCol, vecCol)
+  }
+
+  /** [[ivfIndexWrite]] with a GIVEN quantizer — the plain layout's twin
+    * of [[pqIndexWriteWith]]: persist any centroid table (a
+    * [[ivfSeedsReservoir]] / [[ivfIndexKMeansParallel]] build for
+    * corpora whose id layout makes the stride pick unrepresentative, a
+    * prior index's stored geometry for a frozen-quantizer rebuild) and
+    * assign the corpus against it. */
+  def ivfIndexWriteWith(vectors: DataFrame, dir: String,
+                        centroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    assigned.write.mode("overwrite").partitionBy("centroid_id")
+    ivfAssign(vectors, centroids, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/assigned.parquet")
     // build-time corpus size, for the staleness bound the append path
     // (ivfIndexAppend/ivfIndexStaleness) maintains

@@ -1319,6 +1319,33 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfIndexWriteWith: given-quantizer face == ivfIndexWrite; kmeans|| and reservoir seeds serve end to end") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" < 8)
+    val dirs = (1 to 4).map(_ =>
+      java.nio.file.Files.createTempDirectory("graft-ivfwith").toString)
+    try {
+      Similarity.ivfIndexWrite(emb, dirs(0), nCentroids = 16)
+      Similarity.ivfIndexWriteWith(emb, dirs(1),
+        Similarity.ivfIndex(emb, nCentroids = 16)._1)
+      def probe(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
+          k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+      assert(probe(dirs(0)).nonEmpty && probe(dirs(0)) == probe(dirs(1)),
+        "the given-quantizer face must be exactly the composed build")
+      // the full-scale seeding variants persist and serve
+      Similarity.ivfIndexWriteWith(emb, dirs(2),
+        Similarity.ivfIndexKMeansParallel(emb, nCentroids = 16)._1)
+      assert(probe(dirs(2)).size == 8 * 5)
+      Similarity.ivfIndexWriteWith(emb, dirs(3),
+        Similarity.ivfSeedsReservoir(emb, nCentroids = 16))
+      assert(probe(dirs(3)).size == 8 * 5)
+    } finally dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("serving-index misuse fails loudly: pqIndexAppend on a plain layout; probing an empty flag-era build_meta") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")

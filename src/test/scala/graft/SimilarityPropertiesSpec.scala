@@ -186,6 +186,118 @@ class SimilarityPropertiesSpec extends AnyFunSuite {
         "two-level fold must reproduce the flat Lloyd refinement bit-for-bit")
   }
 
+  /** The d42 md5(seed:tag:id) hash-uniform, modeled byte-for-byte. */
+  private def md5u(seed: Long, tag: String, id: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$seed:$tag:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(8), 16).toDouble / 4294967296.0
+  }
+
+  /** Ordered-fold squared L2 (ascending dims — sqDist's association). */
+  private def sqm(a: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  test("ivfSeedsReservoir == model bottom-k by hash coin; " +
+       "ivfSeedsKMeansParallel == independent model on integer vectors; " +
+       "both partitioning-invariant") {
+    val vecs = genVecs(60, 7601L, dim = 5)
+    val df = toDF(vecs)
+    // RESERVOIR: bottom-5 ids by (md5u, id)
+    val wantRes = vecs.map { case (id, _) => (md5u(42L, "res", id), id) }
+      .sorted.take(5).map(_._2).sorted
+    def resIds(d: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSeedsReservoir(d, 5)
+        .select("centroid_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(resIds(df) == wantRes.toSeq)
+    assert(resIds(df.repartition(7)) == wantRes.toSeq)
+
+    // KMEANS||: the full model — min-id first center, 2 cost-weighted
+    // rounds under the same coin, cosine-weighted top-4 reduction
+    val k = 4; val l = 2.0 * k
+    var centers = Vector(
+      (vecs.minBy(_._1)._1, vecs.minBy(_._1)._2.map(_.toDouble)))
+    for (r <- 1 to 2) {
+      val costs = vecs.map { case (id, v) =>
+        (id, centers.map(c => sqm(v, c._2)).min) }
+      val psi = costs.map(_._2).sum // exact: integer entries
+      if (psi > 0) {
+        val known = centers.map(_._1).toSet
+        val picked = costs
+          .filter { case (id, cost) => md5u(42L, s"r$r", id) * psi < cost * l }
+          .collect { case (id, _) if !known(id) =>
+            (id, vecs.find(_._1 == id).get._2.map(_.toDouble)) }
+          .sortBy(_._1)
+        centers = centers ++ picked
+      }
+    }
+    // weights: cosine-nearest (ties to the lower centroid id), count
+    val weights = vecs.map { case (_, v) =>
+      centers.minBy { case (cid, c) =>
+        (-cos(v, c.map(_.toFloat).toArray), cid) }._1
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // greedy farthest-point: heaviest first, then max min-sq-L2 to the
+    // chosen set, ties to the lower id
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + (x - y) * (x - y) }
+    var chosen = Vector(centers.maxBy { case (cid, _) =>
+      (weights.getOrElse(cid, 0L), -cid) })
+    var rest = centers.filterNot(_._1 == chosen.head._1)
+    while (chosen.size < k && rest.nonEmpty) {
+      val next = rest.maxBy { case (cid, cvec) =>
+        (chosen.map(ch => d2(cvec, ch._2)).min, -cid) }
+      chosen = chosen :+ next
+      rest = rest.filterNot(_._1 == next._1)
+    }
+    val wantKm = chosen.map(_._1).sorted
+    def kmIds(d: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSeedsKMeansParallel(d, k, rounds = 2)
+        .select("centroid_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kmIds(df) == wantKm,
+      s"kmeans|| seeds must equal the model, got ${kmIds(df)} want $wantKm")
+    assert(kmIds(df.repartition(7)) == wantKm,
+      "hash coins + exact integer sums: partitioning must not change the seeds")
+    // sanity: the cost-weighted rounds actually picked beyond the k cap
+    assert(centers.size > k, "oversampling must produce > k candidates")
+  }
+
+  test("kmeans|| seeding covers skewed clusters the stride sample misses") {
+    // 16 true clusters with sizes 1..16 (heavily skewed), cluster
+    // membership PSEUDO-SHUFFLED relative to id order — the stride
+    // pick (every n/k-th id) lands ~uniformly over ids, so it samples
+    // clusters in proportion to their size and misses small ones;
+    // kmeans|| chases remaining quantization cost and finds them.
+    val dirs = (0 until 16).map { c =>
+      Array.tabulate(8)(j => (((c * 8 + j) * 2654435761L % 13).toFloat - 6f) * 8f)
+    }
+    val members = for {
+      c <- 0 until 16
+      m <- 0 to c // cluster c has c+1 members -> sizes 1..16
+    } yield (c, m)
+    // shuffle deterministically: order members by md5 of their index
+    val shuffled = members.zipWithIndex
+      .sortBy { case (_, i) => md5u(7L, "shuf", i.toLong) }
+    val vecs = shuffled.zipWithIndex.map { case (((c, m), _), id) =>
+      (id.toLong, dirs(c).zipWithIndex.map { case (x, j) =>
+        x + (((m * 31 + j) % 3) - 1).toFloat }) // small integer jitter
+    }
+    val df = toDF(vecs)
+    val clusterOf = vecs.map(_._1).zip(shuffled.map(_._1._1)).toMap
+    def coverage(ids: Seq[Long]): Int = ids.map(clusterOf).distinct.size
+    val strideIds = Similarity.ivfIndex(df, nCentroids = 16)._1
+      .select("centroid_id").collect().map(_.getLong(0)).toSeq
+    val kmIds = Similarity.ivfSeedsKMeansParallel(df, nCentroids = 16,
+        rounds = 3)
+      .select("centroid_id").collect().map(_.getLong(0)).toSeq
+    assert(kmIds.size == 16 && strideIds.size == 16)
+    assert(coverage(kmIds) > coverage(strideIds),
+      s"kmeans|| must cover more true clusters: km=${coverage(kmIds)} " +
+        s"stride=${coverage(strideIds)}")
+  }
+
   test("pqCentroidsKMeans: chunked fold == flat fold at any chunking " +
        "(integer vectors keep every subspace-mean sum exact)") {
     val vecs = genVecs(40, 7501L, dim = 6)
