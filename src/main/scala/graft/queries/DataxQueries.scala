@@ -109,16 +109,16 @@ object DataxQueries {
         FROM sums ORDER BY doc_id"""
   }
 
-  /** IVF with deterministic stride-sampled centroids, fully replayed:
-    * stride = max(1, n/16), centroids = ids ≡ 0 (mod stride) sorted,
-    * nearest-centroid assignment, 4-probe search, top-5 per query. */
-  private val IvfSql: String = {
+  /** IVF fully replayed with a pluggable centroid derivation (`cCte`
+    * must end at a CTE named `c` with (centroid_id, cvec)):
+    * nearest-centroid assignment, 4-probe search, top-5 per query.
+    * [[IvfSql]] plugs the stride sample (d09/d09a);
+    * [[ReservoirIvfSql]] the deterministic hash-coin reservoir
+    * (d09k). */
+  private def ivfSqlWithCentroids(cCte: String): String = {
     s"""WITH v AS (
           SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
-        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
-        c AS (
-          SELECT id AS centroid_id, vec AS cvec FROM v, st
-          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        $cCte,
         asg AS (
           SELECT id, vec, centroid_id FROM (
             SELECT v.id, v.vec, c.centroid_id,
@@ -148,6 +148,25 @@ object DataxQueries {
           FROM scored) WHERE rank <= 5
         ORDER BY query_id, rank"""
   }
+
+  /** The stride-sampled quantizer (d09/d09a): stride = max(1, n/16),
+    * centroids = ids ≡ 0 (mod stride) sorted. */
+  private val IvfSql: String = ivfSqlWithCentroids(
+    """st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        c AS (
+          SELECT id AS centroid_id, vec AS cvec FROM v, st
+          WHERE id % stride = 0 ORDER BY id LIMIT 16)""")
+
+  /** The RESERVOIR-seeded quantizer (d09k): bottom-16 ids by the
+    * md5('42:res:' || id) hash coin — Spark compares the 32-bit
+    * numeric value of the first 8 hex chars, DuckDB the hex substring
+    * itself; fixed-width lowercase hex makes the two orders
+    * identical. Ties (never observed) break by id on both sides. */
+  private val ReservoirIvfSql: String = ivfSqlWithCentroids(
+    """c AS (
+          SELECT id AS centroid_id, vec AS cvec FROM v
+          ORDER BY substr(md5('42:res:' || CAST(id AS VARCHAR)), 1, 8), id
+          LIMIT 16)""")
 
   /** Ordered squared-L2 fold over the 8-dim subspace slices — the PQ
     * replays' distance fragment (the d08/d25 bit-exact pattern). */
@@ -1475,6 +1494,30 @@ object DataxQueries {
         } finally rmrf(s, tmp)
       },
       Some(IvfPqSql(baseCond = "id % 5 <> 3 AND id % 5 <> 4"))),
+
+    /* RESERVOIR-SEEDED IVF (round 17) — the deterministic uniform
+     * seeding variant as a DuckDB-gated entry: the quantizer is the
+     * bottom-16 ids by the md5 hash coin (the d42 rule — a pure
+     * function of (seed, id), so the "random" sample replays
+     * closed-form), persisted through the given-quantizer write face
+     * and probed through the pruned layout. Full-scale stance: the
+     * stride pick needs ids roughly shuffled relative to the data
+     * distribution; the reservoir (and its kmeans|| sibling,
+     * spec-gated) does not. */
+    QueryDef("d09k_ivf_reservoir",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09k").toString
+        try {
+          val all = embT(s, dir)
+          Similarity.ivfIndexWriteWith(all, tmp,
+            Similarity.ivfSeedsReservoir(all, nCentroids = 16))
+          Similarity.ivfTopKIndexed(s, tmp,
+              all.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(ReservoirIvfSql)),
 
     /* EXACT-RERANK over the IVF-PQ candidates (round 16) — the
      * documented answer to ADC's noise-regime recall, as an oracle
