@@ -1741,6 +1741,55 @@ object Similarity {
     }
   }
 
+  /** One maintenance poll's outcome: both trigger readings and
+    * whether the rebuild fired. */
+  final case class IndexMaintenance(staleness: Option[Double],
+                                    skew: Option[Double],
+                                    rebuilt: Boolean)
+
+  /** The RE-QUANTIZE RULE as one callable (round 17 — previously the
+    * rule lived as scaladoc prose on [[ivfIndexAppend]]): poll both
+    * rebuild triggers and, when either fires ([[ivfIndexStaleness]] >=
+    * `maxStaleness` — the appended-fraction drift — or
+    * [[ivfIndexSkew]] >= `maxSkew` — the hot-bucket drift the fraction
+    * cannot see), rebuild the index over `corpus` IN PLACE with the
+    * layout's own construction parameters: K re-read from the stored
+    * centroid table, (m, ksub) from the stored codebook, raw-vs-
+    * residual from build_meta — so a maintenance daemon needs no
+    * record of how the index was built. The rebuild is the
+    * deterministic stride form (the write faces' default); quality
+    * knobs (Lloyd iterations, kmeans|| seeding, the auto chooser) are
+    * deliberate build-time decisions — call the write face directly
+    * when you want them. `corpus` must be the FULL current corpus (the
+    * appended rows included): the rebuild re-derives geometry from it
+    * and clears the increment sibling. Single-writer like every
+    * maintenance face; polling cost when nothing fires is one
+    * metadata count + one footer walk (no corpus scan). */
+  def ivfIndexMaintain(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, corpus: DataFrame,
+                       maxStaleness: Double = 0.5, maxSkew: Double = 4.0,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): IndexMaintenance = {
+    val st = ivfIndexStaleness(spark, dir)
+    val sk = ivfIndexSkew(spark, dir)
+    val fire = st.exists(_ >= maxStaleness) || sk.exists(_ >= maxSkew)
+    if (fire) {
+      val table = rowTableOf(spark, dir)
+      val k = spark.read.parquet(s"$dir/centroids.parquet").count().toInt
+      if (table == "assigned.parquet")
+        ivfIndexWrite(corpus, dir, k, idCol, vecCol)
+      else {
+        val book = collectCodebook(
+          spark.read.parquet(s"$dir/pq_codebook.parquet"))
+        val (m, ksub) = (book.length, book.head.length)
+        if (residualFlagOf(spark, dir))
+          pqIndexWriteResidual(corpus, dir, k, m, ksub, idCol, vecCol)
+        else pqIndexWrite(corpus, dir, k, m, ksub, idCol, vecCol)
+      }
+    }
+    IndexMaintenance(st, sk, fire)
+  }
+
   /** Which row table a persisted index directory holds:
     * `assigned.parquet` ([[ivfIndexWrite]]) or `codes.parquet`
     * ([[pqIndexWrite]]) — the maintenance family (staleness, compact,

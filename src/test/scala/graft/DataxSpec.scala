@@ -1346,6 +1346,56 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfIndexMaintain: triggers read, rebuild fires in place with the index's own parameters, below-threshold polls are no-ops") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 3 && $"vec_id" % 5 =!= 4)
+    val shard = emb.filter($"vec_id" % 5 === 3 || $"vec_id" % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-maintref").toString
+    try {
+      Similarity.pqIndexWrite(base, dir, nCentroids = 16, m = 8, ksub = 16)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      val queries = emb.filter($"vec_id" < 16)
+      def probe(d: String) = Similarity.ivfPqTopK(spark, d, queries,
+          k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+      // staleness = 2/3 < 0.5 is false -> fires; first a BELOW-threshold
+      // poll (maxStaleness just above the reading): pure no-op
+      val reading = 2.0 * base.count() / 5 / (3.0 * base.count() / 5)
+      val before = probe(dir)
+      val idle = Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = reading + 1, maxSkew = Double.MaxValue)
+      assert(!idle.rebuilt && idle.staleness.isDefined && idle.skew.isDefined)
+      assert(probe(dir) == before, "an idle poll must not touch the index")
+      // now the staleness trigger fires: rebuild == a fresh default
+      // build over the full corpus, increment cleared
+      val fired = Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = 0.5)
+      assert(fired.rebuilt && fired.staleness.exists(_ >= 0.5))
+      Similarity.pqIndexWrite(emb, dir2, nCentroids = 16, m = 8, ksub = 16)
+      assert(probe(dir) == probe(dir2),
+        "the fired rebuild must equal the explicit default build")
+      assert(Similarity.ivfIndexStaleness(spark, dir) == Some(0.0))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_inc.parquet")))
+      // the skew trigger reaches the same rebuild (forced via a tiny
+      // bound); the RESIDUAL layout rebuilds through its own face —
+      // build_meta keeps the flag
+      Similarity.pqIndexWriteResidual(base, dir, nCentroids = 16)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      val viaSkew = Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = Double.MaxValue, maxSkew = 1.0)
+      assert(viaSkew.rebuilt)
+      assert(spark.read.parquet(s"$dir/build_meta.parquet")
+        .select("residual").head().getBoolean(0),
+        "a residual index must rebuild residual")
+    } finally Seq(dir, dir2).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("serving-index misuse fails loudly: pqIndexAppend on a plain layout; probing an empty flag-era build_meta") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
