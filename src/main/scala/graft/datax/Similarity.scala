@@ -332,7 +332,10 @@ object Similarity {
     * the skewed spec fixture: coverage 7 vs the stride pick's 9),
     * where k-center preserves exactly the coverage the cost-chasing
     * rounds bought; the [[lloyd]] refinement that follows does the
-    * balancing. Output (centroid_id = source id, cvec), k rows. */
+    * balancing. Output (centroid_id = source id, cvec) — k rows, or
+    * FEWER when the candidate pool runs dry (a degenerate corpus: ψ
+    * hits 0, or the coin picks nothing) — short returns warn on
+    * stderr, the [[ivfIndex]] small-corpus behavior made loud. */
   def ivfSeedsKMeansParallel(vectors: DataFrame, nCentroids: Int,
                              rounds: Int = 2, oversample: Double = 2.0,
                              seed: Long = 42L,
@@ -385,6 +388,12 @@ object Similarity {
       chosen = chosen :+ next
       rest = rest.filterNot(_._1 == next._1)
     }
+    if (chosen.size < nCentroids)
+      System.err.println(
+        s"[graft-similarity] ivfSeedsKMeansParallel: candidate pool ran " +
+          s"dry at ${chosen.size} of $nCentroids requested seeds " +
+          "(degenerate corpus or too few oversampling rounds) — the " +
+          "index will have fewer buckets than sized for")
     chosen.toDF("centroid_id", "cvec")
   }
 
@@ -784,6 +793,13 @@ object Similarity {
   def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                      newVectors: DataFrame,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // loud on a PQ dir (the symmetric twin of pqIndexAppend's guard,
+    // round-17 review: a stray assigned.parquet sibling would WIN
+    // rowTableOf's resolution and silently flip the index's identity)
+    val table = rowTableOf(spark, dir)
+    require(table == "assigned.parquet",
+      s"$dir holds a pqIndexWrite layout ($table) — use pqIndexAppend " +
+        "(or the layout-aware ivfIndexAppendBatch), not ivfIndexAppend")
     val centroids = spark.read.parquet(s"$dir/centroids.parquet")
     ivfAssign(newVectors, centroids, idCol, vecCol)
       .write.mode("append").partitionBy("centroid_id")
@@ -1251,9 +1267,9 @@ object Similarity {
     * EVALUATION sample (~`ksub * sampleMultiple` rows — wider than the
     * ksub-row training stride, so neither book self-codes its own
     * sample to zero), and writes the winning layout. Cost over a plain
-    * build: one extra codebook derivation plus two sample-sized encode
-    * passes — corpus-scan work is unchanged (the losing book never
-    * encodes the corpus). Returns true when residual won; build_meta
+    * build: one extra codebook derivation, two sample-sized encode
+    * passes, and one combined (count, min-id) aggregate — the losing
+    * book never encodes the corpus. Returns true when residual won; build_meta
     * records the choice either way, so the index stays self-describing
     * and every probe/append face works unchanged. */
   def pqIndexWriteAuto(vectors: DataFrame, dir: String, nCentroids: Int = 16,
@@ -1278,13 +1294,16 @@ object Similarity {
         else pqCentroids(v, m, ksub, idC, vecC)
       val rawBook = bookOf(vectors, idCol, vecCol)
       val resBook = bookOf(res, "id", "vec")
-      val n = vectors.count()
+      // ONE combined aggregate for (n, min id) — not two corpus passes
+      // (round-17 review; the write face's built_n count remains, as
+      // on every build path). The min anchors the evaluation stride so
+      // the sample is never empty (all-odd ids — a dedup survivor set,
+      // say — can miss `id % stride == 0` entirely, which would zero
+      // both errors and silently pick raw).
+      val nm = vectors.agg(count(lit(1)),
+        min(col(idCol).cast("long"))).head()
+      val (n, minId) = (nm.getLong(0), nm.getLong(1))
       val evalStride = math.max(1L, n / math.max(1L, ksub.toLong * sampleMultiple))
-      // anchor the stride to the MINIMUM id so the sample is never
-      // empty (round-17 review finding: all-odd ids — a dedup
-      // survivor set, say — can miss `id % stride == 0` entirely,
-      // which would zero both errors and silently pick raw)
-      val minId = vectors.agg(min(col(idCol).cast("long"))).head().getLong(0)
       val rawErr = encodeErrorSum(
         vectors.filter((col(idCol).cast("long") - minId) % evalStride === 0),
         rawBook, vecCol)
@@ -1431,23 +1450,47 @@ object Similarity {
     }
   }
 
+  private val IncClearMarker = "_inc_clear_pending"
+
+  /** True when a rebuild committed its base writes but its increment
+    * clear has not completed ([[clearIncTables]]'s marker): the
+    * increment rows are ALREADY IN the base, so every reader must skip
+    * them and the next maintenance/append heals the clear. */
+  private def incClearPending(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$IncClearMarker")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
   /** A REBUILD re-encodes the full corpus — any increment rows are part
     * of that corpus, so leaving them would double-count them against
-    * the new base. Every write face clears both possible siblings
-    * AFTER its base writes complete (round-17 review finding: clearing
-    * first widened the crash window — a crash between the clear and
-    * the base overwrite would silently drop every appended row, where
-    * clear-last leaves at worst a transient double-count that the
-    * rerun's clear heals; mid-rebuild reads are excluded by the
-    * single-writer contract either way). */
+    * the new base. Every write face calls this AFTER its base writes
+    * complete (round-17 review, twice refined): clear-FIRST widened
+    * the crash window to losing every appended row; bare clear-last
+    * left a crash-between-base-and-clear producing duplicates that
+    * trigger-driven maintenance would never revisit. Now the clear is
+    * MARKER-COMMITTED: a `_inc_clear_pending` file (created here,
+    * after the caller's base writes) means "the base holds everything;
+    * increment rows are garbage" — readers ([[servingRows]],
+    * [[ivfIndexSkew]]) skip the increment under the marker, and
+    * [[ivfIndexMaintain]] / [[ivfIndexAppendBatch]] /
+    * [[ivfIndexConsolidate]] heal a pending clear before doing
+    * anything else. The irreducible window is the instants between
+    * the last base write and the marker create (adjacent driver-side
+    * ops), down from unbounded. */
   private def clearIncTables(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    Seq("assigned_inc.parquet", "codes_inc.parquet").foreach { t =>
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
-      val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) { fs.delete(p, true); () }
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$IncClearMarker")
+    val fs = marker.getFileSystem(conf)
+    val tables = Seq("assigned_inc.parquet", "codes_inc.parquet")
+      .map(t => new org.apache.hadoop.fs.Path(s"$dir/$t"))
+    if (tables.exists(fs.exists)) {
+      val out = fs.create(marker, true)
+      out.close()
+      tables.foreach(p => if (fs.exists(p)) { fs.delete(p, true); () })
     }
+    if (fs.exists(marker)) { fs.delete(marker, false); () }
   }
 
   /** [[ivfIndexAppend]] / [[pqIndexAppend]] made REPLAY-IDEMPOTENT for
@@ -1481,6 +1524,9 @@ object Similarity {
                           vecCol: String = "embedding"): Unit = {
     require(batchId >= 0L, s"batchId=$batchId must be >= 0 (negative ids " +
       "are reserved by the compaction epoch protocol)")
+    // heal a crashed rebuild's pending increment clear first: its
+    // stale rows would otherwise sit invisible next to this batch's
+    if (incClearPending(spark, dir)) clearIncTables(spark, dir)
     val (table, rows) = shardRows(spark, dir, newVectors, idCol, vecCol)
     rows.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/${incTableOf(table)}/batch=$batchId")
@@ -1500,7 +1546,8 @@ object Similarity {
     val table = rowTableOf(spark, dir)
     val base = spark.read.parquet(s"$dir/$table")
     val incDir = s"$dir/${incTableOf(table)}"
-    if (!hasIncRows(spark, incDir)) base
+    // a pending clear means the base already absorbed the increment
+    if (incClearPending(spark, dir) || !hasIncRows(spark, incDir)) base
     else base.unionByName(
       graft.streaming.DedupStream.visibleIndex(spark, incDir)
         .select(base.columns.map(col).toIndexedSeq: _*))
@@ -1524,6 +1571,7 @@ object Similarity {
   def ivfIndexConsolidate(spark: org.apache.spark.sql.SparkSession,
                           dir: String, keepLastBatches: Int = 1,
                           targetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
+    if (incClearPending(spark, dir)) clearIncTables(spark, dir) // heal first
     val incDir = s"$dir/${incTableOf(rowTableOf(spark, dir))}"
     if (!hasIncRows(spark, incDir)) None
     else graft.streaming.DedupStream.compactIndexTableNested(spark, incDir,
@@ -1719,7 +1767,7 @@ object Similarity {
     val incDir = s"$dir/${incTableOf(table)}"
     val incRoot = new org.apache.hadoop.fs.Path(incDir)
     val inc =
-      if (!fs.exists(incRoot)) Seq.empty
+      if (!fs.exists(incRoot) || incClearPending(spark, dir)) Seq.empty
       else {
         val cutoff = graft.streaming.DedupStream.compactedUpTo(spark, incDir)
         fs.listStatus(incRoot).toSeq
@@ -1764,15 +1812,32 @@ object Similarity {
     * appended rows included): the rebuild re-derives geometry from it
     * and clears the increment sibling. Single-writer like every
     * maintenance face; polling cost when nothing fires is one
-    * metadata count + one footer walk (no corpus scan). */
+    * metadata count + one footer walk (no corpus scan).
+    *
+    * The skew trigger is APPEND-DRIVEN (round-17 review): it fires
+    * only when staleness > 0 — i.e. something has been appended since
+    * the build. Bucket contents change ONLY via appends, so at
+    * staleness 0 the skew reading is the build's own intrinsic
+    * quantizer skew, which the rebuild would exactly reproduce — an
+    * unconditional absolute trigger would turn a daemon polling an
+    * intrinsically skewed corpus into a full-corpus rebuild loop.
+    * Intrinsic skew is a build-QUALITY matter: address it with the
+    * Lloyd / kmeans|| seeding knobs on the write faces, not the
+    * maintenance loop. */
   def ivfIndexMaintain(spark: org.apache.spark.sql.SparkSession,
                        dir: String, corpus: DataFrame,
                        maxStaleness: Double = 0.5, maxSkew: Double = 4.0,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): IndexMaintenance = {
+    // heal a crashed rebuild's pending increment clear before reading
+    // the triggers (the marker means those rows are already in the
+    // base — the readings below already skip them either way)
+    if (incClearPending(spark, dir)) clearIncTables(spark, dir)
     val st = ivfIndexStaleness(spark, dir)
     val sk = ivfIndexSkew(spark, dir)
-    val fire = st.exists(_ >= maxStaleness) || sk.exists(_ >= maxSkew)
+    val appended = st.exists(_ > 0)
+    val fire = st.exists(_ >= maxStaleness) ||
+      (appended && sk.exists(_ >= maxSkew))
     if (fire) {
       val table = rowTableOf(spark, dir)
       val k = spark.read.parquet(s"$dir/centroids.parquet").count().toInt

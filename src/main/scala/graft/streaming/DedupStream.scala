@@ -414,14 +414,15 @@ object DedupStream {
 
   /** Delete dirs made invisible by the committed marker (old batches at
     * or below the cutoff; stale epoch dirs from superseded or
-    * uncommitted compactions). Safe any time: only invisible data. */
+    * uncommitted compactions). Safe any time: only invisible data —
+    * "invisible" BY [[visibleBatch]], the one predicate, negated (the
+    * round-17 review caught this as the last hand-coded complement of
+    * that rule). */
   def gcIndexTable(spark: SparkSession, dir: String): Unit = {
     val (fs, _) = hfs(spark, dir)
-    val keepEpoch = compactedUpTo(spark, dir).map(c => -(c + 2))
-    val cutoff = compactedUpTo(spark, dir).getOrElse(-1L)
+    val cutoff = compactedUpTo(spark, dir)
     batchDirs(spark, dir).foreach { case (p, b) =>
-      val stale = (b >= 0 && b <= cutoff) || (b < 0 && !keepEpoch.contains(b))
-      if (stale) { fs.delete(p, true); () }
+      if (!visibleBatch(cutoff, b)) { fs.delete(p, true); () }
     }
   }
 

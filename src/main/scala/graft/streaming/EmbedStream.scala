@@ -69,7 +69,10 @@ import graft.datax.{Dedup, Similarity}
   * derives its per-bucket occupancy bound as sqrt(maxBucketLoad) —
   * the occupancy whose in-bucket pair expansion equals that load
   * (round 17; previously the within-batch pass was unguarded and the
-  * scaladoc overclaimed).
+  * scaladoc overclaimed). For dup-HEAVY batches — where the
+  * within-batch candidate load IS the answer's size, not a parameter
+  * bug — `withinOccupancy = Some(None)` unguards the within pass
+  * alone, keeping the cross guard (see [[processBatch]]).
   */
 object EmbedStream {
 
@@ -82,13 +85,14 @@ object EmbedStream {
              validateDim: Option[Int] = None,
              onMalformed: String = "fail",
              quarantineDir: Option[String] = None,
-             servingDir: Option[String] = None): DataStreamWriter[Row] =
+             servingDir: Option[String] = None,
+             withinOccupancy: Option[Option[Int]] = None): DataStreamWriter[Row] =
     incoming.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, indexRoot, idCol, vecCol, tables,
           planesPerTable, threshold, maxBucketLoad, validateDim,
-          onMalformed, quarantineDir, servingDir)
+          onMalformed, quarantineDir, servingDir, withinOccupancy)
       }
 
   /** One micro-batch of the loop — public so the crash-replay contract
@@ -114,7 +118,19 @@ object EmbedStream {
     * idempotent (see the object doc). The append runs AFTER the dedup
     * index writes, inside the same batch scope: a crash between them
     * leaves the serving index one batch behind until the replay
-    * rewrites both. */
+    * rewrites both.
+    *
+    * `withinOccupancy` (round-17 review): the WITHIN-batch pass's
+    * occupancy bound. `None` (default) derives sqrt(maxBucketLoad) —
+    * the bound whose in-bucket pair expansion equals the cross-join
+    * load guard. Pass `Some(Some(x))` for an explicit bound, or
+    * `Some(None)` to run the within-batch pass UNGUARDED while
+    * keeping the cross guard — the dup-heavy escape: a batch holding
+    * more than the bound's worth of MUTUAL near-duplicates (thousands
+    * of copies of one boilerplate page's embedding, say) is the
+    * workload this loop exists for, its candidate load IS the
+    * answer's size, and under the derived guard its deterministic
+    * raise would wedge the stream (every replay re-raises). */
   def processBatch(batch: DataFrame, batchId: Long, indexRoot: String,
                    idCol: String, vecCol: String, tables: Int,
                    planesPerTable: Int, threshold: Double = 0.9,
@@ -122,7 +138,8 @@ object EmbedStream {
                    validateDim: Option[Int] = None,
                    onMalformed: String = "fail",
                    quarantineDir: Option[String] = None,
-                   servingDir: Option[String] = None): Unit = {
+                   servingDir: Option[String] = None,
+                   withinOccupancy: Option[Option[Int]] = None): Unit = {
     val spark = batch.sparkSession
     val (vecsDir, bandsDir) = (s"$indexRoot/vecs", s"$indexRoot/bands")
     def priorOnly(dir: String): Option[DataFrame] =
@@ -139,17 +156,19 @@ object EmbedStream {
       }
       // WITHIN-batch: pairs over the full batch, larger id of each
       // pair drops (the semanticDedup rule; pairs are (id_a < id_b)).
-      // Occupancy bound derived from maxBucketLoad: in-bucket pair
-      // expansion at occupancy w costs ~w^2/2 pairs, so sqrt(load)
-      // trips at the same candidate volume as the cross-join guard
-      // (ADVICE r16: this pass was unguarded while the doc claimed
-      // otherwise — a too-small fixed geometry on a large FIRST batch
-      // hit the quadratic blowup before any cross join existed)
-      val withinOccupancy = maxBucketLoad.map(m =>
-        math.min(Int.MaxValue.toDouble,
-          math.max(2.0, math.sqrt(m.toDouble))).toInt) // guard floor: 2
+      // Default occupancy bound derived from maxBucketLoad: in-bucket
+      // pair expansion at occupancy w costs ~w^2/2 pairs, so
+      // sqrt(load) trips at the same candidate volume as the
+      // cross-join guard (ADVICE r16: this pass was unguarded while
+      // the doc claimed otherwise — a too-small fixed geometry on a
+      // large FIRST batch hit the quadratic blowup before any cross
+      // join existed). Overridable per the scaladoc's dup-heavy escape.
+      val withinBound = withinOccupancy.getOrElse(
+        maxBucketLoad.map(m =>
+          math.min(Int.MaxValue.toDouble,
+            math.max(2.0, math.sqrt(m.toDouble))).toInt)) // guard floor: 2
       val withinDrop = Dedup.embeddingNearDupsBanded(b, idCol, vecCol,
-          tables, planesPerTable, threshold, maxOccupancy = withinOccupancy,
+          tables, planesPerTable, threshold, maxOccupancy = withinBound,
           metricSuffix = "ingest_within")
         .select(col("id_b").as(idCol))
       val withinSurvivors = b.join(withinDrop, Seq(idCol), "left_anti")
@@ -208,13 +227,14 @@ object EmbedStream {
                       onMalformed: String = "fail",
                       quarantineDir: Option[String] = None,
                       servingDir: Option[String] = None,
+                      withinOccupancy: Option[Option[Int]] = None,
                       onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit =
                         _ => ()): Unit = {
     val trace = StreamOps.driveCollectingProgress(
       incoming.sparkSession.streams,
       writer(incoming, indexRoot, idCol, vecCol, tables, planesPerTable,
           threshold, maxBucketLoad, validateDim, onMalformed, quarantineDir,
-          servingDir)
+          servingDir, withinOccupancy)
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .start())
@@ -237,14 +257,15 @@ object EmbedStream {
                          validateDim: Option[Int] = None,
                          onMalformed: String = "fail",
                          quarantineDir: Option[String] = None,
-                         servingDir: Option[String] = None): DataFrame = {
+                         servingDir: Option[String] = None,
+                         withinOccupancy: Option[Option[Int]] = None): DataFrame = {
     val schema = spark.read.parquet(sourceDir).schema
     val incoming = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
     runAvailableNow(incoming, indexRoot, idCol, vecCol, checkpointDir,
       tables, planesPerTable, threshold, maxBucketLoad, validateDim,
-      onMalformed, quarantineDir, servingDir)
+      onMalformed, quarantineDir, servingDir, withinOccupancy)
     DedupStream.visibleIndex(spark, s"$indexRoot/vecs")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       .localCheckpoint(eager = true)

@@ -1390,8 +1390,67 @@ class DataxSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$dir/build_meta.parquet")
         .select("residual").head().getBoolean(0),
         "a residual index must rebuild residual")
+      // append-driven hysteresis: the rebuild zeroed staleness, so the
+      // SAME thresholds do not re-fire on the rebuilt index even though
+      // its intrinsic quantizer skew still reads >= the bound — no
+      // rebuild loop (round-17 review finding)
+      val after = Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = Double.MaxValue, maxSkew = 1.0)
+      assert(!after.rebuilt && after.staleness == Some(0.0),
+        s"an un-appended index must never skew-fire, got $after")
     } finally Seq(dir, dir2).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("a crashed rebuild's pending increment clear: readers skip the stale rows, the next maintenance poll heals") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 3)
+    val shard = emb.filter($"vec_id" % 5 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-incheal").toString
+    try {
+      // reach window B's exact state: a completed rebuild over the
+      // union whose increment clear never ran — base holds everything,
+      // the increment holds duplicates of shard's rows, marker present
+      Similarity.pqIndexWrite(base, dir, nCentroids = 16)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      val centroids = Similarity.ivfIndex(base, nCentroids = 16)._1
+      val book = Similarity.pqCentroids(base)
+      Similarity.pqIndexWriteWith(emb, dir, centroids, book) // full rebuild
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)  // rows now duplicated
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.create(new org.apache.hadoop.fs.Path(s"$dir/_inc_clear_pending"),
+        true).close()
+      // readers skip the stale increment: no id surfaces twice, probe
+      // equals a clean rebuild, staleness reads 0
+      val queries = emb.filter($"vec_id" < 16)
+      val probed = Similarity.ivfPqTopK(spark, dir, queries, k = 5, nProbe = 4)
+        .orderBy("query_id", "rank").collect().toSeq
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-incheal2").toString
+      try {
+        Similarity.pqIndexWriteWith(emb, dir2, centroids, book)
+        val clean = Similarity.ivfPqTopK(spark, dir2, queries, k = 5, nProbe = 4)
+          .orderBy("query_id", "rank").collect().toSeq
+        assert(probed == clean,
+          "under the marker the stale increment must be invisible")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(dir2)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      }
+      assert(Similarity.ivfIndexStaleness(spark, dir) == Some(0.0))
+      // the next maintenance poll heals: increment gone, marker gone,
+      // no rebuild fired
+      val poll = Similarity.ivfIndexMaintain(spark, dir, emb)
+      assert(!poll.rebuilt)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_inc.parquet")),
+        "the heal must complete the pending clear")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_inc_clear_pending")),
+        "the heal must retire the marker")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
     }
   }

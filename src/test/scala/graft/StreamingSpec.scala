@@ -1530,6 +1530,16 @@ class StreamingSpec extends AnyFunSuite {
       .takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain.contains("hot LSH bucket"), s"got:\n$chain")
+    // the dup-heavy escape: Some(None) unguards the WITHIN pass alone
+    // (this batch's load IS the answer — 3 mutual dups), the batch
+    // succeeds, and the semanticDedup rule keeps only the smallest id
+    EmbedStream.processBatch(batch, 0L, s"$dir/index2", "vec_id",
+      "embedding", tables = 1, planesPerTable = 1, threshold = 0.9,
+      maxBucketLoad = Some(4L), withinOccupancy = Some(None))
+    val ids = graft.streaming.DedupStream
+      .visibleIndex(spark, s"$dir/index2/vecs")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L), s"got $ids")
   }
 
   test("EmbedStream validateDim: malformed vectors dead-letter with reasons; default fail raises") {
