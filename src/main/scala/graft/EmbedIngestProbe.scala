@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   * geometry sized from the FULL corpus, batches 1+ append through the
   * replay-idempotent batch face — measuring the round-17 serving
   * composition's per-batch overhead), SPARK_GRAFT_CONSOLIDATE_EVERY
-  * (with SERVING: N>0 runs ivfIndexConsolidate every N batches). */
+  * (with SERVING: N>0 runs ivfIndexConsolidate every N batches),
+  * SPARK_GRAFT_MAINTAIN (with SERVING: 1 polls ivfIndexMaintain after
+  * every batch with the default thresholds — measuring the rebuild
+  * cadence and cost the re-quantize rule actually produces under
+  * continuous ingest). */
 object EmbedIngestProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -31,6 +35,7 @@ object EmbedIngestProbe {
     val serving = sys.env.getOrElse("SPARK_GRAFT_SERVING", "0") == "1"
     val consolidateEvery =
       sys.env.getOrElse("SPARK_GRAFT_CONSOLIDATE_EVERY", "0").toInt
+    val maintain = sys.env.getOrElse("SPARK_GRAFT_MAINTAIN", "0") == "1"
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,6 +54,8 @@ object EmbedIngestProbe {
     val root = java.nio.file.Files.createTempDirectory("graft-embingest").toString
     try {
       val servingRoot = s"$root/serving"
+      val fires = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      val idlePolls = scala.collection.mutable.ArrayBuffer.empty[Double]
       val walls = (0 until nBatches).map { i =>
         val batch = emb.filter(pmod(col("vec_id"), lit(nBatches)) === i)
         val t0 = System.nanoTime()
@@ -73,6 +80,17 @@ object EmbedIngestProbe {
           graft.streaming.EmbedStream.compactIndex(spark, s"$root/index")
         if (serving && consolidateEvery > 0 && (i + 1) % consolidateEvery == 0)
           graft.datax.Similarity.ivfIndexConsolidate(spark, servingRoot)
+        if (serving && maintain && i > 0) {
+          val t1 = System.nanoTime()
+          val rep = graft.datax.Similarity.ivfIndexMaintain(spark,
+            servingRoot,
+            graft.streaming.DedupStream
+              .visibleIndex(spark, s"$root/index/vecs")
+              .select("vec_id", "embedding"))
+          val mw = (System.nanoTime() - t1) / 1e9
+          if (rep.rebuilt) fires += ((i, mw))
+          else idlePolls += mw
+        }
         w
       }
       val survivors = graft.streaming.DedupStream
@@ -85,7 +103,10 @@ object EmbedIngestProbe {
       println(s"""{"probe":"embed_ingest","sfDir":"$sfDir","n":$n,""" +
         s""""batches":$nBatches,"tables":$tables,"r":$r,""" +
         s""""compactEvery":$compactEvery,"serving":$serving,""" +
-        s""""consolidateEvery":$consolidateEvery,""" +
+        s""""consolidateEvery":$consolidateEvery,"maintain":$maintain,""" +
+        s""""maintainFires":[${fires.map { case (b, w) =>
+          f"""[$b,$w%.2f]""" }.mkString(",")}],""" +
+        s""""idlePollSec":[${idlePolls.map(w => f"$w%.2f").mkString(",")}],""" +
         s""""servingStaleness":$staleness,"survivors":$survivors,""" +
         s""""perBatchSec":[${walls.map(w => f"$w%.2f").mkString(",")}]}""")
     } finally {
