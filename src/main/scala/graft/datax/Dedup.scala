@@ -353,7 +353,8 @@ object Dedup {
     * side, rather than silently un-keying the metric. */
   private def bucketCandidatePairs(rows: DataFrame, bucketCols: Seq[String],
                                    maxOccupancy: Option[Int] = None,
-                                   metricTag: String = "lsh"): DataFrame = {
+                                   metricTag: String = "lsh",
+                                   guardHint: String = ""): DataFrame = {
     val buckets = rows.groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -371,7 +372,8 @@ object Dedup {
             "(tables, planes) parameters are too small for this corpus — " +
             "in-bucket pair expansion is quadratic in occupancy. Derive " +
             "parameters from n (embeddingNearDupsBandedAuto / bandsFor), " +
-            "or pass maxOccupancy=None to accept the quadratic cost."))))
+            "or pass maxOccupancy=None to accept the quadratic cost." +
+            (if (guardHint.nonEmpty) s" $guardHint" else "")))))
           .otherwise(col("ids")))
     }
     val pairCombos = flatten(transform(col("ids"), (x, i) =>
@@ -1510,12 +1512,19 @@ object Dedup {
     * never a self-join that would re-execute the projection subtree);
     * a distinct collapses multi-table collisions so each candidate is
     * verified ONCE. Only then do vectors re-enter, by id join, for the
-    * exact cosine. */
+    * exact cosine.
+    *
+    * `guardHint` (round 18): extra text appended to the occupancy
+    * raise message — wrapping drivers (the
+    * [[graft.streaming.EmbedStream]] ingest loop) name their OWN
+    * escape hatch in the error the operator actually sees, instead of
+    * this function's generic knobs. */
   def embeddingNearDupsBanded(vectors: DataFrame, idCol: String, vecCol: String,
                               tables: Int = 8, planesPerTable: Int = 8,
                               threshold: Double = 0.9,
                               maxOccupancy: Option[Int] = Some(1024),
-                              metricSuffix: String = ""): DataFrame = {
+                              metricSuffix: String = "",
+                              guardHint: String = ""): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     maxOccupancy.foreach(m => require(m >= 2, s"maxOccupancy=$m must be >= 2"))
@@ -1538,7 +1547,8 @@ object Dedup {
       posexplode(graft.functions.BandSignatures.sigs(col("vec"), allPlanes))
         .as(Seq("tbl", "bucket")))
     val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"),
-      maxOccupancy, metricTag = tagged("embedding_banded", metricSuffix))
+      maxOccupancy, metricTag = tagged("embedding_banded", metricSuffix),
+      guardHint = guardHint)
     // norms once per vector, not once per candidate pair
     val withN = v.select(col("id"), col("vec"),
       Similarity.norm(col("vec")).as("_n"))

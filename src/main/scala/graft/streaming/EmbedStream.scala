@@ -73,6 +73,19 @@ import graft.datax.{Dedup, Similarity}
   * within-batch candidate load IS the answer's size, not a parameter
   * bug — `withinOccupancy = Some(None)` unguards the within pass
   * alone, keeping the cross guard (see [[processBatch]]).
+  *
+  * MIGRATION (round 17 -> 18 ADVICE): the within-batch guard default
+  * CHANGED from unguarded to the derived sqrt(maxBucketLoad) bound. A
+  * deployment that was legitimately ingesting dup-heavy batches under
+  * the earlier behavior will, on upgrade, raise deterministically on
+  * the first such batch — and Structured Streaming's replay re-raises
+  * forever (a wedged stream, not data loss: the guard trips in the
+  * candidate pass, failing the job before its batch partitions
+  * commit — and a replayed batch rewrites them regardless). The raise message
+  * itself now names the escape (`withinOccupancy = Some(None)`); set
+  * it if and only if wide within-batch buckets are the workload's
+  * real shape rather than a mis-sized (tables, planesPerTable)
+  * geometry.
   */
 object EmbedStream {
 
@@ -169,7 +182,14 @@ object EmbedStream {
             math.max(2.0, math.sqrt(m.toDouble))).toInt)) // guard floor: 2
       val withinDrop = Dedup.embeddingNearDupsBanded(b, idCol, vecCol,
           tables, planesPerTable, threshold, maxOccupancy = withinBound,
-          metricSuffix = "ingest_within")
+          metricSuffix = "ingest_within",
+          guardHint = "This is EmbedStream's WITHIN-batch pass (guard " +
+            "derived as sqrt(maxBucketLoad) since round 17 — previously " +
+            "unguarded): for dup-HEAVY batches whose candidate load IS " +
+            "the answer's size, pass withinOccupancy = Some(None) to " +
+            "unguard this pass alone (the cross batch x index guard " +
+            "stays); replaying the batch without it re-raises " +
+            "deterministically.")
         .select(col("id_b").as(idCol))
       val withinSurvivors = b.join(withinDrop, Seq(idCol), "left_anti")
       // CROSS batch x index: survivors pairing any index row drop.

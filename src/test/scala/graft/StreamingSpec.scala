@@ -1530,6 +1530,10 @@ class StreamingSpec extends AnyFunSuite {
       .takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(chain.contains("hot LSH bucket"), s"got:\n$chain")
+    // the raise itself names the dup-heavy escape (round-18 ADVICE: a
+    // deployment upgrading across the guard-default change discovers
+    // the knob from the error, not from a scaladoc dig)
+    assert(chain.contains("withinOccupancy = Some(None)"), s"got:\n$chain")
     // the dup-heavy escape: Some(None) unguards the WITHIN pass alone
     // (this batch's load IS the answer — 3 mutual dups), the batch
     // succeeds, and the semanticDedup rule keeps only the smallest id
