@@ -238,14 +238,22 @@ object Similarity {
           col("n_vectors"))
   }
 
-  /** IVF index: deterministic centroid sample (every `stride`-th vector)
-    * + nearest-centroid assignment. Returns (centroids, assigned). */
+  /** IVF index: deterministic centroid sample (every `stride`-th vector,
+    * ANCHORED at min(id) — round-18 ADVICE: a bare `id % stride == 0`
+    * yields an EMPTY quantizer on any corpus whose ids share no residue
+    * with 0 mod stride, e.g. an all-odd-id dedup survivor set; the
+    * anchor makes the rule total over any non-empty id layout, and on
+    * min-id-0 corpora — every oracle fixture — picks identical ids)
+    * + nearest-centroid assignment. Returns (centroids, assigned).
+    * One combined (count, min) aggregate, not two passes. */
   def ivfIndex(vectors: DataFrame, nCentroids: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
-    val n = v.count()
+    val nm = v.agg(count(lit(1)), min(col("id").cast("long"))).head()
+    val n = nm.getLong(0)
+    val minId = if (nm.isNullAt(1)) 0L else nm.getLong(1)
     val stride = math.max(1L, n / nCentroids)
-    val centroids = v.filter(col("id") % stride === 0)
+    val centroids = v.filter((col("id").cast("long") - minId) % stride === 0)
       .orderBy("id").limit(nCentroids) // sorted limit => deterministic pick
       .select(col("id").as("centroid_id"), col("vec").as("cvec"))
     (centroids, assign(v, centroids))
@@ -315,18 +323,37 @@ object Similarity {
     * order like [[avgMeans]] — the quality-path trade, Lloyd
     * self-corrects).
     *
-    * Scale shape per round: current centers ride as literals over ONE
-    * corpus scan (cost + coin — no shuffle), one sum aggregate for ψ,
-    * and an expected `oversample * nCentroids` candidate rows collected
-    * to the driver (the [[lloyd]] K-bounded budget; candidates
-    * accumulate to ~rounds * oversample * k total). The final
+    * Scale shape per round (round 18 — centers ride as DATA, not
+    * literals): the per-point cost is min squared-L2 over the current
+    * centers via `crossJoin(broadcast(centersDF))` + a map-side-partial
+    * `min` aggregation keyed on id — the [[assign]] pattern, so the
+    * expression tree is O(1) in |centers| and the shuffle carries only
+    * (id, cost) pairs (one such pass for ψ's sum, one for the coin
+    * filter; the sampled ~`oversample * nCentroids` ids then pull
+    * their vectors through one broadcast semi-join — the [[lloyd]]
+    * K-bounded driver budget; candidates accumulate to ~rounds *
+    * oversample * k total). The previous form composed ONE literal
+    * `sqDist` fold PER CURRENT CENTER in a single expression — at the
+    * [[centroidsFor]] clamp (k = 4096) that is ~8–16k dim-length folds
+    * of generated code, the exact Janino-blowup growth pattern the
+    * native [[graft.functions.BandSignatures]] expression was built to
+    * kill at the 64-table clamp (r5); the join form is bit-identical
+    * per point (same ordered fold per (point, center); min over exact
+    * doubles is order-free — spec pins the equality in-engine) and
+    * keeps ψ's float-sum order exactly as before. The final
     * reduction (the paper's weighted-clustering step) weights each
     * candidate by its nearest-member count (one broadcast-assign pass
     * + count), then picks k by GREEDY FARTHEST-POINT over the
     * candidate set driver-side — heaviest candidate first, then
     * repeatedly the candidate farthest (squared L2) from the chosen
-    * set, ties to the lower id. Deterministic, O(candidates² ) on
-    * ~rounds*l rows; a plain top-k by weight would re-concentrate on
+    * set, ties to the lower id. Deterministic, and INCREMENTAL (round
+    * 18): each pick updates a cached min-distance per remaining
+    * candidate — O(candidates * k * dim) total instead of the
+    * recompute form's O(candidates² * dim * k); at the clamp
+    * (candidates ~16k, k 4096, dim 64) that is ~4×10⁹ flops of
+    * driver work, a one-time build cost measured in seconds — bounded
+    * by construction since candidates ≤ rounds * oversample * k. A
+    * plain top-k by weight would re-concentrate on
     * big clusters (several candidates SPLIT one cluster's weight and
     * each still outweighs a small cluster's single row — measured on
     * the skewed spec fixture: coverage 7 vs the stride pick's 9),
@@ -353,14 +380,20 @@ object Similarity {
     require(centers.nonEmpty, "cannot seed from an empty corpus")
     val l = oversample * nCentroids
     for (r <- 1 to rounds) {
-      val cost = array_min(array(
-        centers.map(c => sqDist(col("vec"), c._2)): _*))
-      val withCost = v.withColumn("_cost", cost)
-      val psi = withCost.agg(sum("_cost")).head().getDouble(0)
+      // per-point cost with the centers as broadcast DATA (round 18 —
+      // see scaladoc): plan size O(1) in |centers|, bit-identical per
+      // point to the literal-fold form it replaced
+      val centersDF = broadcast(centers.toDF("centroid_id", "cvec"))
+      val costs = v.crossJoin(centersDF)
+        .select(col("id"), sqDistCols(col("vec"), col("cvec")).as("_d2"))
+        .groupBy("id").agg(min("_d2").as("_cost"))
+      val psi = costs.agg(sum("_cost")).head().getDouble(0)
       if (psi > 0) {
         val known = centers.map(_._1).toSet
-        val picked = withCost
+        val pickedIds = costs
           .filter(hashUniform(seed, s"r$r", col("id")) * psi < col("_cost") * l)
+          .select("id")
+        val picked = v.join(broadcast(pickedIds), Seq("id"))
           .select("id", "vec").as[(Long, Seq[Double])].collect()
           .filterNot(p => known.contains(p._1))
         centers = centers ++ picked.sortBy(_._1)
@@ -381,12 +414,34 @@ object Similarity {
     val first = centers.maxBy { case (cid, _) =>
       (weights.getOrElse(cid, 0L), -cid) }
     var chosen = Vector(first)
-    var rest = centers.filterNot(_._1 == first._1)
+    // incremental farthest-point (round 18): cache each remaining
+    // candidate's min squared-L2 to the chosen set and refresh it only
+    // against the newly chosen center — the same exact min (min over
+    // identical doubles, computed associatively) and the same argmax
+    // tie rule ((minD, -cid) is unique per candidate), at
+    // O(candidates * k * dim) instead of recompute's O(candidates²)
+    val rest = scala.collection.mutable.ArrayBuffer.from(
+      centers.filterNot(_._1 == first._1))
+    val minD = scala.collection.mutable.ArrayBuffer.from(
+      rest.map(c => d2(c._2, first._2)))
     while (chosen.size < nCentroids && rest.nonEmpty) {
-      val next = rest.maxBy { case (cid, cvec) =>
-        (chosen.map(ch => d2(cvec, ch._2)).min, -cid) }
+      var best = 0
+      var i = 1
+      while (i < rest.length) {
+        if (minD(i) > minD(best) ||
+            (minD(i) == minD(best) && rest(i)._1 < rest(best)._1)) best = i
+        i += 1
+      }
+      val next = rest(best)
       chosen = chosen :+ next
-      rest = rest.filterNot(_._1 == next._1)
+      rest.remove(best)
+      minD.remove(best)
+      i = 0
+      while (i < rest.length) {
+        val d = d2(rest(i)._2, next._2)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
     }
     if (chosen.size < nCentroids)
       System.err.println(
@@ -724,6 +779,47 @@ object Similarity {
     * `kmeansIterations > 0` builds the Lloyd-refined quantizer
     * ([[ivfIndexKMeans]]); 0 (default) the stride-sampled one
     * ([[ivfIndex]], deterministic — the oracle-replayable form). */
+  /** Construction-QUALITY record round-tripped through build_meta
+    * (round 18 — the maintenance daemon exists so no human remembers
+    * how the index was built; without this record a trigger-fired
+    * [[ivfIndexMaintain]] rebuild silently downgraded every
+    * quality-built index to the deterministic stride form on its
+    * first fire). `seeding`: "stride" (the default, incl. Lloyd-refined
+    * stride via `kmeansIterations`), "reservoir", "kmeans_parallel",
+    * or "given" (a caller-supplied quantizer whose construction the
+    * index cannot know — maintenance warns loudly and stride-rebuilds).
+    * (rounds, oversample) are kmeans||'s; `seed` feeds both hash-coin
+    * variants; the pq fields and `auto` are the IVF-PQ layout's
+    * codebook knobs and the [[pqIndexWriteAuto]] flag. Indexes written
+    * before round 18 lack the columns and read as stride defaults —
+    * exactly the rebuild they already received. */
+  private final case class IndexQuality(seeding: String = "stride",
+                                        kmeansIterations: Int = 0,
+                                        rounds: Int = 2,
+                                        oversample: Double = 2.0,
+                                        seed: Long = 42L,
+                                        pqKmeansIterations: Int = 0,
+                                        pqChunkIds: Long = 0L,
+                                        auto: Boolean = false)
+
+  private val QualityOnlyCols = Seq("seeding", "kmeans_iterations",
+    "seed_rounds", "seed_oversample", "seed", "pq_kmeans_iterations",
+    "pq_chunk_ids", "auto")
+  private val QualityCols = "built_n" +: QualityOnlyCols
+
+  /** The stored [[IndexQuality]] of a persisted index; stride defaults
+    * for pre-round-18 metas (no `seeding` column). */
+  private def qualityOf(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): IndexQuality = {
+    val meta = spark.read.parquet(s"$dir/build_meta.parquet")
+    if (!meta.columns.contains("seeding")) IndexQuality()
+    else {
+      val r = meta.select(QualityOnlyCols.map(col): _*).head()
+      IndexQuality(r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3),
+        r.getLong(4), r.getInt(5), r.getLong(6), r.getBoolean(7))
+    }
+  }
+
   def ivfIndexWrite(vectors: DataFrame, dir: String, nCentroids: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     kmeansIterations: Int = 0): Unit = {
@@ -731,28 +827,84 @@ object Similarity {
       if (kmeansIterations > 0)
         ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
       else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
-    ivfIndexWriteWith(vectors, dir, centroids, idCol, vecCol)
+    ivfIndexWriteWithQ(vectors, dir, centroids, idCol, vecCol,
+      IndexQuality(kmeansIterations = kmeansIterations))
   }
 
   /** [[ivfIndexWrite]] with a GIVEN quantizer — the plain layout's twin
     * of [[pqIndexWriteWith]]: persist any centroid table (a
-    * [[ivfSeedsReservoir]] / [[ivfIndexKMeansParallel]] build for
-    * corpora whose id layout makes the stride pick unrepresentative, a
-    * prior index's stored geometry for a frozen-quantizer rebuild) and
-    * assign the corpus against it. */
+    * prior index's stored geometry for a frozen-quantizer rebuild, a
+    * quantizer derived outside this module) and assign the corpus
+    * against it. Records `seeding = "given"` in build_meta: the index
+    * cannot know how a caller-supplied quantizer was constructed, so a
+    * trigger-fired [[ivfIndexMaintain]] rebuild WARNS and downgrades
+    * to the stride form — for the recorded-and-replayable seeding
+    * variants use [[ivfIndexWriteReservoir]] /
+    * [[ivfIndexWriteKMeansParallel]] instead (round 18). */
   def ivfIndexWriteWith(vectors: DataFrame, dir: String,
                         centroids: DataFrame,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): Unit = {
+                        vecCol: String = "embedding"): Unit =
+    ivfIndexWriteWithQ(vectors, dir, centroids, idCol, vecCol,
+      IndexQuality(seeding = "given"))
+
+  /** RESERVOIR-seeded build ([[ivfSeedsReservoir]] + optional Lloyd
+    * refinement), with the construction recorded in build_meta so
+    * [[ivfIndexMaintain]] replays it on a trigger-fired rebuild
+    * (round 18 — previously only reachable through the given-quantizer
+    * face, which a maintenance rebuild silently stride-downgraded). */
+  def ivfIndexWriteReservoir(vectors: DataFrame, dir: String,
+                             nCentroids: Int, seed: Long = 42L,
+                             iterations: Int = 0,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Unit = {
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val seeds = ivfSeedsReservoir(vectors, nCentroids, seed, idCol, vecCol)
+    val centroids =
+      if (iterations > 0) lloyd(v, seeds, iterations, avgMeans) else seeds
+    ivfIndexWriteWithQ(vectors, dir, centroids, idCol, vecCol,
+      IndexQuality(seeding = "reservoir", kmeansIterations = iterations,
+        seed = seed))
+  }
+
+  /** KMEANS||-seeded build ([[ivfIndexKMeansParallel]]), with the
+    * construction recorded in build_meta so [[ivfIndexMaintain]]
+    * replays it on a trigger-fired rebuild (round 18 — the quality
+    * quantizer no longer degrades to a stride build on the first
+    * maintenance fire). */
+  def ivfIndexWriteKMeansParallel(vectors: DataFrame, dir: String,
+                                  nCentroids: Int, rounds: Int = 2,
+                                  iterations: Int = 2,
+                                  oversample: Double = 2.0, seed: Long = 42L,
+                                  idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): Unit = {
+    val centroids = ivfIndexKMeansParallel(vectors, nCentroids, rounds,
+      iterations, oversample, seed, idCol, vecCol)._1
+    ivfIndexWriteWithQ(vectors, dir, centroids, idCol, vecCol,
+      IndexQuality(seeding = "kmeans_parallel", kmeansIterations = iterations,
+        rounds = rounds, oversample = oversample, seed = seed))
+  }
+
+  private def ivfIndexWriteWithQ(vectors: DataFrame, dir: String,
+                                 centroids: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 quality: IndexQuality): Unit = {
+    val spark = vectors.sparkSession
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     ivfAssign(vectors, centroids, idCol, vecCol)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/assigned.parquet")
-    // build-time corpus size, for the staleness bound the append path
-    // (ivfIndexAppend/ivfIndexStaleness) maintains
-    val spark = vectors.sparkSession
+    // the row table now holds the full corpus — mark any increment rows
+    // garbage BEFORE the build_meta job (see markIncClearPending)
+    markIncClearPending(spark, dir)
+    // build-time corpus size (the staleness denominator the append path
+    // maintains) + the construction-quality record ivfIndexMaintain
+    // replays (round 18)
     import spark.implicits._
-    Seq(vectors.count()).toDF("built_n")
+    Seq((vectors.count(), quality.seeding, quality.kmeansIterations,
+        quality.rounds, quality.oversample, quality.seed,
+        quality.pqKmeansIterations, quality.pqChunkIds, quality.auto))
+      .toDF(QualityCols: _*)
       .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
     clearIncTables(spark, dir)
   }
@@ -850,14 +1002,19 @@ object Similarity {
     * slice. Output (sub, cid, cvec), cid = 0-based ordinal in id order.
     * Lloyd refinement per subspace would tighten cells (the
     * [[ivfIndexKMeans]] contrast); the stride form is the deterministic
-    * baseline every oracle can replay. */
+    * baseline every oracle can replay. Min-id anchored like
+    * [[ivfIndex]] (round-18 ADVICE): the sample is never empty on a
+    * residue-skewed id layout (all-odd survivor ids), identical on
+    * min-id-0 corpora. */
   def pqCentroids(vectors: DataFrame, m: Int = 8, ksub: Int = 16,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && ksub >= 2, s"m=$m, ksub=$ksub out of range")
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
-    val n = v.count()
+    val nm = v.agg(count(lit(1)), min(col("id").cast("long"))).head()
+    val n = nm.getLong(0)
+    val minId = if (nm.isNullAt(1)) 0L else nm.getLong(1)
     val stride = math.max(1L, n / ksub)
-    val samp = v.filter(col("id") % stride === 0)
+    val samp = v.filter((col("id").cast("long") - minId) % stride === 0)
       .orderBy("id").limit(ksub)
       .withColumn("cid",
         row_number().over(Window.orderBy("id")).cast("int") - 1)
@@ -990,6 +1147,16 @@ object Similarity {
     aggregate(zip_with(sl, typedLit(c), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** [[sqDist]] with the centroid as a COLUMN — the centers-as-data
+    * form the kmeans|| cost pass rides (round 18): same ordered
+    * ascending-dim fold, so each (point, center) distance is
+    * bit-identical to the literal form's; only the plan size changes
+    * (O(1) in the number of centers instead of one literal fold
+    * each). */
+  private def sqDistCols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** PQ-encode vectors against a [[pqCentroids]] codebook: per
     * subspace, the 0-based index of the nearest centroid (squared L2;
     * EXACT-tie goes to the LOWEST cid — `array_position` returns the
@@ -1101,7 +1268,9 @@ object Similarity {
         pqCentroidsKMeans(vectors, m, ksub, pqKmeansIterations, idCol, vecCol,
           pqChunkIds)
       else pqCentroids(vectors, m, ksub, idCol, vecCol)
-    pqIndexWriteWith(vectors, dir, centroids, book, idCol, vecCol)
+    pqIndexWriteWithQ(vectors, dir, centroids, book, idCol, vecCol,
+      IndexQuality(kmeansIterations = kmeansIterations,
+        pqKmeansIterations = pqKmeansIterations, pqChunkIds = pqChunkIds))
   }
 
   /** [[pqIndexWrite]] with a GIVEN quantizer and codebook — the
@@ -1114,13 +1283,22 @@ object Similarity {
     * construction params, self-describing like the band sidecars. */
   def pqIndexWriteWith(vectors: DataFrame, dir: String,
                        centroids: DataFrame, codebook: DataFrame,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    pqIndexWriteWithQ(vectors, dir, centroids, codebook, idCol, vecCol,
+      IndexQuality(seeding = "given"))
+
+  private def pqIndexWriteWithQ(vectors: DataFrame, dir: String,
+                                centroids: DataFrame, codebook: DataFrame,
+                                idCol: String, vecCol: String,
+                                quality: IndexQuality): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     codebook.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
     pqCodeRows(vectors, centroids, codebook, idCol, vecCol)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
-    writePqMeta(vectors, dir, codebook, residual = false)
+    // row table committed — mark stale increments before the meta job
+    markIncClearPending(vectors.sparkSession, dir)
+    writePqMeta(vectors, dir, codebook, residual = false, quality)
     clearIncTables(vectors.sparkSession, dir)
   }
 
@@ -1215,7 +1393,9 @@ object Similarity {
           pqCentroidsKMeans(res, m, ksub, pqKmeansIterations, "id", "vec",
             pqChunkIds)
         else pqCentroids(res, m, ksub, "id", "vec")
-      writeResidualLayout(vectors, dir, centroids, res, book)
+      writeResidualLayout(vectors, dir, centroids, res, book,
+        IndexQuality(kmeansIterations = kmeansIterations,
+          pqKmeansIterations = pqKmeansIterations, pqChunkIds = pqChunkIds))
     } finally { res.unpersist(); () }
   }
 
@@ -1224,13 +1404,16 @@ object Similarity {
     * centroids / residual frame / codebook already in hand). */
   private def writeResidualLayout(vectors: DataFrame, dir: String,
                                   centroids: DataFrame, res: DataFrame,
-                                  book: DataFrame): Unit = {
+                                  book: DataFrame,
+                                  quality: IndexQuality): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
     residualCodeRows(res, book)
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/codes.parquet")
-    writePqMeta(vectors, dir, book, residual = true)
+    // row table committed — mark stale increments before the meta job
+    markIncClearPending(vectors.sparkSession, dir)
+    writePqMeta(vectors, dir, book, residual = true, quality)
     clearIncTables(vectors.sparkSession, dir)
   }
 
@@ -1299,7 +1482,10 @@ object Similarity {
       // on every build path). The min anchors the evaluation stride so
       // the sample is never empty (all-odd ids — a dedup survivor set,
       // say — can miss `id % stride == 0` entirely, which would zero
-      // both errors and silently pick raw).
+      // both errors and silently pick raw). Round 18: the TRAINING
+      // strides (ivfIndex / pqCentroids) now carry the same min-id
+      // anchor, so such a corpus no longer fails the build before this
+      // chooser runs (the r17-ADVICE gap).
       val nm = vectors.agg(count(lit(1)),
         min(col(idCol).cast("long"))).head()
       val (n, minId) = (nm.getLong(0), nm.getLong(1))
@@ -1311,23 +1497,33 @@ object Similarity {
         res.filter((col("id").cast("long") - minId) % evalStride === 0),
         resBook, "vec")
       val residual = resErr < rawErr
-      if (residual) writeResidualLayout(vectors, dir, centroids, res, resBook)
-      else pqIndexWriteWith(vectors, dir, centroids, rawBook, idCol, vecCol)
+      val quality = IndexQuality(kmeansIterations = kmeansIterations,
+        pqKmeansIterations = pqKmeansIterations, pqChunkIds = pqChunkIds,
+        auto = true)
+      if (residual) writeResidualLayout(vectors, dir, centroids, res, resBook,
+        quality)
+      else pqIndexWriteWithQ(vectors, dir, centroids, rawBook, idCol, vecCol,
+        quality)
       residual
     } finally { res.unpersist(); () }
   }
 
   /** The PQ build_meta sidecar: (built_n, m, ksub, residual) — the
     * staleness denominator, the construction params, and the encoding
-    * flag the probe/append faces key on. */
+    * flag the probe/append faces key on — plus the [[IndexQuality]]
+    * record [[ivfIndexMaintain]] replays (round 18). */
   private def writePqMeta(vectors: DataFrame, dir: String,
-                          codebook: DataFrame, residual: Boolean): Unit = {
+                          codebook: DataFrame, residual: Boolean,
+                          quality: IndexQuality): Unit = {
     val book = collectCodebook(codebook)
     val spark = vectors.sparkSession
     import spark.implicits._
     Seq((vectors.count(), book.length,
-        book.headOption.map(_.length).getOrElse(0), residual))
-      .toDF("built_n", "m", "ksub", "residual")
+        book.headOption.map(_.length).getOrElse(0), residual,
+        quality.seeding, quality.kmeansIterations, quality.rounds,
+        quality.oversample, quality.seed, quality.pqKmeansIterations,
+        quality.pqChunkIds, quality.auto))
+      .toDF(Seq("built_n", "m", "ksub", "residual") ++ QualityOnlyCols: _*)
       .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
   }
 
@@ -1469,15 +1665,22 @@ object Similarity {
     * the crash window to losing every appended row; bare clear-last
     * left a crash-between-base-and-clear producing duplicates that
     * trigger-driven maintenance would never revisit. Now the clear is
-    * MARKER-COMMITTED: a `_inc_clear_pending` file (created here,
-    * after the caller's base writes) means "the base holds everything;
-    * increment rows are garbage" — readers ([[servingRows]],
-    * [[ivfIndexSkew]]) skip the increment under the marker, and
-    * [[ivfIndexMaintain]] / [[ivfIndexAppendBatch]] /
+    * MARKER-COMMITTED: a `_inc_clear_pending` file means "the base
+    * holds everything; increment rows are garbage" — readers
+    * ([[servingRows]], [[ivfIndexSkew]]) skip the increment under the
+    * marker, and [[ivfIndexMaintain]] / [[ivfIndexAppendBatch]] /
     * [[ivfIndexConsolidate]] heal a pending clear before doing
-    * anything else. The irreducible window is the instants between
-    * the last base write and the marker create (adjacent driver-side
-    * ops), down from unbounded. */
+    * anything else. The marker is created by [[markIncClearPending]]
+    * the moment the ROW TABLE overwrite completes — before the
+    * build_meta job, not here (round-18 ADVICE: marking only at
+    * clear time left the whole meta write inside the unprotected
+    * window); this face re-creates it defensively for direct callers.
+    * The irreducible window is the adjacent driver-side ops between
+    * the row-table write returning and the marker create; a crash
+    * INSIDE that window leaves the increment rows double-counted
+    * against the new base until the NEXT FIRED REBUILD (no marker
+    * means readers union them — maintenance polls heal marked clears,
+    * not unmarked duplicates). */
   private def clearIncTables(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
@@ -1491,6 +1694,27 @@ object Similarity {
       tables.foreach(p => if (fs.exists(p)) { fs.delete(p, true); () })
     }
     if (fs.exists(marker)) { fs.delete(marker, false); () }
+  }
+
+  /** Create the [[clearIncTables]] marker at the instant the increment
+    * rows become garbage: called by every write face IMMEDIATELY after
+    * its row-table overwrite returns, BEFORE the build_meta /sidecar
+    * jobs (round-18 ADVICE — previously the marker appeared only at
+    * clear time, so a crash anywhere across the meta write left
+    * unmarked duplicates with no heal path until the next fired
+    * rebuild). Idempotent; no-op when no increment table exists, so
+    * fresh-directory builds never pay a create. */
+  private def markIncClearPending(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/$IncClearMarker")
+    val fs = marker.getFileSystem(conf)
+    val tables = Seq("assigned_inc.parquet", "codes_inc.parquet")
+      .map(t => new org.apache.hadoop.fs.Path(s"$dir/$t"))
+    if (tables.exists(fs.exists)) {
+      val out = fs.create(marker, true)
+      out.close()
+    }
   }
 
   /** [[ivfIndexAppend]] / [[pqIndexAppend]] made REPLAY-IDEMPOTENT for
@@ -1803,12 +2027,23 @@ object Similarity {
     * cannot see), rebuild the index over `corpus` IN PLACE with the
     * layout's own construction parameters: K re-read from the stored
     * centroid table, (m, ksub) from the stored codebook, raw-vs-
-    * residual from build_meta — so a maintenance daemon needs no
-    * record of how the index was built. The rebuild is the
-    * deterministic stride form (the write faces' default); quality
-    * knobs (Lloyd iterations, kmeans|| seeding, the auto chooser) are
-    * deliberate build-time decisions — call the write face directly
-    * when you want them. `corpus` must be the FULL current corpus (the
+    * residual from build_meta, and — round 18 — the QUALITY record
+    * ([[IndexQuality]]) replayed from build_meta too: a
+    * reservoir-seeded index rebuilds reservoir-seeded, a
+    * kmeans||-seeded one re-runs kmeans|| with its stored (rounds,
+    * oversample, seed, Lloyd iterations), Lloyd/codebook-refined forms
+    * keep their iteration counts, and an [[pqIndexWriteAuto]] index
+    * RE-RUNS the chooser (deliberate: drift that fires a rebuild can
+    * also move the raw-vs-residual regime boundary, and the chooser is
+    * exactly the recorded decision PROCEDURE; build_meta records the
+    * fresh outcome). So a maintenance daemon needs no record of how
+    * the index was built — the index carries it. The one exception is
+    * `seeding = "given"` ([[ivfIndexWriteWith]]/[[pqIndexWriteWith]]:
+    * a caller-supplied geometry whose construction the index cannot
+    * know) — the rebuild warns loudly on stderr and uses the stride
+    * form; pre-round-18 metas lack the record and read as stride,
+    * which is exactly the rebuild they already received. `corpus` must
+    * be the FULL current corpus (the
     * appended rows included): the rebuild re-derives geometry from it
     * and clears the increment sibling. Single-writer like every
     * maintenance face; polling cost when nothing fires is one
@@ -1841,15 +2076,41 @@ object Similarity {
     if (fire) {
       val table = rowTableOf(spark, dir)
       val k = spark.read.parquet(s"$dir/centroids.parquet").count().toInt
-      if (table == "assigned.parquet")
-        ivfIndexWrite(corpus, dir, k, idCol, vecCol)
-      else {
+      val q = qualityOf(spark, dir)
+      def warnGiven(): Unit = System.err.println(
+        "[graft-similarity] ivfIndexMaintain: index was built from a " +
+          "CALLER-SUPPLIED geometry (ivfIndexWriteWith/pqIndexWriteWith " +
+          "— seeding = \"given\"); its construction is not recorded, so " +
+          "this rebuild uses the deterministic stride form. To keep a " +
+          "quality build across maintenance, write through a recorded " +
+          "face (ivfIndexWriteReservoir / ivfIndexWriteKMeansParallel / " +
+          "pqIndexWrite*'s knobs) or rebuild explicitly.")
+      if (table == "assigned.parquet") q.seeding match {
+        case "reservoir" =>
+          ivfIndexWriteReservoir(corpus, dir, k, q.seed, q.kmeansIterations,
+            idCol, vecCol)
+        case "kmeans_parallel" =>
+          ivfIndexWriteKMeansParallel(corpus, dir, k, q.rounds,
+            q.kmeansIterations, q.oversample, q.seed, idCol, vecCol)
+        case "given" =>
+          warnGiven()
+          ivfIndexWrite(corpus, dir, k, idCol, vecCol)
+        case _ =>
+          ivfIndexWrite(corpus, dir, k, idCol, vecCol, q.kmeansIterations)
+      } else {
         val book = collectCodebook(
           spark.read.parquet(s"$dir/pq_codebook.parquet"))
         val (m, ksub) = (book.length, book.head.length)
-        if (residualFlagOf(spark, dir))
-          pqIndexWriteResidual(corpus, dir, k, m, ksub, idCol, vecCol)
-        else pqIndexWrite(corpus, dir, k, m, ksub, idCol, vecCol)
+        if (q.seeding == "given") warnGiven()
+        if (q.auto) {
+          pqIndexWriteAuto(corpus, dir, k, m, ksub, idCol, vecCol,
+            q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
+          ()
+        } else if (residualFlagOf(spark, dir))
+          pqIndexWriteResidual(corpus, dir, k, m, ksub, idCol, vecCol,
+            q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
+        else pqIndexWrite(corpus, dir, k, m, ksub, idCol, vecCol,
+          q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
       }
     }
     IndexMaintenance(st, sk, fire)

@@ -152,10 +152,10 @@ object DataxQueries {
   /** The stride-sampled quantizer (d09/d09a): stride = max(1, n/16),
     * centroids = ids ≡ 0 (mod stride) sorted. */
   private val IvfSql: String = ivfSqlWithCentroids(
-    """st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+    """st AS (SELECT greatest(1, count(*) // 16) AS stride, min(id) AS mn FROM v),
         c AS (
           SELECT id AS centroid_id, vec AS cvec FROM v, st
-          WHERE id % stride = 0 ORDER BY id LIMIT 16)""")
+          WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16)""")
 
   /** The RESERVOIR-seeded quantizer (d09k): bottom-16 ids by the
     * md5('42:res:' || id) hash coin — Spark compares the 32-bit
@@ -191,10 +191,10 @@ object DataxQueries {
   private def pqCtes(baseCond: String = "TRUE"): String = {
     s"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         vb AS (SELECT * FROM v WHERE $baseCond),
-        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM vb),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride, min(id) AS mn FROM vb),
         samp AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec
                  FROM (SELECT id, vec FROM vb, st
-                       WHERE id % stride = 0 ORDER BY id LIMIT 16)),
+                       WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16)),
         cent AS (SELECT CAST(s.s AS INT) AS sub, CAST(samp.cid AS INT) AS cid,
                         samp.vec[s.s*8+1 : s.s*8+8] AS cvec
                  FROM samp, range(0, 8) s(s)),
@@ -218,10 +218,10 @@ object DataxQueries {
     s"""WITH v AS (
           SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         vb AS (SELECT * FROM v WHERE id % 5 <> 3),
-        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM vb),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride, min(id) AS mn FROM vb),
         c AS (
           SELECT id AS centroid_id, vec AS cvec FROM vb, st
-          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+          WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16),
         asg AS (
           SELECT id, vec, centroid_id FROM (
             SELECT v.id, v.vec, c.centroid_id,
@@ -263,7 +263,7 @@ object DataxQueries {
     * top-5 by ADC; d09g reranks the top-20 exactly). */
   private def IvfPqCoreCtes(nProbe: Int): String =
     s"""isamp AS (SELECT id, vec FROM vb, st
-                  WHERE id % stride = 0 ORDER BY id LIMIT 16),
+                  WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16),
         ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp),
         asg AS (SELECT id, centroid_id FROM (
             SELECT v.id, ic.centroid_id,
@@ -317,9 +317,9 @@ object DataxQueries {
     * folds and first-min tie rule as [[pqCtes]]. */
   private val ResidualIvfPqSql: String = {
     s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
-        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride, min(id) AS mn FROM v),
         isamp AS (SELECT id, vec FROM v, st
-                  WHERE id % stride = 0 ORDER BY id LIMIT 16),
+                  WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16),
         ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp),
         asg AS (SELECT id, centroid_id FROM (
             SELECT v.id, ic.centroid_id,
@@ -333,7 +333,7 @@ object DataxQueries {
               JOIN ic ON ic.centroid_id = a.centroid_id),
         samp AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, rvec
                  FROM (SELECT id, rvec FROM r, st
-                       WHERE id % stride = 0 ORDER BY id LIMIT 16)),
+                       WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16)),
         cent AS (SELECT CAST(s.s AS INT) AS sub, CAST(samp.cid AS INT) AS cid,
                         samp.rvec[s.s*8+1 : s.s*8+8] AS cvec
                  FROM samp, range(0, 8) s(s)),
@@ -453,10 +453,10 @@ object DataxQueries {
     }
     s"""WITH v AS (
           SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
-        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride, min(id) AS mn FROM v),
         c0 AS (
           SELECT id AS centroid_id, vec AS cvec FROM v, st
-          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+          WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16),
         ${round(1)},
         ${round(2)}
         SELECT centroid_id, CAST(d - 1 AS INT) AS dim, cvec[d] AS value
@@ -1499,8 +1499,8 @@ object DataxQueries {
      * seeding variant as a DuckDB-gated entry: the quantizer is the
      * bottom-16 ids by the md5 hash coin (the d42 rule — a pure
      * function of (seed, id), so the "random" sample replays
-     * closed-form), persisted through the given-quantizer write face
-     * and probed through the pruned layout. Full-scale stance: the
+     * closed-form), persisted through the recorded reservoir write
+     * face and probed through the pruned layout. Full-scale stance: the
      * stride pick needs ids roughly shuffled relative to the data
      * distribution; the reservoir (and its kmeans|| sibling,
      * spec-gated) does not. */
@@ -1509,8 +1509,10 @@ object DataxQueries {
         val tmp = java.nio.file.Files.createTempDirectory("graft-d09k").toString
         try {
           val all = embT(s, dir)
-          Similarity.ivfIndexWriteWith(all, tmp,
-            Similarity.ivfSeedsReservoir(all, nCentroids = 16))
+          // round 18: the RECORDED reservoir face (same seeds, same
+          // layout as the previous given-quantizer composition — and
+          // build_meta now lets ivfIndexMaintain replay the seeding)
+          Similarity.ivfIndexWriteReservoir(all, tmp, nCentroids = 16)
           Similarity.ivfTopKIndexed(s, tmp,
               all.filter(col("vec_id") < 16), k = 5, nProbe = 4)
             .orderBy("query_id", "rank")
@@ -2354,10 +2356,10 @@ object DataxQueries {
         .orderBy("vec_id"),
       Some(s"""WITH v AS (
           SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
-        st AS (SELECT greatest(1, count(*) // 16) AS stride FROM v),
+        st AS (SELECT greatest(1, count(*) // 16) AS stride, min(id) AS mn FROM v),
         c AS (
           SELECT id AS centroid_id, vec AS cvec FROM v, st
-          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+          WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16),
         asg AS (
           SELECT id, vec, centroid_id FROM (
             SELECT v.id, v.vec, c.centroid_id,
@@ -2392,11 +2394,12 @@ object DataxQueries {
           SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
         k AS (SELECT least(4096, greatest(16,
                 CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k FROM v),
-        st AS (SELECT greatest(1, count(*) // (SELECT k FROM k)) AS stride
+        st AS (SELECT greatest(1, count(*) // (SELECT k FROM k)) AS stride,
+                      min(id) AS mn
                FROM v),
         c AS (
           SELECT id AS centroid_id, vec AS cvec FROM v, st
-          WHERE id % stride = 0 ORDER BY id LIMIT (SELECT k FROM k)),
+          WHERE (id - mn) % stride = 0 ORDER BY id LIMIT (SELECT k FROM k)),
         asg AS (
           SELECT id, vec, centroid_id FROM (
             SELECT v.id, v.vec, c.centroid_id,

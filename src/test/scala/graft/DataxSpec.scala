@@ -2042,4 +2042,178 @@ class DataxSpec extends AnyFunSuite {
     val res = Similarity.ivfTopK(c2, a2, q, k = 5, nProbe = 4)
     assert(res.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 5))
   }
+
+  test("min-id-anchored training strides: an all-odd-id corpus (dedup-" +
+       "survivor id layout) trains a full quantizer, codebook, and auto " +
+       "build (round-18 ADVICE: bare `id % stride == 0` picked NOTHING here)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(($"vec_id" * 2 + 1).as("vec_id"), $"embedding") // ids 1,3,5,…
+    val (cents, _) = Similarity.ivfIndex(emb, nCentroids = 16)
+    assert(cents.count() == 16,
+      "the anchored stride must pick a full centroid set from odd ids")
+    assert(Similarity.pqCentroids(emb).count() == 8L * 16,
+      "the anchored stride must train the full m x ksub codebook")
+    val dir = java.nio.file.Files.createTempDirectory("graft-oddids").toString
+    try {
+      // end-to-end: the chooser trains both books and writes a servable
+      // index (before the anchor this failed before the chooser ran)
+      Similarity.pqIndexWriteAuto(emb, dir, nCentroids = 16)
+      val queries = emb.filter($"vec_id" < 32)
+      val res = Similarity.ivfPqTopK(spark, dir, queries, k = 5, nProbe = 4)
+      assert(res.groupBy("query_id").count()
+        .select("count").as[Long].collect().forall(_ == 5))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("ivfIndexMaintain replays the RECORDED build quality (round 18): " +
+       "kmeans||- and reservoir-seeded indexes rebuild with their own " +
+       "construction, an auto index re-runs the chooser, a given-quantizer " +
+       "index warns and stride-rebuilds") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val shard = emb.filter($"vec_id" % 2 === 1) // staleness 1.0 -> fires
+    val queries = emb.filter($"vec_id" < 8)
+    def probeIvf(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
+      k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+    def probePq(d: String) = Similarity.ivfPqTopK(spark, d, queries,
+      k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+    def seedingOf(d: String) = spark.read.parquet(s"$d/build_meta.parquet")
+      .select("seeding").head().getString(0)
+    def tmp() = java.nio.file.Files.createTempDirectory("graft-qmaint").toString
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fresh() = { val d = tmp(); dirs += d; d }
+    try {
+      // KMEANS||-seeded plain index: the maintenance rebuild must BE a
+      // kmeans|| rebuild of the full corpus, not a stride downgrade
+      val km = fresh(); val kmExplicit = fresh()
+      Similarity.ivfIndexWriteKMeansParallel(base, km, nCentroids = 16)
+      assert(seedingOf(km) == "kmeans_parallel")
+      Similarity.ivfIndexAppendBatch(spark, km, shard, 0L)
+      assert(Similarity.ivfIndexMaintain(spark, km, emb).rebuilt)
+      Similarity.ivfIndexWriteKMeansParallel(emb, kmExplicit, nCentroids = 16)
+      assert(probeIvf(km) == probeIvf(kmExplicit),
+        "maintenance must replay the kmeans|| construction exactly")
+      assert(seedingOf(km) == "kmeans_parallel",
+        "the quality record must survive its own replay")
+      // RESERVOIR-seeded
+      val res = fresh(); val resExplicit = fresh()
+      Similarity.ivfIndexWriteReservoir(base, res, nCentroids = 16)
+      assert(seedingOf(res) == "reservoir")
+      Similarity.ivfIndexAppendBatch(spark, res, shard, 0L)
+      assert(Similarity.ivfIndexMaintain(spark, res, emb).rebuilt)
+      Similarity.ivfIndexWriteReservoir(emb, resExplicit, nCentroids = 16)
+      assert(probeIvf(res) == probeIvf(resExplicit),
+        "maintenance must replay the reservoir seeding exactly")
+      // AUTO-chosen IVF-PQ index: maintenance re-runs the chooser (the
+      // recorded decision PROCEDURE — drift can move the regime)
+      val auto = fresh(); val autoExplicit = fresh()
+      Similarity.pqIndexWriteAuto(base, auto, nCentroids = 16)
+      Similarity.ivfIndexAppendBatch(spark, auto, shard, 0L)
+      assert(Similarity.ivfIndexMaintain(spark, auto, emb).rebuilt)
+      Similarity.pqIndexWriteAuto(emb, autoExplicit, nCentroids = 16)
+      assert(probePq(auto) == probePq(autoExplicit),
+        "maintenance must re-run the auto chooser over the full corpus")
+      assert(spark.read.parquet(s"$auto/build_meta.parquet")
+        .select("auto").head().getBoolean(0),
+        "the auto flag must survive the replay")
+      // GIVEN-quantizer index: construction unknown -> loud stderr warn
+      // + the stride rebuild (the documented downgrade)
+      val giv = fresh(); val givExplicit = fresh()
+      Similarity.ivfIndexWriteWith(base, giv,
+        Similarity.ivfIndex(base, nCentroids = 16)._1)
+      assert(seedingOf(giv) == "given")
+      Similarity.ivfIndexAppendBatch(spark, giv, shard, 0L)
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val oldErr = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val mg = try Similarity.ivfIndexMaintain(spark, giv, emb)
+        finally System.setErr(oldErr)
+      assert(mg.rebuilt)
+      assert(errBuf.toString.contains("CALLER-SUPPLIED"),
+        s"the downgrade must warn loudly, got: ${errBuf.toString.take(400)}")
+      Similarity.ivfIndexWrite(emb, givExplicit, nCentroids = 16)
+      assert(probeIvf(giv) == probeIvf(givExplicit),
+        "the given-quantizer rebuild is the stride form")
+    } finally dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("rebuild crash between row-table write and build_meta leaves the " +
+       "increment clear MARKED: readers skip the stale rows, maintenance heals " +
+       "(round-18 ADVICE: the marker lands before the meta job, not after it)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 3)
+    val shard = emb.filter($"vec_id" % 5 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-markinc").toString
+    val clean = java.nio.file.Files.createTempDirectory("graft-markinc2").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def exists(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    try {
+      Similarity.ivfIndexWrite(base, dir, nCentroids = 16)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      // a corpus frame that survives exactly ONE full traversal (the
+      // assign + row-table write) and crashes on the next (the
+      // build_meta count job) — the precise ADVICE crash window
+      DataxSpec.crashGate.set(0)
+      val crashy = spark.createDataFrame(
+        emb.repartition(1).rdd.mapPartitions { it =>
+          if (DataxSpec.crashGate.incrementAndGet() >= 2)
+            throw new RuntimeException("injected crash before build_meta")
+          it
+        }, emb.schema)
+      // eager checkpoint: the write face overwrites the very files this
+      // frame would lazily re-read
+      val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+        .localCheckpoint(eager = true)
+      val ex = intercept[Throwable] {
+        Similarity.ivfIndexWriteWith(crashy, dir, centroids)
+      }
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(chain.contains("injected crash before build_meta"), s"got:\n$chain")
+      // the row table committed (full corpus) and the marker is DOWN —
+      // the increment rows are garbage from this instant, meta or not
+      assert(exists("_inc_clear_pending"),
+        "the clear marker must precede the build_meta job")
+      assert(exists("assigned_inc.parquet"),
+        "the physical clear itself has not run yet")
+      // readers skip the marked increment: the probe equals a CLEAN
+      // full rebuild under the same quantizer (an unmarked crash here
+      // would double-count every shard row against the new base)
+      val queries = emb.filter($"vec_id" < 8)
+      def probe(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
+        k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+      Similarity.ivfIndexWriteWith(emb, clean, centroids)
+      assert(probe(dir) == probe(clean),
+        "marked increment rows must be invisible to probes")
+      // the next maintenance poll heals: clear completes, marker lifts
+      // (huge thresholds: this poll must heal, not fire a rebuild)
+      val m = Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = 1e9, maxSkew = 1e9)
+      assert(!m.rebuilt)
+      assert(!exists("_inc_clear_pending") && !exists("assigned_inc.parquet"),
+        "maintenance must complete the marked clear")
+      assert(probe(dir) == probe(clean), "healing changes no probe row")
+    } finally Seq(dir, clean).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+}
+
+object DataxSpec {
+  /** Traversal counter for the crash-injection fixture above: static so
+    * executor-side closures reach it without capture (local[32] — one
+    * JVM). */
+  val crashGate = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -264,6 +264,42 @@ class SimilarityPropertiesSpec extends AnyFunSuite {
     assert(centers.size > k, "oversampling must produce > k candidates")
   }
 
+  test("kmeans|| cost pass: centers-as-data join form == literal " +
+       "min-of-folds form, bit-equal per point (round-18 de-literalization " +
+       "pin — the production path no longer grows the plan with |centers|)") {
+    // both integer-entry vectors (every sum exact) AND non-integer
+    // floats: the per-point pin needs no integer crutch — each
+    // (point, center) fold is the SAME ordered fold in both forms, and
+    // min over identical doubles is exact regardless of entries (only
+    // ψ's cross-point SUM needs integer entries, pinned by the model
+    // test above)
+    for ((vecs, tag) <- Seq(
+        (genVecs(60, 7603L, dim = 5), "integer"),
+        (genVecs(60, 7607L, dim = 5).map { case (id, v) =>
+          (id, v.map(_ / 7.0f)) }, "float"))) {
+      val centers: Seq[(Long, Seq[Double])] = vecs.take(7)
+        .map { case (id, v) => (id, v.map(_.toDouble).toSeq) }
+      val v = toDF(vecs).select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      def fold(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      val literal = v.select(col("id"), array_min(array(
+          centers.map(c => fold(col("vec"), typedLit(c._2))): _*)).as("_cost"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val s = spark; import s.implicits._
+      val joined = v.crossJoin(broadcast(centers.toDF("centroid_id", "cvec")))
+        .select(col("id"), fold(col("vec"), col("cvec")).as("_d2"))
+        .groupBy("id").agg(min("_d2").as("_cost"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(joined.keySet == literal.keySet)
+      for ((id, c) <- literal)
+        assert(java.lang.Double.doubleToLongBits(joined(id)) ==
+               java.lang.Double.doubleToLongBits(c),
+          s"[$tag] id=$id: join ${joined(id)} != literal $c")
+    }
+  }
+
   test("kmeans|| seeding covers skewed clusters the stride sample misses") {
     // 16 true clusters with sizes 1..16 (heavily skewed), cluster
     // membership PSEUDO-SHUFFLED relative to id order — the stride
