@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * the partition listing (driver-side, ZERO Spark jobs); this probe
   * measures the poll wall at a configurable K and counts the Spark
   * jobs it submits (a SparkListener — the claim "zero jobs" is
-  * asserted by measurement, not prose).
+  * asserted by measurement, not prose). Round 18 adds the listing
+  * strategy A/B (parallel per-dir walk vs bulk recursive listFiles):
+  * the scheme-aware pick in [[graft.datax.Similarity.ivfIndexSkew]]
+  * rests on these numbers.
   *
   * Env: SPARK_GRAFT_CENTROIDS (default 1024), SPARK_GRAFT_ROWS
   * (default 65536), SPARK_GRAFT_CPUS (default 8). */
@@ -55,10 +58,25 @@ object IndexSkewProbe {
       // bus a beat rather than reaching into the private listenerBus
       Thread.sleep(500)
       spark.sparkContext.removeSparkListener(listener)
+      // strategy A/B (round 18): the public face picks the listing
+      // strategy by FS scheme (parallel per-dir walk on file:, bulk
+      // recursive listFiles on remote stores); time both here so the
+      // scheme rule rests on a measurement, not prose
+      val t2 = System.nanoTime()
+      val walkSkew = graft.datax.Similarity
+        .ivfIndexSkewListing(spark, dir, bulkListing = false)
+      val walkSec = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val bulkSkew = graft.datax.Similarity
+        .ivfIndexSkewListing(spark, dir, bulkListing = true)
+      val bulkSec = (System.nanoTime() - t3) / 1e9
+      require(walkSkew == bulkSkew && walkSkew == skew,
+        s"listing strategies must agree: walk=$walkSkew bulk=$bulkSkew poll=$skew")
       println(s"""{"probe":"index_skew","k":$k,"rows":$rows,""" +
         s""""skew":${skew.getOrElse(-1.0)},""" +
         f""""buildSec":$buildSec%.2f,"pollSec":$pollSec%.2f,""" +
-        s""""sparkJobsDuringPoll":${jobs.get()}}""")
+        s""""sparkJobsDuringPoll":${jobs.get()},""" +
+        f""""walkSec":$walkSec%.2f,"bulkSec":$bulkSec%.2f}""")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

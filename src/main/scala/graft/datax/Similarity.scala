@@ -1951,38 +1951,106 @@ object Similarity {
     * for one poll, contradicting exactly this "as cheap as the
     * staleness count" promise; driver-side footer reads keep the
     * no-scan property at zero jobs, measured at K=1024 in SCALE.md).
+    * The listing strategy is SCHEME-AWARE (round 18): on a remote
+    * store (anything but `file:`) it is ONE recursive `listFiles`
+    * enumeration per tree — the r17 cut issued one `listStatus` RPC
+    * per partition dir, K×files round-trips that would dominate an
+    * object-store poll, where S3A answers a recursive listFiles with
+    * bulk paged LISTs and HDFS batches located-status RPCs. On the
+    * LOCAL filesystem the bulk enumeration is the slow path (measured:
+    * the sequential per-file iterator costs ~3.7 ms/file through the
+    * checksum FS — 30 s of a 38 s poll at 8k files, 4× the r17 wall),
+    * so `file:` keeps the PARALLEL per-directory walk, where syscalls
+    * are cheap and the parallel pool wins. Both strategies produce
+    * identical (partition, file) sets (spec-pinned), parse partition
+    * identity from the paths, skip hidden dirs (`_temporary` — a
+    * concurrent writer's staging), and fan the footer reads out per
+    * FILE on the parallel-collections pool.
     * None for an index with no partitions; empty buckets never
     * materialize as dirs, so the median is over NON-EMPTY buckets (the
     * serving-cost view: a probe of an absent dir is free). Works on
     * both layouts, like [[ivfIndexStaleness]]. */
   def ivfIndexSkew(spark: org.apache.spark.sql.SparkSession,
                    dir: String): Option[Double] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    ivfIndexSkewListing(spark, dir, bulkListing = fs.getScheme != "file")
+  }
+
+  /** [[ivfIndexSkew]] with the listing strategy pinned — package-
+    * visible so the spec can assert both strategies agree and the
+    * probe can measure each. */
+  private[graft] def ivfIndexSkewListing(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      bulkListing: Boolean): Option[Double] = {
     val conf = spark.sessionState.newHadoopConf()
     val table = rowTableOf(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(conf)
-    // (bucket dir name -> footer row count) pairs under one root; the
-    // per-partition reads are independent driver-side IO, so they run
-    // on the parallel-collections pool (footer opens are ~ms each —
-    // sequential at K=1024 x multiple files that was most of a minute,
-    // IndexSkewProbe-measured; parallel it is seconds)
-    def bucketCounts(root: org.apache.hadoop.fs.Path): Seq[(String, Long)] = {
-      import scala.collection.parallel.CollectionConverters._
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
-        .par.map { part =>
-          part.getPath.getName ->
-            fs.listStatus(part.getPath)
-              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-              .map { f =>
-                val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-                  org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-                try reader.getRecordCount finally reader.close()
-              }.sum
-        }.seq.toSeq
+    // enumerate a tree's parquet data files, each paired with its
+    // ancestor dir names strictly below the root (outermost first);
+    // hidden segments drop the file. Bulk: one recursive listFiles
+    // (remote stores). Walk: parallel per-directory listStatus (local).
+    def bulkFiles(root: org.apache.hadoop.fs.Path)
+        : Seq[(Seq[String], org.apache.hadoop.fs.FileStatus)] = {
+      val rootPath = root.toUri.getPath
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[(Seq[String], org.apache.hadoop.fs.FileStatus)]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+          var cur = f.getPath.getParent
+          var segs = List.empty[String]
+          var under = false
+          while (cur != null && !under) {
+            if (cur.toUri.getPath == rootPath) under = true
+            else { segs = cur.getName :: segs; cur = cur.getParent }
+          }
+          if (under && !segs.exists(s =>
+              s.startsWith("_") || s.startsWith(".")))
+            buf += ((segs, f))
+        }
+      }
+      buf.toSeq
     }
-    val base = bucketCounts(new org.apache.hadoop.fs.Path(s"$dir/$table"))
+    def walkFiles(root: org.apache.hadoop.fs.Path)
+        : Seq[(Seq[String], org.apache.hadoop.fs.FileStatus)] = {
+      import scala.collection.parallel.CollectionConverters._
+      def go(p: org.apache.hadoop.fs.Path, segs: List[String])
+          : Seq[(Seq[String], org.apache.hadoop.fs.FileStatus)] =
+        fs.listStatus(p).toSeq.par.flatMap { s =>
+          val name = s.getPath.getName
+          if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+          else if (s.isDirectory) go(s.getPath, segs :+ name)
+          else if (name.endsWith(".parquet")) Seq((segs: Seq[String], s))
+          else Seq.empty
+        }.seq.toSeq
+      go(root, Nil)
+    }
+    def dataFiles(root: org.apache.hadoop.fs.Path)
+        : Seq[(Seq[String], org.apache.hadoop.fs.FileStatus)] =
+      if (!fs.exists(root)) Seq.empty
+      else if (bulkListing) bulkFiles(root)
+      else walkFiles(root)
+    // footer row counts fan out per file on the parallel pool (opens
+    // are ~ms each — sequential at K=1024 x multiple files that was
+    // most of a minute, IndexSkewProbe-measured; parallel it is
+    // seconds)
+    def footerCounts(files: Seq[(String, org.apache.hadoop.fs.FileStatus)])
+        : Seq[(String, Long)] = {
+      import scala.collection.parallel.CollectionConverters._
+      files.par.map { case (bucket, f) =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+        bucket -> (try reader.getRecordCount finally reader.close())
+      }.seq.toSeq
+    }
+    val base = footerCounts(
+      dataFiles(new org.apache.hadoop.fs.Path(s"$dir/$table")).flatMap {
+        case (segs, f) =>
+          segs.find(_.startsWith("centroid_id=")).map(_ -> f)
+      })
     // increment batches ([[ivfIndexAppendBatch]]): per-bucket rows are
     // the UNION's — merge batch=N/centroid_id=X counts into the
     // bucket, honoring the consolidation marker's visibility rule
@@ -1994,12 +2062,14 @@ object Similarity {
       if (!fs.exists(incRoot) || incClearPending(spark, dir)) Seq.empty
       else {
         val cutoff = graft.streaming.DedupStream.compactedUpTo(spark, incDir)
-        fs.listStatus(incRoot).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-          .filter(s => scala.util.Try(
-              s.getPath.getName.stripPrefix("batch=").toLong).toOption
-            .exists(graft.streaming.DedupStream.visibleBatch(cutoff, _)))
-          .flatMap(b => bucketCounts(b.getPath))
+        footerCounts(dataFiles(incRoot).flatMap { case (segs, f) =>
+          for {
+            b <- segs.find(_.startsWith("batch="))
+            bid <- scala.util.Try(b.stripPrefix("batch=").toLong).toOption
+            if graft.streaming.DedupStream.visibleBatch(cutoff, bid)
+            c <- segs.find(_.startsWith("centroid_id="))
+          } yield c -> f
+        })
       }
     val counts = (base ++ inc).groupBy(_._1)
       .map { case (_, rows) => rows.map(_._2).sum }

@@ -1280,6 +1280,11 @@ class DataxSpec extends AnyFunSuite {
       val before = probe().orderBy("query_id", "rank").collect().toSeq
       val stBefore = Similarity.ivfIndexStaleness(spark, dir)
       val skBefore = Similarity.ivfIndexSkew(spark, dir)
+      // the two listing strategies (round 18: parallel per-dir walk on
+      // file:, bulk recursive listFiles on remote stores) must agree on
+      // the batched-increment layout...
+      assert(Similarity.ivfIndexSkewListing(spark, dir, bulkListing = true)
+        == skBefore, "bulk listing must match the walk on batch layouts")
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
       def incFiles() = fs.globStatus(new org.apache.hadoop.fs.Path(
@@ -1291,6 +1296,10 @@ class DataxSpec extends AnyFunSuite {
         "consolidation is layout-only: not a single probe row moves")
       assert(Similarity.ivfIndexStaleness(spark, dir) == stBefore)
       assert(Similarity.ivfIndexSkew(spark, dir) == skBefore)
+      // ...and on the consolidated-epoch layout (epoch dir + kept batch
+      // under the marker's visibility rule)
+      assert(Similarity.ivfIndexSkewListing(spark, dir, bulkListing = true)
+        == skBefore, "bulk listing must match the walk on epoch layouts")
       // folded batch dirs are gone; the epoch (batch=-3) holds ONE file
       // per touched bucket; batch 2 (replayable) keeps its own dir
       assert(!fs.exists(new org.apache.hadoop.fs.Path(
