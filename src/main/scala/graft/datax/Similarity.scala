@@ -206,10 +206,11 @@ object Similarity {
   def labelCentroids(vectors: DataFrame, labelCol: String = "label",
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      chunkIds: Long = 0L): DataFrame = {
+    val chunk = resolveChunkIds(vectors, idCol, chunkIds)
     val ex = vectors
       .select(col(labelCol).as("label"), col(idCol).as("id"),
         posexplode(toDouble(col(vecCol))).as(Seq("dim", "_x")))
-    if (chunkIds <= 0L)
+    if (chunk <= 0L)
       ex.groupBy("label", "dim")
         .agg(
           sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
@@ -220,7 +221,7 @@ object Similarity {
             / col("n_vectors")).as("centroid"),
           col("n_vectors"))
     else
-      ex.withColumn("_chunk", expr(s"id DIV ${chunkIds}L")) // integer DIV: exact at any id magnitude
+      ex.withColumn("_chunk", expr(s"id DIV ${chunk}L")) // integer DIV: exact at any id magnitude
         .groupBy("label", "dim", "_chunk")
         .agg(
           aggregate(
@@ -524,7 +525,8 @@ object Similarity {
                              vecCol: String = "embedding",
                              chunkIds: Long = 0L): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
-    val means = if (chunkIds > 0L) orderedMeansChunked(chunkIds) _
+    val chunk = resolveChunkIds(vectors, idCol, chunkIds)
+    val means = if (chunk > 0L) orderedMeansChunked(chunk) _
                 else orderedMeans _
     lloyd(v, ivfIndex(vectors, nCentroids, idCol, vecCol)._1,
         iterations, means)
@@ -597,6 +599,44 @@ object Similarity {
           "banded LSH).")
     k
   }
+
+  /** `chunkIds` for the chunked-range ordered folds, derived like
+    * [[centroidsFor]]'s sqrt rule (round 18 — removes the last
+    * remember-a-knob hazard on the quality paths): ids are chunked
+    * into ranges of this many id VALUES, so per-cell collected state
+    * is bounded by max(chunkIds, width / chunkIds) rows — ~sqrt(width)
+    * balances the two levels. Wire it by passing `chunkIds = -1`
+    * ("auto") to [[labelCentroids]] / [[kmeansCentroidsOrdered]] /
+    * [[pqCentroidsKMeans]] (and the pq write faces' `pqChunkIds`),
+    * which derives the width from the corpus id range in ONE (min,
+    * max) aggregate and logs the derived value; 0 keeps the flat fold
+    * — the oracle face, and still the default. Like every chunking,
+    * the derived fold is deterministic at any partitioning and
+    * bit-equal to the flat fold exactly where sums are exact. */
+  def chunkIdsFor(minId: Long, maxId: Long): Long = {
+    require(maxId >= minId, s"empty id range: maxId=$maxId < minId=$minId")
+    math.max(1L, math.ceil(math.sqrt((maxId - minId + 1).toDouble)).toLong)
+  }
+
+  /** `chunkIds < 0` ("auto") resolves via [[chunkIdsFor]] over the
+    * corpus id range; any other value passes through (0 = flat fold). */
+  private def resolveChunkIds(vectors: DataFrame, idCol: String,
+                              chunkIds: Long): Long =
+    if (chunkIds >= 0L) chunkIds
+    else {
+      val r = vectors.agg(min(col(idCol).cast("long")),
+        max(col(idCol).cast("long"))).head()
+      if (r.isNullAt(0)) 0L // empty corpus: nothing to bound
+      else {
+        val c = chunkIdsFor(r.getLong(0), r.getLong(1))
+        System.err.println(
+          s"[graft-similarity] chunkIds=auto over ids [${r.getLong(0)}, " +
+            s"${r.getLong(1)}]: derived chunkIds=$c (~sqrt of the " +
+            "id-range width; per-cell fold state bounded at ~that many " +
+            "rows per level)")
+        c
+      }
+    }
 
   /** [[semanticDedup]] with K derived from the input size via
     * [[centroidsFor]] — one count pass, then the clustered dedup. The
@@ -1061,6 +1101,7 @@ object Similarity {
     require(iterations >= 0, s"iterations=$iterations must be >= 0")
     val spark = vectors.sparkSession
     import spark.implicits._
+    val chunk = resolveChunkIds(vectors, idCol, chunkIds)
     val dsub = probeDimOf(vectors, vecCol, m)
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
     // (id, sub, svec) slice rows — the per-subspace training set, built
@@ -1080,7 +1121,7 @@ object Similarity {
         .select(col("sub"), col("code").as("cid"), col("id"),
           posexplode(col("svec")).as(Seq("dim", "_x")))
       val cellMeans =
-        if (chunkIds <= 0L)
+        if (chunk <= 0L)
           cells.groupBy("sub", "cid", "dim")
             .agg(
               sort_array(collect_list(struct(col("id").as("i"), col("_x").as("x"))))
@@ -1090,7 +1131,7 @@ object Similarity {
               (aggregate(col("_sx"), lit(0.0), (a, s) => a + s.getField("x"))
                 / col("_n")).as("_m"))
         else
-          cells.withColumn("_chunk", expr(s"id DIV ${chunkIds}L")) // integer DIV: exact at any id magnitude
+          cells.withColumn("_chunk", expr(s"id DIV ${chunk}L")) // integer DIV: exact at any id magnitude
             .groupBy("sub", "cid", "dim", "_chunk")
             .agg(
               aggregate(

@@ -133,6 +133,21 @@ object EmbedStream {
     * leaves the serving index one batch behind until the replay
     * rewrites both.
     *
+    * READ-YOUR-WRITES during an in-flight batch (round 18, pinned):
+    * the serving append lands a visible `batch=N` increment partition
+    * the moment its write completes — so probes
+    * ([[Similarity.ivfPqTopK]] / `ivfTopKIndexed`) see the running
+    * batch's survivors BEFORE the batch as a whole commits. For ANN
+    * serving this is the desired freshness (a vector is searchable
+    * the instant it is indexed), and it is SAFE under crash replay:
+    * a replayed batch OVERWRITES its own partition, so the
+    * transiently-visible rows are replaced by the replay's (identical
+    * — the shard per batchId is deterministic), never doubled. What a
+    * reader must NOT assume is dedup-index/serving-index atomicity:
+    * between the two writes a crash leaves the serving side one batch
+    * ahead of or behind the dedup side until the replay realigns
+    * them.
+    *
     * `withinOccupancy` (round-17 review): the WITHIN-batch pass's
     * occupancy bound. `None` (default) derives sqrt(maxBucketLoad) —
     * the bound whose in-bucket pair expansion equals the cross-join

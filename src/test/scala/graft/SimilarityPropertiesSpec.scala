@@ -169,6 +169,11 @@ class SimilarityPropertiesSpec extends AnyFunSuite {
     assert(rows(7L) == flat,
       "chunked-range fold re-associates only exact partial sums here — " +
         "must be bit-identical to the flat fold")
+    // chunkIds = -1 ("auto", round 18): ids 0..39 -> width 40 ->
+    // ceil(sqrt(40)) = 7, exactly the explicit run above
+    assert(Similarity.chunkIdsFor(0L, 39L) == 7L)
+    assert(rows(-1L) == flat,
+      "the auto derivation must route through the same chunked fold")
   }
 
   test("kmeansCentroidsOrdered: chunked fold == flat fold at any chunking " +
@@ -184,6 +189,7 @@ class SimilarityPropertiesSpec extends AnyFunSuite {
     assert(run(7L) == flat,
       "per-chunk partial sums are exact on integer entries, so the " +
         "two-level fold must reproduce the flat Lloyd refinement bit-for-bit")
+    assert(run(-1L) == flat, "chunkIds = -1 (auto) — same fold, derived size")
   }
 
   /** The d42 md5(seed:tag:id) hash-uniform, modeled byte-for-byte. */
@@ -353,5 +359,6 @@ class SimilarityPropertiesSpec extends AnyFunSuite {
     assert(run(3L) == flat && run(17L) == flat,
       "per-chunk partial sums are exact on integer entries, so the " +
         "two-level fold must reproduce the flat refinement bit-for-bit")
+    assert(run(-1L) == flat, "chunkIds = -1 (auto) — same fold, derived size")
   }
 }

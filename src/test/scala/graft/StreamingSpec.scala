@@ -1513,6 +1513,40 @@ class StreamingSpec extends AnyFunSuite {
       s"2 appended over 3 built, got $staleness")
   }
 
+  test("serving probes are read-your-writes during an in-flight batch: " +
+       "the running batchId's increment is visible the moment its append " +
+       "completes, and a replay REPLACES the transient view (round-18 pin)") {
+    import graft.datax.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ryw").toString
+    try {
+      val base = embedVecs.filter($"vec_id" <= 6)
+      Similarity.pqIndexWrite(base, dir, nCentroids = 2)
+      // fresh query ids (probes exclude self-matches by id), query
+      // VECTORS equal to the appended rows'
+      def top2(vec: Array[Float]) = Similarity.ivfPqTopK(spark, dir,
+          Seq((100L, vec)).toDF("vec_id", "embedding"), k = 2, nProbe = 2)
+        .select("id").as[Long].collect().toSeq
+      // mid-batch state: batch 9's serving append has completed; the
+      // batch as a whole (dedup-index writes, commit) has NOT — the
+      // appended row must be searchable NOW (ANN freshness)
+      Similarity.ivfIndexAppendBatch(spark, dir,
+        embedVecs.filter($"vec_id" === 7L), 9L)
+      assert(top2(embedDir(1)).contains(7L),
+        "the in-flight batch's row is searchable immediately")
+      // crash replay: the TRUE deterministic shard for batch 9 is {8} —
+      // the partition overwrite REPLACES the transient rows (the
+      // read-your-writes view is bounded by replay, never unioned)
+      Similarity.ivfIndexAppendBatch(spark, dir,
+        embedVecs.filter($"vec_id" === 8L), 9L)
+      assert(!top2(embedDir(1)).contains(7L),
+        "the replayed batch must replace the transiently-visible rows")
+      assert(top2(embedNear(3, 8)).contains(8L), "the replay's own rows serve")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("EmbedStream within-batch pass derives its occupancy guard from maxBucketLoad") {
     import graft.streaming.EmbedStream
     val dir = java.nio.file.Files.createTempDirectory("graft-d55-guard").toString
