@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_MAINTAIN (with SERVING: 1 polls ivfIndexMaintain after
   * every batch with the default thresholds — measuring the rebuild
   * cadence and cost the re-quantize rule actually produces under
-  * continuous ingest). */
+  * continuous ingest), SPARK_GRAFT_QUALITY (with SERVING: "lloyd"
+  * bootstraps the serving base through pqIndexWrite's quality knobs —
+  * kmeansIterations=2, pqKmeansIterations=2 — so round 18's recorded
+  * build quality makes every maintenance fire a LLOYD rebuild,
+  * measuring what the quality replay costs per fire vs the stride
+  * default; unset keeps the given-geometry bootstrap). */
 object EmbedIngestProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +41,7 @@ object EmbedIngestProbe {
     val consolidateEvery =
       sys.env.getOrElse("SPARK_GRAFT_CONSOLIDATE_EVERY", "0").toInt
     val maintain = sys.env.getOrElse("SPARK_GRAFT_MAINTAIN", "0") == "1"
+    val quality = sys.env.getOrElse("SPARK_GRAFT_QUALITY", "")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,14 +73,20 @@ object EmbedIngestProbe {
           // bootstrap the serving base over the backfill survivors,
           // geometry sized from the FULL corpus (the production
           // stance); outside the timed window — a one-time build, not
-          // per-batch cost
-          graft.datax.Similarity.pqIndexWriteWith(
-            graft.streaming.DedupStream
-              .visibleIndex(spark, s"$root/index/vecs")
-              .select("vec_id", "embedding"),
-            servingRoot,
-            graft.datax.Similarity.ivfIndex(emb, nCentroids = 64)._1,
-            graft.datax.Similarity.pqCentroids(emb))
+          // per-batch cost. QUALITY mode instead routes through the
+          // recorded quality knobs (geometry from the survivors — the
+          // recorded faces derive their own), so maintenance fires
+          // replay the Lloyd build
+          val boot = graft.streaming.DedupStream
+            .visibleIndex(spark, s"$root/index/vecs")
+            .select("vec_id", "embedding")
+          if (quality == "lloyd")
+            graft.datax.Similarity.pqIndexWrite(boot, servingRoot,
+              nCentroids = 64, kmeansIterations = 2, pqKmeansIterations = 2)
+          else
+            graft.datax.Similarity.pqIndexWriteWith(boot, servingRoot,
+              graft.datax.Similarity.ivfIndex(emb, nCentroids = 64)._1,
+              graft.datax.Similarity.pqCentroids(emb))
         }
         if (compactEvery > 0 && (i + 1) % compactEvery == 0)
           graft.streaming.EmbedStream.compactIndex(spark, s"$root/index")
@@ -104,6 +116,7 @@ object EmbedIngestProbe {
         s""""batches":$nBatches,"tables":$tables,"r":$r,""" +
         s""""compactEvery":$compactEvery,"serving":$serving,""" +
         s""""consolidateEvery":$consolidateEvery,"maintain":$maintain,""" +
+        s""""quality":"$quality",""" +
         s""""maintainFires":[${fires.map { case (b, w) =>
           f"""[$b,$w%.2f]""" }.mkString(",")}],""" +
         s""""idlePollSec":[${idlePolls.map(w => f"$w%.2f").mkString(",")}],""" +

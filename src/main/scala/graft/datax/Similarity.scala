@@ -911,7 +911,14 @@ object Similarity {
     * construction recorded in build_meta so [[ivfIndexMaintain]]
     * replays it on a trigger-fired rebuild (round 18 — the quality
     * quantizer no longer degrades to a stride build on the first
-    * maintenance fire). */
+    * maintenance fire).
+    *
+    * Both recorded seeding faces are PLAIN-layout; the IVF-PQ layout's
+    * recorded quality knobs are [[pqIndexWrite]]'s Lloyd iterations
+    * and the auto chooser — a reservoir/kmeans|| coarse quantizer for
+    * a PQ index routes through [[pqIndexWriteWith]] today and is
+    * recorded as "given" (maintenance warns and stride-rebuilds,
+    * never silently). */
   def ivfIndexWriteKMeansParallel(vectors: DataFrame, dir: String,
                                   nCentroids: Int, rounds: Int = 2,
                                   iterations: Int = 2,
