@@ -897,14 +897,21 @@ object Similarity {
                              nCentroids: Int, seed: Long = 42L,
                              iterations: Int = 0,
                              idCol: String = "vec_id",
-                             vecCol: String = "embedding"): Unit = {
-    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
-    val seeds = ivfSeedsReservoir(vectors, nCentroids, seed, idCol, vecCol)
-    val centroids =
-      if (iterations > 0) lloyd(v, seeds, iterations, avgMeans) else seeds
-    ivfIndexWriteWithQ(vectors, dir, centroids, idCol, vecCol,
+                             vecCol: String = "embedding"): Unit =
+    ivfIndexWriteWithQ(vectors, dir,
+      reservoirCentroids(vectors, nCentroids, seed, iterations, idCol, vecCol),
+      idCol, vecCol,
       IndexQuality(seeding = "reservoir", kmeansIterations = iterations,
         seed = seed))
+
+  /** Reservoir seeds + optional Lloyd refinement — the coarse-quantizer
+    * construction shared by the plain and PQ reservoir write faces. */
+  private def reservoirCentroids(vectors: DataFrame, nCentroids: Int,
+                                 seed: Long, iterations: Int,
+                                 idCol: String, vecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val seeds = ivfSeedsReservoir(vectors, nCentroids, seed, idCol, vecCol)
+    if (iterations > 0) lloyd(v, seeds, iterations, avgMeans) else seeds
   }
 
   /** KMEANS||-seeded build ([[ivfIndexKMeansParallel]]), with the
@@ -913,12 +920,13 @@ object Similarity {
     * quantizer no longer degrades to a stride build on the first
     * maintenance fire).
     *
-    * Both recorded seeding faces are PLAIN-layout; the IVF-PQ layout's
-    * recorded quality knobs are [[pqIndexWrite]]'s Lloyd iterations
-    * and the auto chooser — a reservoir/kmeans|| coarse quantizer for
-    * a PQ index routes through [[pqIndexWriteWith]] today and is
-    * recorded as "given" (maintenance warns and stride-rebuilds,
-    * never silently). */
+    * The IVF-PQ layout has recorded twins —
+    * [[pqIndexWriteReservoir]] / [[pqIndexWriteKMeansParallel]] (raw
+    * encoding; the residual and auto faces keep the stride/Lloyd
+    * coarse forms) — so quality seeding round-trips through
+    * maintenance on BOTH layouts; only a truly caller-supplied
+    * geometry ([[ivfIndexWriteWith]]/[[pqIndexWriteWith]]) records
+    * "given" and downgrades with a warning. */
   def ivfIndexWriteKMeansParallel(vectors: DataFrame, dir: String,
                                   nCentroids: Int, rounds: Int = 2,
                                   iterations: Int = 2,
@@ -1318,6 +1326,60 @@ object Similarity {
       else pqCentroids(vectors, m, ksub, idCol, vecCol)
     pqIndexWriteWithQ(vectors, dir, centroids, book, idCol, vecCol,
       IndexQuality(kmeansIterations = kmeansIterations,
+        pqKmeansIterations = pqKmeansIterations, pqChunkIds = pqChunkIds))
+  }
+
+  /** [[pqIndexWrite]] with a RESERVOIR-seeded coarse quantizer
+    * ([[ivfSeedsReservoir]] + optional Lloyd), construction recorded so
+    * [[ivfIndexMaintain]] replays it — the PQ-layout twin of
+    * [[ivfIndexWriteReservoir]] (round 18: at full scale the PQ layout
+    * IS the served index, so the quality-seeding cell that matters most
+    * must round-trip through maintenance too). Raw encoding; the
+    * codebook keeps [[pqIndexWrite]]'s stride/Lloyd knobs. */
+  def pqIndexWriteReservoir(vectors: DataFrame, dir: String,
+                            nCentroids: Int = 16, m: Int = 8, ksub: Int = 16,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            seed: Long = 42L, kmeansIterations: Int = 0,
+                            pqKmeansIterations: Int = 0,
+                            pqChunkIds: Long = 0L): Unit = {
+    val centroids = reservoirCentroids(vectors, nCentroids, seed,
+      kmeansIterations, idCol, vecCol)
+    val book =
+      if (pqKmeansIterations > 0)
+        pqCentroidsKMeans(vectors, m, ksub, pqKmeansIterations, idCol, vecCol,
+          pqChunkIds)
+      else pqCentroids(vectors, m, ksub, idCol, vecCol)
+    pqIndexWriteWithQ(vectors, dir, centroids, book, idCol, vecCol,
+      IndexQuality(seeding = "reservoir", kmeansIterations = kmeansIterations,
+        seed = seed, pqKmeansIterations = pqKmeansIterations,
+        pqChunkIds = pqChunkIds))
+  }
+
+  /** [[pqIndexWrite]] with a KMEANS||-seeded coarse quantizer
+    * ([[ivfIndexKMeansParallel]]), construction recorded so
+    * [[ivfIndexMaintain]] replays it — the PQ-layout twin of
+    * [[ivfIndexWriteKMeansParallel]]. Raw encoding. */
+  def pqIndexWriteKMeansParallel(vectors: DataFrame, dir: String,
+                                 nCentroids: Int = 16, m: Int = 8,
+                                 ksub: Int = 16,
+                                 idCol: String = "vec_id",
+                                 vecCol: String = "embedding",
+                                 rounds: Int = 2, iterations: Int = 2,
+                                 oversample: Double = 2.0, seed: Long = 42L,
+                                 pqKmeansIterations: Int = 0,
+                                 pqChunkIds: Long = 0L): Unit = {
+    val centroids = ivfIndexKMeansParallel(vectors, nCentroids, rounds,
+      iterations, oversample, seed, idCol, vecCol)._1
+    val book =
+      if (pqKmeansIterations > 0)
+        pqCentroidsKMeans(vectors, m, ksub, pqKmeansIterations, idCol, vecCol,
+          pqChunkIds)
+      else pqCentroids(vectors, m, ksub, idCol, vecCol)
+    pqIndexWriteWithQ(vectors, dir, centroids, book, idCol, vecCol,
+      IndexQuality(seeding = "kmeans_parallel",
+        kmeansIterations = iterations, rounds = rounds,
+        oversample = oversample, seed = seed,
         pqKmeansIterations = pqKmeansIterations, pqChunkIds = pqChunkIds))
   }
 
@@ -2224,11 +2286,23 @@ object Similarity {
           pqIndexWriteAuto(corpus, dir, k, m, ksub, idCol, vecCol,
             q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
           ()
-        } else if (residualFlagOf(spark, dir))
-          pqIndexWriteResidual(corpus, dir, k, m, ksub, idCol, vecCol,
-            q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
-        else pqIndexWrite(corpus, dir, k, m, ksub, idCol, vecCol,
-          q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
+        } else q.seeding match {
+          // quality-seeded PQ faces are raw-encoded by construction
+          // (the recorded combination is the only one that can exist)
+          case "reservoir" =>
+            pqIndexWriteReservoir(corpus, dir, k, m, ksub, idCol, vecCol,
+              q.seed, q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
+          case "kmeans_parallel" =>
+            pqIndexWriteKMeansParallel(corpus, dir, k, m, ksub, idCol, vecCol,
+              q.rounds, q.kmeansIterations, q.oversample, q.seed,
+              q.pqKmeansIterations, q.pqChunkIds)
+          case _ =>
+            if (residualFlagOf(spark, dir))
+              pqIndexWriteResidual(corpus, dir, k, m, ksub, idCol, vecCol,
+                q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
+            else pqIndexWrite(corpus, dir, k, m, ksub, idCol, vecCol,
+              q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
+        }
       }
     }
     IndexMaintenance(st, sk, fire)

@@ -2129,6 +2129,25 @@ class DataxSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$auto/build_meta.parquet")
         .select("auto").head().getBoolean(0),
         "the auto flag must survive the replay")
+      // PQ-layout quality cells (round 18): the recorded seeding
+      // round-trips through maintenance on the SERVED layout too
+      val pqkm = fresh(); val pqkmExplicit = fresh()
+      Similarity.pqIndexWriteKMeansParallel(base, pqkm, nCentroids = 16)
+      assert(seedingOf(pqkm) == "kmeans_parallel")
+      Similarity.ivfIndexAppendBatch(spark, pqkm, shard, 0L)
+      assert(Similarity.ivfIndexMaintain(spark, pqkm, emb).rebuilt)
+      Similarity.pqIndexWriteKMeansParallel(emb, pqkmExplicit, nCentroids = 16)
+      assert(probePq(pqkm) == probePq(pqkmExplicit),
+        "PQ maintenance must replay the kmeans|| coarse quantizer")
+      assert(seedingOf(pqkm) == "kmeans_parallel")
+      val pqres = fresh(); val pqresExplicit = fresh()
+      Similarity.pqIndexWriteReservoir(base, pqres, nCentroids = 16)
+      assert(seedingOf(pqres) == "reservoir")
+      Similarity.ivfIndexAppendBatch(spark, pqres, shard, 0L)
+      assert(Similarity.ivfIndexMaintain(spark, pqres, emb).rebuilt)
+      Similarity.pqIndexWriteReservoir(emb, pqresExplicit, nCentroids = 16)
+      assert(probePq(pqres) == probePq(pqresExplicit),
+        "PQ maintenance must replay the reservoir coarse quantizer")
       // GIVEN-quantizer index: construction unknown -> loud stderr warn
       // + the stride rebuild (the documented downgrade)
       val giv = fresh(); val givExplicit = fresh()
