@@ -168,6 +168,104 @@ object DataxQueries {
           ORDER BY substr(md5('42:res:' || CAST(id AS VARCHAR)), 1, 8), id
           LIMIT 16)""")
 
+  /** The KMEANS|| SEEDING replayed closed-form (d09l, round 18) — the
+    * full Bahmani construction in SQL: min-id first center; per round
+    * the per-point cost (min squared-L2 over current centers, ordered
+    * 64-dim folds), the ψ normalizer, and the md5-coin picks
+    * (`md5u(seed, "r<N>", id) * ψ < cost * l` — the coin parses the
+    * first 8 md5 hex chars as a 32-bit uniform, numerically identical
+    * to Spark's `conv(...,16,10)/2^32`); then the weighted k-center
+    * reduction: weights by cosine-nearest candidate (ties to the
+    * lower id), heaviest first, then a RECURSIVE CTE running the
+    * greedy farthest-point loop over the candidate distance matrix
+    * (argmax of min distance to the chosen list, ties to the lower
+    * id — `ORDER BY md DESC, a ASC`, exactly the Scala tie rule).
+    *
+    * Exactness stance: the QUERY integerizes the vectors first
+    * (`floor(x * 4)` — x*4 is exact, floor is exact, both engines
+    * agree bit-for-bit), so every fold, ψ sum, dot product, and
+    * distance is an integer-valued double and ORDER-FREE — the one
+    * place kmeans|| is not engine-portable on raw floats is ψ's
+    * multi-operand sum, and integer entries remove it (the
+    * SimilarityPropertiesSpec trick promoted to the oracle gate).
+    * Coin products/divisions are single IEEE ops — deterministic on
+    * both engines at any entries. 64-dim vectors; k = 8, rounds = 2,
+    * oversample = 2 (l = 16), seed = 42 — at the sf0.01 fixture this
+    * yields ~29 candidates, so the greedy reduction genuinely runs. */
+  private val KmeansParSeedsSql: String =
+    s"""WITH RECURSIVE v AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding::DOUBLE[], x -> floor(x * 4)) AS vec
+          FROM $EMB),
+        c0 AS (SELECT id, vec FROM v ORDER BY id LIMIT 1),
+        cost1 AS (
+          SELECT v.id,
+            list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+              i -> (v.vec[i] - c0.vec[i]) * (v.vec[i] - c0.vec[i]))),
+              (acc, x) -> acc + x) AS c
+          FROM v, c0),
+        psi1 AS (SELECT sum(c) AS p FROM cost1),
+        pick1 AS (
+          SELECT id FROM cost1, psi1
+          WHERE CAST(('0x' || substr(md5('42:r1:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 * p < c * 16.0
+            AND id NOT IN (SELECT id FROM c0)),
+        cand1 AS (SELECT id FROM c0 UNION SELECT id FROM pick1),
+        cv1 AS (SELECT v.id, v.vec FROM v JOIN cand1 ON cand1.id = v.id),
+        cost2 AS (
+          SELECT v.id, min(
+            list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+              i -> (v.vec[i] - cv1.vec[i]) * (v.vec[i] - cv1.vec[i]))),
+              (acc, x) -> acc + x)) AS c
+          FROM v CROSS JOIN cv1 GROUP BY v.id),
+        psi2 AS (SELECT sum(c) AS p FROM cost2),
+        pick2 AS (
+          SELECT id FROM cost2, psi2
+          WHERE CAST(('0x' || substr(md5('42:r2:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+                / 4294967296.0 * p < c * 16.0
+            AND id NOT IN (SELECT id FROM cand1)),
+        cand AS (SELECT id FROM cand1 UNION SELECT id FROM pick2),
+        cv AS (SELECT v.id, v.vec FROM v JOIN cand ON cand.id = v.id),
+        asg AS (
+          SELECT id, cid FROM (
+            SELECT v.id, cv.id AS cid,
+              row_number() OVER (PARTITION BY v.id ORDER BY
+                list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                  i -> v.vec[i] * cv.vec[i])), (acc, x) -> acc + x)
+                / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                     i -> v.vec[i] * v.vec[i])), (acc, x) -> acc + x))
+                 * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                     i -> cv.vec[i] * cv.vec[i])), (acc, x) -> acc + x))) DESC,
+                cv.id ASC) AS rn
+            FROM v CROSS JOIN cv) WHERE rn = 1),
+        wt AS (SELECT cid, count(*) AS w FROM asg GROUP BY cid),
+        dmat AS (
+          SELECT a.id AS a, b.id AS b,
+            list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+              i -> (a.vec[i] - b.vec[i]) * (a.vec[i] - b.vec[i]))),
+              (acc, x) -> acc + x) AS d
+          FROM cv a CROSS JOIN cv b WHERE a.id <> b.id),
+        first_pick AS (
+          SELECT cv.id FROM cv LEFT JOIN wt ON wt.cid = cv.id
+          ORDER BY coalesce(wt.w, 0) DESC, cv.id ASC LIMIT 1),
+        sel(step, chosen) AS (
+          SELECT 1, [id] FROM first_pick
+          UNION ALL
+          SELECT step + 1, list_append(chosen, (
+            SELECT a FROM (
+              SELECT dm.a, min(dm.d) AS md FROM dmat dm
+              WHERE NOT list_contains(sel.chosen, dm.a)
+                AND list_contains(sel.chosen, dm.b)
+              GROUP BY dm.a)
+            ORDER BY md DESC, a ASC LIMIT 1))
+          FROM sel
+          WHERE step < 8
+            AND EXISTS (SELECT 1 FROM cand
+                        WHERE NOT list_contains(sel.chosen, cand.id)))
+        SELECT unnest(chosen) AS centroid_id
+        FROM sel WHERE step = (SELECT max(step) FROM sel)
+        ORDER BY centroid_id"""
+
   /** Ordered squared-L2 fold over the 8-dim subspace slices — the PQ
     * replays' distance fragment (the d08/d25 bit-exact pattern). */
   private def pqSq(a: String, b: String): String =
@@ -1520,6 +1618,26 @@ object DataxQueries {
         } finally rmrf(s, tmp)
       },
       Some(ReservoirIvfSql)),
+
+    /* KMEANS|| SEEDING fully oracle-gated (round 18 — previously the
+     * variant was spec-gated only, against an independent Scala
+     * model): the cost-chasing rounds, the md5-coin picks, the
+     * cosine-weighted candidate weights, AND the greedy farthest-point
+     * k-center reduction all replay closed-form in DuckDB (the
+     * reduction as a recursive CTE over the candidate distance
+     * matrix). The query integerizes the vectors (floor(x*4) — exact
+     * in both engines) so ψ's multi-operand sum is order-free; see
+     * [[KmeansParSeedsSql]] for the full exactness argument. Output:
+     * the chosen seed ids, sorted. */
+    QueryDef("d09l_kmeanspp_seeds",
+      (s, dir) => {
+        val ints = embT(s, dir).select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(4))).as("embedding"))
+        Similarity.ivfSeedsKMeansParallel(ints, nCentroids = 8, rounds = 2)
+          .select("centroid_id").orderBy("centroid_id")
+      },
+      Some(KmeansParSeedsSql)),
 
     /* EXACT-RERANK over the IVF-PQ candidates (round 16) — the
      * documented answer to ADC's noise-regime recall, as an oracle
