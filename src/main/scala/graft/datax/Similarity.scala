@@ -339,9 +339,14 @@ object Similarity {
     * of generated code, the exact Janino-blowup growth pattern the
     * native [[graft.functions.BandSignatures]] expression was built to
     * kill at the 64-table clamp (r5); the join form is bit-identical
-    * per point (same ordered fold per (point, center); min over exact
-    * doubles is order-free — spec pins the equality in-engine) and
-    * keeps ψ's float-sum order exactly as before. The final
+    * PER POINT (same ordered fold per (point, center); min over exact
+    * doubles is order-free — spec pins the equality in-engine). ψ's
+    * CROSS-POINT sum order is NOT guaranteed unchanged vs the literal
+    * form on arbitrary floats — the groupBy(id).min inserts a shuffle
+    * ahead of the sum, so partial-sum grouping can differ; ψ (and so
+    * the coin picks) is deterministic only where the sum is exact
+    * (integer-valued entries — exactly what the spec model and the
+    * d09l oracle pin; round-19 ADVICE correction). The final
     * reduction (the paper's weighted-clustering step) weights each
     * candidate by its nearest-member count (one broadcast-assign pass
     * + count), then picks k by GREEDY FARTHEST-POINT over the
@@ -840,23 +845,32 @@ object Similarity {
                                         seed: Long = 42L,
                                         pqKmeansIterations: Int = 0,
                                         pqChunkIds: Long = 0L,
-                                        auto: Boolean = false)
+                                        auto: Boolean = false,
+                                        sampleMultiple: Int = 8)
 
   private val QualityOnlyCols = Seq("seeding", "kmeans_iterations",
     "seed_rounds", "seed_oversample", "seed", "pq_kmeans_iterations",
-    "pq_chunk_ids", "auto")
+    "pq_chunk_ids", "auto", "sample_multiple")
   private val QualityCols = "built_n" +: QualityOnlyCols
 
   /** The stored [[IndexQuality]] of a persisted index; stride defaults
-    * for pre-round-18 metas (no `seeding` column). */
+    * for pre-round-18 metas (no `seeding` column), and the default
+    * chooser sample width for pre-round-19 ones (no `sample_multiple`
+    * column — round-19 ADVICE: without the record, a maintenance
+    * replay of an auto build re-ran the chooser at the default width,
+    * which can flip the raw-vs-residual outcome differently than the
+    * original non-default chooser would have). */
   private def qualityOf(spark: org.apache.spark.sql.SparkSession,
                         dir: String): IndexQuality = {
     val meta = spark.read.parquet(s"$dir/build_meta.parquet")
     if (!meta.columns.contains("seeding")) IndexQuality()
     else {
-      val r = meta.select(QualityOnlyCols.map(col): _*).head()
+      val hasSm = meta.columns.contains("sample_multiple")
+      val cols = if (hasSm) QualityOnlyCols else QualityOnlyCols.dropRight(1)
+      val r = meta.select(cols.map(col): _*).head()
       IndexQuality(r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3),
-        r.getLong(4), r.getInt(5), r.getLong(6), r.getBoolean(7))
+        r.getLong(4), r.getInt(5), r.getLong(6), r.getBoolean(7),
+        if (hasSm) r.getInt(8) else 8)
     }
   }
 
@@ -958,7 +972,8 @@ object Similarity {
     import spark.implicits._
     Seq((vectors.count(), quality.seeding, quality.kmeansIterations,
         quality.rounds, quality.oversample, quality.seed,
-        quality.pqKmeansIterations, quality.pqChunkIds, quality.auto))
+        quality.pqKmeansIterations, quality.pqChunkIds, quality.auto,
+        quality.sampleMultiple))
       .toDF(QualityCols: _*)
       .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
     clearIncTables(spark, dir)
@@ -1609,7 +1624,7 @@ object Similarity {
       val residual = resErr < rawErr
       val quality = IndexQuality(kmeansIterations = kmeansIterations,
         pqKmeansIterations = pqKmeansIterations, pqChunkIds = pqChunkIds,
-        auto = true)
+        auto = true, sampleMultiple = sampleMultiple)
       if (residual) writeResidualLayout(vectors, dir, centroids, res, resBook,
         quality)
       else pqIndexWriteWithQ(vectors, dir, centroids, rawBook, idCol, vecCol,
@@ -1632,7 +1647,7 @@ object Similarity {
         book.headOption.map(_.length).getOrElse(0), residual,
         quality.seeding, quality.kmeansIterations, quality.rounds,
         quality.oversample, quality.seed, quality.pqKmeansIterations,
-        quality.pqChunkIds, quality.auto))
+        quality.pqChunkIds, quality.auto, quality.sampleMultiple))
       .toDF(Seq("built_n", "m", "ksub", "residual") ++ QualityOnlyCols: _*)
       .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
   }
@@ -2109,7 +2124,12 @@ object Similarity {
       val it = fs.listFiles(root, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        val fname = f.getPath.getName
+        // hidden FILE names drop too, matching walkFiles' per-name rule
+        // (round-19 ADVICE: a dot-/underscore-prefixed *.parquet — e.g.
+        // a tool-copied artifact on an object store — must not count)
+        if (f.isFile && fname.endsWith(".parquet") &&
+            !fname.startsWith("_") && !fname.startsWith(".")) {
           var cur = f.getPath.getParent
           var segs = List.empty[String]
           var under = false
@@ -2213,10 +2233,14 @@ object Similarity {
     * kmeans||-seeded one re-runs kmeans|| with its stored (rounds,
     * oversample, seed, Lloyd iterations), Lloyd/codebook-refined forms
     * keep their iteration counts, and an [[pqIndexWriteAuto]] index
-    * RE-RUNS the chooser (deliberate: drift that fires a rebuild can
-    * also move the raw-vs-residual regime boundary, and the chooser is
-    * exactly the recorded decision PROCEDURE; build_meta records the
-    * fresh outcome). So a maintenance daemon needs no record of how
+    * RE-RUNS the chooser at its RECORDED evaluation sample width
+    * (round 19 — `sample_multiple` rides in build_meta; a non-default
+    * eval sample is part of the decision procedure, and replaying it
+    * at the default could flip raw-vs-residual differently than the
+    * original chooser would) (deliberate: drift that fires a rebuild
+    * can also move the raw-vs-residual regime boundary, and the
+    * chooser is exactly the recorded decision PROCEDURE; build_meta
+    * records the fresh outcome). So a maintenance daemon needs no record of how
     * the index was built — the index carries it. The one exception is
     * `seeding = "given"` ([[ivfIndexWriteWith]]/[[pqIndexWriteWith]]:
     * a caller-supplied geometry whose construction the index cannot
@@ -2284,7 +2308,8 @@ object Similarity {
         if (q.seeding == "given") warnGiven()
         if (q.auto) {
           pqIndexWriteAuto(corpus, dir, k, m, ksub, idCol, vecCol,
-            q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
+            q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds,
+            q.sampleMultiple)
           ()
         } else q.seeding match {
           // quality-seeded PQ faces are raw-encoded by construction

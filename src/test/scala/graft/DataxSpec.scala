@@ -1328,6 +1328,39 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("skew listing strategies agree on trees holding hidden FILE names " +
+       "(round-19 ADVICE: bulk drops dot-/underscore-prefixed *.parquet " +
+       "like the walk — a tool-copied artifact must not count)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hidden").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      Similarity.ivfIndexWrite(emb, dir, nCentroids = 8)
+      val clean = Similarity.ivfIndexSkewListing(spark, dir, bulkListing = false)
+      assert(clean.nonEmpty)
+      // drop a copied data file under hidden names INSIDE a bucket dir
+      // (the object-store shape: only the bulk path runs there)
+      val bucketDir = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$dir/assigned.parquet"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .head.getPath
+      val dataFile = fs.listStatus(bucketDir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .head.getPath
+      Seq("_toolcopy.parquet", ".toolcopy.parquet").foreach { n =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+          new org.apache.hadoop.fs.Path(bucketDir, n), false,
+          spark.sessionState.newHadoopConf())
+      }
+      val walk = Similarity.ivfIndexSkewListing(spark, dir, bulkListing = false)
+      val bulk = Similarity.ivfIndexSkewListing(spark, dir, bulkListing = true)
+      assert(walk == clean, "the walk must ignore hidden file names")
+      assert(bulk == clean, "the bulk listing must ignore hidden file names")
+    } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
   test("ivfIndexWriteWith: given-quantizer face == ivfIndexWrite; kmeans|| and reservoir seeds serve end to end") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
@@ -2129,6 +2162,24 @@ class DataxSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$auto/build_meta.parquet")
         .select("auto").head().getBoolean(0),
         "the auto flag must survive the replay")
+      // round 19 (ADVICE): a NON-DEFAULT chooser sample width rides
+      // build_meta and the replay re-runs the chooser at that width —
+      // a default-width replay could flip raw-vs-residual differently
+      def smOf(d: String) = spark.read.parquet(s"$d/build_meta.parquet")
+        .select("sample_multiple").head().getInt(0)
+      assert(smOf(auto) == 8, "the default width is recorded too")
+      val autoW = fresh(); val autoWExplicit = fresh()
+      Similarity.pqIndexWriteAuto(base, autoW, nCentroids = 16,
+        sampleMultiple = 2)
+      assert(smOf(autoW) == 2)
+      Similarity.ivfIndexAppendBatch(spark, autoW, shard, 0L)
+      assert(Similarity.ivfIndexMaintain(spark, autoW, emb).rebuilt)
+      assert(smOf(autoW) == 2,
+        "the chooser width must survive its own replay")
+      Similarity.pqIndexWriteAuto(emb, autoWExplicit, nCentroids = 16,
+        sampleMultiple = 2)
+      assert(probePq(autoW) == probePq(autoWExplicit),
+        "maintenance must re-run the chooser at the RECORDED width")
       // PQ-layout quality cells (round 18): the recorded seeding
       // round-trips through maintenance on the SERVED layout too
       val pqkm = fresh(); val pqkmExplicit = fresh()
