@@ -192,8 +192,8 @@ object DataxQueries {
     * both engines at any entries. 64-dim vectors; k = 8, rounds = 2,
     * oversample = 2 (l = 16), seed = 42 — at the sf0.01 fixture this
     * yields ~29 candidates, so the greedy reduction genuinely runs. */
-  private val KmeansParSeedsSql: String =
-    s"""WITH RECURSIVE v AS (
+  private val KmeansParSeedsCtes: String =
+    s"""v AS (
           SELECT vec_id AS id,
                  list_transform(embedding::DOUBLE[], x -> floor(x * 4)) AS vec
           FROM $EMB),
@@ -261,10 +261,14 @@ object DataxQueries {
           FROM sel
           WHERE step < 8
             AND EXISTS (SELECT 1 FROM cand
-                        WHERE NOT list_contains(sel.chosen, cand.id)))
-        SELECT unnest(chosen) AS centroid_id
-        FROM sel WHERE step = (SELECT max(step) FROM sel)
-        ORDER BY centroid_id"""
+                        WHERE NOT list_contains(sel.chosen, cand.id))),
+        seeds AS (
+          SELECT unnest(chosen) AS centroid_id
+          FROM sel WHERE step = (SELECT max(step) FROM sel))"""
+
+  private val KmeansParSeedsSql: String =
+    s"""WITH RECURSIVE $KmeansParSeedsCtes
+        SELECT centroid_id FROM seeds ORDER BY centroid_id"""
 
   /** Ordered squared-L2 fold over the 8-dim subspace slices — the PQ
     * replays' distance fragment (the d08/d25 bit-exact pattern). */
@@ -286,9 +290,14 @@ object DataxQueries {
     * vectors against it. TRUE (the d09c/d/e form) makes vb ≡ v; the
     * d09f append replay derives from the base subset and codes the
     * union — the frozen-codebook closed form. */
-  private def pqCtes(baseCond: String = "TRUE"): String = {
-    s"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
-        vb AS (SELECT * FROM v WHERE $baseCond),
+  private def pqCtes(baseCond: String = "TRUE",
+                     defineV: Boolean = true): String = {
+    val vCte =
+      if (defineV)
+        s"""v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM $EMB),
+        """
+      else ""
+    s"""${vCte}vb AS (SELECT * FROM v WHERE $baseCond),
         st AS (SELECT greatest(1, count(*) // 16) AS stride, min(id) AS mn FROM vb),
         samp AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, vec
                  FROM (SELECT id, vec FROM vb, st
@@ -359,18 +368,24 @@ object DataxQueries {
     * terms folded in subspace order. Ends at `sc` (query_id, id,
     * adc_dist) so callers pick their own rank/limit tail (d09e/f take
     * top-5 by ADC; d09g reranks the top-20 exactly). */
-  private def IvfPqCoreCtes(nProbe: Int): String =
-    s"""isamp AS (SELECT id, vec FROM vb, st
+  private def IvfPqCoreCtes(nProbe: Int,
+                            icCte: Option[String] = None,
+                            qCte: Option[String] = None): String = {
+    val ic = icCte.getOrElse(
+      s"""isamp AS (SELECT id, vec FROM vb, st
                   WHERE (id - mn) % stride = 0 ORDER BY id LIMIT 16),
-        ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp),
-        asg AS (SELECT id, centroid_id FROM (
+        ic AS (SELECT id AS centroid_id, vec AS icvec FROM isamp)""")
+    val q = qCte.getOrElse(
+      s"""q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM $EMB WHERE vec_id < 16)""")
+    s"""$ic,
+        iasg AS (SELECT id, centroid_id FROM (
             SELECT v.id, ic.centroid_id,
                    row_number() OVER (PARTITION BY v.id
                      ORDER BY ${cosSql("v.vec", "ic.icvec")} DESC,
                               ic.centroid_id ASC) AS rn
             FROM v CROSS JOIN ic) WHERE rn = 1),
-        q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
-              FROM $EMB WHERE vec_id < 16),
+        $q,
         pr AS (SELECT query_id, centroid_id FROM (
             SELECT q.query_id, ic.centroid_id,
                    row_number() OVER (PARTITION BY q.query_id
@@ -383,14 +398,15 @@ object DataxQueries {
                         * ((q.qvec[codes.sub*8+1 : codes.sub*8+8])[i] - c.cvec[i]))),
                      (acc, x) -> acc + x) AS t
                  FROM q JOIN pr ON pr.query_id = q.query_id
-                 JOIN asg ON asg.centroid_id = pr.centroid_id
-                 JOIN codes ON codes.id = asg.id
+                 JOIN iasg ON iasg.centroid_id = pr.centroid_id
+                 JOIN codes ON codes.id = iasg.id
                  JOIN cent c ON c.sub = codes.sub AND c.cid = codes.code
                  WHERE codes.id <> q.query_id),
         sc AS (SELECT query_id, id,
                  list_reduce(list_prepend(0.0, list(t ORDER BY sub)),
                    (acc, x) -> acc + x) AS adc_dist
                FROM term GROUP BY query_id, id)"""
+  }
 
   /** The full composed IVF-PQ replay (d09e, and d09f with the
     * quantizer/codebook derived from `baseCond`'s subset): [[pqCtes]]'
@@ -398,6 +414,41 @@ object DataxQueries {
   private def IvfPqSql(baseCond: String = "TRUE"): String =
     s"""WITH ${pqCtes(baseCond)},
         ${IvfPqCoreCtes(nProbe = 4)}
+        SELECT query_id, rank, id, adc_dist FROM (
+          SELECT query_id, id, adc_dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, id ASC) AS INT) AS rank
+          FROM sc) WHERE rank <= 5
+        ORDER BY query_id, rank"""
+
+  /** The QUALITY-SEEDED IVF-PQ replay (d09m, round 19) — the d09e
+    * composition with [[KmeansParSeedsCtes]]' kmeans|| seeds swapped in
+    * as the coarse quantizer: the full Bahmani seed construction
+    * (min-id first center, two cost-chasing md5-coin rounds, the
+    * recursive-CTE greedy k-center reduction) derives the 8 coarse
+    * centers; [[pqCtes]]' stride codebook encodes every vector and
+    * [[IvfPqCoreCtes]]' pruned ADC probe scores against those centers.
+    * This gates the served PQ layout's quality-seeding cell
+    * (`pqIndexWriteKMeansParallel` with Lloyd iterations = 0 →
+    * `ivfPqTopK`) end to end — the one face d09k/d09l left spec-only.
+    *
+    * Exactness: everything runs on the d09l-integerized vectors
+    * (floor(x·4), exact in both engines), so ψ's multi-operand sum,
+    * every squared-L2 fold, the stride codebook's distances, and the
+    * ADC terms are integer-valued doubles — order-free; cosine ranks
+    * add sqrt + one division (single IEEE ops, engine-identical), ties
+    * break by id everywhere. The queries CTE reads the SAME
+    * integerized v the seeds ride (the Spark side feeds the
+    * integerized frame to both the write face and the probe). */
+  private val QualityIvfPqSql: String =
+    s"""WITH RECURSIVE $KmeansParSeedsCtes,
+        ${pqCtes(defineV = false)},
+        ${IvfPqCoreCtes(nProbe = 4,
+          icCte = Some(
+            """ic AS (SELECT s.centroid_id AS centroid_id, v.vec AS icvec
+               FROM seeds s JOIN v ON v.id = s.centroid_id)"""),
+          qCte = Some(
+            "q AS (SELECT id AS query_id, vec AS qvec FROM v WHERE id < 16)"))}
         SELECT query_id, rank, id, adc_dist FROM (
           SELECT query_id, id, adc_dist,
                  CAST(row_number() OVER (PARTITION BY query_id
@@ -1638,6 +1689,33 @@ object DataxQueries {
           .select("centroid_id").orderBy("centroid_id")
       },
       Some(KmeansParSeedsSql)),
+
+    /* The QUALITY-SEEDED SERVED LAYOUT end to end (d09m, round 19 —
+     * the verdict's last spec-only face): pqIndexWriteKMeansParallel
+     * persists the index with the kmeans|| seeds as the coarse
+     * quantizer (Lloyd iterations = 0 — the seeds themselves serve,
+     * so the d09l closed form replays them; the Lloyd-refined default
+     * stays spec-pinned) and the stride PQ codebook, then ivfPqTopK
+     * probes the pruned layout. Integerized vectors end to end (the
+     * d09l exactness argument carries through the codebook and ADC
+     * folds — all integer-valued, order-free). */
+    QueryDef("d09m_ivfpq_quality",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09m").toString
+        try {
+          val ints = embT(s, dir).select(col("vec_id"),
+            transform(col("embedding"),
+              x => floor(x.cast("double") * lit(4))).as("embedding"))
+            .localCheckpoint(eager = true)
+          Similarity.pqIndexWriteKMeansParallel(ints, tmp, nCentroids = 8,
+            rounds = 2, iterations = 0)
+          Similarity.ivfPqTopK(s, tmp,
+              ints.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(QualityIvfPqSql)),
 
     /* EXACT-RERANK over the IVF-PQ candidates (round 16) — the
      * documented answer to ADC's noise-regime recall, as an oracle
