@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * kmeansIterations=2, pqKmeansIterations=2 — so round 18's recorded
   * build quality makes every maintenance fire a LLOYD rebuild,
   * measuring what the quality replay costs per fire vs the stride
-  * default; unset keeps the given-geometry bootstrap). */
+  * default; unset keeps the given-geometry bootstrap),
+  * SPARK_GRAFT_WARMSTART (with MAINTAIN: 1 passes warmStart=true to
+  * the poll — each fire seeds Lloyd from the current centroids
+  * instead of replaying the full recorded construction; the round-19
+  * fire-cost A/B). */
 object EmbedIngestProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,6 +46,10 @@ object EmbedIngestProbe {
       sys.env.getOrElse("SPARK_GRAFT_CONSOLIDATE_EVERY", "0").toInt
     val maintain = sys.env.getOrElse("SPARK_GRAFT_MAINTAIN", "0") == "1"
     val quality = sys.env.getOrElse("SPARK_GRAFT_QUALITY", "")
+    // round 19: SPARK_GRAFT_WARMSTART=1 seeds each maintenance fire's
+    // Lloyd replay from the CURRENT centroids (ivfIndexMaintain's
+    // warmStart knob) — the A/B against the full quality replay
+    val warmStart = sys.env.getOrElse("SPARK_GRAFT_WARMSTART", "0") == "1"
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -98,7 +106,8 @@ object EmbedIngestProbe {
             servingRoot,
             graft.streaming.DedupStream
               .visibleIndex(spark, s"$root/index/vecs")
-              .select("vec_id", "embedding"))
+              .select("vec_id", "embedding"),
+            warmStart = warmStart)
           val mw = (System.nanoTime() - t1) / 1e9
           if (rep.rebuilt) fires += ((i, mw))
           else idlePolls += mw
@@ -116,7 +125,7 @@ object EmbedIngestProbe {
         s""""batches":$nBatches,"tables":$tables,"r":$r,""" +
         s""""compactEvery":$compactEvery,"serving":$serving,""" +
         s""""consolidateEvery":$consolidateEvery,"maintain":$maintain,""" +
-        s""""quality":"$quality",""" +
+        s""""quality":"$quality","warmStart":$warmStart,""" +
         s""""maintainFires":[${fires.map { case (b, w) =>
           f"""[$b,$w%.2f]""" }.mkString(",")}],""" +
         s""""idlePollSec":[${idlePolls.map(w => f"$w%.2f").mkString(",")}],""" +

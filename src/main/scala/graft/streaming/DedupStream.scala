@@ -269,7 +269,7 @@ object DedupStream {
   // excluding it. Single-writer maintenance like ops/Compact: run it
   // from the ingest loop between batches, never concurrently with one.
 
-  private val MarkerName = "_compact_upto" // "_" prefix: invisible to parquet reads
+  private[graft] val MarkerName = "_compact_upto" // "_" prefix: invisible to parquet reads
 
   // ALL maintenance I/O goes through the Hadoop FileSystem resolved from
   // the path (as the parquet reads/writes already do): on a non-local

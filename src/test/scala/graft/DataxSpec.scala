@@ -1300,6 +1300,10 @@ class DataxSpec extends AnyFunSuite {
       // under the marker's visibility rule)
       assert(Similarity.ivfIndexSkewListing(spark, dir, bulkListing = true)
         == skBefore, "bulk listing must match the walk on epoch layouts")
+      // round 19: the row-count cache has absorbed the epoch files by
+      // now — the next poll on this layout is a pure listing
+      assert(Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
+        ._2 == 0, "warm poll on the epoch layout opens zero footers")
       // folded batch dirs are gone; the epoch (batch=-3) holds ONE file
       // per touched bucket; batch 2 (replayable) keeps its own dir
       assert(!fs.exists(new org.apache.hadoop.fs.Path(
@@ -1359,6 +1363,68 @@ class DataxSpec extends AnyFunSuite {
       assert(walk == clean, "the walk must ignore hidden file names")
       assert(bulk == clean, "the bulk listing must ignore hidden file names")
     } finally fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
+  test("skew poll row-count cache (round 19): warm polls open zero footers, " +
+       "an append opens only its own files, and the cache is ADVISORY — " +
+       "deleted or corrupt degrades to footer reads, never a wrong count") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 3)
+    val shard = emb.filter($"vec_id" % 5 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-skewcache").toString
+    val dirP = java.nio.file.Files.createTempDirectory("graft-skewcacheP").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cachePath = new org.apache.hadoop.fs.Path(s"$dir/_bucket_rows_cache")
+    try {
+      Similarity.pqIndexWrite(base, dir, nCentroids = 16)
+      val (cold, coldOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
+      assert(cold.nonEmpty && coldOpens > 0, "a cold poll reads footers")
+      assert(fs.exists(cachePath), "the first poll persists the cache")
+      val (warm, warmOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
+      assert(warm == cold && warmOpens == 0,
+        "a warm poll is a pure listing: zero footer opens")
+      val (warmBulk, bulkOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = true)
+      assert(warmBulk == cold && bulkOpens == 0,
+        "both listing strategies share the cache")
+      // an append's poll opens exactly the appended files, nothing else
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      val incFiles = fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/codes_inc.parquet", "batch=*/centroid_id=*/*.parquet")).length
+      assert(incFiles > 0)
+      val (afterApp, appOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
+      assert(appOpens == incFiles,
+        s"an append poll opens only the shard's files: $appOpens vs $incFiles")
+      // deleting the cache re-reads everything — and agrees
+      fs.delete(cachePath, false)
+      val (cold2, cold2Opens) =
+        Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
+      assert(cold2 == afterApp && cold2Opens > appOpens,
+        "a cache-free poll re-derives the identical reading from footers")
+      // a CORRUPT cache degrades to footer reads, never to a wrong count
+      val out = fs.create(cachePath, true)
+      out.write("not\ta\tvalid\nrow cache at all\n".getBytes("UTF-8"))
+      out.close()
+      val (corrupt, corruptOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
+      assert(corrupt == afterApp && corruptOpens == cold2Opens,
+        "a torn cache is ignored, not trusted")
+      // the plain (assigned) layout carries the same contract
+      Similarity.ivfIndexWrite(emb, dirP, nCentroids = 16)
+      val (pCold, pColdOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dirP, bulkListing = false)
+      val (pWarm, pWarmOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dirP, bulkListing = false)
+      assert(pCold == pWarm && pColdOpens > 0 && pWarmOpens == 0)
+    } finally Seq(dir, dirP).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
   }
 
   test("ivfIndexWriteWith: given-quantizer face == ivfIndexWrite; kmeans|| and reservoir seeds serve end to end") {
@@ -2223,9 +2289,105 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
-  test("rebuild crash between row-table write and build_meta leaves the " +
-       "increment clear MARKED: readers skip the stale rows, maintenance heals " +
-       "(round-18 ADVICE: the marker lands before the meta job, not after it)") {
+  test("ivfIndexMaintain warm-start (round 19): deterministic, record-" +
+       "preserving, staleness-resetting; at zero Lloyd iterations the " +
+       "warm fire serves exactly the pre-fire view") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val shard = emb.filter($"vec_id" % 2 === 1) // staleness 1.0 -> fires
+    val queries = emb.filter($"vec_id" < 8)
+    def probePq(d: String) = Similarity.ivfPqTopK(spark, d, queries,
+      k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+    def probeIvf(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
+      k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+    def seedingOf(d: String) = spark.read.parquet(s"$d/build_meta.parquet")
+      .select("seeding").head().getString(0)
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fresh() = {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-warmstart").toString
+      dirs += d; d
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    def clone(src: String): String = {
+      val d = fresh()
+      val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      fs.listStatus(new org.apache.hadoop.fs.Path(src)).foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new org.apache.hadoop.fs.Path(d, s.getPath.getName), false, conf)
+      }
+      d
+    }
+    try {
+      // PQ quality build + appended shard: the fire shape under test
+      val a = fresh()
+      Similarity.pqIndexWriteKMeansParallel(base, a, nCentroids = 16)
+      Similarity.ivfIndexAppendBatch(spark, a, shard, 0L)
+      val b = clone(a) // identical starting state
+      assert(Similarity.ivfIndexMaintain(spark, a, emb,
+        warmStart = true).rebuilt)
+      assert(Similarity.ivfIndexMaintain(spark, b, emb,
+        warmStart = true).rebuilt)
+      assert(probePq(a).nonEmpty && probePq(a) == probePq(b),
+        "warm fires are deterministic: identical dirs serve identically")
+      assert(seedingOf(a) == "kmeans_parallel",
+        "warm-start must NOT rewrite the quality record")
+      assert(Similarity.ivfIndexStaleness(spark, a) == Some(0.0),
+        "a warm fire is a real rebuild: staleness resets")
+      // a later COLD fire still replays the full recorded construction
+      Similarity.ivfIndexAppendBatch(spark, a, shard, 1L)
+      assert(Similarity.ivfIndexMaintain(spark, a, emb).rebuilt)
+      val aExplicit = fresh()
+      Similarity.pqIndexWriteKMeansParallel(emb, aExplicit, nCentroids = 16)
+      assert(probePq(a) == probePq(aExplicit),
+        "the record survives warm fires: cold replay is the full construction")
+      // zero-Lloyd record on the PLAIN layout: the warm fire keeps the
+      // quantizer bit-identical and the layout stores raw assignments
+      // (no corpus-derived codebook), so serving is EXACTLY the
+      // pre-fire view — the strongest warm-start exactness pin. (The
+      // PQ twin re-derives its codebook from the grown corpus, which
+      // legitimately moves ADC scores; its pins are the deterministic
+      // A/B and record-preservation above.)
+      val z = fresh()
+      Similarity.ivfIndexWriteKMeansParallel(base, z, nCentroids = 16,
+        iterations = 0)
+      Similarity.ivfIndexAppendBatch(spark, z, shard, 0L)
+      val before = probeIvf(z)
+      assert(Similarity.ivfIndexMaintain(spark, z, emb,
+        warmStart = true).rebuilt)
+      assert(probeIvf(z) == before,
+        "iterations=0 warm fire: unchanged quantizer + re-assigned corpus " +
+          "== the pre-fire serving view")
+      // plain layout + "given" record: warm-start IS the frozen-
+      // geometry rebuild — no stride downgrade, no warning
+      val g = fresh()
+      Similarity.ivfIndexWriteWith(base, g,
+        Similarity.ivfIndex(base, nCentroids = 16)._1
+          .localCheckpoint(eager = true))
+      Similarity.ivfIndexAppendBatch(spark, g, shard, 0L)
+      val beforeG = probeIvf(g)
+      val errBuf = new java.io.ByteArrayOutputStream()
+      val oldErr = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      val mg = try Similarity.ivfIndexMaintain(spark, g, emb,
+        warmStart = true) finally System.setErr(oldErr)
+      assert(mg.rebuilt)
+      assert(!errBuf.toString.contains("CALLER-SUPPLIED"),
+        "a warm given-record fire needs no downgrade warning")
+      assert(probeIvf(g) == beforeG,
+        "warm given fire == frozen-geometry rebuild == pre-fire view")
+      assert(seedingOf(g) == "given")
+    } finally dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("rebuild crash after the rename-commit, before build_meta: the " +
+       "consumed token already rode the rename — readers skip the absorbed " +
+       "increment rows from the same instant the new rows are readable, " +
+       "and maintenance heals the physical clear (round 19)") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
     val base = emb.filter($"vec_id" % 5 =!= 3)
@@ -2240,8 +2402,9 @@ class DataxSpec extends AnyFunSuite {
       Similarity.ivfIndexWrite(base, dir, nCentroids = 16)
       Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
       // a corpus frame that survives exactly ONE full traversal (the
-      // assign + row-table write) and crashes on the next (the
-      // build_meta count job) — the precise ADVICE crash window
+      // assign + staged row-table write) and crashes on the next (the
+      // build_meta count job) — the crash window right after the
+      // rename commit
       DataxSpec.crashGate.set(0)
       val crashy = spark.createDataFrame(
         emb.repartition(1).rdd.mapPartitions { it =>
@@ -2260,32 +2423,113 @@ class DataxSpec extends AnyFunSuite {
         .takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
       assert(chain.contains("injected crash before build_meta"), s"got:\n$chain")
-      // the row table committed (full corpus) and the marker is DOWN —
-      // the increment rows are garbage from this instant, meta or not
-      assert(exists("_inc_clear_pending"),
-        "the clear marker must precede the build_meta job")
+      // the rename committed rows + token atomically: the increment
+      // rows are declared absorbed from this instant, meta or not —
+      // and no separate marker file was ever needed
+      assert(exists("assigned.parquet/_inc_consumed_upto"),
+        "the consumed token must ride the row-table rename")
+      assert(!exists("assigned.parquet.staging"), "staging was renamed away")
+      assert(!exists("_inc_clear_pending"),
+        "the new protocol writes no pending marker")
       assert(exists("assigned_inc.parquet"),
         "the physical clear itself has not run yet")
-      // readers skip the marked increment: the probe equals a CLEAN
-      // full rebuild under the same quantizer (an unmarked crash here
+      // readers skip the consumed increment: the probe equals a CLEAN
+      // full rebuild under the same quantizer (a tokenless crash here
       // would double-count every shard row against the new base)
       val queries = emb.filter($"vec_id" < 8)
       def probe(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
         k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
       Similarity.ivfIndexWriteWith(emb, clean, centroids)
       assert(probe(dir) == probe(clean),
-        "marked increment rows must be invisible to probes")
-      // the next maintenance poll heals: clear completes, marker lifts
-      // (huge thresholds: this poll must heal, not fire a rebuild)
+        "consumed increment rows must be invisible to probes")
+      // the next maintenance poll heals: the absorbed batches are
+      // physically dropped (huge thresholds: heal, not rebuild)
       val m = Similarity.ivfIndexMaintain(spark, dir, emb,
         maxStaleness = 1e9, maxSkew = 1e9)
       assert(!m.rebuilt)
-      assert(!exists("_inc_clear_pending") && !exists("assigned_inc.parquet"),
-        "maintenance must complete the marked clear")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/assigned_inc.parquet/batch=0")),
+        "maintenance must drop the absorbed batch dirs")
       assert(probe(dir) == probe(clean), "healing changes no probe row")
     } finally Seq(dir, clean).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("rename-commit crash windows heal deterministically: a staging " +
+       "that never reached its point of no return rolls BACK, one past " +
+       "it rolls FORWARD, and a late replay of a consumed batch stays " +
+       "invisible (round 19)") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 5 =!= 3)
+    val shard = emb.filter($"vec_id" % 5 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rename").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val fin = new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet.staging")
+    val queries = emb.filter($"vec_id" < 8)
+    def probe() = Similarity.ivfTopKIndexed(spark, dir, queries,
+      k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+    try {
+      Similarity.ivfIndexWrite(emb, dir, nCentroids = 16)
+      val committed = probe()
+      // window: crash BETWEEN staging completion and the old-table
+      // delete — the rebuild never reached its point of no return, so
+      // heal discards the staging (the prior build stays authoritative)
+      org.apache.hadoop.fs.FileUtil.copy(fs, fin, fs, staging, false, conf)
+      assert(Similarity.ivfIndexSkew(spark, dir).nonEmpty) // readers inert to staging
+      assert(!Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = 1e9, maxSkew = 1e9).rebuilt)
+      assert(!fs.exists(staging), "an uncommitted staging rolls back")
+      assert(fs.exists(fin) && probe() == committed)
+      // window: crash BETWEEN the delete and the rename — the final
+      // table is missing and the staging is complete (token inside):
+      // heal finishes the rename
+      assert(fs.rename(fin, staging)) // simulates exactly that state
+      Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = 1e9, maxSkew = 1e9)
+      assert(fs.exists(fin) && !fs.exists(staging),
+        "a committed staging rolls forward")
+      assert(probe() == committed, "roll-forward restores the exact build")
+      // an incomplete staging (torn/no token) with a missing final
+      // table must NOT roll forward — it is discarded
+      org.apache.hadoop.fs.FileUtil.copy(fs, fin, fs, staging, false, conf)
+      fs.delete(new org.apache.hadoop.fs.Path(staging,
+        "_inc_consumed_upto"), false)
+      val fs2 = fs // readability
+      fs2.delete(fin, true)
+      intercept[Exception] { // no row table at all now — loud, not wrong
+        Similarity.ivfIndexMaintain(spark, dir, emb,
+          maxStaleness = 1e9, maxSkew = 1e9)
+      }
+      assert(!fs.exists(staging), "a tokenless staging is discarded")
+      // restore a real index, then pin the LATE-REPLAY rule: a rebuild
+      // that consumed batch 0 makes a post-clear replay of batch 0
+      // invisible (its rows are already in the base)
+      Similarity.ivfIndexWrite(base, dir, nCentroids = 16)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      Similarity.ivfIndexWrite(emb, dir, nCentroids = 16) // consumes batch 0
+      val afterRebuild = probe()
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L) // the late replay
+      assert(probe() == afterRebuild,
+        "a replayed consumed batch must not double-count")
+      assert(Similarity.ivfIndexStaleness(spark, dir) == Some(0.0),
+        "consumed replays are invisible to staleness too")
+      // and the next maintenance physically drops it
+      assert(!Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = 1e9, maxSkew = 1e9).rebuilt)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/assigned_inc.parquet/batch=0")),
+        "heal drops the replayed consumed batch")
+      // a FRESH batch id above the consumed cutoff stays visible
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 1L)
+      assert(Similarity.ivfIndexStaleness(spark, dir).exists(_ > 0.0),
+        "batches above the consumed cutoff serve normally")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
 }
