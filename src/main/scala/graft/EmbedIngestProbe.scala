@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * kmeansIterations=2, pqKmeansIterations=2 — so round 18's recorded
   * build quality makes every maintenance fire a LLOYD rebuild,
   * measuring what the quality replay costs per fire vs the stride
-  * default; unset keeps the given-geometry bootstrap),
+  * default; "kmeanspar" bootstraps through
+  * pqIndexWriteKMeansParallel so each fire replays the full kmeans||
+  * construction — the warm-start A/B cell; unset keeps the
+  * given-geometry bootstrap),
   * SPARK_GRAFT_WARMSTART (with MAINTAIN: 1 passes warmStart=true to
   * the poll — each fire seeds Lloyd from the current centroids
   * instead of replaying the full recorded construction; the round-19
@@ -91,6 +94,14 @@ object EmbedIngestProbe {
           if (quality == "lloyd")
             graft.datax.Similarity.pqIndexWrite(boot, servingRoot,
               nCentroids = 64, kmeansIterations = 2, pqKmeansIterations = 2)
+          else if (quality == "kmeanspar")
+            // the cell where warm-start saves real work: the recorded
+            // replay re-runs the kmeans|| SEED CONSTRUCTION (two
+            // cost-chasing passes + weights + the greedy reduction)
+            // before Lloyd; warm-start goes straight to Lloyd from the
+            // current centroids
+            graft.datax.Similarity.pqIndexWriteKMeansParallel(boot,
+              servingRoot, nCentroids = 64, pqKmeansIterations = 2)
           else
             graft.datax.Similarity.pqIndexWriteWith(boot, servingRoot,
               graft.datax.Similarity.ivfIndex(emb, nCentroids = 64)._1,
