@@ -456,6 +456,29 @@ object DataxQueries {
           FROM sc) WHERE rank <= 5
         ORDER BY query_id, rank"""
 
+  /** The RESERVOIR-SEEDED IVF-PQ replay (d09n, round 19 — d09m's
+    * twin, closing the last spec-only quality write face): the d09e
+    * composition with the coarse quantizer swapped for the d09k
+    * hash-coin reservoir (bottom-16 ids by `md5('42:res:' || id)` —
+    * fixed-width lowercase hex, so Spark's numeric-parse order and
+    * DuckDB's substring order agree). Raw double vectors — the d09e
+    * exactness argument (ordered folds, first-min ties, single-IEEE-op
+    * cosine ranks) needs no integerization here because the reservoir
+    * pick involves no float accumulation at all. */
+  private val ReservoirIvfPqSql: String =
+    s"""WITH ${pqCtes()},
+        ${IvfPqCoreCtes(nProbe = 4,
+          icCte = Some(
+            """ic AS (SELECT id AS centroid_id, vec AS icvec FROM v
+               ORDER BY substr(md5('42:res:' || CAST(id AS VARCHAR)), 1, 8), id
+               LIMIT 16)"""))}
+        SELECT query_id, rank, id, adc_dist FROM (
+          SELECT query_id, id, adc_dist,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist ASC, id ASC) AS INT) AS rank
+          FROM sc) WHERE rank <= 5
+        ORDER BY query_id, rank"""
+
   /** The RESIDUAL IVF-PQ replay (d09i — textbook IVFADC): the stride
     * IVF quantizer assigns every vector, residuals are exact double
     * subtraction `vec - centroid`, the subspace codebook is the stride
@@ -1716,6 +1739,28 @@ object DataxQueries {
         } finally rmrf(s, tmp)
       },
       Some(QualityIvfPqSql)),
+
+    /* The RESERVOIR-SEEDED SERVED LAYOUT end to end (d09n, round 19 —
+     * d09m's twin): pqIndexWriteReservoir persists the index with the
+     * hash-coin reservoir as the coarse quantizer (Lloyd iterations =
+     * 0, the d09k closed form) and the stride PQ codebook; ivfPqTopK
+     * probes the pruned layout. Raw doubles — the reservoir pick adds
+     * no float accumulation, so the d09e exactness argument carries
+     * unchanged. With d09m this makes every recorded quality write
+     * face oracle-gated on the layout it serves. */
+    QueryDef("d09n_ivfpq_reservoir",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-d09n").toString
+        try {
+          val all = embT(s, dir)
+          Similarity.pqIndexWriteReservoir(all, tmp, nCentroids = 16)
+          Similarity.ivfPqTopK(s, tmp,
+              all.filter(col("vec_id") < 16), k = 5, nProbe = 4)
+            .orderBy("query_id", "rank")
+            .localCheckpoint(eager = true)
+        } finally rmrf(s, tmp)
+      },
+      Some(ReservoirIvfPqSql)),
 
     /* EXACT-RERANK over the IVF-PQ candidates (round 16) — the
      * documented answer to ADC's noise-regime recall, as an oracle
