@@ -1015,6 +1015,12 @@ object Similarity {
   def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                      newVectors: DataFrame,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // heal a crashed rebuild first (round 19): appending into a base
+    // left missing by a crash between the rename-commit's delete and
+    // rename would otherwise CREATE a shard-only table that a later
+    // heal would then keep (its staging twin rolls back once a final
+    // table exists) — cheap no-op when nothing is pending
+    healIndexDir(spark, dir)
     // loud on a PQ dir (the symmetric twin of pqIndexAppend's guard,
     // round-17 review: a stray assigned.parquet sibling would WIN
     // rowTableOf's resolution and silently flip the index's identity)
@@ -1696,6 +1702,8 @@ object Similarity {
   def pqIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newVectors: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // heal a crashed rebuild first (round 19) — see ivfIndexAppend
+    healIndexDir(spark, dir)
     val (table, rows) = shardRows(spark, dir, newVectors, idCol, vecCol)
     // loud on a plain-IVF dir (round-17 review finding: writing assign
     // rows into a fresh codes.parquet sibling would be silently ignored
