@@ -1547,6 +1547,48 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("a crash replay of a batch the maintenance rebuild CONSUMED stays " +
+       "invisible (round-19 consumed token): the serving view is exactly " +
+       "the rebuilt base, staleness reads 0, and later batches serve") {
+    import graft.datax.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-consumed").toString
+    try {
+      val base = embedVecs.filter($"vec_id" <= 6)
+      Similarity.pqIndexWrite(base, dir, nCentroids = 2)
+      def top2(vec: Array[Float]) = Similarity.ivfPqTopK(spark, dir,
+          Seq((100L, vec)).toDF("vec_id", "embedding"), k = 2, nProbe = 2)
+        .select("id").as[Long].collect().toSeq
+      // the streaming driver appends batch 9, then the re-quantize rule
+      // fires a rebuild over the FULL corpus (vec 7 included) — which
+      // consumes batch 9 and clears the increment
+      Similarity.ivfIndexAppendBatch(spark, dir,
+        embedVecs.filter($"vec_id" === 7L), 9L)
+      assert(Similarity.ivfIndexMaintain(spark, dir,
+        embedVecs.filter($"vec_id" <= 7), maxStaleness = 0.01).rebuilt)
+      assert(top2(embedDir(1)).contains(7L),
+        "the rebuilt base serves the absorbed row")
+      // Structured Streaming crash recovery re-runs batch 9 — its rows
+      // are ALREADY IN the base; before the consumed token this replay
+      // double-counted them (the same id would serve from base AND
+      // increment — visibly, as a duplicated top-k id)
+      Similarity.ivfIndexAppendBatch(spark, dir,
+        embedVecs.filter($"vec_id" === 7L), 9L)
+      val t = top2(embedDir(1))
+      assert(t.contains(7L) && t.distinct.size == t.size,
+        s"the replayed consumed batch must not double-serve: $t")
+      assert(Similarity.ivfIndexStaleness(spark, dir) == Some(0.0),
+        "consumed replays are invisible to staleness")
+      // a batch ABOVE the consumed cutoff serves normally
+      Similarity.ivfIndexAppendBatch(spark, dir,
+        embedVecs.filter($"vec_id" === 8L), 10L)
+      assert(top2(embedNear(3, 8)).contains(8L),
+        "post-rebuild batches above the cutoff serve")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("EmbedStream within-batch pass derives its occupancy guard from maxBucketLoad") {
     import graft.streaming.EmbedStream
     val dir = java.nio.file.Files.createTempDirectory("graft-d55-guard").toString
