@@ -868,9 +868,12 @@ object Similarity {
       val hasSm = meta.columns.contains("sample_multiple")
       val cols = if (hasSm) QualityOnlyCols else QualityOnlyCols.dropRight(1)
       val r = meta.select(cols.map(col): _*).head()
+      // the missing-column fallback is the case-class default, not a
+      // second literal — drifting an independent copy of the chooser
+      // width would re-create the replay-flip this record prevents
       IndexQuality(r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(3),
         r.getLong(4), r.getInt(5), r.getLong(6), r.getBoolean(7),
-        if (hasSm) r.getInt(8) else 8)
+        if (hasSm) r.getInt(8) else IndexQuality().sampleMultiple)
     }
   }
 
@@ -1839,12 +1842,18 @@ object Similarity {
   private def readConsumedToken(fs: org.apache.hadoop.fs.FileSystem,
                                 p: org.apache.hadoop.fs.Path): Option[Long] =
     if (!fs.exists(p)) None
-    else try {
+    else {
       val in = fs.open(p)
       val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      Some(s.toLong)
-    } catch { case scala.util.control.NonFatal(_) => None } // torn = absent
+      // torn/garbage CONTENT = absent (a staging whose token write
+      // crashed mid-stream must read as incomplete); an IO error on an
+      // EXISTING token propagates LOUDLY instead — swallowing a
+      // transient remote-store read failure here would silently
+      // un-consume absorbed batches and double-serve their rows
+      // (round-19 review finding)
+      scala.util.Try(s.toLong).toOption
+    }
 
   /** The committed consumed-cutoff of a row table (None for
     * pre-round-19 indexes, fresh builds that had nothing to consume,
@@ -1874,22 +1883,27 @@ object Similarity {
     * token declaring their absorbed batches stale is readable too — no
     * driver op sits between them.
     *
-    * Crash analysis (heal rules in [[healIndexDir]]; the delete of the
-    * old table is the POINT OF NO RETURN): before or during the
+    * Crash analysis (heal rules in [[healIndexDir]]; the RENAME-ASIDE
+    * of the old table — `table` → `table.old`, a single atomic
+    * metadata op, never a recursive delete whose partial progress
+    * would be indistinguishable from a live table (round-19 review
+    * finding) — is the POINT OF NO RETURN): before or during the
     * staging write, or before the token write completes → staging is
     * incomplete (no parseable token) → heal discards it; base,
     * increment, and meta are all still the prior build's (the rebuild
     * simply never happened — re-fires on the next poll). After the
-    * token, before the delete → same rollback (nothing re-read the
-    * staging). After the delete, before the rename → the table is
-    * MISSING and a complete staging exists → heal finishes the rename
-    * (roll-forward). After the rename → committed: readers skip
-    * consumed batches via the token; the remaining build_meta /
-    * physical-clear steps are heal-idempotent (a crash before
-    * build_meta rolls the quality/built_n record back to the PRIOR
-    * build's — staleness ratios skew against the new base until the
-    * next completed rebuild rewrites it, the round-19 ADVICE nuance —
-    * but correctness never depends on meta). The token also fixes an
+    * token, before the rename-aside → same rollback (the final table
+    * still exists, whole). After the rename-aside, before the commit
+    * rename → the table is MISSING and a complete staging exists →
+    * heal finishes the rename (roll-forward). After the commit
+    * rename → committed: readers skip consumed batches via the token;
+    * the trailing `.old` delete, the build_meta job, and the physical
+    * clear are all heal-idempotent (a crash before build_meta rolls
+    * the quality/built_n record back to the PRIOR build's — staleness
+    * ratios skew against the new base until the next completed
+    * rebuild rewrites it, the round-19 ADVICE nuance — but
+    * correctness never depends on meta; a crash mid-`.old`-delete
+    * leaves hidden garbage heal sweeps once the final table exists). The token also fixes an
     * adjacent seam the markers never covered: an at-least-once
     * driver's LATE REPLAY of a batch the rebuild absorbed
     * ([[ivfIndexAppendBatch]] re-delivering `batch <= consumed` after
@@ -1908,12 +1922,14 @@ object Similarity {
                              dir: String, table: String)
                             (write: String => Unit): Unit = {
     val fin = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/$table.old")
     val fs = fin.getFileSystem(spark.sessionState.newHadoopConf())
     // snapshot what this rebuild consumes BEFORE any write: the
     // caller's corpus contains these rows (the full-corpus contract)
     val consumed = maxIncBatchId(spark, dir, table)
     val staging = new org.apache.hadoop.fs.Path(s"$dir/$table.staging")
     if (fs.exists(staging)) { fs.delete(staging, true); () } // stale attempt
+    if (fs.exists(old)) { fs.delete(old, true); () } // prior rebuild's garbage
     write(staging.toString)
     // the token INSIDE staging makes {rows, consumed cutoff} one
     // atomic unit under the rename; its parseable presence is also the
@@ -1923,8 +1939,13 @@ object Similarity {
     try out.write(s"$consumed\n".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (fs.exists(fin)) { fs.delete(fin, true); () } // POINT OF NO RETURN
+    // POINT OF NO RETURN: one atomic metadata op, so no crash can
+    // leave a PARTIALLY-deleted table that heal would mistake for a
+    // live one and roll the staging back against
+    if (fs.exists(fin))
+      require(fs.rename(fin, old), s"rename-aside $fin -> $old failed")
     require(fs.rename(staging, fin), s"rename $staging -> $fin failed")
+    if (fs.exists(old)) { fs.delete(old, true); () } // hidden garbage now
   }
 
   /** Heal every crash window of the rename-commit rebuild protocol
@@ -1932,25 +1953,36 @@ object Similarity {
     * called FIRST by every maintenance/append face
     * ([[ivfIndexMaintain]], [[ivfIndexAppendBatch]],
     * [[ivfIndexConsolidate]]; single-writer like them). Read faces
-    * never mutate: they apply the same visibility rules instead. */
+    * never mutate PROTOCOL STATE — they apply the same visibility
+    * rules instead; the one sanctioned read-face write is the skew
+    * poll's ADVISORY row-count cache ([[writeRowCache]]): never
+    * load-bearing, failure-swallowed (a read-only-credential poller
+    * just stays footer-bound), unique-tmp rename committed,
+    * last-writer-wins under concurrent polls. */
   private def healIndexDir(spark: org.apache.spark.sql.SparkSession,
                            dir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     // 1. staging roll-forward/back: a COMPLETE staging (parseable
     // token) with NO final table means the crash hit between the
-    // delete and the rename — finish the rename; any other staging
-    // never reached its point of no return — discard it.
+    // rename-aside and the commit rename — finish the rename; any
+    // other staging never reached the point of no return — discard it
+    // (safe against the final table because the rename-aside is
+    // atomic: a present final table is always WHOLE, never a
+    // partially-deleted husk). Then sweep a leftover `.old` once a
+    // final table exists — a completed rebuild's hidden garbage.
     Seq("assigned.parquet", "codes.parquet").foreach { t =>
       val staging = new org.apache.hadoop.fs.Path(s"$dir/$t.staging")
+      val fin = new org.apache.hadoop.fs.Path(s"$dir/$t")
       if (fs.exists(staging)) {
-        val fin = new org.apache.hadoop.fs.Path(s"$dir/$t")
         if (!fs.exists(fin) && readConsumedToken(fs,
             new org.apache.hadoop.fs.Path(staging, IncConsumedToken)).nonEmpty)
           require(fs.rename(staging, fin),
             s"heal rename $staging -> $fin failed")
         else { fs.delete(staging, true); () }
       }
+      val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old")
+      if (fs.exists(old) && fs.exists(fin)) { fs.delete(old, true); () }
     }
     // 2. legacy marker (pre-round-19 crashed rebuilds)
     if (incClearPending(spark, dir)) clearIncTables(spark, dir)
@@ -2316,21 +2348,40 @@ object Similarity {
                             entries: Seq[(org.apache.hadoop.fs.FileStatus, Long)])
       : Unit =
     try {
-      val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
-      val out = fs.create(tmp, true)
+      // a PER-WRITER tmp name: the poll is a READ face with no
+      // single-writer contract, so two concurrent monitors may both
+      // refresh the cache — a shared tmp path would let one writer's
+      // create() truncate the other's in-flight stream and commit a
+      // spliced-but-parseable line whose wrong row count PASSES the
+      // (len, mtime) identity check (round-19 review finding); unique
+      // tmps make the final rename last-writer-wins, both candidates
+      // correct. The tmp is deleted on any failure; a crash-orphaned
+      // tmp is swept by the next successful writer below.
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        p.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
       try {
-        val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-          out, java.nio.charset.StandardCharsets.UTF_8))
-        entries.foreach { case (f, rows) =>
-          w.write(s"$rows\t${f.getLen}\t${f.getModificationTime}\t" +
-            f.getPath.toUri.getPath)
-          w.newLine()
+        val out = fs.create(tmp, true)
+        try {
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            out, java.nio.charset.StandardCharsets.UTF_8))
+          entries.foreach { case (f, rows) =>
+            w.write(s"$rows\t${f.getLen}\t${f.getModificationTime}\t" +
+              f.getPath.toUri.getPath)
+            w.newLine()
+          }
+          w.flush()
+        } finally out.close()
+        if (fs.exists(p)) { fs.delete(p, false); () }
+        fs.rename(tmp, p)
+        ()
+      } finally { if (fs.exists(tmp)) { fs.delete(tmp, false) }; () }
+      // sweep crash-orphaned tmps from prior writers (tiny files; the
+      // parent is the index dir root, a handful of entries)
+      fs.listStatus(p.getParent).foreach { s =>
+        if (s.getPath.getName.startsWith(p.getName + ".tmp-")) {
+          fs.delete(s.getPath, false); ()
         }
-        w.flush()
-      } finally out.close()
-      if (fs.exists(p)) { fs.delete(p, false); () }
-      fs.rename(tmp, p)
-      ()
+      }
     } catch { case scala.util.control.NonFatal(_) => () } // advisory
 
   /** [[ivfIndexSkew]] with the listing strategy pinned — package-
@@ -2578,12 +2629,23 @@ object Similarity {
     val st = ivfIndexStaleness(spark, dir)
     val sk = ivfIndexSkew(spark, dir)
     val appended = st.exists(_ > 0)
-    val fire = st.exists(_ >= maxStaleness) ||
-      (appended && sk.exists(_ >= maxSkew))
+    val staleFire = st.exists(_ >= maxStaleness)
+    val skewFire = appended && sk.exists(_ >= maxSkew)
+    val fire = staleFire || skewFire
     if (fire) {
       val table = rowTableOf(spark, dir)
       val k = spark.read.parquet(s"$dir/centroids.parquet").count().toInt
       val q = qualityOf(spark, dir)
+      // warm-start cannot serve a PURELY skew-driven fire when the
+      // record's Lloyd count is 0: the warm quantizer is bit-identical
+      // to the current one, so the rebuild cannot move skew and the
+      // trigger would re-fire a futile O(corpus) rebuild on every
+      // subsequent append (round-19 review finding) — that fire takes
+      // the recorded cold construction instead, whose re-derived
+      // geometry CAN move skew. Staleness-driven fires stay warm: the
+      // re-encode is the point there, geometry movement is not.
+      val warm = warmStart &&
+        !(skewFire && !staleFire && q.kmeansIterations == 0)
       def warnGiven(): Unit = System.err.println(
         "[graft-similarity] ivfIndexMaintain: index was built from a " +
           "CALLER-SUPPLIED geometry (ivfIndexWriteWith/pqIndexWriteWith " +
@@ -2593,7 +2655,7 @@ object Similarity {
           "face (ivfIndexWriteReservoir / ivfIndexWriteKMeansParallel / " +
           "pqIndexWrite*'s knobs) or rebuild explicitly.")
       if (table == "assigned.parquet") {
-        if (warmStart)
+        if (warm)
           // warm-start (round 19): geometry (K) is unchanged by
           // construction here, so seed the Lloyd refinement from the
           // CURRENT centroids instead of re-running the recorded
@@ -2623,7 +2685,7 @@ object Similarity {
         val book = collectCodebook(
           spark.read.parquet(s"$dir/pq_codebook.parquet"))
         val (m, ksub) = (book.length, book.head.length)
-        if (q.seeding == "given" && !warmStart) warnGiven()
+        if (q.seeding == "given" && !warm) warnGiven()
         if (q.auto) {
           // the auto chooser is excluded from warm-start by design:
           // re-running the recorded decision procedure (raw vs
@@ -2632,7 +2694,7 @@ object Similarity {
             q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds,
             q.sampleMultiple)
           ()
-        } else if (warmStart) {
+        } else if (warm) {
           val wc = warmCentroids(spark, dir, corpus, q.kmeansIterations,
             idCol, vecCol)
           if (residualFlagOf(spark, dir)) {

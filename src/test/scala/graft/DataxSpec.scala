@@ -1410,10 +1410,15 @@ class DataxSpec extends AnyFunSuite {
       val out = fs.create(cachePath, true)
       out.write("not\ta\tvalid\nrow cache at all\n".getBytes("UTF-8"))
       out.close()
+      // a crash-orphaned writer tmp is swept by the next refresh
+      val orphan = new org.apache.hadoop.fs.Path(
+        s"$dir/_bucket_rows_cache.tmp-orphan")
+      fs.create(orphan, true).close()
       val (corrupt, corruptOpens) =
         Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
       assert(corrupt == afterApp && corruptOpens == cold2Opens,
         "a torn cache is ignored, not trusted")
+      assert(!fs.exists(orphan), "the refresh sweeps orphaned tmps")
       // the plain (assigned) layout carries the same contract
       Similarity.ivfIndexWrite(emb, dirP, nCentroids = 16)
       val (pCold, pColdOpens) =
@@ -2359,6 +2364,24 @@ class DataxSpec extends AnyFunSuite {
       assert(probeIvf(z) == before,
         "iterations=0 warm fire: unchanged quantizer + re-assigned corpus " +
           "== the pre-fire serving view")
+      // a PURELY skew-driven fire on a 0-iteration record must IGNORE
+      // warm-start (round-19 review): the warm quantizer would be
+      // bit-identical, the rebuild couldn't move skew, and the trigger
+      // would re-fire per append forever — the fire takes the recorded
+      // cold construction instead
+      val s0 = fresh(); val s0Explicit = fresh()
+      Similarity.ivfIndexWriteKMeansParallel(base, s0, nCentroids = 16,
+        iterations = 0)
+      Similarity.ivfIndexAppendBatch(spark, s0, shard, 0L)
+      val ms = Similarity.ivfIndexMaintain(spark, s0, emb,
+        maxStaleness = 1e9, maxSkew = 1.01, warmStart = true)
+      assert(ms.rebuilt && ms.staleness.exists(_ < 1e9),
+        "the fixture must fire on skew alone")
+      Similarity.ivfIndexWriteKMeansParallel(emb, s0Explicit, nCentroids = 16,
+        iterations = 0)
+      assert(probeIvf(s0) == probeIvf(s0Explicit),
+        "a skew-only fire on a 0-iteration record runs the COLD " +
+          "construction (fresh kmeans|| seeds over the full corpus)")
       // plain layout + "given" record: warm-start IS the frozen-
       // geometry rebuild — no stride downgrade, no warning
       val g = fresh()
@@ -2485,14 +2508,18 @@ class DataxSpec extends AnyFunSuite {
         maxStaleness = 1e9, maxSkew = 1e9).rebuilt)
       assert(!fs.exists(staging), "an uncommitted staging rolls back")
       assert(fs.exists(fin) && probe() == committed)
-      // window: crash BETWEEN the delete and the rename — the final
-      // table is missing and the staging is complete (token inside):
-      // heal finishes the rename
+      // window: crash BETWEEN the rename-aside and the commit rename —
+      // the final table is missing (parked whole at .old) and the
+      // staging is complete (token inside): heal finishes the rename
+      // and sweeps the .old garbage
+      val oldP = new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet.old")
+      org.apache.hadoop.fs.FileUtil.copy(fs, fin, fs, oldP, false, conf)
       assert(fs.rename(fin, staging)) // simulates exactly that state
       Similarity.ivfIndexMaintain(spark, dir, emb,
         maxStaleness = 1e9, maxSkew = 1e9)
       assert(fs.exists(fin) && !fs.exists(staging),
         "a committed staging rolls forward")
+      assert(!fs.exists(oldP), "heal sweeps the parked old table")
       assert(probe() == committed, "roll-forward restores the exact build")
       // an incomplete staging (torn/no token) with a missing final
       // table must NOT roll forward — it is discarded
