@@ -812,18 +812,28 @@ object Similarity {
   }
 
   /** Persist an IVF index in the layout [[ivfTopK]]'s scale note
-    * promises: `<dir>/centroids.parquet` (K rows) and
-    * `<dir>/assigned.parquet` PARTITIONED BY centroid_id — one
-    * directory per bucket, so a probe over the persisted index is a
-    * partition-PRUNED scan (directory-level: unprobed buckets
+    * promises: `<dir>/assigned.parquet` PARTITIONED BY centroid_id —
+    * one directory per bucket, so a probe over the persisted index is
+    * a partition-PRUNED scan (directory-level: unprobed buckets
     * contribute zero bytes read, zero tasks — not a data filter
-    * evaluated per row). This is the 100-TB serving shape: the index
+    * evaluated per row) — with the K-row quantizer and the build_meta
+    * record riding INSIDE that table under the hidden `_graft/` subdir
+    * (round 20: they commit in the same single rename as the rows —
+    * [[commitRowTable]]; pre-round-20 `<dir>/centroids.parquet`
+    * siblings still read via [[sidecarPath]]). This is the 100-TB
+    * serving shape: the index
     * builds once (the expensive assign pass over the corpus), then
     * every query batch reads only its nProbe buckets.
     *
     * `kmeansIterations > 0` builds the Lloyd-refined quantizer
     * ([[ivfIndexKMeans]]); 0 (default) the stride-sampled one
-    * ([[ivfIndex]], deterministic — the oracle-replayable form). */
+    * ([[ivfIndex]], deterministic — the oracle-replayable form).
+    *
+    * SINGLE-WRITER per index dir, like EVERY write face here (builds,
+    * appends, maintenance — the [[commitRowTable]] contract): an
+    * append racing a rebuild would get its batch stamped consumed
+    * while its rows miss the rebuild's corpus — silently dropped from
+    * serving. Concurrent readers are sanctioned. */
   /** Construction-QUALITY record round-tripped through build_meta
     * (round 18 — the maintenance daemon exists so no human remembers
     * how the index was built; without this record a trigger-fired
@@ -862,7 +872,8 @@ object Similarity {
     * original non-default chooser would have). */
   private def qualityOf(spark: org.apache.spark.sql.SparkSession,
                         dir: String): IndexQuality = {
-    val meta = spark.read.parquet(s"$dir/build_meta.parquet")
+    val meta = spark.read.parquet(
+      sidecarPath(spark, dir, "build_meta.parquet"))
     if (!meta.columns.contains("seeding")) IndexQuality()
     else {
       val hasSm = meta.columns.contains("sample_multiple")
@@ -962,23 +973,25 @@ object Similarity {
                                  idCol: String, vecCol: String,
                                  quality: IndexQuality): Unit = {
     val spark = vectors.sparkSession
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    // rename-committed (round 19): the new rows and the consumed-cutoff
-    // token land in ONE atomic rename — see commitRowTable
+    // ONE-RENAME WHOLE-BUILD COMMIT (round 20): rows, quantizer
+    // geometry, the build_meta record (built_n = the staleness
+    // denominator + the construction-quality record ivfIndexMaintain
+    // replays, round 18), and the consumed-cutoff token all land in
+    // the staging dir and commit in one rename — see commitRowTable
     commitRowTable(spark, dir, "assigned.parquet") { staging =>
       ivfAssign(vectors, centroids, idCol, vecCol)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+      centroids.write.mode("overwrite")
+        .parquet(s"$staging/${inTableName("centroids.parquet")}")
+      import spark.implicits._
+      Seq((vectors.count(), quality.seeding, quality.kmeansIterations,
+          quality.rounds, quality.oversample, quality.seed,
+          quality.pqKmeansIterations, quality.pqChunkIds, quality.auto,
+          quality.sampleMultiple))
+        .toDF(QualityCols: _*)
+        .write.mode("overwrite")
+        .parquet(s"$staging/${inTableName("build_meta.parquet")}")
     }
-    // build-time corpus size (the staleness denominator the append path
-    // maintains) + the construction-quality record ivfIndexMaintain
-    // replays (round 18)
-    import spark.implicits._
-    Seq((vectors.count(), quality.seeding, quality.kmeansIterations,
-        quality.rounds, quality.oversample, quality.seed,
-        quality.pqKmeansIterations, quality.pqChunkIds, quality.auto,
-        quality.sampleMultiple))
-      .toDF(QualityCols: _*)
-      .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
     clearIncTables(spark, dir)
   }
 
@@ -1014,7 +1027,10 @@ object Similarity {
     * rows) so both rebuild signals are code, not prose (SCALE.md
     * round 15). Idempotence is the CALLER's: replaying an append
     * duplicates rows (parquet append), the [[graft.streaming]] replay
-    * guards are the pattern if delivery is at-least-once. */
+    * guards are the pattern if delivery is at-least-once.
+    * Single-writer per index dir, like every write face here
+    * (never run an append concurrently with a rebuild — the
+    * [[commitRowTable]] contract). */
   def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                      newVectors: DataFrame,
                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -1031,7 +1047,8 @@ object Similarity {
     require(table == "assigned.parquet",
       s"$dir holds a pqIndexWrite layout ($table) — use pqIndexAppend " +
         "(or the layout-aware ivfIndexAppendBatch), not ivfIndexAppend")
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val centroids = spark.read.parquet(
+      sidecarPath(spark, dir, "centroids.parquet"))
     ivfAssign(newVectors, centroids, idCol, vecCol)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/assigned.parquet")
@@ -1317,11 +1334,13 @@ object Similarity {
     * serving shape, both halves of which exist separately above:
     * the IVF quantizer prunes WHICH buckets a query reads
     * ([[ivfIndexWrite]]'s partitioned layout), PQ shrinks what each
-    * bucket row COSTS (codes, not vectors). Layout:
-    * `centroids.parquet` (the IVF quantizer), `pq_codebook.parquet`
-    * (the subspace codebook), and `codes.parquet` — (id, codes)
-    * PARTITIONED BY centroid_id, so the probe scan is directory-pruned
-    * AND 32x lighter per row. Vectors themselves are not stored here:
+    * bucket row COSTS (codes, not vectors). Layout: `codes.parquet` —
+    * (id, codes) PARTITIONED BY centroid_id, so the probe scan is
+    * directory-pruned AND 32x lighter per row — carrying the IVF
+    * quantizer, the subspace codebook, and build_meta as in-table
+    * `_graft/` sidecars committed by the same single rename (round 20;
+    * pre-round-20 sibling layouts still read — [[sidecarPath]]).
+    * Vectors themselves are not stored here:
     * at scale the full-precision table lives elsewhere and is touched
     * only by an optional exact rerank of the top candidates.
     *
@@ -1332,7 +1351,9 @@ object Similarity {
     * deterministic stride forms — the oracle-replayable baseline. For
     * the residual-encoded variant (textbook IVFADC — codes quantize
     * `vec - centroid`, not the raw vector) see
-    * [[pqIndexWriteResidual]]. */
+    * [[pqIndexWriteResidual]]. Single-writer per index dir, like every
+    * write face here ([[ivfIndexWrite]]'s note, the
+    * [[commitRowTable]] contract). */
   def pqIndexWrite(vectors: DataFrame, dir: String, nCentroids: Int = 16,
                    m: Int = 8, ksub: Int = 16,
                    idCol: String = "vec_id", vecCol: String = "embedding",
@@ -1425,14 +1446,17 @@ object Similarity {
                                 centroids: DataFrame, codebook: DataFrame,
                                 idCol: String, vecCol: String,
                                 quality: IndexQuality): Unit = {
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    codebook.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
-    // rename-committed (round 19): rows + consumed token, one rename
+    // one-rename whole-build commit (round 20): rows + geometry +
+    // codebook + build_meta + consumed token, one rename
     commitRowTable(vectors.sparkSession, dir, "codes.parquet") { staging =>
       pqCodeRows(vectors, centroids, codebook, idCol, vecCol)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+      centroids.write.mode("overwrite")
+        .parquet(s"$staging/${inTableName("centroids.parquet")}")
+      codebook.write.mode("overwrite")
+        .parquet(s"$staging/${inTableName("pq_codebook.parquet")}")
+      writePqMeta(vectors, staging, codebook, residual = false, quality)
     }
-    writePqMeta(vectors, dir, codebook, residual = false, quality)
     clearIncTables(vectors.sparkSession, dir)
   }
 
@@ -1540,14 +1564,17 @@ object Similarity {
                                   centroids: DataFrame, res: DataFrame,
                                   book: DataFrame,
                                   quality: IndexQuality): Unit = {
-    centroids.write.mode("overwrite").parquet(s"$dir/centroids.parquet")
-    book.write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
-    // rename-committed (round 19): rows + consumed token, one rename
+    // one-rename whole-build commit (round 20): rows + geometry +
+    // codebook + build_meta + consumed token, one rename
     commitRowTable(vectors.sparkSession, dir, "codes.parquet") { staging =>
       residualCodeRows(res, book)
         .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+      centroids.write.mode("overwrite")
+        .parquet(s"$staging/${inTableName("centroids.parquet")}")
+      book.write.mode("overwrite")
+        .parquet(s"$staging/${inTableName("pq_codebook.parquet")}")
+      writePqMeta(vectors, staging, book, residual = true, quality)
     }
-    writePqMeta(vectors, dir, book, residual = true, quality)
     clearIncTables(vectors.sparkSession, dir)
   }
 
@@ -1556,7 +1583,7 @@ object Similarity {
     * distributed and scan-side like [[pqEncode]] (codebook as
     * literals), one `sum` aggregation. The quantity Lloyd descends and
     * the raw-vs-residual chooser compares. */
-  private def encodeErrorSum(vectors: DataFrame, codebook: DataFrame,
+  private[graft] def encodeErrorSum(vectors: DataFrame, codebook: DataFrame,
                              vecCol: String): Double = {
     val book = collectCodebook(codebook)
     val m = book.length
@@ -1645,8 +1672,10 @@ object Similarity {
   /** The PQ build_meta sidecar: (built_n, m, ksub, residual) — the
     * staleness denominator, the construction params, and the encoding
     * flag the probe/append faces key on — plus the [[IndexQuality]]
-    * record [[ivfIndexMaintain]] replays (round 18). */
-  private def writePqMeta(vectors: DataFrame, dir: String,
+    * record [[ivfIndexMaintain]] replays (round 18). Written INTO the
+    * staging dir (round 20) so it commits atomically with the rows it
+    * describes. */
+  private def writePqMeta(vectors: DataFrame, staging: String,
                           codebook: DataFrame, residual: Boolean,
                           quality: IndexQuality): Unit = {
     val book = collectCodebook(codebook)
@@ -1658,7 +1687,8 @@ object Similarity {
         quality.oversample, quality.seed, quality.pqKmeansIterations,
         quality.pqChunkIds, quality.auto, quality.sampleMultiple))
       .toDF(Seq("built_n", "m", "ksub", "residual") ++ QualityOnlyCols: _*)
-      .write.mode("overwrite").parquet(s"$dir/build_meta.parquet")
+      .write.mode("overwrite")
+      .parquet(s"$staging/${inTableName("build_meta.parquet")}")
   }
 
   /** The stored `residual` flag of a persisted PQ index; false for
@@ -1672,15 +1702,16 @@ object Similarity {
     * the degrade-to-false first cut had exactly that failure mode). */
   private def residualFlagOf(spark: org.apache.spark.sql.SparkSession,
                              dir: String): Boolean = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/build_meta.parquet")
+    val resolved = sidecarPath(spark, dir, "build_meta.parquet")
+    val metaPath = new org.apache.hadoop.fs.Path(resolved)
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(metaPath)) return false
-    val meta = spark.read.parquet(s"$dir/build_meta.parquet")
+    val meta = spark.read.parquet(resolved)
     if (!meta.columns.contains("residual")) return false
     meta.select("residual").head(1).headOption match {
       case Some(r) if !r.isNullAt(0) => r.getBoolean(0)
       case _ => throw new IllegalStateException(
-        s"$dir/build_meta.parquet exists but holds no residual flag row " +
+        s"$resolved exists but holds no residual flag row " +
           "— a crashed/partial meta write; the codes' encoding is " +
           "unknowable, rebuild the index (pqIndexWrite / " +
           "pqIndexWriteResidual / pqIndexWriteAuto) before probing or " +
@@ -1701,7 +1732,9 @@ object Similarity {
     * changes bucket contents, never geometry, and codes depend only on
     * the codebook. Same staleness trade and caller-owned idempotence as
     * the plain-IVF append; [[ivfIndexStaleness]] / [[ivfIndexSkew]] /
-    * [[ivfIndexCompact]] all read this layout too. */
+    * [[ivfIndexCompact]] all read this layout too. Single-writer per
+    * index dir, like every write face here (the [[commitRowTable]]
+    * contract). */
   def pqIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String,
                     newVectors: DataFrame,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -1731,12 +1764,14 @@ object Similarity {
                         newVectors: DataFrame, idCol: String,
                         vecCol: String): (String, DataFrame) = {
     val table = rowTableOf(spark, dir)
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val centroids = spark.read.parquet(
+      sidecarPath(spark, dir, "centroids.parquet"))
     val rows =
       if (table == "assigned.parquet")
         ivfAssign(newVectors, centroids, idCol, vecCol)
       else {
-        val book = spark.read.parquet(s"$dir/pq_codebook.parquet")
+        val book = spark.read.parquet(
+          sidecarPath(spark, dir, "pq_codebook.parquet"))
         if (residualFlagOf(spark, dir))
           residualCodeRows(residualRows(newVectors, centroids, idCol, vecCol),
             book)
@@ -1785,15 +1820,55 @@ object Similarity {
   private val IncClearMarker = "_inc_clear_pending" // legacy, pre-round-19
   private val IncConsumedToken = "_inc_consumed_upto"
 
+  /** The build sidecars that ride the one-rename whole-build commit
+    * (round 20): the coarse quantizer, the PQ codebook, and the
+    * build_meta record live INSIDE the row table dir under one hidden
+    * `_graft/` subdir — invisible to Spark's file index, partition
+    * discovery, and the skew walk alike (one hidden PARENT, not
+    * underscore-prefixed leaf names, so a direct read of a sidecar
+    * path is an ordinary non-hidden-leaf read — no per-probe
+    * ignored-path warnings) — so {rows,
+    * geometry, codebook, meta, consumed token} commit in the SAME
+    * single `fs.rename` ([[commitRowTable]]). This closes the two
+    * residual windows the round-19 protocol documented: a crash
+    * between a sibling geometry write and the rename can no longer
+    * leave new geometry over the old row table (the staged geometry
+    * rolls back WITH the staged rows), and a crash before a trailing
+    * build_meta job can no longer roll the quality/built_n record back
+    * to the prior build (the meta commits with the rows it describes). */
+  private[graft] val InTableSidecars =
+    Seq("centroids.parquet", "pq_codebook.parquet", "build_meta.parquet")
+
+  private def inTableName(name: String): String = "_graft/" + name
+
+  /** Where a build sidecar lives: `<dir>/<table>/_graft/<name>` for
+    * round-20 one-rename builds (preferred — it committed atomically with the
+    * rows it describes), falling back to the legacy `<dir>/<name>`
+    * sibling for pre-round-20 indexes. Callers that tolerate an absent
+    * sidecar check existence of the RESOLVED path. Package-visible so
+    * specs inspect stored geometry through the same resolution. */
+  private[graft] def sidecarPath(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String, name: String): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("assigned.parquet", "codes.parquet").iterator
+      .map(t => new org.apache.hadoop.fs.Path(s"$dir/$t/${inTableName(name)}"))
+      .find(p => p.getFileSystem(conf).exists(p))
+      .map(_.toString)
+      .getOrElse(s"$dir/$name")
+  }
+
   /** True when a PRE-ROUND-19 rebuild committed its base writes but
     * its increment clear has not completed (the legacy
     * `_inc_clear_pending` marker): the increment rows are ALREADY IN
     * the base, so every reader must skip them and the next
     * maintenance/append heals the clear. New rebuilds never write this
     * marker — the consumed token rides the row-table rename instead
-    * ([[commitRowTable]]) — but readers and [[healIndexDir]] keep
-    * honoring it so an index crashed under the old protocol reads
-    * correctly after an upgrade. */
+    * ([[commitRowTable]]). Round 20 retires the marker from the read
+    * faces' own code: [[rowTableConsumedUpTo]] resolves it to a
+    * synthesized consumed-cutoff (the ONE resolution point), so an
+    * index crashed under the old protocol still reads correctly after
+    * an upgrade, and [[healIndexDir]] physically retires it on the
+    * first write-face touch. */
   private def incClearPending(spark: org.apache.spark.sql.SparkSession,
                               dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$IncClearMarker")
@@ -1859,29 +1934,49 @@ object Similarity {
     * pre-round-19 indexes, fresh builds that had nothing to consume,
     * or a torn token): increment batches at or below it are ALREADY IN
     * the base — every reader must skip them and [[healIndexDir]] may
-    * physically drop them. */
+    * physically drop them.
+    *
+    * The legacy pre-round-19 `_inc_clear_pending` marker resolves HERE
+    * and nowhere else (round 20 — read faces used to branch on it
+    * separately): the marker meant "every increment batch visible
+    * right now is already in the base", which under the token protocol
+    * is exactly `consumed = max visible batch id`, synthesized
+    * read-only. (Safe to read live rather than at crash time: any
+    * post-upgrade append would have healed the marker away first —
+    * every write face heals on entry — so a marker-bearing index has
+    * only pre-crash batches.) [[healIndexDir]] retires the marker
+    * physically on the next write-face touch. */
   private def rowTableConsumedUpTo(spark: org.apache.spark.sql.SparkSession,
                                    dir: String, table: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table/$IncConsumedToken")
     readConsumedToken(p.getFileSystem(spark.sessionState.newHadoopConf()), p)
       .filter(_ >= 0)
+      .orElse {
+        if (incClearPending(spark, dir))
+          Some(maxIncBatchId(spark, dir, table)).filter(_ >= 0)
+        else None
+      }
   }
 
-  /** RENAME-COMMITTED row-table rebuild (round 19 — the verdict's
-    * "irreducible increment double-count window" closed for real): a
-    * rebuild re-encodes the full corpus, so any increment rows are
-    * part of that corpus and leaving them visible would double-count
-    * them against the new base. Every ordering of separate
-    * {row-table write, marker write} driver ops leaves one crash
-    * window in which the two disagree — the r17/r18 refinements only
-    * moved it. This face makes the pair ATOMIC instead: the rows are
-    * written to a `<table>.staging` sibling, the consumed-cutoff token
+  /** RENAME-COMMITTED whole-build rebuild (round 19 closed the
+    * increment double-count window; round 20 widens the same rename to
+    * the WHOLE BUILD): a rebuild re-encodes the full corpus, so any
+    * increment rows are part of that corpus and leaving them visible
+    * would double-count them against the new base. Every ordering of
+    * separate {row-table write, marker write} driver ops leaves one
+    * crash window in which the two disagree — the r17/r18 refinements
+    * only moved it. This face makes the set ATOMIC instead: the
+    * caller's `write` callback stages the rows AND the build sidecars
+    * (quantizer geometry, PQ codebook, build_meta — under the hidden
+    * `_graft/` subdir, [[InTableSidecars]]) into a
+    * `<table>.staging` sibling, the consumed-cutoff token
     * (`_inc_consumed_upto` = the max increment batch id visible when
     * the rebuild started, snapshotted BEFORE any write) is placed
     * INSIDE the staging dir, and one `rename(staging, table)` commits
-    * both together. From the instant the new rows are readable, the
-    * token declaring their absorbed batches stale is readable too — no
-    * driver op sits between them.
+    * all of it together. From the instant the new rows are readable,
+    * the geometry that shaped them, the meta that describes them, and
+    * the token declaring their absorbed batches stale are readable
+    * too — no driver op sits between any pair.
     *
     * Crash analysis (heal rules in [[healIndexDir]]; the RENAME-ASIDE
     * of the old table — `table` → `table.old`, a single atomic
@@ -1897,27 +1992,35 @@ object Similarity {
     * rename → the table is MISSING and a complete staging exists →
     * heal finishes the rename (roll-forward). After the commit
     * rename → committed: readers skip consumed batches via the token;
-    * the trailing `.old` delete, the build_meta job, and the physical
-    * clear are all heal-idempotent (a crash before build_meta rolls
-    * the quality/built_n record back to the PRIOR build's — staleness
-    * ratios skew against the new base until the next completed
-    * rebuild rewrites it, the round-19 ADVICE nuance — but
-    * correctness never depends on meta; a crash mid-`.old`-delete
-    * leaves hidden garbage heal sweeps once the final table exists). The token also fixes an
+    * the trailing `.old` delete, the legacy-sibling sweep, and the
+    * physical clear are all heal-idempotent GC (a crash mid-delete
+    * leaves hidden garbage heal sweeps once the final table exists).
+    * The token also fixes an
     * adjacent seam the markers never covered: an at-least-once
     * driver's LATE REPLAY of a batch the rebuild absorbed
     * ([[ivfIndexAppendBatch]] re-delivering `batch <= consumed` after
     * the clear) lands invisible instead of double-counting.
     *
-    * Residual windows, documented not closed: the geometry sidecars
-    * (centroids/codebook) are written BEFORE this commit, so a crash
-    * between them and the rename leaves new geometry over the old row
-    * table — probes stay self-consistent per table read but
-    * bucket-vs-centroid pairing is the old build's (the pre-existing
-    * cross-table seam; a manifest/lakehouse commit is the real fix).
-    * On rename-as-copy object stores the rename is not atomic — the
+    * Round 20 retires the two windows the round-19 protocol documented
+    * as open: geometry/codebook no longer precede the commit (they
+    * ride inside the staging, so a crash anywhere rolls them back WITH
+    * the rows — new geometry can never sit over the old row table),
+    * and build_meta no longer trails it (the quality/built_n record
+    * commits with the build it describes — no more staleness-skewing
+    * rollback to the prior build's record). The one residual caveat:
+    * on rename-as-copy object stores the rename is not atomic — the
     * same caveat the [[graft.streaming.DedupStream]] epoch protocol
-    * carries; both want a lakehouse table format at that tier. */
+    * carries; both want a lakehouse table format at that tier.
+    *
+    * SINGLE-WRITER contract (round-19 ADVICE made explicit): like
+    * every write/maintenance face here, at most one writer per index
+    * dir at a time. The consumed snapshot is taken at commit entry
+    * next to the corpus the caller materialized; an append racing a
+    * rebuild would get its batch stamped consumed while its rows miss
+    * the corpus — rows silently dropped from serving with no loud
+    * failure. Concurrent READERS are sanctioned (they see the old
+    * build, then the new one; mid-rename they can fail loudly on a
+    * missing table, never read a torn one). */
   private def commitRowTable(spark: org.apache.spark.sql.SparkSession,
                              dir: String, table: String)
                             (write: String => Unit): Unit = {
@@ -1946,6 +2049,15 @@ object Similarity {
       require(fs.rename(fin, old), s"rename-aside $fin -> $old failed")
     require(fs.rename(staging, fin), s"rename $staging -> $fin failed")
     if (fs.exists(old)) { fs.delete(old, true); () } // hidden garbage now
+    // the committed build carries its sidecars in-table (round 20), so
+    // any legacy pre-round-20 sibling copies are stale garbage —
+    // readers already prefer the in-table copy (sidecarPath); pure GC,
+    // heal-idempotent (healIndexDir sweeps them too after a crash here)
+    InTableSidecars.foreach { n =>
+      val legacy = new org.apache.hadoop.fs.Path(s"$dir/$n")
+      if (fs.exists(new org.apache.hadoop.fs.Path(fin, inTableName(n))) &&
+          fs.exists(legacy)) { fs.delete(legacy, true); () }
+    }
   }
 
   /** Heal every crash window of the rename-commit rebuild protocol
@@ -1983,6 +2095,15 @@ object Similarity {
       }
       val old = new org.apache.hadoop.fs.Path(s"$dir/$t.old")
       if (fs.exists(old) && fs.exists(fin)) { fs.delete(old, true); () }
+      // round 20: a one-rename build's in-table sidecars supersede any
+      // legacy sibling copies — a crash between the commit rename and
+      // commitRowTable's own sweep leaves them behind; readers never
+      // consult them once the in-table copy exists, so this is pure GC
+      if (fs.exists(fin)) InTableSidecars.foreach { n =>
+        val legacy = new org.apache.hadoop.fs.Path(s"$dir/$n")
+        if (fs.exists(new org.apache.hadoop.fs.Path(fin, inTableName(n))) &&
+            fs.exists(legacy)) { fs.delete(legacy, true); () }
+      }
     }
     // 2. legacy marker (pre-round-19 crashed rebuilds)
     if (incClearPending(spark, dir)) clearIncTables(spark, dir)
@@ -2076,12 +2197,13 @@ object Similarity {
     val table = rowTableOf(spark, dir)
     val base = spark.read.parquet(s"$dir/$table")
     val incDir = s"$dir/${incTableOf(table)}"
-    // a pending clear means the base already absorbed the increment
-    if (incClearPending(spark, dir) || !hasIncRows(spark, incDir)) base
+    if (!hasIncRows(spark, incDir)) base
     else {
       val inc0 = graft.streaming.DedupStream.visibleIndex(spark, incDir)
       // batches the base already absorbed (the round-19 consumed
-      // token): plain dirs at or below it, and the epoch partition
+      // token; the legacy pending-clear marker resolves to the same
+      // cutoff inside rowTableConsumedUpTo — round 20, one resolution
+      // point): plain dirs at or below it, and the epoch partition
       // when the committed cutoff is itself consumed
       val inc = rowTableConsumedUpTo(spark, dir, table).fold(inc0) {
         consumed =>
@@ -2134,8 +2256,10 @@ object Similarity {
   def ivfPqTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
                 queries: DataFrame, k: Int, nProbe: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
-    val book = collectCodebook(spark.read.parquet(s"$dir/pq_codebook.parquet"))
+    val centroids = spark.read.parquet(
+      sidecarPath(spark, dir, "centroids.parquet"))
+    val book = collectCodebook(spark.read.parquet(
+      sidecarPath(spark, dir, "pq_codebook.parquet")))
     val m = book.length
     require(m >= 1, "empty codebook")
     val dsub = book.head.head.length
@@ -2241,10 +2365,11 @@ object Similarity {
     * [[pqIndexWrite]] one (`codes.parquet`). */
   def ivfIndexStaleness(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Option[Double] = {
-    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/build_meta.parquet")
+    val resolved = sidecarPath(spark, dir, "build_meta.parquet")
+    val metaPath = new org.apache.hadoop.fs.Path(resolved)
     val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(metaPath)) return None
-    val builtN = spark.read.parquet(s"$dir/build_meta.parquet")
+    val builtN = spark.read.parquet(resolved)
       .select("built_n").head().getLong(0)
     if (builtN == 0L) return None
     val nowN = servingRows(spark, dir).count()
@@ -2326,7 +2451,7 @@ object Similarity {
     * UNDERCOUNT silently forever; keyed-cache misses instead). */
   private val RowCacheName = "_bucket_rows_cache"
 
-  private def readRowCache(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readRowCache(fs: org.apache.hadoop.fs.FileSystem,
                            p: org.apache.hadoop.fs.Path)
       : Map[String, (Long, Long, Long)] =
     if (!fs.exists(p)) Map.empty
@@ -2343,18 +2468,19 @@ object Similarity {
       }.toMap finally in.close()
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-  private def writeRowCache(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeRowCache(fs: org.apache.hadoop.fs.FileSystem,
                             p: org.apache.hadoop.fs.Path,
                             entries: Seq[(org.apache.hadoop.fs.FileStatus, Long)])
       : Unit =
     try {
+      val startMs = System.currentTimeMillis()
       // a PER-WRITER tmp name: the poll is a READ face with no
       // single-writer contract, so two concurrent monitors may both
       // refresh the cache — a shared tmp path would let one writer's
       // create() truncate the other's in-flight stream and commit a
       // spliced-but-parseable line whose wrong row count PASSES the
       // (len, mtime) identity check (round-19 review finding); unique
-      // tmps make the final rename last-writer-wins, both candidates
+      // tmps make the final commit last-writer-wins, both candidates
       // correct. The tmp is deleted on any failure; a crash-orphaned
       // tmp is swept by the next successful writer below.
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
@@ -2371,14 +2497,27 @@ object Similarity {
           }
           w.flush()
         } finally out.close()
-        if (fs.exists(p)) { fs.delete(p, false); () }
-        fs.rename(tmp, p)
-        ()
+        // OVERWRITE-rename, never delete-then-rename (round-20 fix of a
+        // round-19 review finding): the old sequence deleted the
+        // committed cache BEFORE renaming its replacement, so a loser
+        // whose tmp a concurrent winner had swept would delete the
+        // winner's committed cache and then fail its rename — leaving
+        // NO cache at all. The single overwrite-rename either commits
+        // our candidate or throws with the committed cache untouched
+        // (a swept tmp throws FileNotFound into the advisory catch).
+        org.apache.hadoop.fs.FileContext
+          .getFileContext(fs.getUri, fs.getConf)
+          .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       } finally { if (fs.exists(tmp)) { fs.delete(tmp, false) }; () }
       // sweep crash-orphaned tmps from prior writers (tiny files; the
-      // parent is the index dir root, a handful of entries)
+      // parent is the index dir root, a handful of entries) — AGE-GATED
+      // to tmps last written before this writer started (round-20 fix:
+      // an unconditional sweep ate a CONCURRENT poller's in-flight tmp;
+      // anything older than our start can only be a crashed writer's,
+      // since a live one commits or self-deletes within its own run)
       fs.listStatus(p.getParent).foreach { s =>
-        if (s.getPath.getName.startsWith(p.getName + ".tmp-")) {
+        if (s.getPath.getName.startsWith(p.getName + ".tmp-") &&
+            s.getModificationTime < startMs) {
           fs.delete(s.getPath, false); ()
         }
       }
@@ -2493,7 +2632,7 @@ object Similarity {
     val incDir = s"$dir/${incTableOf(table)}"
     val incRoot = new org.apache.hadoop.fs.Path(incDir)
     val inc =
-      if (!fs.exists(incRoot) || incClearPending(spark, dir)) Seq.empty
+      if (!fs.exists(incRoot)) Seq.empty
       else {
         val cutoff = graft.streaming.DedupStream.compactedUpTo(spark, incDir)
         val consumed = rowTableConsumedUpTo(spark, dir, table)
@@ -2531,11 +2670,14 @@ object Similarity {
     (skew, opened.get)
   }
 
-  /** One maintenance poll's outcome: both trigger readings and
-    * whether the rebuild fired. */
+  /** One maintenance poll's outcome: both trigger readings, whether
+    * the rebuild fired, and whether a futile warm skew-only fire fell
+    * back to the recorded cold construction (round 20 — always false
+    * unless `warmStart` was on). */
   final case class IndexMaintenance(staleness: Option[Double],
                                     skew: Option[Double],
-                                    rebuilt: Boolean)
+                                    rebuilt: Boolean,
+                                    warmFellBack: Boolean = false)
 
   /** The RE-QUANTIZE RULE as one callable (round 17 — previously the
     * rule lived as scaladoc prose on [[ivfIndexAppend]]): poll both
@@ -2599,7 +2741,18 @@ object Similarity {
     * Spec pins: warm fires are deterministic (identical dirs + corpus
     * produce identical indexes), keep the record intact, reset
     * staleness, and at kmeansIterations = 0 serve EXACTLY the pre-fire
-    * view (unchanged quantizer, re-encoded corpus). */
+    * view (unchanged quantizer, re-encoded corpus).
+    *
+    * SKEW-ONLY warm fires self-heal against futility (round 20, from
+    * round-19 ADVICE): at recorded kmeansIterations = 0 the warm
+    * quantizer is bit-identical to the current one — such a fire takes
+    * the recorded cold construction up front; at iterations >= 1 a
+    * warm Lloyd refinement sitting at its fixed point has the same
+    * cannot-move-skew property, detectable only after the fact — the
+    * fire re-measures skew and, when it did not drop, falls back to
+    * the recorded cold construction in the SAME call (reported as
+    * `warmFellBack`), so warmStart = true can never loop futile
+    * O(corpus) rebuilds on an append-skewed corpus. */
   /** The warm-start coarse quantizer (round 19): the CURRENT stored
     * centroids, re-refined by the recorded Lloyd iteration count,
     * instead of a from-scratch re-run of the recorded construction.
@@ -2608,7 +2761,8 @@ object Similarity {
   private def warmCentroids(spark: org.apache.spark.sql.SparkSession,
                             dir: String, corpus: DataFrame, iterations: Int,
                             idCol: String, vecCol: String): DataFrame = {
-    val cur = spark.read.parquet(s"$dir/centroids.parquet")
+    val cur = spark.read.parquet(
+        sidecarPath(spark, dir, "centroids.parquet"))
       .localCheckpoint(eager = true)
     if (iterations <= 0) cur
     else lloyd(
@@ -2632,9 +2786,11 @@ object Similarity {
     val staleFire = st.exists(_ >= maxStaleness)
     val skewFire = appended && sk.exists(_ >= maxSkew)
     val fire = staleFire || skewFire
+    var warmFellBack = false
     if (fire) {
       val table = rowTableOf(spark, dir)
-      val k = spark.read.parquet(s"$dir/centroids.parquet").count().toInt
+      val k = spark.read.parquet(
+        sidecarPath(spark, dir, "centroids.parquet")).count().toInt
       val q = qualityOf(spark, dir)
       // warm-start cannot serve a PURELY skew-driven fire when the
       // record's Lloyd count is 0: the warm quantizer is bit-identical
@@ -2644,7 +2800,7 @@ object Similarity {
       // the recorded cold construction instead, whose re-derived
       // geometry CAN move skew. Staleness-driven fires stay warm: the
       // re-encode is the point there, geometry movement is not.
-      val warm = warmStart &&
+      val warm0 = warmStart &&
         !(skewFire && !staleFire && q.kmeansIterations == 0)
       def warnGiven(): Unit = System.err.println(
         "[graft-similarity] ivfIndexMaintain: index was built from a " +
@@ -2654,6 +2810,7 @@ object Similarity {
           "quality build across maintenance, write through a recorded " +
           "face (ivfIndexWriteReservoir / ivfIndexWriteKMeansParallel / " +
           "pqIndexWrite*'s knobs) or rebuild explicitly.")
+      def fireRebuild(warm: Boolean): Unit =
       if (table == "assigned.parquet") {
         if (warm)
           // warm-start (round 19): geometry (K) is unchanged by
@@ -2682,8 +2839,8 @@ object Similarity {
             ivfIndexWrite(corpus, dir, k, idCol, vecCol, q.kmeansIterations)
         }
       } else {
-        val book = collectCodebook(
-          spark.read.parquet(s"$dir/pq_codebook.parquet"))
+        val book = collectCodebook(spark.read.parquet(
+          sidecarPath(spark, dir, "pq_codebook.parquet")))
         val (m, ksub) = (book.length, book.head.length)
         if (q.seeding == "given" && !warm) warnGiven()
         if (q.auto) {
@@ -2733,8 +2890,27 @@ object Similarity {
               q.kmeansIterations, q.pqKmeansIterations, q.pqChunkIds)
         }
       }
+      fireRebuild(warm0)
+      // a skew-only WARM fire must MOVE skew or it will re-fire an
+      // O(corpus) rebuild on every subsequent append — at recorded
+      // kmeansIterations == 0 the guard above pre-empts it (the warm
+      // quantizer is bit-identical), but at iterations >= 1 a warm
+      // Lloyd refinement sitting at its fixed point has the same
+      // property and can only be detected AFTER the fact (round-19
+      // ADVICE): when the re-measured skew did not drop, fall back to
+      // the recorded cold construction IN THIS FIRE, whose re-derived
+      // geometry can move skew. One extra cache-warm skew poll per
+      // warm skew-only fire; auto records are excluded (their fire IS
+      // the cold decision procedure already).
+      if (warm0 && !q.auto && skewFire && !staleFire) {
+        val after = ivfIndexSkew(spark, dir)
+        if (after.exists(a => sk.exists(b => a >= b))) {
+          warmFellBack = true
+          fireRebuild(warm = false)
+        }
+      }
     }
-    IndexMaintenance(st, sk, fire)
+    IndexMaintenance(st, sk, fire, warmFellBack)
   }
 
   /** Which row table a persisted index directory holds:
@@ -2780,7 +2956,8 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
                      queries: DataFrame, k: Int, nProbe: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+    val centroids = spark.read.parquet(
+      sidecarPath(spark, dir, "centroids.parquet"))
     val probes = probeRank(queries, centroids, nProbe, idCol, vecCol)
       .localCheckpoint(eager = true)
     val probedIds = probes.select("centroid_id").distinct()

@@ -1410,15 +1410,27 @@ class DataxSpec extends AnyFunSuite {
       val out = fs.create(cachePath, true)
       out.write("not\ta\tvalid\nrow cache at all\n".getBytes("UTF-8"))
       out.close()
-      // a crash-orphaned writer tmp is swept by the next refresh
+      // a crash-orphaned writer tmp (pre-start mtime) is swept by the
+      // next refresh; a CONCURRENT poller's in-flight tmp is NOT
+      // (round 20: the sweep is age-gated — the round-19 unconditional
+      // sweep ate a live writer's tmp and could leave NO cache at all;
+      // the future mtime makes "in-flight at sweep time" deterministic)
       val orphan = new org.apache.hadoop.fs.Path(
         s"$dir/_bucket_rows_cache.tmp-orphan")
       fs.create(orphan, true).close()
+      fs.setTimes(orphan, System.currentTimeMillis() - 3600L * 1000, -1)
+      val inflight = new org.apache.hadoop.fs.Path(
+        s"$dir/_bucket_rows_cache.tmp-inflight")
+      fs.create(inflight, true).close()
+      fs.setTimes(inflight, System.currentTimeMillis() + 3600L * 1000, -1)
       val (corrupt, corruptOpens) =
         Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
       assert(corrupt == afterApp && corruptOpens == cold2Opens,
         "a torn cache is ignored, not trusted")
-      assert(!fs.exists(orphan), "the refresh sweeps orphaned tmps")
+      assert(!fs.exists(orphan), "the refresh sweeps stale orphaned tmps")
+      assert(fs.exists(inflight),
+        "a concurrent writer's in-flight tmp must survive the sweep")
+      fs.delete(inflight, false)
       // the plain (assigned) layout carries the same contract
       Similarity.ivfIndexWrite(emb, dirP, nCentroids = 16)
       val (pCold, pColdOpens) =
@@ -1429,6 +1441,54 @@ class DataxSpec extends AnyFunSuite {
     } finally Seq(dir, dirP).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("row-cache commits are OVERWRITE-renames (round 20): concurrent " +
+       "writers are last-writer-wins with the committed cache present and " +
+       "parseable after every commit, and a poisoned survivor degrades " +
+       "to footer reads — never a wrong count, never a missing cache") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cacherace").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val cachePath = new org.apache.hadoop.fs.Path(s"$dir/_bucket_rows_cache")
+    def fakeStatus(path: String, len: Long, mtime: Long) =
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 1024L, mtime,
+        new org.apache.hadoop.fs.Path(path))
+    try {
+      Similarity.ivfIndexWrite(emb, dir, nCentroids = 16)
+      val (cold, coldOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
+      assert(cold.nonEmpty && coldOpens > 0 && fs.exists(cachePath))
+      // two concurrent monitors refresh the cache back to back (the
+      // round-19 review interleaving, minus the now-impossible
+      // delete-then-rename hole): after EACH commit the cache file
+      // exists and parses — last writer wins, no window with p absent
+      val a = Seq((fakeStatus("/fake/a.parquet", 10L, 1000L), 111L))
+      val b = Seq((fakeStatus("/fake/b.parquet", 20L, 2000L), 222L))
+      Similarity.writeRowCache(fs, cachePath, a)
+      assert(fs.exists(cachePath), "commit A leaves the cache present")
+      assert(Similarity.readRowCache(fs, cachePath)
+        == Map("/fake/a.parquet" -> ((10L, 1000L, 111L))))
+      Similarity.writeRowCache(fs, cachePath, b)
+      assert(fs.exists(cachePath), "commit B leaves the cache present")
+      assert(Similarity.readRowCache(fs, cachePath)
+        == Map("/fake/b.parquet" -> ((20L, 2000L, 222L))),
+        "last writer wins")
+      // the surviving candidate keys no live file, so the next poll
+      // footer-reads everything and lands on the same reading — the
+      // advisory contract end to end
+      val (after, afterOpens) =
+        Similarity.ivfIndexSkewCounted(spark, dir, bulkListing = false)
+      assert(after == cold && afterOpens == coldOpens,
+        "a foreign-keyed cache degrades to the cold poll's exact reading")
+      assert(Similarity.readRowCache(fs, cachePath)
+        .keySet.forall(_.contains(dir)),
+        "the poll recommitted a cache keyed on the real files")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
 
@@ -1500,7 +1560,8 @@ class DataxSpec extends AnyFunSuite {
       val viaSkew = Similarity.ivfIndexMaintain(spark, dir, emb,
         maxStaleness = Double.MaxValue, maxSkew = 1.0)
       assert(viaSkew.rebuilt)
-      assert(spark.read.parquet(s"$dir/build_meta.parquet")
+      assert(spark.read.parquet(
+          Similarity.sidecarPath(spark, dir, "build_meta.parquet"))
         .select("residual").head().getBoolean(0),
         "a residual index must rebuild residual")
       // append-driven hysteresis: the rebuild zeroed staleness, so the
@@ -1532,9 +1593,14 @@ class DataxSpec extends AnyFunSuite {
       val centroids = Similarity.ivfIndex(base, nCentroids = 16)._1
       val book = Similarity.pqCentroids(base)
       Similarity.pqIndexWriteWith(emb, dir, centroids, book) // full rebuild
-      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)  // rows now duplicated
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
+      // a TRUE pre-round-19 index: no consumed token (the round-19/20
+      // protocols would cover batch 0 via the token alone — deleting it
+      // keeps the MARKER the only thing protecting the read)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/codes.parquet/_inc_consumed_upto"), false)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)  // rows now duplicated
       fs.create(new org.apache.hadoop.fs.Path(s"$dir/_inc_clear_pending"),
         true).close()
       // readers skip the stale increment: no id surfaces twice, probe
@@ -1590,7 +1656,8 @@ class DataxSpec extends AnyFunSuite {
       Similarity.pqIndexWriteResidual(emb, dirR, nCentroids = 16)
       Seq.empty[(Long, Int, Int, Boolean)]
         .toDF("built_n", "m", "ksub", "residual")
-        .write.mode("overwrite").parquet(s"$dirR/build_meta.parquet")
+        .write.mode("overwrite").parquet(
+          Similarity.sidecarPath(spark, dirR, "build_meta.parquet"))
       val ex2 = intercept[IllegalStateException] {
         Similarity.ivfPqTopK(spark, dirR, emb.filter($"vec_id" < 4),
           k = 2, nProbe = 2)
@@ -1625,9 +1692,11 @@ class DataxSpec extends AnyFunSuite {
       assert(!Similarity.pqIndexWriteAuto(emb, dirN, nCentroids = 16),
         "near-orthogonal noise: auto must pick raw")
       // build_meta records the choice — the index stays self-describing
-      assert(spark.read.parquet(s"$dirC/build_meta.parquet")
+      assert(spark.read.parquet(
+          Similarity.sidecarPath(spark, dirC, "build_meta.parquet"))
         .select("residual").head().getBoolean(0))
-      assert(!spark.read.parquet(s"$dirN/build_meta.parquet")
+      assert(!spark.read.parquet(
+          Similarity.sidecarPath(spark, dirN, "build_meta.parquet"))
         .select("residual").head().getBoolean(0))
       // and the written layout IS the explicit face's, probe-identical
       val qC = clustered.filter($"vec_id" < 8)
@@ -2194,7 +2263,8 @@ class DataxSpec extends AnyFunSuite {
       k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
     def probePq(d: String) = Similarity.ivfPqTopK(spark, d, queries,
       k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
-    def seedingOf(d: String) = spark.read.parquet(s"$d/build_meta.parquet")
+    def seedingOf(d: String) = spark.read.parquet(
+        Similarity.sidecarPath(spark, d, "build_meta.parquet"))
       .select("seeding").head().getString(0)
     def tmp() = java.nio.file.Files.createTempDirectory("graft-qmaint").toString
     val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2230,13 +2300,15 @@ class DataxSpec extends AnyFunSuite {
       Similarity.pqIndexWriteAuto(emb, autoExplicit, nCentroids = 16)
       assert(probePq(auto) == probePq(autoExplicit),
         "maintenance must re-run the auto chooser over the full corpus")
-      assert(spark.read.parquet(s"$auto/build_meta.parquet")
+      assert(spark.read.parquet(
+          Similarity.sidecarPath(spark, auto, "build_meta.parquet"))
         .select("auto").head().getBoolean(0),
         "the auto flag must survive the replay")
       // round 19 (ADVICE): a NON-DEFAULT chooser sample width rides
       // build_meta and the replay re-runs the chooser at that width —
       // a default-width replay could flip raw-vs-residual differently
-      def smOf(d: String) = spark.read.parquet(s"$d/build_meta.parquet")
+      def smOf(d: String) = spark.read.parquet(
+          Similarity.sidecarPath(spark, d, "build_meta.parquet"))
         .select("sample_multiple").head().getInt(0)
       assert(smOf(auto) == 8, "the default width is recorded too")
       val autoW = fresh(); val autoWExplicit = fresh()
@@ -2306,7 +2378,8 @@ class DataxSpec extends AnyFunSuite {
       k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
     def probeIvf(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
       k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
-    def seedingOf(d: String) = spark.read.parquet(s"$d/build_meta.parquet")
+    def seedingOf(d: String) = spark.read.parquet(
+        Similarity.sidecarPath(spark, d, "build_meta.parquet"))
       .select("seeding").head().getString(0)
     val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
     def fresh() = {
@@ -2407,10 +2480,73 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
-  test("rebuild crash after the rename-commit, before build_meta: the " +
-       "consumed token already rode the rename — readers skip the absorbed " +
-       "increment rows from the same instant the new rows are readable, " +
-       "and maintenance heals the physical clear (round 19)") {
+  test("warm-start skew-only futility fallback (round 20): a warm Lloyd " +
+       "refinement at its fixed point cannot move skew — the SAME fire " +
+       "falls back to the recorded cold construction; staleness-driven " +
+       "warm fires never fall back") {
+    // four tight, mutually near-orthogonal direction clusters: axis j
+    // carries cluster j, axes 4-7 carry small within-cluster variation,
+    // so Lloyd converges (and STAYS converged) in a few iterations —
+    // the deterministic fixed point a futile warm fire sits at
+    def clusterVec(j: Int, i: Int): Array[Float] =
+      Array.tabulate(8)(d =>
+        (if (d == j) 1.0f else 0f) +
+          (if (d == j + 4) 0.02f * (i % 5) else 0f))
+    val corpus = (0 until 64).map(i => (i.toLong, clusterVec(i % 4, i)))
+      .toDF("vec_id", "embedding")
+    // the skewing shard: 32 more rows, ALL in cluster 0 — bucket 0
+    // reads 48 vs median 16 (skew 3.0), staleness only 0.5
+    val shard = (0 until 32).map(i => (1000L + i, clusterVec(0, i)))
+      .toDF("vec_id", "embedding")
+    val full = corpus.unionByName(shard)
+    val dir = java.nio.file.Files.createTempDirectory("graft-futile").toString
+    val dirS = java.nio.file.Files.createTempDirectory("graft-futileS").toString
+    val dirX = java.nio.file.Files.createTempDirectory("graft-futileX").toString
+    try {
+      Similarity.ivfIndexWriteReservoir(corpus, dir, nCentroids = 4,
+        seed = 42L, iterations = 6)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      // SKEW-ONLY warm fire: the warm quantizer reproduces the converged
+      // partition exactly, skew cannot drop — the fallback must fire the
+      // recorded cold construction in the same call
+      val m = Similarity.ivfIndexMaintain(spark, dir, full,
+        maxStaleness = 1e9, maxSkew = 2.0, warmStart = true)
+      assert(m.rebuilt, s"the skew trigger must fire: $m")
+      assert(m.warmFellBack,
+        s"a fixed-point warm fire must fall back to the cold record: $m")
+      // the fallback IS the recorded construction: identical to the
+      // explicit reservoir build over the full corpus
+      Similarity.ivfIndexWriteReservoir(full, dirX, nCentroids = 4,
+        seed = 42L, iterations = 6)
+      val queries = corpus.filter($"vec_id" < 8)
+      def probe(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
+        k = 5, nProbe = 2).orderBy("query_id", "rank").collect().toSeq
+      assert(probe(dir) == probe(dirX),
+        "the fallback must replay the recorded cold construction")
+      assert(spark.read.parquet(
+          Similarity.sidecarPath(spark, dir, "build_meta.parquet"))
+        .select("seeding").head().getString(0) == "reservoir",
+        "the quality record survives the fallback")
+      // a STALENESS-driven warm fire keeps the warm path (re-encode is
+      // the point there; geometry movement is not) — no fallback even
+      // though this corpus's warm quantizer is equally immobile
+      Similarity.ivfIndexWriteReservoir(corpus, dirS, nCentroids = 4,
+        seed = 42L, iterations = 6)
+      Similarity.ivfIndexAppendBatch(spark, dirS, shard, 0L)
+      val mS = Similarity.ivfIndexMaintain(spark, dirS, full,
+        maxStaleness = 0.4, maxSkew = 1e9, warmStart = true)
+      assert(mS.rebuilt && !mS.warmFellBack,
+        s"staleness-driven warm fires must not fall back: $mS")
+    } finally Seq(dir, dirS, dirX).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+  test("rebuild crash during the staged build_meta job (round 20 one-" +
+       "rename whole-build commit): the WHOLE build rolls back — rows, " +
+       "geometry, and the quality record stay the prior build's, the " +
+       "unconsumed increment batch stays visible, staleness never skews") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
     val base = emb.filter($"vec_id" % 5 =!= 3)
@@ -2424,20 +2560,30 @@ class DataxSpec extends AnyFunSuite {
     try {
       Similarity.ivfIndexWrite(base, dir, nCentroids = 16)
       Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      val queries = emb.filter($"vec_id" < 8)
+      def probe(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
+        k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+      val preCrash = probe(dir)
+      val preStaleness = Similarity.ivfIndexStaleness(spark, dir)
+      assert(preStaleness.exists(_ > 0), "the appended shard is visible")
       // a corpus frame that survives exactly ONE full traversal (the
       // assign + staged row-table write) and crashes on the next (the
-      // build_meta count job) — the crash window right after the
-      // rename commit
+      // staged build_meta count job). Under the round-19 protocol this
+      // window committed rows WITHOUT meta — the build_meta rollback
+      // the verdict tracked; under the one-rename commit the meta job
+      // runs INSIDE the staging, BEFORE the point of no return, so the
+      // crash must roll the WHOLE build back
       DataxSpec.crashGate.set(0)
       val crashy = spark.createDataFrame(
         emb.repartition(1).rdd.mapPartitions { it =>
           if (DataxSpec.crashGate.incrementAndGet() >= 2)
-            throw new RuntimeException("injected crash before build_meta")
+            throw new RuntimeException("injected crash in staged build_meta")
           it
         }, emb.schema)
       // eager checkpoint: the write face overwrites the very files this
       // frame would lazily re-read
-      val centroids = spark.read.parquet(s"$dir/centroids.parquet")
+      val centroids = spark.read.parquet(
+          Similarity.sidecarPath(spark, dir, "centroids.parquet"))
         .localCheckpoint(eager = true)
       val ex = intercept[Throwable] {
         Similarity.ivfIndexWriteWith(crashy, dir, centroids)
@@ -2445,38 +2591,160 @@ class DataxSpec extends AnyFunSuite {
       val chain = Iterator.iterate(ex: Throwable)(_.getCause)
         .takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-      assert(chain.contains("injected crash before build_meta"), s"got:\n$chain")
-      // the rename committed rows + token atomically: the increment
-      // rows are declared absorbed from this instant, meta or not —
-      // and no separate marker file was ever needed
-      assert(exists("assigned.parquet/_inc_consumed_upto"),
-        "the consumed token must ride the row-table rename")
-      assert(!exists("assigned.parquet.staging"), "staging was renamed away")
-      assert(!exists("_inc_clear_pending"),
-        "the new protocol writes no pending marker")
-      assert(exists("assigned_inc.parquet"),
-        "the physical clear itself has not run yet")
-      // readers skip the consumed increment: the probe equals a CLEAN
-      // full rebuild under the same quantizer (a tokenless crash here
-      // would double-count every shard row against the new base)
-      val queries = emb.filter($"vec_id" < 8)
-      def probe(d: String) = Similarity.ivfTopKIndexed(spark, d, queries,
-        k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
-      Similarity.ivfIndexWriteWith(emb, clean, centroids)
-      assert(probe(dir) == probe(clean),
-        "consumed increment rows must be invisible to probes")
-      // the next maintenance poll heals: the absorbed batches are
-      // physically dropped (huge thresholds: heal, not rebuild)
+      assert(chain.contains("injected crash in staged build_meta"),
+        s"got:\n$chain")
+      // the crash hit BEFORE the point of no return: the staging (rows
+      // + geometry, no token yet) is debris; the final table is the
+      // PRIOR build, whole — serving view, quality record, and
+      // increment visibility all unchanged
+      assert(exists("assigned.parquet.staging"), "crash debris remains")
+      assert(exists("assigned.parquet"), "the prior table is untouched")
+      assert(probe(dir) == preCrash,
+        "the serving view must be the pre-crash one")
+      assert(Similarity.ivfIndexStaleness(spark, dir) == preStaleness,
+        "built_n must still be the prior build's — the round-19 " +
+          "meta-rollback staleness skew is gone (meta commits with the " +
+          "rows it describes)")
+      // heal (any maintenance poll): the tokenless staging is
+      // discarded; the increment batch was never consumed, so it stays
       val m = Similarity.ivfIndexMaintain(spark, dir, emb,
         maxStaleness = 1e9, maxSkew = 1e9)
       assert(!m.rebuilt)
-      assert(!fs.exists(new org.apache.hadoop.fs.Path(
-          s"$dir/assigned_inc.parquet/batch=0")),
-        "maintenance must drop the absorbed batch dirs")
-      assert(probe(dir) == probe(clean), "healing changes no probe row")
+      assert(!exists("assigned.parquet.staging"),
+        "heal discards the tokenless staging")
+      assert(exists("assigned_inc.parquet/batch=0"),
+        "an unconsumed increment batch must survive the heal")
+      assert(probe(dir) == preCrash, "healing changes no probe row")
+      // the retry completes: ONE rename commits rows + geometry + meta
+      // + consumed token together, and the increment batch is absorbed
+      Similarity.ivfIndexWriteWith(emb, dir, centroids)
+      assert(exists("assigned.parquet/_inc_consumed_upto"),
+        "the consumed token rides the rename")
+      assert(exists("assigned.parquet/_graft/centroids.parquet") &&
+             exists("assigned.parquet/_graft/build_meta.parquet"),
+        "geometry and meta ride inside the committed table")
+      assert(Similarity.ivfIndexStaleness(spark, dir) == Some(0.0))
+      Similarity.ivfIndexWriteWith(emb, clean, centroids)
+      assert(probe(dir) == probe(clean),
+        "absorbed increment rows must be invisible to probes")
     } finally Seq(dir, clean).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
+
+  test("rebuild crash during the staged GEOMETRY write (round 20): new " +
+       "geometry can never sit over the old row table — the staged rows " +
+       "and geometry roll back together, bucket-vs-centroid pairing " +
+       "stays the prior build's") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-geomwin").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def exists(name: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$name"))
+    try {
+      // the prior build: a 16-bucket quantizer over half the corpus
+      Similarity.ivfIndexWrite(base, dir, nCentroids = 16)
+      val queries = emb.filter($"vec_id" < 8)
+      def probe() = Similarity.ivfTopKIndexed(spark, dir, queries,
+        k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+      val preCrash = probe()
+      // a DIFFERENT quantizer (32 buckets over the full corpus) whose
+      // frame survives exactly one traversal (the assign's broadcast
+      // collect) and crashes on the next (the staged geometry write).
+      // Under the round-19 protocol the geometry write preceded the
+      // commit as a SIBLING overwrite — this crash left the NEW
+      // 32-bucket quantizer over the OLD 16-bucket row table, probes
+      // silently mispaired; under the one-rename commit both are
+      // staged, so the crash rolls them back TOGETHER
+      DataxSpec.crashGate.set(0)
+      val newGeom = Similarity.ivfIndex(emb, nCentroids = 32)._1
+        .localCheckpoint(eager = true)
+      val crashyGeom = spark.createDataFrame(
+        newGeom.repartition(1).rdd.mapPartitions { it =>
+          if (DataxSpec.crashGate.incrementAndGet() >= 2)
+            throw new RuntimeException("injected crash in staged geometry")
+          it
+        }, newGeom.schema)
+      val ex = intercept[Throwable] {
+        Similarity.ivfIndexWriteWith(emb, dir, crashyGeom)
+      }
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+      assert(chain.contains("injected crash in staged geometry"),
+        s"got:\n$chain")
+      assert(exists("assigned.parquet.staging"), "crash debris remains")
+      // the pairing invariant: the served quantizer still has 16 rows
+      // and the probe view is byte-identical to the pre-crash build
+      assert(spark.read.parquet(
+          Similarity.sidecarPath(spark, dir, "centroids.parquet")).count()
+        == 16L, "the served quantizer must be the PRIOR build's")
+      assert(probe() == preCrash,
+        "geometry and rows must roll back together — never mixed")
+      // heal discards the tokenless staging; the view is unchanged
+      assert(!Similarity.ivfIndexMaintain(spark, dir, emb,
+        maxStaleness = 1e9, maxSkew = 1e9).rebuilt)
+      assert(!exists("assigned.parquet.staging"))
+      assert(probe() == preCrash, "healing changes no probe row")
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    }
+  }
+
+  test("pre-round-20 sibling-sidecar indexes read through the fallback " +
+       "and migrate to the in-table layout on their first rebuild, " +
+       "which sweeps the stale legacy copies") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def p(name: String) = new org.apache.hadoop.fs.Path(s"$dir/$name")
+    try {
+      // reconstruct the legacy layout exactly: build fresh, then move
+      // the in-table sidecars out to the pre-round-20 sibling paths
+      Similarity.pqIndexWriteResidual(emb, dir, nCentroids = 16)
+      Seq("centroids.parquet", "pq_codebook.parquet", "build_meta.parquet")
+        .foreach { n =>
+          assert(fs.rename(p(s"codes.parquet/_graft/$n"), p(n)),
+            s"legacy reconstruction failed for $n")
+        }
+      val queries = emb.filter($"vec_id" < 8)
+      def probe() = Similarity.ivfPqTopK(spark, dir, queries,
+        k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
+      // every read face resolves the legacy siblings (residual flag,
+      // quality record, geometry, staleness denominator)
+      val legacyView = probe()
+      assert(legacyView.nonEmpty)
+      assert(Similarity.ivfIndexStaleness(spark, dir) == Some(0.0))
+      assert(Similarity.sidecarPath(spark, dir, "build_meta.parquet")
+        == s"$dir/build_meta.parquet", "fallback resolves the sibling")
+      // a maintenance-fired rebuild (staleness 1.0 via an append of the
+      // same corpus under new ids) replays the recorded RESIDUAL
+      // construction and migrates the sidecars in-table
+      val shard = emb.withColumn("vec_id", $"vec_id" + 100000L)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      assert(Similarity.ivfIndexMaintain(spark, dir,
+        emb.unionByName(shard), maxStaleness = 0.5).rebuilt)
+      Seq("centroids.parquet", "pq_codebook.parquet", "build_meta.parquet")
+        .foreach { n =>
+          assert(fs.exists(p(s"codes.parquet/_graft/$n")),
+            s"$n must live in-table after the rebuild")
+          assert(!fs.exists(p(n)),
+            s"the stale legacy $n sibling must be swept")
+        }
+      assert(spark.read.parquet(
+          Similarity.sidecarPath(spark, dir, "build_meta.parquet"))
+        .select("residual").head().getBoolean(0),
+        "the residual record survives the migration")
+      assert(probe().nonEmpty)
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     }
   }
 

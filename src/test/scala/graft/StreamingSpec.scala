@@ -1498,8 +1498,12 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id", "embedding").localCheckpoint(eager = true)
     val rebuilt = s"$dir/rebuilt"
     Similarity.pqIndexWriteWith(survivors, rebuilt,
-      spark.read.parquet(s"$serving/centroids.parquet"),
-      spark.read.parquet(s"$serving/pq_codebook.parquet"))
+      spark.read.parquet(
+        Similarity.sidecarPath(spark, serving, "centroids.parquet"))
+        .localCheckpoint(eager = true),
+      spark.read.parquet(
+        Similarity.sidecarPath(spark, serving, "pq_codebook.parquet"))
+        .localCheckpoint(eager = true))
     val queries = embedVecs
     val a = Similarity.ivfPqTopK(spark, serving, queries, k = 2, nProbe = 2)
       .orderBy("query_id", "rank").collect().toSeq
