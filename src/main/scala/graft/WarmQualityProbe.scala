@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_QUERIES (default 32), SPARK_GRAFT_K (default 10),
   * SPARK_GRAFT_NPROBE (default 4), SPARK_GRAFT_CENTROIDS (default 16),
   * SPARK_GRAFT_LLOYD (default 2 — the recorded Lloyd count the warm
-  * fire re-runs from the stored centroids). */
+  * fire re-runs from the stored centroids), SPARK_GRAFT_RESIDUAL=1
+  * (build the RESIDUAL record via pqIndexWriteResidual instead — the
+  * layout whose codebook genuinely depends on the quantizer, so warm
+  * vs cold can differ in encode error, not just recall; the raw
+  * layout's codebook trains on raw vectors and is warm/cold-identical
+  * by construction). */
 object WarmQualityProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,6 +39,7 @@ object WarmQualityProbe {
     val nProbe = sys.env.getOrElse("SPARK_GRAFT_NPROBE", "4").toInt
     val nC = sys.env.getOrElse("SPARK_GRAFT_CENTROIDS", "16").toInt
     val lloyd = sys.env.getOrElse("SPARK_GRAFT_LLOYD", "2").toInt
+    val residual = sys.env.get("SPARK_GRAFT_RESIDUAL").contains("1")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,15 +74,22 @@ object WarmQualityProbe {
     val dirC = java.nio.file.Files.createTempDirectory("graft-warmq-c").toString
     val dirJit = java.nio.file.Files.createTempDirectory("graft-warmq-jit").toString
     try {
+      def build(df: org.apache.spark.sql.DataFrame, d: String,
+                k: Int): Unit =
+        if (residual)
+          datax.Similarity.pqIndexWriteResidual(df, d, k,
+            kmeansIterations = lloyd)
+        else
+          datax.Similarity.pqIndexWriteKMeansParallel(df, d, k,
+            iterations = lloyd)
       // JIT/codegen warmup outside the timed sections
       val warmup = emb.orderBy("vec_id").limit(256).cache()
-      datax.Similarity.pqIndexWriteKMeansParallel(warmup, dirJit, nCentroids = 8)
+      build(warmup, dirJit, 8)
       datax.Similarity.ivfIndexMaintain(spark, dirJit, warmup,
         maxStaleness = 0.0, warmStart = true)
       warmup.unpersist()
       // the recorded quality build + the shard append (staleness ~ 1/9)
-      datax.Similarity.pqIndexWriteKMeansParallel(base, dirW, nC,
-        iterations = lloyd)
+      build(base, dirW, nC)
       datax.Similarity.pqIndexAppend(spark, dirW, shard)
       clone(dirW, dirC)
       val (mW, tWarm) = timed {
@@ -89,10 +102,22 @@ object WarmQualityProbe {
       }
       require(mW.rebuilt && mC.rebuilt && !mW.warmFellBack,
         s"both staleness fires must rebuild (warm=$mW cold=$mC)")
-      def errOf(d: String): Double = datax.Similarity.encodeErrorSum(
-        emb, spark.read.parquet(
-          datax.Similarity.sidecarPath(spark, d, "pq_codebook.parquet")),
-        "embedding")
+      // the chooser's own objective, against each index's OWN stored
+      // geometry: raw layouts quantize raw vectors; residual layouts
+      // quantize `vec - assigned centroid` (their codebook trained on
+      // residuals — scoring it on raw vectors would be the wrong metric)
+      def errOf(d: String): Double = {
+        val book = spark.read.parquet(
+          datax.Similarity.sidecarPath(spark, d, "pq_codebook.parquet"))
+        if (residual) {
+          val cents = spark.read.parquet(
+              datax.Similarity.sidecarPath(spark, d, "centroids.parquet"))
+            .localCheckpoint(eager = true)
+          datax.Similarity.encodeErrorSum(
+            datax.Similarity.residualRows(emb, cents, "vec_id", "embedding"),
+            book, "vec")
+        } else datax.Similarity.encodeErrorSum(emb, book, "embedding")
+      }
       val exact = datax.Similarity.bruteForceTopK(emb, queries, k)
         .select(col("query_id"), col("id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -105,7 +130,8 @@ object WarmQualityProbe {
       val (errW, errC) = (errOf(dirW), errOf(dirC))
       val (recW, recC) = (recallOf(dirW), recallOf(dirC))
       println(
-        s"""{"metric":"warm_quality","n":$n,"centroids":$nC,"lloyd":$lloyd,""" +
+        s"""{"metric":"warm_quality","n":$n,"residual":$residual,""" +
+        s""""centroids":$nC,"lloyd":$lloyd,""" +
         s""""k":$k,"nprobe":$nProbe,"t_warm_sec":${f"$tWarm%.2f"},""" +
         s""""t_cold_sec":${f"$tCold%.2f"},"encode_err_warm":${f"$errW%.4f"},""" +
         s""""encode_err_cold":${f"$errC%.4f"},""" +

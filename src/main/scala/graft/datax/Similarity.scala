@@ -1482,7 +1482,7 @@ object Similarity {
     * tighter than raw vectors. One broadcast assign pass + one
     * scan-side zip_with; exact double subtraction, so the whole
     * residual pipeline stays oracle-replayable. */
-  private def residualRows(vectors: DataFrame, centroids: DataFrame,
+  private[graft] def residualRows(vectors: DataFrame, centroids: DataFrame,
                            idCol: String, vecCol: String): DataFrame =
     ivfAssign(vectors, centroids, idCol, vecCol)
       .join(broadcast(centroids), "centroid_id")
@@ -2731,8 +2731,19 @@ object Similarity {
     * CURRENT centroids instead of re-running the recorded seeding from
     * scratch. A quality fire costs ~2x a stride fire (SCALE.md) and
     * most of that is the seed construction; centroids that start near
-    * a fixed point converge in fewer effective passes at equal
-    * quality, and the quality record is written UNCHANGED so any later
+    * a fixed point converge in fewer effective passes, and the
+    * quality A/B (WarmQualityProbe, round 20 — sf0.1 and a 10x
+    * ScaleData corpus) measured what "equal quality" means per layout:
+    * on RAW layouts the stored codebook is BIT-IDENTICAL warm vs cold
+    * (it trains on raw vectors, independent of the quantizer —
+    * spec-pinned), encode error exactly equal, probe recall equal
+    * within noise, fires 9-43% cheaper on kmeans|| records; on
+    * RESIDUAL records the codebook trains against each fire's own
+    * quantizer and the warm one measured ~5-6% HIGHER encode error
+    * with NO wall saving (stride seeds cost nothing to re-run) — keep
+    * warmStart off for residual stride records; the spec bounds the
+    * drift at 1.25x if a caller flips it anyway. The quality record
+    * is written UNCHANGED either way, so any later
     * cold fire (or geometry change, which forces an explicit rebuild
     * anyway) still replays the full recorded construction. The auto
     * chooser is excluded (re-running the decision procedure IS its

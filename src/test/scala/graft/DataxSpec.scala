@@ -2480,6 +2480,93 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
+  test("warm-start QUALITY contract (round 20, measured not asserted): a " +
+       "raw-layout warm fire stores a codebook BIT-IDENTICAL to the cold " +
+       "fire's (trained on raw vectors, independent of the quantizer), so " +
+       "encode error is exactly equal; a residual-record warm fire stays " +
+       "within tolerance of cold on ITS chooser objective") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val base = emb.filter($"vec_id" % 10 =!= 3)
+    val shard = emb.filter($"vec_id" % 10 === 3) // staleness ~1/9 -> fires
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def fresh() = {
+      val d = java.nio.file.Files.createTempDirectory("graft-warmq").toString
+      dirs += d; d
+    }
+    def clone(src: String): String = {
+      val d = fresh()
+      val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+      fs.listStatus(new org.apache.hadoop.fs.Path(src)).foreach { s =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new org.apache.hadoop.fs.Path(d, s.getPath.getName), false, conf)
+      }
+      d
+    }
+    def bookOf(d: String) = spark.read.parquet(
+        Similarity.sidecarPath(spark, d, "pq_codebook.parquet"))
+      .orderBy("sub", "cid").collect().toSeq
+    try {
+      // RAW kmeans|| record, Lloyd >= 1 (the warm path genuinely
+      // refines): the codebook trains on the corpus's raw vectors on
+      // BOTH paths — identical inputs, identical deterministic
+      // training, identical book. Equal encode error follows without a
+      // tolerance (WarmQualityProbe measured the same bit-equality at
+      // sf0.1 and a 10x ScaleData corpus, with recall parity).
+      val w = fresh()
+      Similarity.pqIndexWriteKMeansParallel(base, w, nCentroids = 16,
+        iterations = 2)
+      Similarity.ivfIndexAppendBatch(spark, w, shard, 0L)
+      val c = clone(w)
+      assert(Similarity.ivfIndexMaintain(spark, w, emb,
+        maxStaleness = 0.05, warmStart = true).rebuilt)
+      assert(Similarity.ivfIndexMaintain(spark, c, emb,
+        maxStaleness = 0.05, warmStart = false).rebuilt)
+      assert(bookOf(w) == bookOf(c),
+        "raw layout: the warm fire's codebook must be bit-identical to " +
+          "the cold fire's")
+      // RESIDUAL stride record: the codebook trains on residuals
+      // against each fire's own quantizer, so warm CAN differ —
+      // measured +5-6% encode error at sf0.1 and 10x (and no wall
+      // saving, stride seeds being free): the knob's scaladoc steers
+      // residual records cold; this pin bounds the drift if a caller
+      // flips it anyway (deterministic fixture => fixed ratio; 1.25 is
+      // headroom for fixture regeneration, not run-to-run noise)
+      val rw = fresh()
+      Similarity.pqIndexWriteResidual(base, rw, nCentroids = 16,
+        kmeansIterations = 2)
+      Similarity.ivfIndexAppendBatch(spark, rw, shard, 0L)
+      val rc = clone(rw)
+      assert(Similarity.ivfIndexMaintain(spark, rw, emb,
+        maxStaleness = 0.05, warmStart = true).rebuilt)
+      assert(Similarity.ivfIndexMaintain(spark, rc, emb,
+        maxStaleness = 0.05, warmStart = false).rebuilt)
+      def residualErrOf(d: String): Double = {
+        val cents = spark.read.parquet(
+            Similarity.sidecarPath(spark, d, "centroids.parquet"))
+          .localCheckpoint(eager = true)
+        Similarity.encodeErrorSum(
+          Similarity.residualRows(emb, cents, "vec_id", "embedding"),
+          spark.read.parquet(
+            Similarity.sidecarPath(spark, d, "pq_codebook.parquet")),
+          "vec")
+      }
+      val (errW, errC) = (residualErrOf(rw), residualErrOf(rc))
+      assert(errW > 0 && errC > 0)
+      assert(errW <= errC * 1.25,
+        f"residual warm fire drifted past tolerance: warm $errW%.2f vs " +
+          f"cold $errC%.2f")
+      assert(spark.read.parquet(
+          Similarity.sidecarPath(spark, rw, "build_meta.parquet"))
+        .select("residual").head().getBoolean(0),
+        "the residual record survives the warm fire")
+    } finally dirs.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    }
+  }
+
   test("warm-start skew-only futility fallback (round 20): a warm Lloyd " +
        "refinement at its fixed point cannot move skew — the SAME fire " +
        "falls back to the recorded cold construction; staleness-driven " +
