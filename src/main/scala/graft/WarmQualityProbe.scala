@@ -128,6 +128,10 @@ object WarmQualityProbe {
         (got intersect exact).size.toDouble / exact.size
       }
       val (errW, errC) = (errOf(dirW), errOf(dirC))
+      // a degenerate corpus can reconstruct exactly (errC == 0); emit a
+      // JSON-parseable null rather than a bare NaN/Infinity token
+      val errRatio =
+        if (errC > 0) f"${errW / errC}%.4f" else "null"
       val (recW, recC) = (recallOf(dirW), recallOf(dirC))
       println(
         s"""{"metric":"warm_quality","n":$n,"residual":$residual,""" +
@@ -135,7 +139,7 @@ object WarmQualityProbe {
         s""""k":$k,"nprobe":$nProbe,"t_warm_sec":${f"$tWarm%.2f"},""" +
         s""""t_cold_sec":${f"$tCold%.2f"},"encode_err_warm":${f"$errW%.4f"},""" +
         s""""encode_err_cold":${f"$errC%.4f"},""" +
-        s""""err_ratio_warm_over_cold":${f"${errW / errC}%.4f"},""" +
+        s""""err_ratio_warm_over_cold":$errRatio,""" +
         s""""recall_warm":${f"$recW%.4f"},"recall_cold":${f"$recC%.4f"},""" +
         s""""sf":"$sfDir"}""")
     } finally {

@@ -1048,7 +1048,7 @@ object Similarity {
       s"$dir holds a pqIndexWrite layout ($table) — use pqIndexAppend " +
         "(or the layout-aware ivfIndexAppendBatch), not ivfIndexAppend")
     val centroids = spark.read.parquet(
-      sidecarPath(spark, dir, "centroids.parquet"))
+      sidecarPath(spark, dir, "centroids.parquet", table))
     ivfAssign(newVectors, centroids, idCol, vecCol)
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$dir/assigned.parquet")
@@ -1765,13 +1765,13 @@ object Similarity {
                         vecCol: String): (String, DataFrame) = {
     val table = rowTableOf(spark, dir)
     val centroids = spark.read.parquet(
-      sidecarPath(spark, dir, "centroids.parquet"))
+      sidecarPath(spark, dir, "centroids.parquet", table))
     val rows =
       if (table == "assigned.parquet")
         ivfAssign(newVectors, centroids, idCol, vecCol)
       else {
         val book = spark.read.parquet(
-          sidecarPath(spark, dir, "pq_codebook.parquet"))
+          sidecarPath(spark, dir, "pq_codebook.parquet", table))
         if (residualFlagOf(spark, dir))
           residualCodeRows(residualRows(newVectors, centroids, idCol, vecCol),
             book)
@@ -1845,12 +1845,21 @@ object Similarity {
     * round-20 one-rename builds (preferred — it committed atomically with the
     * rows it describes), falling back to the legacy `<dir>/<name>`
     * sibling for pre-round-20 indexes. Callers that tolerate an absent
-    * sidecar check existence of the RESOLVED path. Package-visible so
-    * specs inspect stored geometry through the same resolution. */
+    * sidecar check existence of the RESOLVED path. `table` (when the
+    * caller already resolved the layout — probe faces know theirs,
+    * maintenance computed [[rowTableOf]]) skips probing the other
+    * table's path: one metadata RPC per resolution instead of two,
+    * which matters on object stores where each exists is a round trip
+    * (round-20 review). Package-visible so specs inspect stored
+    * geometry through the same resolution. */
   private[graft] def sidecarPath(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String, name: String): String = {
+                                 dir: String, name: String,
+                                 table: String = null): String = {
     val conf = spark.sessionState.newHadoopConf()
-    Seq("assigned.parquet", "codes.parquet").iterator
+    val candidates =
+      if (table != null) Seq(table)
+      else Seq("assigned.parquet", "codes.parquet")
+    candidates.iterator
       .map(t => new org.apache.hadoop.fs.Path(s"$dir/$t/${inTableName(name)}"))
       .find(p => p.getFileSystem(conf).exists(p))
       .map(_.toString)
@@ -2018,9 +2027,18 @@ object Similarity {
     * next to the corpus the caller materialized; an append racing a
     * rebuild would get its batch stamped consumed while its rows miss
     * the corpus — rows silently dropped from serving with no loud
-    * failure. Concurrent READERS are sanctioned (they see the old
-    * build, then the new one; mid-rename they can fail loudly on a
-    * missing table, never read a torn one). */
+    * failure. Concurrent READERS get per-READ atomicity, not per-CALL:
+    * each individual open resolves a whole build (old or new — never a
+    * torn table; a listing that raced the rename fails loudly on the
+    * missing files), but a multi-action read face that spans the
+    * commit — [[ivfPqTopK]] collects geometry, THEN scans codes — can
+    * pair the old build's geometry with the new build's rows, silently
+    * mispairing buckets. The in-table sidecars (round 20) shrink that
+    * window to the one rename but cannot close it in place:
+    * single-call coherence under concurrent rebuilds needs a
+    * snapshot/versioned layout (the same lakehouse tier as the
+    * rename-as-copy caveat above). Probe against a quiesced or cloned
+    * dir when a rebuild may be in flight. */
   private def commitRowTable(spark: org.apache.spark.sql.SparkSession,
                              dir: String, table: String)
                             (write: String => Unit): Unit = {
@@ -2028,8 +2046,19 @@ object Similarity {
     val old = new org.apache.hadoop.fs.Path(s"$dir/$table.old")
     val fs = fin.getFileSystem(spark.sessionState.newHadoopConf())
     // snapshot what this rebuild consumes BEFORE any write: the
-    // caller's corpus contains these rows (the full-corpus contract)
-    val consumed = maxIncBatchId(spark, dir, table)
+    // caller's corpus contains these rows (the full-corpus contract).
+    // MONOTONE over the current table's committed token (round-20
+    // review finding): a rebuild that runs right after another — the
+    // warm futility fallback's second fire is the in-code instance —
+    // sees the increment dirs already cleared (maxIncBatchId = -1); a
+    // raw snapshot would stamp -1 = "nothing consumed" and a late
+    // at-least-once replay of a batch the FIRST rebuild absorbed would
+    // land visible, double-counting against a base that already holds
+    // its rows. Batches under the old token are in the old base, the
+    // old base is in this caller's corpus — carrying the old cutoff
+    // forward is exact, not conservative.
+    val consumed = math.max(maxIncBatchId(spark, dir, table),
+      rowTableConsumedUpTo(spark, dir, table).getOrElse(-1L))
     val staging = new org.apache.hadoop.fs.Path(s"$dir/$table.staging")
     if (fs.exists(staging)) { fs.delete(staging, true); () } // stale attempt
     if (fs.exists(old)) { fs.delete(old, true); () } // prior rebuild's garbage
@@ -2157,7 +2186,15 @@ object Similarity {
     * drops (the [[graft.streaming.DedupStream]] protocol, applied to
     * the serving index; spec drives the crash-between-writes window).
     * Requires a deterministic shard per batchId, which Structured
-    * Streaming's offset replay provides.
+    * Streaming's offset replay provides. Batch ids are MONOTONE per
+    * index dir, ACROSS rebuilds (round 20): every rebuild's committed
+    * consumed-cutoff token carries the prior cutoff forward
+    * ([[commitRowTable]] stamps `max(visible batches, current
+    * token)`), so an id at or below a past cutoff is permanently
+    * "absorbed" — replaying it lands invisible (the protection), and
+    * reusing it for NEW data silently drops that data. New data in an
+    * existing dir takes fresh ids, exactly as streaming epoch ids
+    * behave; resetting the id space means a fresh index dir.
     *
     * Probe and maintenance faces read base UNION increment
     * ([[servingRows]]) with directory pruning intact on both sides
@@ -2257,9 +2294,9 @@ object Similarity {
                 queries: DataFrame, k: Int, nProbe: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = spark.read.parquet(
-      sidecarPath(spark, dir, "centroids.parquet"))
+      sidecarPath(spark, dir, "centroids.parquet", "codes.parquet"))
     val book = collectCodebook(spark.read.parquet(
-      sidecarPath(spark, dir, "pq_codebook.parquet")))
+      sidecarPath(spark, dir, "pq_codebook.parquet", "codes.parquet")))
     val m = book.length
     require(m >= 1, "empty codebook")
     val dsub = book.head.head.length
@@ -2505,16 +2542,33 @@ object Similarity {
         // NO cache at all. The single overwrite-rename either commits
         // our candidate or throws with the committed cache untouched
         // (a swept tmp throws FileNotFound into the advisory catch).
-        org.apache.hadoop.fs.FileContext
+        // Stores with no AbstractFileSystem binding (FileContext
+        // unsupported — some object-store deployments configure only
+        // fs.<scheme>.impl) fall back to delete-then-rename rather
+        // than silently never committing a cache again: the fallback
+        // reopens the benign no-cache-window race, never a wrong count.
+        try org.apache.hadoop.fs.FileContext
           .getFileContext(fs.getUri, fs.getConf)
           .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            if (fs.exists(p)) { fs.delete(p, false); () }
+            if (!fs.rename(tmp, p)) throw new java.io.IOException(
+              s"row-cache fallback rename $tmp -> $p failed")
+        }
       } finally { if (fs.exists(tmp)) { fs.delete(tmp, false) }; () }
       // sweep crash-orphaned tmps from prior writers (tiny files; the
       // parent is the index dir root, a handful of entries) — AGE-GATED
       // to tmps last written before this writer started (round-20 fix:
-      // an unconditional sweep ate a CONCURRENT poller's in-flight tmp;
-      // anything older than our start can only be a crashed writer's,
-      // since a live one commits or self-deletes within its own run)
+      // an unconditional sweep ate a CONCURRENT poller's in-flight tmp).
+      // The gate is a heuristic, not a guarantee: on local fs mtime
+      // tracks the last write, so a live writer's tmp postdates our
+      // start; on stores that stamp mtime at create, a slow concurrent
+      // writer's tmp can still be swept — its overwrite-rename then
+      // throws FNF into the advisory catch and ONLY its refresh is
+      // lost (the committed cache survives; the next poll rebuilds).
+      // Losing one advisory refresh is the accepted cost; destroying
+      // the committed cache (the round-19 hole) is not possible here.
       fs.listStatus(p.getParent).foreach { s =>
         if (s.getPath.getName.startsWith(p.getName + ".tmp-") &&
             s.getModificationTime < startMs) {
@@ -2801,7 +2855,7 @@ object Similarity {
     if (fire) {
       val table = rowTableOf(spark, dir)
       val k = spark.read.parquet(
-        sidecarPath(spark, dir, "centroids.parquet")).count().toInt
+        sidecarPath(spark, dir, "centroids.parquet", table)).count().toInt
       val q = qualityOf(spark, dir)
       // warm-start cannot serve a PURELY skew-driven fire when the
       // record's Lloyd count is 0: the warm quantizer is bit-identical
@@ -2851,7 +2905,7 @@ object Similarity {
         }
       } else {
         val book = collectCodebook(spark.read.parquet(
-          sidecarPath(spark, dir, "pq_codebook.parquet")))
+          sidecarPath(spark, dir, "pq_codebook.parquet", "codes.parquet")))
         val (m, ksub) = (book.length, book.head.length)
         if (q.seeding == "given" && !warm) warnGiven()
         if (q.auto) {
@@ -2968,7 +3022,7 @@ object Similarity {
                      queries: DataFrame, k: Int, nProbe: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = spark.read.parquet(
-      sidecarPath(spark, dir, "centroids.parquet"))
+      sidecarPath(spark, dir, "centroids.parquet", "assigned.parquet"))
     val probes = probeRank(queries, centroids, nProbe, idCol, vecCol)
       .localCheckpoint(eager = true)
     val probedIds = probes.select("centroid_id").distinct()

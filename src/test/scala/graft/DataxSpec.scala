@@ -1554,9 +1554,14 @@ class DataxSpec extends AnyFunSuite {
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_inc.parquet")))
       // the skew trigger reaches the same rebuild (forced via a tiny
       // bound); the RESIDUAL layout rebuilds through its own face —
-      // build_meta keeps the flag
+      // build_meta keeps the flag. Batch id 1, not 0: the consumed
+      // cutoff is MONOTONE per index dir across rebuilds (round 20 —
+      // the maintain fire above stamped batch 0 consumed, and even an
+      // explicit fresh build carries that forward, so a late replay of
+      // an absorbed batch can never double-count); NEW data in an
+      // existing dir takes fresh ids, as streaming epochs do
       Similarity.pqIndexWriteResidual(base, dir, nCentroids = 16)
-      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 1L)
       val viaSkew = Similarity.ivfIndexMaintain(spark, dir, emb,
         maxStaleness = Double.MaxValue, maxSkew = 1.0)
       assert(viaSkew.rebuilt)
@@ -2614,6 +2619,19 @@ class DataxSpec extends AnyFunSuite {
           Similarity.sidecarPath(spark, dir, "build_meta.parquet"))
         .select("seeding").head().getString(0) == "reservoir",
         "the quality record survives the fallback")
+      // the consumed token survives the SECOND rebuild of the same fire
+      // (round-20 review finding): the fallback commits with the
+      // increment dirs already cleared, so a raw snapshot would stamp
+      // "nothing consumed" — the commit carries the first rebuild's
+      // cutoff forward instead, and a late at-least-once replay of the
+      // absorbed batch lands invisible, exactly as after a single fire
+      val postFire = probe(dir)
+      Similarity.ivfIndexAppendBatch(spark, dir, shard, 0L) // late replay
+      assert(probe(dir) == postFire,
+        "a replayed consumed batch must stay invisible after the " +
+          "fallback's second rebuild")
+      assert(Similarity.ivfIndexStaleness(spark, dir) == Some(0.0),
+        "the replayed batch must not read as fresh appended rows")
       // a STALENESS-driven warm fire keeps the warm path (re-encode is
       // the point there; geometry movement is not) — no fallback even
       // though this corpus's warm quantizer is equally immobile
