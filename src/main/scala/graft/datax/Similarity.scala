@@ -170,16 +170,86 @@ object Similarity {
       .select("query_id", "rank", "id", "cosine")
   }
 
-  /** Nearest-centroid assignment: centroids broadcast, best by
-    * (cosine desc, centroid_id asc). */
+  /** A centroid table pulled to the driver — the K-bounded collect every
+    * centroid operator here already budgets for ([[centroidsFor]] clamps
+    * K at 4096; [[lloyd]] collects the table per round, the probe faces
+    * broadcast it). One collect feeds every consumer: the assignment
+    * literal, the geometry write, the residual lookup. */
+  private final case class LocalCentroids(
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType) {
+    private val cidIx = schema.fieldIndex("centroid_id")
+    private val vecIx = schema.fieldIndex("cvec")
+    /** (cid, cvec) ascending by cid — the deterministic literal order. */
+    val sorted: Array[(Long, Seq[Double])] = rows.map { r =>
+      val cid = r.get(cidIx) match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case x => throw new IllegalArgumentException(
+          s"centroid_id must be integral, got $x")
+      }
+      (cid, r.getSeq[Double](vecIx))
+    }.sortBy(_._1)
+    def isEmpty: Boolean = rows.isEmpty
+    def cidType: org.apache.spark.sql.types.DataType = schema(cidIx).dataType
+    /** (cvec, cid, ix) literal entries, cid-ascending: plan-size O(1) in
+      * K — the centroids ride as ONE array literal (data, not code), so
+      * there is no codegen blowup at the K=4096 clamp. */
+    def entriesLit: Column = typedLit(sorted.zipWithIndex.map {
+      case ((cid, vec), ix) => (vec, cid, ix)
+    }.toSeq)
+    /** cid-ascending centroid vectors, for positional (ix) lookup. */
+    def vecsLit: Column = typedLit(sorted.map(_._2).toSeq)
+    /** The collected rows as a local frame (for geometry writes) —
+      * schema, types and values exactly the source table's. */
+    def df(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private def localCentroids(centroids: DataFrame): LocalCentroids =
+    LocalCentroids(centroids.collect(), centroids.schema)
+
+  /** The winning (cosine, centroid) struct of one row against a collected
+    * centroid table: max cosine, exact ties to the LOWEST centroid_id —
+    * `element_at(-1)` of the ascending `array_sort` over (sim, -cid)
+    * structs reproduces the former window's (sim DESC, cid ASC) pick
+    * bit-exactly, degenerate orderings included (Spark's total order in
+    * BOTH forms: NaN sorts largest, null smallest). Fields: s (cosine),
+    * nc (-cid, the unique tiebreak), cid, ix (0-based slot in the
+    * cid-ascending literal, for positional cvec lookup). */
+  private def bestCentroid(vec: Column, lc: LocalCentroids): Column =
+    element_at(array_sort(transform(lc.entriesLit, c =>
+      struct(
+        (dot(vec, c.getField("_1")) / (norm(vec) * norm(c.getField("_1"))))
+          .as("s"),
+        (-c.getField("_2")).as("nc"),
+        c.getField("_2").as("cid"),
+        c.getField("_3").as("ix")))), -1)
+
+  /** Nearest-centroid assignment: centroids collected once and applied
+    * scan-side as a literal-array argmax — best by (cosine desc,
+    * centroid_id asc), bit-identical to the former broadcast-crossJoin +
+    * row_number form (see [[bestCentroid]] for the tie/NaN/null
+    * argument).
+    *
+    * Why (round 20, guide §2.4): the window form shuffled K COPIES of
+    * every vector through one Exchange — the crossJoin expansion had to
+    * cross hashpartitioning(id) before row_number could pick the winner
+    * — 16x the corpus bytes through the wire at K=16 for what is a
+    * per-row argmax. This form shuffles NOTHING: every assign pass
+    * (builds, appends, every Lloyd round) is now a single scan. */
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame =
-    v.crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"), col("centroid_id"),
-        cosine(col("vec"), col("cvec")).as("_sim"))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy("id").orderBy(col("_sim").desc, col("centroid_id").asc)))
-      .filter(col("_rn") === 1)
-      .select("id", "vec", "centroid_id")
+    assignLocal(v, localCentroids(centroids))
+
+  private def assignLocal(v: DataFrame, lc: LocalCentroids): DataFrame =
+    if (lc.isEmpty)
+      // zero centroids -> zero assigned rows (the crossJoin identity)
+      v.filter(lit(false)).select(col("id"), col("vec"),
+        lit(null).cast(lc.cidType).as("centroid_id"))
+    else
+      v.select(col("id"), col("vec"),
+        bestCentroid(col("vec"), lc).getField("cid").cast(lc.cidType)
+          .as("centroid_id"))
 
   /** Per-class centroids from a labeled embedding table: one row per
     * (label, dim) with the dimension mean — the nearest-class-mean /
@@ -386,20 +456,27 @@ object Similarity {
     require(centers.nonEmpty, "cannot seed from an empty corpus")
     val l = oversample * nCentroids
     for (r <- 1 to rounds) {
-      // per-point cost with the centers as broadcast DATA (round 18 —
-      // see scaladoc): plan size O(1) in |centers|, bit-identical per
-      // point to the literal-fold form it replaced
-      val centersDF = broadcast(centers.toDF("centroid_id", "cvec"))
-      val costs = v.crossJoin(centersDF)
-        .select(col("id"), sqDistCols(col("vec"), col("cvec")).as("_d2"))
-        .groupBy("id").agg(min("_d2").as("_cost"))
-      val psi = costs.agg(sum("_cost")).head().getDouble(0)
+      // per-point cost with the centers as one array LITERAL (round 20
+      // — the centers are already a driver-held Seq): min over the
+      // per-center [[sqDistCols]] folds, evaluated scan-side. The
+      // round-18 centers-as-data form crossJoined the corpus against a
+      // broadcast centers frame and shuffled every (id, d2) row into a
+      // groupBy(id).min — a |centers|x row expansion plus an Exchange
+      // per round for what is a per-row minimum; this form shuffles
+      // nothing (array_min shares min's ordering: NaN greatest, so the
+      // per-point cost is bit-identical). Plan size stays O(1) in
+      // |centers| (one literal). The pick pass then re-derives the
+      // cost inline instead of joining the cost table back against v —
+      // same rows, one scan, no join (psi is a driver scalar between
+      // the two, so the two passes cannot fuse further).
+      val costOf = array_min(transform(typedLit(centers.map(_._2)),
+        c => sqDistCols(col("vec"), c)))
+      val psi = v.select(costOf.as("_cost")).agg(sum("_cost"))
+        .head().getDouble(0)
       if (psi > 0) {
         val known = centers.map(_._1).toSet
-        val pickedIds = costs
-          .filter(hashUniform(seed, s"r$r", col("id")) * psi < col("_cost") * l)
-          .select("id")
-        val picked = v.join(broadcast(pickedIds), Seq("id"))
+        val picked = v
+          .filter(hashUniform(seed, s"r$r", col("id")) * psi < costOf * l)
           .select("id", "vec").as[(Long, Seq[Double])].collect()
           .filterNot(p => known.contains(p._1))
         centers = centers ++ picked.sortBy(_._1)
@@ -977,14 +1054,24 @@ object Similarity {
     // geometry, the build_meta record (built_n = the staleness
     // denominator + the construction-quality record ivfIndexMaintain
     // replays, round 18), and the consumed-cutoff token all land in
-    // the staging dir and commit in one rename — see commitRowTable
+    // the staging dir and commit in one rename — see commitRowTable.
+    // ONE quantizer evaluation + ONE corpus pass (round 20, guide §1.2):
+    // the centroid subtree is collected once and feeds both the
+    // assignment literal and the geometry write (it used to re-run per
+    // consumer), and built_n rides the assign write itself via
+    // observe() — rows written == corpus rows, one per vector — where
+    // it used to be a third full vectors.count() pass.
+    val lc = localCentroids(centroids)
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    val obs = org.apache.spark.sql.Observation()
     commitRowTable(spark, dir, "assigned.parquet") { staging =>
-      ivfAssign(vectors, centroids, idCol, vecCol)
+      assignLocal(v, lc).observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
-      centroids.write.mode("overwrite")
+      lc.df(spark).write.mode("overwrite")
         .parquet(s"$staging/${inTableName("centroids.parquet")}")
       import spark.implicits._
-      Seq((vectors.count(), quality.seeding, quality.kmeansIterations,
+      Seq((obs.get("n").asInstanceOf[Long], quality.seeding,
+          quality.kmeansIterations,
           quality.rounds, quality.oversample, quality.seed,
           quality.pqKmeansIterations, quality.pqChunkIds, quality.auto,
           quality.sampleMultiple))
@@ -1160,22 +1247,27 @@ object Similarity {
     val chunk = resolveChunkIds(vectors, idCol, chunkIds)
     val dsub = probeDimOf(vectors, vecCol, m)
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
-    // (id, sub, svec) slice rows — the per-subspace training set, built
-    // once and shared by every round's mean step
-    val slices = v
-      .select(col("id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
-        col("vec"))
-      .select(col("id"), col("sub"),
-        slice(col("vec"), col("sub") * dsub + 1, lit(dsub)).as("svec"))
     var book = pqCentroids(vectors, m, ksub, idCol, vecCol)
     for (_ <- 0 until iterations) {
       // assignment IS the encoder (same distance, same first-min tie
-      // rule), so refined books keep the pqEncode contract by
-      // construction
-      val codes = pqEncode(vectors, book, idCol, vecCol)
-      val cells = codes.join(slices, Seq("id", "sub"))
-        .select(col("sub"), col("code").as("cid"), col("id"),
-          posexplode(col("svec")).as(Seq("dim", "_x")))
+      // rule — the codesArray literal), so refined books keep the
+      // pqEncode contract by construction. Code and slice are emitted
+      // from ONE scan-side projection (round 20, guide §2.4): the
+      // former shape exploded codes, built a second (id, sub, svec)
+      // slice relation from its own scan, and shuffle-joined the two
+      // back together on (id, sub) — per round. Same (sub, cid, id,
+      // dim, _x) cells, zero joins, one scan.
+      val bookT = collectCodebook(book)
+      val perSub = array((0 until m).map { s =>
+        val sl = slice(col("vec"), s * dsub + 1, dsub)
+        val dists = array(bookT(s).map(c => sqDist(sl, c.toSeq)): _*)
+        struct((array_position(dists, array_min(dists)).cast("int") - 1)
+          .as("cid"), sl.as("svec"))
+      }: _*)
+      val cells = v
+        .select(col("id"), posexplode(perSub).as(Seq("sub", "_cs")))
+        .select(col("sub"), col("_cs").getField("cid").as("cid"), col("id"),
+          posexplode(col("_cs").getField("svec")).as(Seq("dim", "_x")))
       val cellMeans =
         if (chunk <= 0L)
           cells.groupBy("sub", "cid", "dim")
@@ -1237,6 +1329,29 @@ object Similarity {
         rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
       }.toArray
 
+  /** A codebook pulled to the driver ONCE (m x ksub rows), serving both
+    * consumers of a PQ build — the encode literal (tensor) and the
+    * sidecar write (df) — where the codebook subtree used to re-run per
+    * consumer (round 20). */
+  private final case class LocalCodebook(
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType) {
+    val tensor: Array[Array[Array[Double]]] = {
+      val subIx = schema.fieldIndex("sub")
+      val cidIx = schema.fieldIndex("cid")
+      val vecIx = schema.fieldIndex("cvec")
+      rows.groupBy(_.getInt(subIx)).toSeq.sortBy(_._1)
+        .map { case (_, rs) =>
+          rs.sortBy(_.getInt(cidIx)).map(_.getSeq[Double](vecIx).toArray).toArray
+        }.toArray
+    }
+    def df(spark: org.apache.spark.sql.SparkSession): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  private def localCodebook(codebook: DataFrame): LocalCodebook =
+    LocalCodebook(codebook.collect(), codebook.schema)
+
   /** Ordered-fold squared L2 between a sliced column and a literal
     * centroid: left fold over ascending dimensions — the bit-exact
     * cross-engine pattern (d08/d25). */
@@ -1262,21 +1377,30 @@ object Similarity {
     * vector. Scan-side: the codebook rides as literals, no join, no
     * shuffle. On normalized vectors squared-L2 order ≡ cosine order,
     * so PQ serves the cosine family unchanged ([[pqTopK]]). */
-  def pqEncode(vectors: DataFrame, codebook: DataFrame,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val book = collectCodebook(codebook)
+  /** The m PQ codes of one vector against a collected codebook, as one
+    * scan-side array column — [[pqEncode]]'s exact per-subspace rule
+    * (squared L2 folded over ascending dims; EXACT tie to the LOWEST
+    * cid via array_position's first-minimum). Shared by the exploded
+    * encode face and the stored-layout builders so every code is
+    * byte-rule-identical across faces. */
+  private def codesArray(vec: Column,
+                         book: Array[Array[Array[Double]]]): Column = {
     val m = book.length
     require(m >= 1, "empty codebook")
     val dsub = book.head.head.length
-    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
-    val codeCols = (0 until m).map { s =>
-      val sl = slice(col("vec"), s * dsub + 1, dsub)
+    array((0 until m).map { s =>
+      val sl = slice(vec, s * dsub + 1, dsub)
       val dists = array(book(s).map(c => sqDist(sl, c.toSeq)): _*)
-      (array_position(dists, array_min(dists)).cast("int") - 1).as(s"_c$s")
-    }
-    v.select(col("id") +: codeCols: _*)
-      .select(col("id"), posexplode(array((0 until m).map(s => col(s"_c$s")): _*))
-        .as(Seq("sub", "code")))
+      array_position(dists, array_min(dists)).cast("int") - 1
+    }: _*)
+  }
+
+  def pqEncode(vectors: DataFrame, codebook: DataFrame,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val book = collectCodebook(codebook)
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    v.select(col("id"),
+      posexplode(codesArray(col("vec"), book)).as(Seq("sub", "code")))
   }
 
   /** Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over a PQ
@@ -1445,19 +1569,36 @@ object Similarity {
   private def pqIndexWriteWithQ(vectors: DataFrame, dir: String,
                                 centroids: DataFrame, codebook: DataFrame,
                                 idCol: String, vecCol: String,
-                                quality: IndexQuality): Unit = {
+                                quality: IndexQuality): Unit =
+    pqIndexWriteWithQL(vectors, dir, localCentroids(centroids), codebook,
+      idCol, vecCol, quality)
+
+  private def pqIndexWriteWithQL(vectors: DataFrame, dir: String,
+                                 lc: LocalCentroids, codebook: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 quality: IndexQuality): Unit = {
     // one-rename whole-build commit (round 20): rows + geometry +
-    // codebook + build_meta + consumed token, one rename
-    commitRowTable(vectors.sparkSession, dir, "codes.parquet") { staging =>
-      pqCodeRows(vectors, centroids, codebook, idCol, vecCol)
+    // codebook + build_meta + consumed token, one rename.
+    // ONE evaluation each for quantizer and codebook + ONE corpus pass
+    // (round 20, guide §1.2): both small tables are collected once and
+    // feed the encode/assign literals AND their sidecar writes; built_n
+    // rides the codes write via observe() instead of a second full
+    // vectors.count() pass.
+    val spark = vectors.sparkSession
+    val lb = localCodebook(codebook)
+    val obs = org.apache.spark.sql.Observation()
+    commitRowTable(spark, dir, "codes.parquet") { staging =>
+      pqCodeRowsLocal(vectors, lc, lb.tensor, idCol, vecCol)
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
-      centroids.write.mode("overwrite")
+      lc.df(spark).write.mode("overwrite")
         .parquet(s"$staging/${inTableName("centroids.parquet")}")
-      codebook.write.mode("overwrite")
+      lb.df(spark).write.mode("overwrite")
         .parquet(s"$staging/${inTableName("pq_codebook.parquet")}")
-      writePqMeta(vectors, staging, codebook, residual = false, quality)
+      writePqMeta(spark, obs.get("n").asInstanceOf[Long], staging, lb.tensor,
+        residual = false, quality)
     }
-    clearIncTables(vectors.sparkSession, dir)
+    clearIncTables(spark, dir)
   }
 
   /** The stored codes-table rows for one corpus slice: (id, codes
@@ -1467,12 +1608,39 @@ object Similarity {
   private def pqCodeRows(vectors: DataFrame, centroids: DataFrame,
                          codebook: DataFrame, idCol: String,
                          vecCol: String): DataFrame =
-    pqEncode(vectors, codebook, idCol, vecCol)
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .join(ivfAssign(vectors, centroids, idCol, vecCol)
-        .select("id", "centroid_id"), "id")
+    pqCodeRowsLocal(vectors, localCentroids(centroids),
+      collectCodebook(codebook), idCol, vecCol)
+
+  /** [[pqCodeRows]] over collected geometry: the codes array AND the
+    * bucket assignment in ONE scan-side projection (round 20 — the
+    * former form exploded the codes, re-grouped them by id (a shuffle),
+    * and joined a SECOND full assign pass back on id (another shuffle);
+    * both shuffles and the second scan are gone, values and column
+    * order unchanged: codes ascend by sub exactly as the
+    * array_sort(collect_list) rebuild did). */
+  private def pqCodeRowsLocal(vectors: DataFrame, lc: LocalCentroids,
+                              book: Array[Array[Array[Double]]],
+                              idCol: String, vecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    if (lc.isEmpty)
+      v.filter(lit(false)).select(col("id"),
+        codesArray(col("vec"), book).as("codes"),
+        lit(null).cast(lc.cidType).as("centroid_id"))
+    else
+      v.select(col("id"),
+        codesArray(col("vec"), book).as("codes"),
+        bestCentroid(col("vec"), lc).getField("cid").cast(lc.cidType)
+          .as("centroid_id"))
+  }
+
+  /** Plan-audit face of [[pqCodeRows]] (the stored codes-table frame) —
+    * the private build pipeline exposed read-only so PlanDump can
+    * record its physical plan (the declared d09e/f/j entries hide it
+    * behind a lineage-cutting localCheckpoint). */
+  private[graft] def pqCodeRowsForPlan(vectors: DataFrame,
+                                       centroids: DataFrame,
+                                       codebook: DataFrame): DataFrame =
+    pqCodeRows(vectors, centroids, codebook, "vec_id", "embedding")
 
   /** Per-vector IVF residuals: (id, centroid_id, vec = vector MINUS its
     * assigned centroid) — the quantity textbook IVF-PQ (IVFADC, Jégou
@@ -1484,10 +1652,29 @@ object Similarity {
     * residual pipeline stays oracle-replayable. */
   private[graft] def residualRows(vectors: DataFrame, centroids: DataFrame,
                            idCol: String, vecCol: String): DataFrame =
-    ivfAssign(vectors, centroids, idCol, vecCol)
-      .join(broadcast(centroids), "centroid_id")
-      .select(col("id"), col("centroid_id"),
-        zip_with(col("vec"), col("cvec"), (x, y) => x - y).as("vec"))
+    residualRowsLocal(vectors, localCentroids(centroids), idCol, vecCol)
+
+  /** [[residualRows]] over a collected quantizer: assignment AND the
+    * centroid subtraction in ONE scan-side projection (round 20 — the
+    * former form paid the assign pass plus a broadcast re-join of the
+    * centroids just to fetch cvec back; [[bestCentroid]] already knows
+    * the winner's slot, so the subtraction reads the vector literal
+    * positionally). Values bit-identical: same cvec by cid, same exact
+    * double subtraction. */
+  private def residualRowsLocal(vectors: DataFrame, lc: LocalCentroids,
+                                idCol: String, vecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    if (lc.isEmpty)
+      v.filter(lit(false)).select(col("id"),
+        lit(null).cast(lc.cidType).as("centroid_id"), col("vec"))
+    else
+      v.select(col("id"), col("vec"), bestCentroid(col("vec"), lc).as("_best"))
+        .select(col("id"),
+          col("_best").getField("cid").cast(lc.cidType).as("centroid_id"),
+          zip_with(col("vec"),
+            element_at(lc.vecsLit, col("_best").getField("ix") + 1),
+            (x, y) => x - y).as("vec"))
+  }
 
   /** Residual-trained subspace codebook: [[pqCentroids]]' stride rule
     * applied to the RESIDUAL table of a given coarse quantizer. */
@@ -1501,11 +1688,17 @@ object Similarity {
     * the residual twin of [[pqCodeRows]]; the assignment rides the
     * residual frame, never recomputed. */
   private def residualCodeRows(res: DataFrame, codebook: DataFrame): DataFrame =
-    pqEncode(res, codebook, "id", "vec")
-      .groupBy("id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
-        s => s.getField("code")).as("codes"))
-      .join(res.select("id", "centroid_id"), "id")
+    residualCodeRowsLocal(res, collectCodebook(codebook))
+
+  /** [[residualCodeRows]] over a collected codebook: one projection over
+    * the residual frame — the assignment already rides `res`, so the
+    * former explode + re-group + join-back (two shuffles through the
+    * cache) collapses to a scan (round 20). */
+  private def residualCodeRowsLocal(res: DataFrame,
+                                    book: Array[Array[Array[Double]]]): DataFrame =
+    res.select(col("id"),
+      codesArray(toDouble(col("vec")), book).as("codes"),
+      col("centroid_id"))
 
   /** Persist the RESIDUAL-encoded IVF-PQ index (textbook IVFADC): same
     * layout and maintenance family as [[pqIndexWrite]], but the
@@ -1536,22 +1729,23 @@ object Similarity {
                            kmeansIterations: Int = 0,
                            pqKmeansIterations: Int = 0,
                            pqChunkIds: Long = 0L): Unit = {
-    val centroids =
+    val lc = localCentroids(
       if (kmeansIterations > 0)
         ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
-      else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
-    // cache: the residual subtree (broadcast assign + zip_with) feeds
-    // the codebook derivation, the encode scan, AND the assignment join
-    // — unpersisted it would re-run the assign pass per consumer
-    // (round-16 review finding)
-    val res = residualRows(vectors, centroids, idCol, vecCol).cache()
+      else ivfIndex(vectors, nCentroids, idCol, vecCol)._1)
+    // cache: the residual subtree (scan-side assign + zip_with) feeds
+    // the codebook derivation and the encode scan — unpersisted it
+    // would re-run the assign pass per consumer (round-16 review
+    // finding). The quantizer itself is collected ONCE above (round 20)
+    // and shared by the residual frame and the geometry write.
+    val res = residualRowsLocal(vectors, lc, idCol, vecCol).cache()
     try {
       val book =
         if (pqKmeansIterations > 0)
           pqCentroidsKMeans(res, m, ksub, pqKmeansIterations, "id", "vec",
             pqChunkIds)
         else pqCentroids(res, m, ksub, "id", "vec")
-      writeResidualLayout(vectors, dir, centroids, res, book,
+      writeResidualLayout(vectors, dir, lc, res, book,
         IndexQuality(kmeansIterations = kmeansIterations,
           pqKmeansIterations = pqKmeansIterations, pqChunkIds = pqChunkIds))
     } finally { res.unpersist(); () }
@@ -1561,21 +1755,28 @@ object Similarity {
     * [[pqIndexWriteResidual]] and [[pqIndexWriteAuto]] (which has the
     * centroids / residual frame / codebook already in hand). */
   private def writeResidualLayout(vectors: DataFrame, dir: String,
-                                  centroids: DataFrame, res: DataFrame,
+                                  lc: LocalCentroids, res: DataFrame,
                                   book: DataFrame,
                                   quality: IndexQuality): Unit = {
     // one-rename whole-build commit (round 20): rows + geometry +
-    // codebook + build_meta + consumed token, one rename
-    commitRowTable(vectors.sparkSession, dir, "codes.parquet") { staging =>
-      residualCodeRows(res, book)
+    // codebook + build_meta + consumed token, one rename; quantizer and
+    // codebook collected once each, built_n observed on the codes write
+    // (see pqIndexWriteWithQ)
+    val spark = vectors.sparkSession
+    val lb = localCodebook(book)
+    val obs = org.apache.spark.sql.Observation()
+    commitRowTable(spark, dir, "codes.parquet") { staging =>
+      residualCodeRowsLocal(res, lb.tensor)
+        .observe(obs, count(lit(1)).as("n"))
         .write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
-      centroids.write.mode("overwrite")
+      lc.df(spark).write.mode("overwrite")
         .parquet(s"$staging/${inTableName("centroids.parquet")}")
-      book.write.mode("overwrite")
+      lb.df(spark).write.mode("overwrite")
         .parquet(s"$staging/${inTableName("pq_codebook.parquet")}")
-      writePqMeta(vectors, staging, book, residual = true, quality)
+      writePqMeta(spark, obs.get("n").asInstanceOf[Long], staging, lb.tensor,
+        residual = true, quality)
     }
-    clearIncTables(vectors.sparkSession, dir)
+    clearIncTables(spark, dir)
   }
 
   /** Summed PQ encode error of `vectors` against `codebook`: per
@@ -1624,13 +1825,15 @@ object Similarity {
                        pqChunkIds: Long = 0L,
                        sampleMultiple: Int = 8): Boolean = {
     require(sampleMultiple >= 1, s"sampleMultiple=$sampleMultiple must be >= 1")
-    val centroids =
+    val lc = localCentroids(
       if (kmeansIterations > 0)
         ivfIndexKMeans(vectors, nCentroids, kmeansIterations, idCol, vecCol)._1
-      else ivfIndex(vectors, nCentroids, idCol, vecCol)._1
+      else ivfIndex(vectors, nCentroids, idCol, vecCol)._1)
     // the residual frame feeds the candidate book, the eval sample, and
-    // (if residual wins) the encode scan — cache like pqIndexWriteResidual
-    val res = residualRows(vectors, centroids, idCol, vecCol).cache()
+    // (if residual wins) the encode scan — cache like pqIndexWriteResidual;
+    // the quantizer is collected ONCE (round 20) and shared with the
+    // winning layout's geometry write
+    val res = residualRowsLocal(vectors, lc, idCol, vecCol).cache()
     try {
       def bookOf(v: DataFrame, idC: String, vecC: String): DataFrame =
         if (pqKmeansIterations > 0)
@@ -1661,9 +1864,9 @@ object Similarity {
       val quality = IndexQuality(kmeansIterations = kmeansIterations,
         pqKmeansIterations = pqKmeansIterations, pqChunkIds = pqChunkIds,
         auto = true, sampleMultiple = sampleMultiple)
-      if (residual) writeResidualLayout(vectors, dir, centroids, res, resBook,
+      if (residual) writeResidualLayout(vectors, dir, lc, res, resBook,
         quality)
-      else pqIndexWriteWithQ(vectors, dir, centroids, rawBook, idCol, vecCol,
+      else pqIndexWriteWithQL(vectors, dir, lc, rawBook, idCol, vecCol,
         quality)
       residual
     } finally { res.unpersist(); () }
@@ -1675,13 +1878,13 @@ object Similarity {
     * record [[ivfIndexMaintain]] replays (round 18). Written INTO the
     * staging dir (round 20) so it commits atomically with the rows it
     * describes. */
-  private def writePqMeta(vectors: DataFrame, staging: String,
-                          codebook: DataFrame, residual: Boolean,
+  private def writePqMeta(spark: org.apache.spark.sql.SparkSession,
+                          builtN: Long, staging: String,
+                          book: Array[Array[Array[Double]]],
+                          residual: Boolean,
                           quality: IndexQuality): Unit = {
-    val book = collectCodebook(codebook)
-    val spark = vectors.sparkSession
     import spark.implicits._
-    Seq((vectors.count(), book.length,
+    Seq((builtN, book.length,
         book.headOption.map(_.length).getOrElse(0), residual,
         quality.seeding, quality.kmeansIterations, quality.rounds,
         quality.oversample, quality.seed, quality.pqKmeansIterations,
@@ -2920,14 +3123,17 @@ object Similarity {
           val wc = warmCentroids(spark, dir, corpus, q.kmeansIterations,
             idCol, vecCol)
           if (residualFlagOf(spark, dir)) {
-            val res = residualRows(corpus, wc, idCol, vecCol).cache()
+            // warm quantizer collected once (round 20) — shared by the
+            // residual frame and the geometry write
+            val wcL = localCentroids(wc)
+            val res = residualRowsLocal(corpus, wcL, idCol, vecCol).cache()
             try {
               val bookR =
                 if (q.pqKmeansIterations > 0)
                   pqCentroidsKMeans(res, m, ksub, q.pqKmeansIterations,
                     "id", "vec", q.pqChunkIds)
                 else pqCentroids(res, m, ksub, "id", "vec")
-              writeResidualLayout(corpus, dir, wc, res, bookR, q)
+              writeResidualLayout(corpus, dir, wcL, res, bookR, q)
             } finally { res.unpersist(); () }
           } else {
             val bookW =

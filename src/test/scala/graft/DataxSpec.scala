@@ -2648,10 +2648,13 @@ class DataxSpec extends AnyFunSuite {
     }
   }
 
-  test("rebuild crash during the staged build_meta job (round 20 one-" +
-       "rename whole-build commit): the WHOLE build rolls back — rows, " +
-       "geometry, and the quality record stay the prior build's, the " +
-       "unconsumed increment batch stays visible, staleness never skews") {
+  test("one-pass whole-build commit (round 20): the corpus is traversed " +
+       "EXACTLY ONCE per rebuild (built_n rides the staged row write via " +
+       "observe() — the separate build_meta count job is gone), and a " +
+       "crash inside that one staged pass rolls the WHOLE build back — " +
+       "rows, geometry, and the quality record stay the prior build's, " +
+       "the unconsumed increment batch stays visible, staleness never " +
+       "skews") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select("vec_id", "embedding")
     val base = emb.filter($"vec_id" % 5 =!= 3)
@@ -2671,18 +2674,19 @@ class DataxSpec extends AnyFunSuite {
       val preCrash = probe(dir)
       val preStaleness = Similarity.ivfIndexStaleness(spark, dir)
       assert(preStaleness.exists(_ > 0), "the appended shard is visible")
-      // a corpus frame that survives exactly ONE full traversal (the
-      // assign + staged row-table write) and crashes on the next (the
-      // staged build_meta count job). Under the round-19 protocol this
-      // window committed rows WITHOUT meta — the build_meta rollback
-      // the verdict tracked; under the one-rename commit the meta job
-      // runs INSIDE the staging, BEFORE the point of no return, so the
-      // crash must roll the WHOLE build back
+      // a corpus frame that crashes DURING its (single) traversal — the
+      // staged row-table write. Round 19 had a second corpus traversal
+      // (the trailing build_meta count job) whose crash window rolled
+      // the quality record back to the prior build; round 20 removed
+      // the traversal itself (built_n = the observed row count of the
+      // staged write), so the only corpus-crash window left is inside
+      // the staging, BEFORE the point of no return — the crash must
+      // roll the WHOLE build back
       DataxSpec.crashGate.set(0)
       val crashy = spark.createDataFrame(
         emb.repartition(1).rdd.mapPartitions { it =>
-          if (DataxSpec.crashGate.incrementAndGet() >= 2)
-            throw new RuntimeException("injected crash in staged build_meta")
+          if (DataxSpec.crashGate.incrementAndGet() >= 1)
+            throw new RuntimeException("injected crash in staged row write")
           it
         }, emb.schema)
       // eager checkpoint: the write face overwrites the very files this
@@ -2696,7 +2700,7 @@ class DataxSpec extends AnyFunSuite {
       val chain = Iterator.iterate(ex: Throwable)(_.getCause)
         .takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-      assert(chain.contains("injected crash in staged build_meta"),
+      assert(chain.contains("injected crash in staged row write"),
         s"got:\n$chain")
       // the crash hit BEFORE the point of no return: the staging (rows
       // + geometry, no token yet) is debris; the final table is the
@@ -2721,8 +2725,27 @@ class DataxSpec extends AnyFunSuite {
         "an unconsumed increment batch must survive the heal")
       assert(probe(dir) == preCrash, "healing changes no probe row")
       // the retry completes: ONE rename commits rows + geometry + meta
-      // + consumed token together, and the increment batch is absorbed
-      Similarity.ivfIndexWriteWith(emb, dir, centroids)
+      // + consumed token together, and the increment batch is absorbed.
+      // The corpus frame is instrumented with a partition-traversal
+      // counter: the build must traverse it EXACTLY ONCE (the staged
+      // row write) — the round-20 contract that built_n is observed on
+      // that write, not re-counted by a second full pass
+      DataxSpec.crashGate.set(0)
+      val counted = spark.createDataFrame(
+        emb.repartition(1).rdd.mapPartitions { it =>
+          DataxSpec.crashGate.incrementAndGet()
+          it
+        }, emb.schema)
+      Similarity.ivfIndexWriteWith(counted, dir, centroids)
+      assert(DataxSpec.crashGate.get() == 1,
+        s"the corpus must be traversed exactly once per build, " +
+          s"saw ${DataxSpec.crashGate.get()} traversals")
+      // built_n still records the full corpus row count — the observed
+      // count is the same number the retired second pass produced
+      assert(spark.read.parquet(
+          Similarity.sidecarPath(spark, dir, "build_meta.parquet"))
+        .select("built_n").head().getLong(0) == emb.count(),
+        "built_n == corpus rows, via the observed row write")
       assert(exists("assigned.parquet/_inc_consumed_upto"),
         "the consumed token rides the rename")
       assert(exists("assigned.parquet/_graft/centroids.parquet") &&
@@ -2758,31 +2781,30 @@ class DataxSpec extends AnyFunSuite {
       def probe() = Similarity.ivfTopKIndexed(spark, dir, queries,
         k = 5, nProbe = 4).orderBy("query_id", "rank").collect().toSeq
       val preCrash = probe()
-      // a DIFFERENT quantizer (32 buckets over the full corpus) whose
-      // frame survives exactly one traversal (the assign's broadcast
-      // collect) and crashes on the next (the staged geometry write).
-      // Under the round-19 protocol the geometry write preceded the
-      // commit as a SIBLING overwrite — this crash left the NEW
-      // 32-bucket quantizer over the OLD 16-bucket row table, probes
-      // silently mispaired; under the one-rename commit both are
-      // staged, so the crash rolls them back TOGETHER
-      DataxSpec.crashGate.set(0)
-      val newGeom = Similarity.ivfIndex(emb, nCentroids = 32)._1
-        .localCheckpoint(eager = true)
-      val crashyGeom = spark.createDataFrame(
-        newGeom.repartition(1).rdd.mapPartitions { it =>
-          if (DataxSpec.crashGate.incrementAndGet() >= 2)
-            throw new RuntimeException("injected crash in staged geometry")
-          it
-        }, newGeom.schema)
-      val ex = intercept[Throwable] {
-        Similarity.ivfIndexWriteWith(emb, dir, crashyGeom)
-      }
-      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
-        .takeWhile(_ != null)
-        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-      assert(chain.contains("injected crash in staged geometry"),
-        s"got:\n$chain")
+      // a DIFFERENT quantizer (32 buckets over the full corpus), staged
+      // but never committed. Under the round-19 protocol the geometry
+      // write preceded the commit as a SIBLING overwrite — a crash
+      // there left the NEW 32-bucket quantizer over the OLD 16-bucket
+      // row table, probes silently mispaired. Under the one-rename
+      // commit (and round 20's single-evaluation build, which collects
+      // the quantizer to the driver before any write) geometry only
+      // ever exists INSIDE the staging dir until the rename — the
+      // worst reachable crash state is a staging holding the full new
+      // build (rows + 32-bucket geometry + meta) MINUS the token, the
+      // staging-complete mark. Reconstruct that state exactly: build
+      // the 32-bucket index in a scratch dir, transplant its committed
+      // table as this index's staging, strip the token
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-geomscratch").toString
+      Similarity.ivfIndexWrite(emb, scratch, nCentroids = 32)
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$scratch/assigned.parquet"),
+        new org.apache.hadoop.fs.Path(s"$dir/assigned.parquet.staging")),
+        "transplanting the crashed staging failed")
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/assigned.parquet.staging/_inc_consumed_upto"), false),
+        "stripping the staging-complete token failed")
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
       assert(exists("assigned.parquet.staging"), "crash debris remains")
       // the pairing invariant: the served quantizer still has 16 rows
       // and the probe view is byte-identical to the pre-crash build
