@@ -192,11 +192,20 @@ object Similarity {
     }.sortBy(_._1)
     def isEmpty: Boolean = rows.isEmpty
     def cidType: org.apache.spark.sql.types.DataType = schema(cidIx).dataType
-    /** (cvec, cid, ix) literal entries, cid-ascending: plan-size O(1) in
-      * K — the centroids ride as ONE array literal (data, not code), so
-      * there is no codegen blowup at the K=4096 clamp. */
+    /** (cvec, cid, ix, cnorm) literal entries, cid-ascending: plan-size
+      * O(1) in K — the centroids ride as ONE array literal (data, not
+      * code), so there is no codegen blowup at the K=4096 clamp. cnorm
+      * is each centroid's norm precomputed on the driver with EXACTLY
+      * the executor fold's arithmetic (ascending acc += x*x, then sqrt
+      * — [[graft.functions.DotProduct]]'s loop), so the per-row cosine
+      * divides by the same double it always did while the K x dim
+      * norm(cvec) re-fold drops out of the row loop. */
     def entriesLit: Column = typedLit(sorted.zipWithIndex.map {
-      case ((cid, vec), ix) => (vec, cid, ix)
+      case ((cid, vec), ix) =>
+        var acc = 0.0
+        var i = 0
+        while (i < vec.length) { acc += vec(i) * vec(i); i += 1 }
+        (vec, cid, ix, math.sqrt(acc))
     }.toSeq)
     /** cid-ascending centroid vectors, for positional (ix) lookup. */
     def vecsLit: Column = typedLit(sorted.map(_._2).toSeq)
@@ -216,12 +225,21 @@ object Similarity {
     * bit-exactly, degenerate orderings included (Spark's total order in
     * BOTH forms: NaN sorts largest, null smallest). Fields: s (cosine),
     * nc (-cid, the unique tiebreak), cid, ix (0-based slot in the
-    * cid-ascending literal, for positional cvec lookup). */
-  private def bestCentroid(vec: Column, lc: LocalCentroids): Column =
+    * cid-ascending literal, for positional cvec lookup).
+    *
+    * Per-row flops are halved twice over the naive form: norm(vec) is
+    * row-constant so the callers project it ONCE (`n` must be a
+    * projected column, not an inline expression — interpreted HOF eval
+    * re-evaluates non-lambda subexpressions per element), and each
+    * centroid's norm rides the literal (driver-precomputed with the
+    * identical fold — see [[LocalCentroids.entriesLit]]); both divisors
+    * are the same doubles the pairwise cosine() computed, so every sim
+    * is bit-identical. */
+  private def bestCentroid(vec: Column, n: Column,
+                           lc: LocalCentroids): Column =
     element_at(array_sort(transform(lc.entriesLit, c =>
       struct(
-        (dot(vec, c.getField("_1")) / (norm(vec) * norm(c.getField("_1"))))
-          .as("s"),
+        (dot(vec, c.getField("_1")) / (n * c.getField("_4"))).as("s"),
         (-c.getField("_2")).as("nc"),
         c.getField("_2").as("cid"),
         c.getField("_3").as("ix")))), -1)
@@ -247,9 +265,10 @@ object Similarity {
       v.filter(lit(false)).select(col("id"), col("vec"),
         lit(null).cast(lc.cidType).as("centroid_id"))
     else
-      v.select(col("id"), col("vec"),
-        bestCentroid(col("vec"), lc).getField("cid").cast(lc.cidType)
-          .as("centroid_id"))
+      v.select(col("id"), col("vec"), norm(col("vec")).as("_n"))
+        .select(col("id"), col("vec"),
+          bestCentroid(col("vec"), col("_n"), lc).getField("cid")
+            .cast(lc.cidType).as("centroid_id"))
 
   /** Per-class centroids from a labeled embedding table: one row per
     * (label, dim) with the dimension mean — the nearest-class-mean /
@@ -1627,10 +1646,11 @@ object Similarity {
         codesArray(col("vec"), book).as("codes"),
         lit(null).cast(lc.cidType).as("centroid_id"))
     else
-      v.select(col("id"),
-        codesArray(col("vec"), book).as("codes"),
-        bestCentroid(col("vec"), lc).getField("cid").cast(lc.cidType)
-          .as("centroid_id"))
+      v.select(col("id"), col("vec"), norm(col("vec")).as("_n"))
+        .select(col("id"),
+          codesArray(col("vec"), book).as("codes"),
+          bestCentroid(col("vec"), col("_n"), lc).getField("cid")
+            .cast(lc.cidType).as("centroid_id"))
   }
 
   /** Plan-audit face of [[pqCodeRows]] (the stored codes-table frame) —
@@ -1668,7 +1688,9 @@ object Similarity {
       v.filter(lit(false)).select(col("id"),
         lit(null).cast(lc.cidType).as("centroid_id"), col("vec"))
     else
-      v.select(col("id"), col("vec"), bestCentroid(col("vec"), lc).as("_best"))
+      v.select(col("id"), col("vec"), norm(col("vec")).as("_n"))
+        .select(col("id"), col("vec"),
+          bestCentroid(col("vec"), col("_n"), lc).as("_best"))
         .select(col("id"),
           col("_best").getField("cid").cast(lc.cidType).as("centroid_id"),
           zip_with(col("vec"),
