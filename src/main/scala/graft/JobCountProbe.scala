@@ -40,10 +40,26 @@ object JobCountProbe {
     val stages = new java.util.concurrent.atomic.AtomicLong
     val shufBytes = new java.util.concurrent.atomic.AtomicLong
     val shufRecs = new java.util.concurrent.atomic.AtomicLong
+    // SPARK_GRAFT_JOBLOG=1: one [job] line per counted job (stage count
+    // + call site + description) — the attribution view used to locate
+    // WHICH driver actions a multi-action drive (d52/d55) spends its
+    // job budget on; off by default, the JSON line is unchanged.
+    val jobLog = sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        if (jobLog) {
+          val desc = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("").replaceAll("\\s+", " ")
+          val site = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short")))
+            .getOrElse("")
+          System.err.println(s"[job] id=${e.jobId} stages=${e.stageIds.length} " +
+            s"site=[$site] desc=[${desc.take(160)}]")
+        }
+        ()
       }
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -57,6 +73,21 @@ object JobCountProbe {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // DETERMINISTIC event scoping (round 21, r20 ADVICE): block until
+    // the async listener bus has DELIVERED everything already posted —
+    // the former fixed Thread.sleep(800) raced a loaded box in both
+    // directions (warm-pass events bleeding into the counted window /
+    // counted events missed at print time). listenerBus/waitUntilEmpty
+    // are private[spark] (public in bytecode), hence the reflective
+    // call — same-version-safe, and a failure falls back to the old
+    // sleep rather than silently not draining.
+    def drainListenerBus(): Unit =
+      try {
+        val bus = classOf[org.apache.spark.SparkContext]
+          .getMethod("listenerBus").invoke(spark.sparkContext)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        ()
+      } catch { case _: Throwable => Thread.sleep(800) }
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       // one un-counted warm pass (codegen/JIT), then the counted run
@@ -67,15 +98,16 @@ object JobCountProbe {
       graft.datax.Dedup.releaseShingleCaches()
       spark.sqlContext.clearCache()
       // drain listener events from the warm pass before zeroing
-      Thread.sleep(800) // listener bus is async; let it drain
+      drainListenerBus()
       jobs.set(0); stages.set(0); shufBytes.set(0); shufRecs.set(0)
+      if (jobLog) System.err.println(s"[job] ---- counted run: $name ----")
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[jobcount] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(800) // listener bus is async; let it drain
+      drainListenerBus() // counted events must all land before the read
       println(s"""{"query":"$name","jobs":${jobs.get},"stages":${stages.get},""" +
         s""""shuffle_write_bytes":${shufBytes.get},""" +
         s""""shuffle_records":${shufRecs.get},"sec":${f"$sec%.3f"}}""")

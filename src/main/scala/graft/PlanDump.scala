@@ -66,10 +66,17 @@ object PlanDump {
       dump("internal_residual_rows",
         graft.datax.Similarity.residualRows(emb, centroids, "vec_id",
           "embedding"))
+      // the REAL per-round frames (round 21, VERDICT evidence-hygiene):
+      // the r20 dumps of these two names captured the collected-table
+      // stubs — the lloyd/pqCentroidsKMeans drives collect each round —
+      // so the per-round plan faces expose the means query a round
+      // aggregates BEFORE its K-bounded collect
       dump("internal_kmeans_round",
-        graft.datax.Similarity.kmeansCentroidsOrdered(emb, 16, iterations = 1))
+        graft.datax.Similarity.kmeansRoundForPlan(emb, 16))
       dump("internal_pq_kmeans_book",
-        graft.datax.Similarity.pqCentroidsKMeans(emb, iterations = 1))
+        graft.datax.Similarity.pqKmeansRoundForPlan(emb))
+      dump("internal_kmeanspar_cost",
+        graft.datax.Similarity.kmeansParCostForPlan(emb))
     }
     spark.stop()
   }

@@ -185,6 +185,11 @@ object Similarity {
       val cid = r.get(cidIx) match {
         case l: java.lang.Long => l.longValue()
         case i: java.lang.Integer => i.longValue()
+        case null => throw new IllegalArgumentException(
+          "null centroid_id in a quantizer table: every builder here " +
+            "emits non-null ids, so a null means a hand-built or " +
+            "corrupted table — fix the table (the assignment tiebreak " +
+            "is defined on ids, not nulls)")
         case x => throw new IllegalArgumentException(
           s"centroid_id must be integral, got $x")
       }
@@ -192,21 +197,36 @@ object Similarity {
     }.sortBy(_._1)
     def isEmpty: Boolean = rows.isEmpty
     def cidType: org.apache.spark.sql.types.DataType = schema(cidIx).dataType
-    /** (cvec, cid, ix, cnorm) literal entries, cid-ascending: plan-size
-      * O(1) in K — the centroids ride as ONE array literal (data, not
-      * code), so there is no codegen blowup at the K=4096 clamp. cnorm
-      * is each centroid's norm precomputed on the driver with EXACTLY
-      * the executor fold's arithmetic (ascending acc += x*x, then sqrt
-      * — [[graft.functions.DotProduct]]'s loop), so the per-row cosine
-      * divides by the same double it always did while the K x dim
-      * norm(cvec) re-fold drops out of the row loop. */
-    def entriesLit: Column = typedLit(sorted.zipWithIndex.map {
-      case ((cid, vec), ix) =>
-        var acc = 0.0
-        var i = 0
-        while (i < vec.length) { acc += vec(i) * vec(i); i += 1 }
-        (vec, cid, ix, math.sqrt(acc))
-    }.toSeq)
+    /** Per-centroid norms precomputed on the driver with EXACTLY the
+      * executor fold's arithmetic (ascending acc += x*x, then sqrt —
+      * [[graft.functions.DotProduct]]'s loop), cid-ascending: the
+      * per-row cosine divides by the same double the pairwise cosine()
+      * computed, while the K x dim norm(cvec) re-fold drops out of the
+      * row loop. */
+    lazy val norms: Seq[Double] = sorted.map { case (_, vec) =>
+      var acc = 0.0
+      var i = 0
+      while (i < vec.length) { acc += vec(i) * vec(i); i += 1 }
+      math.sqrt(acc)
+    }.toSeq
+    /** The winning 0-based slot (cid-ascending order) of one row's
+      * nearest centroid — max cosine, exact ties to the LOWEST
+      * centroid_id, NaN-largest / null-vector-to-slot-0, the total
+      * order the r20 array_sort form and the pre-r20 window both
+      * produced (argued in [[graft.functions.NearestCentroid]]'s
+      * scaladoc, exercised by the malformed-embeddings oracle replay).
+      * Round 21: a native codegen'd O(K) fold-max — the r20 form paid
+      * K interpreted lambdas plus an O(K log K) per-row SORT, and
+      * (CollapseProject inlining the row-norm projection back into the
+      * lambda) re-folded norm(vec) once per centroid; this form folds
+      * the row norm once and whole-stage-compiles. The centroids ride
+      * as ONE codegen reference object (data, not code): plan size and
+      * bytecode stay O(1) in K, no codegen blowup at the K=4096
+      * clamp. */
+    def nearestIx(vec: Column): Column =
+      graft.functions.NearestCentroid.slot(vec, sorted.map(_._2), norms)
+    /** cid-ascending centroid ids, for slot -> cid lookup. */
+    def cidsLit: Column = typedLit(sorted.map(_._1).toSeq)
     /** cid-ascending centroid vectors, for positional (ix) lookup. */
     def vecsLit: Column = typedLit(sorted.map(_._2).toSeq)
     /** The collected rows as a local frame (for geometry writes) —
@@ -218,44 +238,28 @@ object Similarity {
   private def localCentroids(centroids: DataFrame): LocalCentroids =
     LocalCentroids(centroids.collect(), centroids.schema)
 
-  /** The winning (cosine, centroid) struct of one row against a collected
-    * centroid table: max cosine, exact ties to the LOWEST centroid_id —
-    * `element_at(-1)` of the ascending `array_sort` over (sim, -cid)
-    * structs reproduces the former window's (sim DESC, cid ASC) pick
-    * bit-exactly, degenerate orderings included (Spark's total order in
-    * BOTH forms: NaN sorts largest, null smallest). Fields: s (cosine),
-    * nc (-cid, the unique tiebreak), cid, ix (0-based slot in the
-    * cid-ascending literal, for positional cvec lookup).
-    *
-    * Per-row flops are halved twice over the naive form: norm(vec) is
-    * row-constant so the callers project it ONCE (`n` must be a
-    * projected column, not an inline expression — interpreted HOF eval
-    * re-evaluates non-lambda subexpressions per element), and each
-    * centroid's norm rides the literal (driver-precomputed with the
-    * identical fold — see [[LocalCentroids.entriesLit]]); both divisors
-    * are the same doubles the pairwise cosine() computed, so every sim
-    * is bit-identical. */
-  private def bestCentroid(vec: Column, n: Column,
-                           lc: LocalCentroids): Column =
-    element_at(array_sort(transform(lc.entriesLit, c =>
-      struct(
-        (dot(vec, c.getField("_1")) / (n * c.getField("_4"))).as("s"),
-        (-c.getField("_2")).as("nc"),
-        c.getField("_2").as("cid"),
-        c.getField("_3").as("ix")))), -1)
-
   /** Nearest-centroid assignment: centroids collected once and applied
-    * scan-side as a literal-array argmax — best by (cosine desc,
-    * centroid_id asc), bit-identical to the former broadcast-crossJoin +
-    * row_number form (see [[bestCentroid]] for the tie/NaN/null
-    * argument).
+    * scan-side as a native codegen'd argmax — best by (cosine desc,
+    * centroid_id asc), bit-identical to both prior forms (the r20
+    * array_sort literal and the pre-r20 broadcast-crossJoin +
+    * row_number window; see [[graft.functions.NearestCentroid]] for
+    * the tie/NaN/null argument).
     *
-    * Why (round 20, guide §2.4): the window form shuffled K COPIES of
-    * every vector through one Exchange — the crossJoin expansion had to
-    * cross hashpartitioning(id) before row_number could pick the winner
-    * — 16x the corpus bytes through the wire at K=16 for what is a
-    * per-row argmax. This form shuffles NOTHING: every assign pass
-    * (builds, appends, every Lloyd round) is now a single scan. */
+    * Why scan-side (round 20, guide §2.4): the window form shuffled K
+    * COPIES of every vector through one Exchange — 16x the corpus
+    * bytes through the wire at K=16 for what is a per-row argmax; this
+    * form shuffles NOTHING. Why native (round 21, guide §1.2 step 2 /
+    * §4.1): the r20 literal argmax was K interpreted HOF lambdas plus
+    * an O(K log K) array_sort per row — the dominant CPU term of every
+    * build once the shuffles were gone; the expression is one
+    * whole-stage-codegen'd O(K) loop.
+    *
+    * Contracts (r20 ADVICE, stated once): emits exactly ONE row per
+    * input ROW — ids are unique by the vector-table contract every
+    * caller already enforces (the pre-r20 window form would have
+    * row_number-deduped a duplicate-id corpus instead; no operator
+    * here feeds one). Centroid ids must be non-null integrals —
+    * [[LocalCentroids]] raises on anything else at collect time. */
   private def assign(v: DataFrame, centroids: DataFrame): DataFrame =
     assignLocal(v, localCentroids(centroids))
 
@@ -265,10 +269,9 @@ object Similarity {
       v.filter(lit(false)).select(col("id"), col("vec"),
         lit(null).cast(lc.cidType).as("centroid_id"))
     else
-      v.select(col("id"), col("vec"), norm(col("vec")).as("_n"))
-        .select(col("id"), col("vec"),
-          bestCentroid(col("vec"), col("_n"), lc).getField("cid")
-            .cast(lc.cidType).as("centroid_id"))
+      v.select(col("id"), col("vec"),
+        element_at(lc.cidsLit, lc.nearestIx(col("vec")) + 1)
+          .cast(lc.cidType).as("centroid_id"))
 
   /** Per-class centroids from a labeled embedding table: one row per
     * (label, dim) with the dimension mean — the nearest-class-mean /
@@ -413,29 +416,27 @@ object Similarity {
     * order like [[avgMeans]] — the quality-path trade, Lloyd
     * self-corrects).
     *
-    * Scale shape per round (round 18 — centers ride as DATA, not
-    * literals): the per-point cost is min squared-L2 over the current
-    * centers via `crossJoin(broadcast(centersDF))` + a map-side-partial
-    * `min` aggregation keyed on id — the [[assign]] pattern, so the
-    * expression tree is O(1) in |centers| and the shuffle carries only
-    * (id, cost) pairs (one such pass for ψ's sum, one for the coin
-    * filter; the sampled ~`oversample * nCentroids` ids then pull
-    * their vectors through one broadcast semi-join — the [[lloyd]]
-    * K-bounded driver budget; candidates accumulate to ~rounds *
-    * oversample * k total). The previous form composed ONE literal
-    * `sqDist` fold PER CURRENT CENTER in a single expression — at the
-    * [[centroidsFor]] clamp (k = 4096) that is ~8–16k dim-length folds
-    * of generated code, the exact Janino-blowup growth pattern the
-    * native [[graft.functions.BandSignatures]] expression was built to
-    * kill at the 64-table clamp (r5); the join form is bit-identical
-    * PER POINT (same ordered fold per (point, center); min over exact
-    * doubles is order-free — spec pins the equality in-engine). ψ's
-    * CROSS-POINT sum order is NOT guaranteed unchanged vs the literal
-    * form on arbitrary floats — the groupBy(id).min inserts a shuffle
-    * ahead of the sum, so partial-sum grouping can differ; ψ (and so
-    * the coin picks) is deterministic only where the sum is exact
-    * (integer-valued entries — exactly what the spec model and the
-    * d09l oracle pin; round-19 ADVICE correction). The final
+    * Scale shape per round (round 20 scan-side; NATIVE since round
+    * 21): the per-point cost is `graft_min_sqdist(vec, centers)` —
+    * one codegen'd two-level loop over the driver-held center tensor
+    * ([[graft.functions.MinSqDist]]), evaluated in the scan, so a
+    * round shuffles NOTHING and the expression tree, generated
+    * bytecode and plan size are all O(1) in |centers| (the tensor is
+    * one codegen reference object — no Janino blowup at the
+    * [[centroidsFor]] k = 4096 clamp, the growth pattern the native
+    * [[graft.functions.BandSignatures]] expression was built to kill
+    * at the 64-table clamp in r5). The sampled ~`oversample *
+    * nCentroids` ids pull their vectors in the same coin-filter scan —
+    * the [[lloyd]] K-bounded driver budget; candidates accumulate to
+    * ~rounds * oversample * k total. Per-point cost is bit-identical
+    * to both prior forms (the same ordered ascending-dim fold per
+    * (point, center), min under array_min's NaN-greatest order —
+    * [[graft.functions.MinSqDist]]'s scaladoc argues the corners); ψ
+    * rides ONE map-side-partial sum whose CROSS-POINT order is
+    * partitioning-dependent on arbitrary floats, so ψ (and the coin
+    * picks) is deterministic where the sum is exact (integer-valued
+    * entries — exactly what the spec model and the d09l oracle pin;
+    * round-19 ADVICE correction). The final
     * reduction (the paper's weighted-clustering step) weights each
     * candidate by its nearest-member count (one broadcast-assign pass
     * + count), then picks k by GREEDY FARTHEST-POINT over the
@@ -475,21 +476,24 @@ object Similarity {
     require(centers.nonEmpty, "cannot seed from an empty corpus")
     val l = oversample * nCentroids
     for (r <- 1 to rounds) {
-      // per-point cost with the centers as one array LITERAL (round 20
-      // — the centers are already a driver-held Seq): min over the
-      // per-center [[sqDistCols]] folds, evaluated scan-side. The
-      // round-18 centers-as-data form crossJoined the corpus against a
+      // per-point cost evaluated scan-side against the driver-held
+      // centers (round 20; NATIVE since round 21): the round-18
+      // centers-as-data form crossJoined the corpus against a
       // broadcast centers frame and shuffled every (id, d2) row into a
       // groupBy(id).min — a |centers|x row expansion plus an Exchange
-      // per round for what is a per-row minimum; this form shuffles
-      // nothing (array_min shares min's ordering: NaN greatest, so the
-      // per-point cost is bit-identical). Plan size stays O(1) in
-      // |centers| (one literal). The pick pass then re-derives the
-      // cost inline instead of joining the cost table back against v —
-      // same rows, one scan, no join (psi is a driver scalar between
-      // the two, so the two passes cannot fuse further).
-      val costOf = array_min(transform(typedLit(centers.map(_._2)),
-        c => sqDistCols(col("vec"), c)))
+      // per round for what is a per-row minimum; the r20 literal form
+      // shuffled nothing but paid |centers| x dim interpreted lambda
+      // evaluations per row. graft_min_sqdist is the same ordered
+      // ascending-dim fold and the same array_min total order
+      // (NaN-greatest), codegen'd — per-point cost bit-identical
+      // (argued in [[graft.functions.MinSqDist]]'s scaladoc). Plan
+      // size stays O(1) in |centers| (one reference object). The pick
+      // pass re-derives the cost inline instead of joining the cost
+      // table back against v — same rows, one scan, no join (psi is a
+      // driver scalar between the two, so the two passes cannot fuse
+      // further).
+      val costOf = graft.functions.MinSqDist.minSqDist(col("vec"),
+        centers.map(_._2))
       val psi = v.select(costOf.as("_cost")).agg(sum("_cost"))
         .head().getDouble(0)
       if (psi > 0) {
@@ -633,6 +637,35 @@ object Similarity {
         iterations, means)
       .select(col("centroid_id"),
         posexplode(col("cvec")).as(Seq("dim", "value")))
+  }
+
+  /** Plan-audit face of the kmeans|| per-round COST pass
+    * ([[ivfSeedsKMeansParallel]]'s ψ query) against a two-point center
+    * set — exposed so PlanDump records the scan-side
+    * `graft_min_sqdist` shape (the declared d09l/d09m entries hide the
+    * per-round queries behind the driver loop's collects). */
+  private[graft] def kmeansParCostForPlan(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = vectors.select(col("vec_id").as("id"),
+      toDouble(col("embedding")).as("vec"))
+    val centers = v.orderBy("id").limit(2)
+      .as[(Long, Seq[Double])].collect().toSeq
+    v.select(graft.functions.MinSqDist.minSqDist(col("vec"),
+      centers.map(_._2)).as("_cost"))
+  }
+
+  /** ONE ordered-fold Lloyd round's means frame (assign + the d25
+    * id-ordered fold) against the stride seed — the query [[lloyd]]
+    * aggregates each round BEFORE its K-bounded collect, exposed
+    * read-only so PlanDump records the real per-round plan (the r20
+    * `internal_kmeans_round` dump captured only the collected-table
+    * stub; VERDICT evidence-hygiene item). */
+  private[graft] def kmeansRoundForPlan(vectors: DataFrame,
+      nCentroids: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
+    orderedMeans(assign(v, ivfIndex(vectors, nCentroids, idCol, vecCol)._1))
   }
 
   /** One (centroid, dim) mean table — the d25 sequential id-ordered
@@ -1268,22 +1301,55 @@ object Similarity {
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
     var book = pqCentroids(vectors, m, ksub, idCol, vecCol)
     for (_ <- 0 until iterations) {
-      // assignment IS the encoder (same distance, same first-min tie
-      // rule — the codesArray literal), so refined books keep the
-      // pqEncode contract by construction. Code and slice are emitted
-      // from ONE scan-side projection (round 20, guide §2.4): the
-      // former shape exploded codes, built a second (id, sub, svec)
-      // slice relation from its own scan, and shuffle-joined the two
-      // back together on (id, sub) — per round. Same (sub, cid, id,
-      // dim, _x) cells, zero joins, one scan.
-      val bookT = collectCodebook(book)
+      val means = pqKmeansRoundMeans(v, collectCodebook(book), dsub, chunk)
+      val next = book.join(means, Seq("sub", "cid"), "left_outer")
+        .select(col("sub"), col("cid"),
+          coalesce(col("_mean"), col("cvec")).as("cvec"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+      book = next.toDF("sub", "cid", "cvec")
+    }
+    book
+  }
+
+  /** ONE [[pqCentroidsKMeans]] round's per-(sub, cid) mean frame — the
+    * query each round aggregates BEFORE its K-bounded collect, factored
+    * out so PlanDump records the real per-round plan (the r20 dumps
+    * captured only the collected-table stub; VERDICT evidence-hygiene
+    * item). Assignment IS the encoder (same distance, same first-min
+    * tie rule — [[codesArray]], native since round 21), so refined
+    * books keep the pqEncode contract by construction. Code and slice
+    * are emitted from ONE scan-side projection (round 20, guide §2.4):
+    * the pre-r20 shape exploded codes, built a second (id, sub, svec)
+    * slice relation from its own scan, and shuffle-joined the two back
+    * together on (id, sub) — per round. Same (sub, cid, id, dim, _x)
+    * cells, zero joins, one scan. */
+  /** Plan-audit face of one [[pqCentroidsKMeans]] round against the
+    * stride seed book (defaults m=8, ksub=16) — PlanDump's entry. */
+  private[graft] def pqKmeansRoundForPlan(vectors: DataFrame): DataFrame = {
+    val v = vectors.select(col("vec_id").as("id"),
+      toDouble(col("embedding")).as("vec"))
+    pqKmeansRoundMeans(v, collectCodebook(pqCentroids(vectors)),
+      probeDimOf(vectors, "embedding", 8), chunk = 0L)
+  }
+
+  private[graft] def pqKmeansRoundMeans(v: DataFrame,
+      bookT: Array[Array[Array[Double]]], dsub: Int,
+      chunk: Long): DataFrame = {
+      val m = bookT.length
+      // the m codes come from ONE native graft_pq_codes evaluation
+      // (round 21), projected into `_codes` so the m struct fields
+      // reference a column, not m copies of the encoder ( `_codes` is
+      // referenced m times and the expression is not
+      // CollapseProject-cheap, so the projection stays separate and
+      // evaluates once per row); cid values are [[codesArray]]'s exact
+      // first-min rule, as before
       val perSub = array((0 until m).map { s =>
-        val sl = slice(col("vec"), s * dsub + 1, dsub)
-        val dists = array(bookT(s).map(c => sqDist(sl, c.toSeq)): _*)
-        struct((array_position(dists, array_min(dists)).cast("int") - 1)
-          .as("cid"), sl.as("svec"))
+        struct(element_at(col("_codes"), s + 1).as("cid"),
+          slice(col("vec"), s * dsub + 1, dsub).as("svec"))
       }: _*)
       val cells = v
+        .select(col("id"), col("vec"),
+          codesArray(col("vec"), bookT).as("_codes"))
         .select(col("id"), posexplode(perSub).as(Seq("sub", "_cs")))
         .select(col("sub"), col("_cs").getField("cid").as("cid"), col("id"),
           posexplode(col("_cs").getField("svec")).as(Seq("dim", "_x")))
@@ -1313,17 +1379,10 @@ object Similarity {
               sum("_n").as("_nn"))
             .select(col("sub"), col("cid"), col("dim"),
               (col("_sum") / col("_nn")).as("_m"))
-      val means = cellMeans
+      cellMeans
         .groupBy("sub", "cid")
         .agg(transform(array_sort(collect_list(struct(col("dim"), col("_m")))),
           s => s.getField("_m")).as("_mean"))
-      val next = book.join(means, Seq("sub", "cid"), "left_outer")
-        .select(col("sub"), col("cid"),
-          coalesce(col("_mean"), col("cvec")).as("cvec"))
-        .as[(Int, Int, Seq[Double])].collect().toSeq
-      book = next.toDF("sub", "cid", "cvec")
-    }
-    book
   }
 
   /** dim/m with the divisibility check — PQ slices must tile the
@@ -1378,16 +1437,6 @@ object Similarity {
     aggregate(zip_with(sl, typedLit(c), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** [[sqDist]] with the centroid as a COLUMN — the centers-as-data
-    * form the kmeans|| cost pass rides (round 18): same ordered
-    * ascending-dim fold, so each (point, center) distance is
-    * bit-identical to the literal form's; only the plan size changes
-    * (O(1) in the number of centers instead of one literal fold
-    * each). */
-  private def sqDistCols(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
   /** PQ-encode vectors against a [[pqCentroids]] codebook: per
     * subspace, the 0-based index of the nearest centroid (squared L2;
     * EXACT-tie goes to the LOWEST cid — `array_position` returns the
@@ -1399,19 +1448,17 @@ object Similarity {
   /** The m PQ codes of one vector against a collected codebook, as one
     * scan-side array column — [[pqEncode]]'s exact per-subspace rule
     * (squared L2 folded over ascending dims; EXACT tie to the LOWEST
-    * cid via array_position's first-minimum). Shared by the exploded
+    * cid, array_position's first-minimum). Shared by the exploded
     * encode face and the stored-layout builders so every code is
-    * byte-rule-identical across faces. */
+    * byte-rule-identical across faces. Round 21: the rule runs as ONE
+    * native codegen'd expression ([[graft.functions.PqCodes]]) — the
+    * former composition paid m * ksub * dsub interpreted lambda
+    * evaluations per row. */
   private def codesArray(vec: Column,
                          book: Array[Array[Array[Double]]]): Column = {
-    val m = book.length
-    require(m >= 1, "empty codebook")
-    val dsub = book.head.head.length
-    array((0 until m).map { s =>
-      val sl = slice(vec, s * dsub + 1, dsub)
-      val dists = array(book(s).map(c => sqDist(sl, c.toSeq)): _*)
-      array_position(dists, array_min(dists)).cast("int") - 1
-    }: _*)
+    require(book.length >= 1, "empty codebook")
+    graft.functions.PqCodes.codes(vec,
+      book.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
   def pqEncode(vectors: DataFrame, codebook: DataFrame,
@@ -1646,11 +1693,10 @@ object Similarity {
         codesArray(col("vec"), book).as("codes"),
         lit(null).cast(lc.cidType).as("centroid_id"))
     else
-      v.select(col("id"), col("vec"), norm(col("vec")).as("_n"))
-        .select(col("id"),
-          codesArray(col("vec"), book).as("codes"),
-          bestCentroid(col("vec"), col("_n"), lc).getField("cid")
-            .cast(lc.cidType).as("centroid_id"))
+      v.select(col("id"),
+        codesArray(col("vec"), book).as("codes"),
+        element_at(lc.cidsLit, lc.nearestIx(col("vec")) + 1)
+          .cast(lc.cidType).as("centroid_id"))
   }
 
   /** Plan-audit face of [[pqCodeRows]] (the stored codes-table frame) —
@@ -1675,12 +1721,15 @@ object Similarity {
     residualRowsLocal(vectors, localCentroids(centroids), idCol, vecCol)
 
   /** [[residualRows]] over a collected quantizer: assignment AND the
-    * centroid subtraction in ONE scan-side projection (round 20 — the
-    * former form paid the assign pass plus a broadcast re-join of the
-    * centroids just to fetch cvec back; [[bestCentroid]] already knows
-    * the winner's slot, so the subtraction reads the vector literal
-    * positionally). Values bit-identical: same cvec by cid, same exact
-    * double subtraction. */
+    * centroid subtraction in ONE scan-side pass (round 20 — the former
+    * form paid the assign pass plus a broadcast re-join of the
+    * centroids just to fetch cvec back; the winner's slot
+    * ([[LocalCentroids.nearestIx]], native since round 21) lets the
+    * subtraction read the vector literal positionally). The slot rides
+    * its own projection — `_ix` is referenced twice and the argmax is
+    * not CollapseProject-cheap, so it computes once per row. Values
+    * bit-identical: same cvec by cid, same exact double
+    * subtraction. */
   private def residualRowsLocal(vectors: DataFrame, lc: LocalCentroids,
                                 idCol: String, vecCol: String): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), toDouble(col(vecCol)).as("vec"))
@@ -1688,13 +1737,13 @@ object Similarity {
       v.filter(lit(false)).select(col("id"),
         lit(null).cast(lc.cidType).as("centroid_id"), col("vec"))
     else
-      v.select(col("id"), col("vec"), norm(col("vec")).as("_n"))
-        .select(col("id"), col("vec"),
-          bestCentroid(col("vec"), col("_n"), lc).as("_best"))
+      v.select(col("id"), col("vec"),
+        lc.nearestIx(col("vec")).as("_ix"))
         .select(col("id"),
-          col("_best").getField("cid").cast(lc.cidType).as("centroid_id"),
+          element_at(lc.cidsLit, col("_ix") + 1)
+            .cast(lc.cidType).as("centroid_id"),
           zip_with(col("vec"),
-            element_at(lc.vecsLit, col("_best").getField("ix") + 1),
+            element_at(lc.vecsLit, col("_ix") + 1),
             (x, y) => x - y).as("vec"))
   }
 
@@ -1812,9 +1861,13 @@ object Similarity {
     val m = book.length
     require(m >= 1, "empty codebook")
     val dsub = book.head.head.length
+    // per-sub min cell distance as ONE native expression over the
+    // slice (round 21; [[graft.functions.MinSqDist]] reproduces the
+    // array_min-over-ordered-folds bits — see its scaladoc)
     val errCols = (0 until m).map { s =>
-      val sl = slice(col("vec"), s * dsub + 1, dsub)
-      array_min(array(book(s).map(c => sqDist(sl, c.toSeq)): _*))
+      graft.functions.MinSqDist.minSqDist(
+        slice(col("vec"), s * dsub + 1, dsub),
+        book(s).map(_.toSeq).toSeq)
     }
     vectors.select(toDouble(col(vecCol)).as("vec"))
       .select(errCols.reduce(_ + _).as("_e"))
