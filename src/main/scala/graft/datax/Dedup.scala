@@ -171,6 +171,37 @@ object Dedup {
         "; rebuild the sidecar or match the parameters")
     }
 
+  /** DATA-PATH twin of [[validateBandSidecar]] (round 21, guide §1.2):
+    * the (band, bsig, id) projection of a stored band table with the
+    * params check grafted INTO the band column — any stored row whose
+    * params is null or differs from the call's raises at EXECUTION
+    * time, with zero extra driver actions (the eager form ran a full
+    * sidecar distinct+collect per call — per MICRO-BATCH on the ingest
+    * loop, a full sidecar scan at 100 TB scale). Row coverage is the
+    * same (the cross band join scans every stored row); the one
+    * difference is an EMPTY batch, whose AQE-propagated empty semi
+    * join can skip the sidecar scan — an empty batch admits nothing,
+    * and the next non-empty batch raises. Tables without a params
+    * column pass, as before (hand-built). */
+  private def guardedBandCols(ib: DataFrame, k: Int, numHashes: Int,
+                              bands: Int): DataFrame =
+    if (!ib.columns.contains("params"))
+      ib.select(col("band"), col("bsig"), col("id"))
+    else {
+      val expect = sidecarParams(k, numHashes, bands)
+      ib.select(
+        when(col("params").isNull || col("params") =!= lit(expect),
+          raise_error(concat(
+            lit("[graft-dedup] index band table holds params ["),
+            coalesce(col("params"), lit("null")),
+            lit(s"] but the increment call uses [$expect] " +
+              "(parameter drift, or a mixed-parameter sidecar " +
+              "accumulated across restarts with changed settings); " +
+              "rebuild the sidecar or match the parameters"))))
+          .otherwise(col("band")).as("band"),
+        col("bsig"), col("id"))
+    }
+
   /** The storable (id, fp) FINGERPRINT TABLE — 16 bytes per document;
     * the exact-duplicate side of the same index sidecar (sub-k docs have
     * no bands, so exact collisions need their own lookup). */
@@ -450,15 +481,26 @@ object Dedup {
     * eager callers (dedupCorpus) own the cache lifecycle. */
   private def minhashNearDupsOn(exploded: DataFrame, numHashes: Int,
                                 bands: Int, threshold: Double,
-                                metricSuffix: String = ""): DataFrame = {
+                                metricSuffix: String = ""): DataFrame =
     // signatures as codegen'd min-aggregates (bandedSigs); the 16 agg
     // inputs share 4 md5 digests (chunk scheme) — hash-aggregate
     // codegen's subexpression elimination computes each digest once
-    val banded = bandedSigs(exploded, numHashes, bands)
+    minhashNearDupsOnBanded(bandedSigs(exploded, numHashes, bands),
+      exploded, threshold, metricSuffix)
+
+  /** [[minhashNearDupsOn]] over a PREBUILT banded-signature relation —
+    * the shared-signature face (round 21, guide §1.2): the ingest loop
+    * computes (and caches) the batch's band signatures ONCE for the
+    * within pass, the cross pass and the stored sidecar write, where
+    * each consumer used to re-run the 16-min-aggregate shuffle from
+    * the shingle cache (and the write face re-tokenized from raw
+    * text). */
+  private def minhashNearDupsOnBanded(banded: DataFrame, exploded: DataFrame,
+                                      threshold: Double,
+                                      metricSuffix: String): DataFrame =
     verifyJaccard(bucketCandidatePairs(banded, Seq("band", "bsig"),
         metricTag = tagged("minhash", metricSuffix)),
       exploded, threshold)
-  }
 
   /** End-to-end corpus deduplication — THE training-data pipeline step
     * the pair/cluster operators exist for: detect near-dup pairs
@@ -507,9 +549,18 @@ object Dedup {
     * releasing `exploded` right after this returns is safe. */
   private def dedupCorpusOn(docs: DataFrame, exploded: DataFrame,
                             idCol: String, textCol: String, numHashes: Int,
-                            bands: Int, threshold: Double): DataFrame = {
+                            bands: Int, threshold: Double): DataFrame =
+    dedupCorpusOnBanded(docs, exploded,
+      bandedSigs(exploded, numHashes, bands), idCol, textCol, threshold)
+
+  /** [[dedupCorpusOn]] over a prebuilt banded-signature relation (the
+    * round-21 shared-signature face — see [[minhashNearDupsOnBanded]]). */
+  private def dedupCorpusOnBanded(docs: DataFrame, exploded: DataFrame,
+                                  banded: DataFrame, idCol: String,
+                                  textCol: String,
+                                  threshold: Double): DataFrame = {
     val nearDrop =
-      dupClusters(minhashNearDupsOn(exploded, numHashes, bands, threshold))
+      dupClusters(minhashNearDupsOnBanded(banded, exploded, threshold, ""))
         .filter(col("id") =!= col("cluster"))
         .select(col("id").as(idCol))
     // window, not groupBy+self-join: re-referencing the (scan + md5)
@@ -685,9 +736,26 @@ object Dedup {
                                maxBucketLoad: Option[Long],
                                metricSuffix: String = ""): (DataFrame, Seq[DataFrame]) = {
     validateBandSidecar(indexBands, k, numHashes, bands)
-    val cand = crossBucketCandidatePairs(
-      bandedSigs(ne, numHashes, bands),
+    prebandedPairsOnBanded(bandedSigs(ne, numHashes, bands), ne, index,
       indexBands.select(col("band"), col("bsig"), col("id")),
+      idCol, textCol, k, threshold, maxBucketLoad, metricSuffix)
+  }
+
+  /** [[prebandedPairsOn]] over a PREBUILT batch band relation and an
+    * already-projected/guarded index band relation — the ingest loop's
+    * shared-signature face (round 21): the batch bands come from the
+    * shared cache, and the caller chooses between the eager sidecar
+    * validation (a full params distinct+collect per call) and the
+    * data-path guard ([[guardedBandCols]], zero extra driver
+    * actions). */
+  private def prebandedPairsOnBanded(neBanded: DataFrame, ne: DataFrame,
+                               index: DataFrame, ibCols: DataFrame,
+                               idCol: String, textCol: String, k: Int,
+                               threshold: Double,
+                               maxBucketLoad: Option[Long],
+                               metricSuffix: String = ""): (DataFrame, Seq[DataFrame]) = {
+    val cand = crossBucketCandidatePairs(
+      neBanded, ibCols,
       Seq("band", "bsig"), maxBucketLoad,
       metricTag = tagged("inc_text_prebanded", metricSuffix))
       // consumed three times below (verify join x2 + size join); tiny
@@ -729,22 +797,66 @@ object Dedup {
                      indexBands: Option[DataFrame] = None,
                      indexFps: Option[DataFrame] = None,
                      maxBucketLoad: Option[Long] = Some(1L << 20)): DataFrame = {
+    // the shared form materializes everything before returning, and the
+    // returned plan references no internal cache — releasing right away
+    // IS the old eager contract
+    val (survivors, _, release) = dedupIncrementShared(newDocs, index,
+      idCol, textCol, k, numHashes, bands, threshold, indexBands, indexFps,
+      maxBucketLoad)
+    release()
+    survivors
+  }
+
+  /** [[dedupIncrement]] that additionally hands the caller the batch's
+    * CACHED band-signature relation (round 21, guide §1.2): the ingest
+    * loop's three band consumers — the within pass, the cross pass and
+    * the stored sidecar write — share ONE 16-min-aggregate shuffle
+    * instead of each re-deriving it (the write face used to
+    * re-tokenize the survivors from raw text on top). Returns
+    * (survivors, batchBands, release): `batchBands` is
+    * (id, band, bsig, params) for EVERY batch doc (filter to survivors
+    * for the sidecar write — per-doc signatures are independent of
+    * other docs, so the filtered rows are bit-identical to
+    * [[bandSignatures]] over the survivors), backed by caches that
+    * live until `release()` — the caller MUST call it (once) after its
+    * last consumer ran; error paths inside release everything
+    * immediately. The stored-sidecar params check runs on the DATA
+    * PATH here ([[guardedBandCols]]) instead of the public form's
+    * call-time collect. */
+  private[graft] def dedupIncrementShared(newDocs: DataFrame, index: DataFrame,
+                     idCol: String, textCol: String, k: Int = 4,
+                     numHashes: Int = 16,
+                     bands: Int = 4, threshold: Double = 0.5,
+                     indexBands: Option[DataFrame] = None,
+                     indexFps: Option[DataFrame] = None,
+                     maxBucketLoad: Option[Long] = Some(1L << 20)): (DataFrame, DataFrame, () => Unit) = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     require(threshold > 0, "zero-intersection pairs are never emitted")
     // the batch's shingle relation is built ONCE and feeds both the
     // cross-index pass and the within-batch dedup; every cache this call
-    // creates is tracked and released (eager contract: a composing
-    // caller's OTHER live caches stay untouched)
+    // creates is tracked, and released by the returned thunk (or
+    // immediately on an error path)
     val created = scala.collection.mutable.ArrayBuffer[DataFrame]()
     def track(df: DataFrame): DataFrame = { created += df; df }
-    val ne = track(docShingleRows(newDocs, idCol, textCol, k))
+    def releaseAll(): Unit = created.foreach { e =>
+      e.unpersist(); liveShingleCaches.remove(e)
+    }
+    var ok = false
     try {
+      val ne = track(docShingleRows(newDocs, idCol, textCol, k))
+      // the batch band signatures, computed ONCE and cached: consumed by
+      // the cross pass, the within pass, and (via the returned frame)
+      // the caller's sidecar write
+      val neBanded = bandedSigs(ne, numHashes, bands).cache()
+      registerCache(neBanded)
+      track(neBanded)
       val crossPairs = indexBands match {
         // steady state: the stored band table replaces corpus-side
         // signature work
         case Some(ib) =>
-          val (pairs, caches) = prebandedPairsOn(ne, index, ib, idCol,
-            textCol, k, numHashes, bands, threshold, maxBucketLoad)
+          val (pairs, caches) = prebandedPairsOnBanded(neBanded, ne, index,
+            guardedBandCols(ib, k, numHashes, bands), idCol,
+            textCol, k, threshold, maxBucketLoad)
           caches.foreach(track)
           pairs
         case None =>
@@ -790,12 +902,45 @@ object Dedup {
       val both = graft.util.Forked.awaitAll[DataFrame](newDocs.sparkSession)(Seq(
         () => cutLineage(
           crossPairs.select(col("id_a").as(idCol)).union(exactHit).distinct()),
-        () => dedupCorpusOn(newDocs, ne, idCol, textCol, numHashes, bands, threshold)))
+        () => dedupCorpusOnBanded(newDocs, ne, neBanded, idCol, textCol,
+          threshold)))
       val (hit, within) = (both(0), both(1))
-      within.join(hit, Seq(idCol), "left_anti")
-    } finally created.foreach { e =>
+      val survivors = within.join(hit, Seq(idCol), "left_anti")
+      val batchBands = neBanded
+        .withColumn("params", lit(sidecarParams(k, numHashes, bands)))
+      ok = true
+      (survivors, batchBands, () => releaseAll())
+    } finally { if (!ok) releaseAll() }
+  }
+
+  /** [[dedupCorpus]] that additionally hands the caller the batch's
+    * CACHED band signatures — the FIRST-batch twin of
+    * [[dedupIncrementShared]] (no index yet), same
+    * (survivors, batchBands, release) contract. */
+  private[graft] def dedupCorpusShared(docs: DataFrame, idCol: String,
+                     textCol: String, k: Int = 4, numHashes: Int = 16,
+                     bands: Int = 4,
+                     threshold: Double = 0.5): (DataFrame, DataFrame, () => Unit) = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    require(threshold > 0, "zero-intersection pairs are never emitted")
+    val created = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def releaseAll(): Unit = created.foreach { e =>
       e.unpersist(); liveShingleCaches.remove(e)
     }
+    var ok = false
+    try {
+      val exploded = docShingleRows(docs, idCol, textCol, k)
+      created += exploded
+      val banded = bandedSigs(exploded, numHashes, bands).cache()
+      registerCache(banded)
+      created += banded
+      val survivors = dedupCorpusOnBanded(docs, exploded, banded, idCol,
+        textCol, threshold)
+      val batchBands = banded
+        .withColumn("params", lit(sidecarParams(k, numHashes, bands)))
+      ok = true
+      (survivors, batchBands, () => releaseAll())
+    } finally { if (!ok) releaseAll() }
   }
 
   /** LEAKAGE-SAFE train/valid/test split: the d22 hash split keyed by
@@ -1412,7 +1557,7 @@ object Dedup {
     * exist). Probing `limit(1)` without the null filter either NPEs on
     * a null first row or — under legacy sizeOfNull — reads -1 and
     * degrades every bucket to one all-pairs bucket. */
-  private def probeDim(vectors: DataFrame, vecCol: String): Int =
+  private[graft] def probeDim(vectors: DataFrame, vecCol: String): Int =
     vectors.select(size(col(vecCol)).as("_d")).filter(col("_d") > 0)
       .limit(1).collect().headOption.map(_.getInt(0)).getOrElse(0)
 
@@ -1524,14 +1669,18 @@ object Dedup {
                               threshold: Double = 0.9,
                               maxOccupancy: Option[Int] = Some(1024),
                               metricSuffix: String = "",
-                              guardHint: String = ""): DataFrame = {
+                              guardHint: String = "",
+                              dim: Int = -1): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     maxOccupancy.foreach(m => require(m >= 2, s"maxOccupancy=$m must be >= 2"))
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val dim = probeDim(vectors, vecCol)
-    if (dim == 0) // no usable vectors: no pairs, same schema
+    // dim >= 0: the caller already probed it ONCE for the whole batch
+    // (the ingest loop ran three probe collects per micro-batch — one
+    // per pass — for the same number; round 21, guide §1.2)
+    val d = if (dim >= 0) dim else probeDim(vectors, vecCol)
+    if (d == 0) // no usable vectors: no pairs, same schema
       return emptyPairFrame(v)
     // one bucket string per table: sign bits against the seeded plane
     // matrices, all L tables in ONE native expression (BandSignatures)
@@ -1540,13 +1689,8 @@ object Dedup {
     // with L x r and hit Janino's InternalCompilerException at the
     // bandsFor clamp (64 tables); this form is O(1) plan size in both,
     // bit-identical buckets (same dot order, same sign rule).
-    val allPlanes: Seq[Seq[Seq[Double]]] = (0 until tables).map { tbl =>
-      planeSignsSeeded(tbl, planesPerTable, dim).map(_.toSeq).toSeq
-    }
-    val bucketRows = v.select(col("id"),
-      posexplode(graft.functions.BandSignatures.sigs(col("vec"), allPlanes))
-        .as(Seq("tbl", "bucket")))
-    val cand = bucketCandidatePairs(bucketRows, Seq("tbl", "bucket"),
+    val cand = bucketCandidatePairs(embSigRows(v, tables, planesPerTable, d),
+      Seq("tbl", "bucket"),
       maxOccupancy, metricTag = tagged("embedding_banded", metricSuffix),
       guardHint = guardHint)
     // norms once per vector, not once per candidate pair
@@ -1625,17 +1769,19 @@ object Dedup {
     * column trick (here (L, r, dim) — all three change the buckets). */
   def embeddingBandSignatures(vectors: DataFrame, idCol: String,
                               vecCol: String, tables: Int = 8,
-                              planesPerTable: Int = 8): DataFrame = {
+                              planesPerTable: Int = 8,
+                              dim: Int = -1): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val dim = probeDim(vectors, vecCol)
-    if (dim == 0)
+    // dim >= 0: caller-probed once per batch (the ingest loop)
+    val d = if (dim >= 0) dim else probeDim(vectors, vecCol)
+    if (d == 0)
       return v.limit(0).select(col("id"), lit(0).as("tbl"),
         lit("").as("bucket"), lit("").as("params"))
-    embSigRows(v, tables, planesPerTable, dim)
-      .withColumn("params", lit(embSidecarParams(tables, planesPerTable, dim)))
+    embSigRows(v, tables, planesPerTable, d)
+      .withColumn("params", lit(embSidecarParams(tables, planesPerTable, d)))
   }
 
   /** (id, tbl, bucket) rows for all L tables — the shared scan-side
@@ -1761,18 +1907,28 @@ object Dedup {
       tables: Int = 8, planesPerTable: Int = 8,
       threshold: Double = 0.9,
       maxBucketLoad: Option[Long] = Some(1L << 20),
-      metricSuffix: String = ""): DataFrame = {
+      metricSuffix: String = "",
+      dim: Int = -1,
+      eagerValidate: Boolean = true): DataFrame = {
     require(tables >= 1 && planesPerTable >= 1,
       s"tables=$tables, planesPerTable=$planesPerTable must be >= 1")
     val nv = newVecs.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
-    val dim = probeDim(newVecs, vecCol)
-    if (dim == 0) // empty/unusable batch: no pairs
+    // dim >= 0: caller-probed once per batch (the ingest loop)
+    val d = if (dim >= 0) dim else probeDim(newVecs, vecCol)
+    if (d == 0) // empty/unusable batch: no pairs
       return emptyPairFrame(nv)
-    validateEmbSidecar(indexBands, tables, planesPerTable, dim)
+    // eagerValidate=false (the ingest loop): the params check rides the
+    // data path instead of a per-call full-sidecar distinct+collect —
+    // [[guardedBandCols]]' rationale, (tbl, bucket) keyed
+    val ibCols =
+      if (eagerValidate) {
+        validateEmbSidecar(indexBands, tables, planesPerTable, d)
+        indexBands.select(col("tbl"), col("bucket"), col("id"))
+      } else guardedEmbCols(indexBands, tables, planesPerTable, d)
     val cand = crossBucketCandidatePairs(
-      embSigRows(nv, tables, planesPerTable, dim),
-      indexBands.select(col("tbl"), col("bucket"), col("id")),
+      embSigRows(nv, tables, planesPerTable, d),
+      ibCols,
       Seq("tbl", "bucket"), maxBucketLoad,
       metricTag = tagged("inc_embedding_prebanded", metricSuffix))
     val touched = index.join(cand.select(col("id_b").as(idCol)).distinct(),
@@ -1781,6 +1937,29 @@ object Dedup {
       transform(col(vecCol), x => x.cast("double")).as("vec"))
     verifyCosineSides(cand, nv, iv, threshold)
   }
+
+  /** The vector twin of [[guardedBandCols]]: (tbl, bucket, id) with the
+    * (L, r, dim) params check grafted into the tbl column — raises at
+    * execution on any stored row whose params drifted from the call's,
+    * zero extra driver actions. Same empty-batch caveat. */
+  private def guardedEmbCols(ib: DataFrame, tables: Int, planes: Int,
+                             dim: Int): DataFrame =
+    if (!ib.columns.contains("params"))
+      ib.select(col("tbl"), col("bucket"), col("id"))
+    else {
+      val expect = embSidecarParams(tables, planes, dim)
+      ib.select(
+        when(col("params").isNull || col("params") =!= lit(expect),
+          raise_error(concat(
+            lit("[graft-dedup] embedding band sidecar holds params ["),
+            coalesce(col("params"), lit("null")),
+            lit(s"] but the increment call uses [$expect] " +
+              "(parameter drift, or a mixed-parameter sidecar " +
+              "accumulated across restarts with changed settings); " +
+              "rebuild the sidecar or match the parameters"))))
+          .otherwise(col("tbl")).as("tbl"),
+        col("bucket"), col("id"))
+    }
 
   /** [[embeddingNearDupsIncrementalPrebanded]] with (L, r) read FROM the
     * sidecar's params column — the vector twin of

@@ -112,38 +112,38 @@ case class NearestCentroid(child: Expression,
     val gt = ctx.freshName("gt")
     val code =
       code"""
-         |${childGen.code}
-         |int $best = 0;
-         |if (!${childGen.isNull}) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $v = ${childGen.value};
-         |  int $dim = $v.numElements();
-         |  double $rn = 0.0;
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    double $s = $v.getDouble($i);
-         |    $rn += $s * $s;
-         |  }
-         |  $rn = java.lang.Math.sqrt($rn);
-         |  double $bestS = 0.0;
-         |  boolean $bestNull = true;
-         |  for (int $c = 0; $c < $k; $c++) {
-         |    double $denom = $rn * $cnRef[$c];
-         |    if ($denom == 0.0) continue; // sim is SQL NULL: loses/ties-late
-         |    double[] $cv = $cvRef[$c];
-         |    int $m = java.lang.Math.min($dim, $cv.length);
-         |    double $acc = 0.0;
-         |    for (int $i = 0; $i < $m; $i++) {
-         |      $acc += $v.getDouble($i) * $cv[$i];
-         |    }
-         |    double $s = $acc / $denom;
-         |    boolean $gt = $bestNull
-         |      || (java.lang.Double.isNaN($s)
-         |          ? !java.lang.Double.isNaN($bestS)
-         |          : (!java.lang.Double.isNaN($bestS) && $s > $bestS));
-         |    if ($gt) { $best = $c; $bestS = $s; $bestNull = false; }
-         |  }
-         |}
-         |int ${ev.value} = $best;
-       """
+${childGen.code}
+int $best = 0;
+if (!${childGen.isNull}) {
+  org.apache.spark.sql.catalyst.util.ArrayData $v = ${childGen.value};
+  int $dim = $v.numElements();
+  double $rn = 0.0;
+  for (int $i = 0; $i < $dim; $i++) {
+    double $s = $v.getDouble($i);
+    $rn += $s * $s;
+  }
+  $rn = java.lang.Math.sqrt($rn);
+  double $bestS = 0.0;
+  boolean $bestNull = true;
+  for (int $c = 0; $c < $k; $c++) {
+    double $denom = $rn * $cnRef[$c];
+    if ($denom == 0.0) continue; // sim is SQL NULL: loses/ties-late
+    double[] $cv = $cvRef[$c];
+    int $m = java.lang.Math.min($dim, $cv.length);
+    double $acc = 0.0;
+    for (int $i = 0; $i < $m; $i++) {
+      $acc += $v.getDouble($i) * $cv[$i];
+    }
+    double $s = $acc / $denom;
+    boolean $gt = $bestNull
+      || (java.lang.Double.isNaN($s)
+          ? !java.lang.Double.isNaN($bestS)
+          : (!java.lang.Double.isNaN($bestS) && $s > $bestS));
+    if ($gt) { $best = $c; $bestS = $s; $bestNull = false; }
+  }
+}
+int ${ev.value} = $best;
+"""
     ev.copy(code = code, isNull = FalseLiteral)
   }
 

@@ -76,16 +76,16 @@ case class PqCodes(child: Expression, book: Seq[Seq[Seq[Double]]])
     val out = ctx.freshName("codes")
     val code =
       code"""
-         |${childGen.code}
-         |Object[] $out;
-         |if (${childGen.isNull}) {
-         |  $out = new Object[$m];
-         |} else {
-         |  $out = $cls.encode(${childGen.value}, $bookRef, $dsub);
-         |}
-         |org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
-         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-       """
+${childGen.code}
+Object[] $out;
+if (${childGen.isNull}) {
+  $out = new Object[$m];
+} else {
+  $out = $cls.encode(${childGen.value}, $bookRef, $dsub);
+}
+org.apache.spark.sql.catalyst.util.GenericArrayData ${ev.value} =
+  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+"""
     ev.copy(code = code, isNull = FalseLiteral)
   }
 

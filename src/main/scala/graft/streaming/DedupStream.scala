@@ -129,51 +129,83 @@ object DedupStream {
           raw, textCol, mode, quarantineDir)
         case None => raw
       }
-      val survivors = (priorOnly(docsDir) match {
+      // the SHARED forms hand back the batch's cached band signatures
+      // so the sidecar write below reuses them (round 21, guide §1.2:
+      // the write used to re-tokenize + re-aggregate the survivors from
+      // raw text — a third signature derivation per batch)
+      val (survivors, batchBands, release) = priorOnly(docsDir) match {
         case Some(index) =>
-          Dedup.dedupIncrement(b,
+          Dedup.dedupIncrementShared(b,
             index.select(batch.columns.map(col): _*),
             idCol, textCol, k, numHashes, bands, threshold,
             indexBands = priorOnly(bandsDir),
             indexFps = priorOnly(fpsDir),
             maxBucketLoad = maxBucketLoad)
         case None => // first batch: the index does not exist yet
-          Dedup.dedupCorpus(b, idCol, textCol, k, numHashes, bands,
+          Dedup.dedupCorpusShared(b, idCol, textCol, k, numHashes, bands,
             threshold)
-      }).persist()
+      }
       try {
-        // MATERIALIZE the persisted survivors before any index partition
-        // is overwritten: the three writes below rewrite partitions that
-        // survivors' own (lazy) plan reads from — under cache eviction a
-        // recompute mid-overwrite would re-list those roots. The batch=N
-        // exclusion filter prunes the partition being rewritten either
-        // way (the backstop invariant), but an explicit count makes the
-        // cache real before the first overwrite instead of relying on
-        // the docs write to populate it.
-        survivors.count()
-        // the three partition writes are independent actions over the
-        // SAME (now fully materialized) cache — run them concurrently
-        // (round 12): at fixture scale each write is dominated by
-        // fixed job latency, so serializing them paid ~3x that latency
-        // per batch; at cluster scale concurrent jobs just interleave
-        // on the scheduler. Forked.awaitAll joins ALL THREE before
-        // surfacing a failure (a fail-fast await would let a replay of
-        // this batch race a still-running zombie writer into the same
-        // partition dirs) and keeps the writes inside the caller's
-        // Spark job group so a query stop can cancel them; the batch
-        // then fails and the replay overwrites all three partitions —
-        // the exactly-once contract is unchanged.
-        graft.util.Forked.awaitAll[Unit](spark)(Seq(
-          () => survivors.write.mode("overwrite")
-            .parquet(s"$docsDir/batch=$batchId"),
-          () => Dedup.bandSignatures(survivors, idCol, textCol, k, numHashes,
-            bands).write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId"),
-          () => Dedup.fingerprintTable(survivors, idCol, textCol)
-            .write.mode("overwrite").parquet(s"$fpsDir/batch=$batchId")))
+        // STAGE-THEN-RENAME batch commit (round 21, guide §2.4/§6; the
+        // r20 whole-build-commit pattern applied per batch). The r20
+        // shape was persist + count (materialize before any partition
+        // overwrite) + THREE concurrent partition writes; writing the
+        // survivors to a STAGING dir first makes the write itself the
+        // materialization point — no index partition is touched while
+        // the plan still reads the index — and the bands/fps sides
+        // derive from the staged parquet + the shared band cache in ONE
+        // tagged write, so a batch commits in TWO actions instead of
+        // four. The `_`-prefixed staging dir is invisible to every
+        // parquet reader and to the batch-dir listing; the renames are
+        // driver metadata ops. Crash windows are unchanged: a crash
+        // mid-staging leaves every index partition intact (replay
+        // deletes the stage and rewrites), a crash between renames is
+        // the old between-writes window (replay overwrites all three).
+        val (fs, _) = hfs(spark, indexRoot)
+        val stage = new org.apache.hadoop.fs.Path(
+          s"$indexRoot/${StageDirPrefix}$batchId")
+        fs.delete(stage, true) // stale attempt of this batch
+        survivors.write.parquet(s"$stage/docs")
+        // re-read the staged docs (schema given: a zero-survivor batch
+        // writes no part files); fingerprints re-derive from the staged
+        // text bit-identically (16 bytes/doc), bands filter the shared
+        // cache (per-doc signatures are independent of other docs)
+        val staged = spark.read.schema(org.apache.spark.sql.types.StructType(
+            survivors.schema.fields)).parquet(s"$stage/docs")
+        val bandsOut = batchBands.join(
+          staged.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        val fpsOut = Dedup.fingerprintTable(staged, idCol, textCol)
+        bandsOut.withColumn("side", lit("bands"))
+          .unionByName(fpsOut.withColumn("side", lit("fps")),
+            allowMissingColumns = true)
+          .write.partitionBy("side").parquet(s"$stage/sides")
+        commitStagedDir(fs, s"$stage/docs", s"$docsDir/batch=$batchId")
+        commitStagedDir(fs, s"$stage/sides/side=bands", s"$bandsDir/batch=$batchId")
+        commitStagedDir(fs, s"$stage/sides/side=fps", s"$fpsDir/batch=$batchId")
+        fs.delete(stage, true)
         ()
-      } finally { survivors.unpersist(); () }
+      } finally { release(); () }
     } finally { raw.unpersist(); () }
     ()
+  }
+
+  /** Staging-dir prefix of the per-batch commit: `_`-prefixed, so
+    * parquet readers and [[batchDirs]]' `batch=` listing never see it. */
+  private[streaming] val StageDirPrefix = "_stage_batch="
+
+  /** Flip one staged side into its batch partition: delete any previous
+    * attempt's partition, then rename the staged dir in. A side the
+    * tagged write produced NO rows for (partitionBy writes no dir)
+    * commits as an EMPTY partition dir — the shape the per-table
+    * overwrite always produced. */
+  private[streaming] def commitStagedDir(fs: org.apache.hadoop.fs.FileSystem,
+      src: String, target: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val t = new org.apache.hadoop.fs.Path(target)
+    fs.delete(t, true)
+    fs.mkdirs(t.getParent)
+    if (fs.exists(s)) { fs.rename(s, t); () }
+    else { fs.mkdirs(t); () }
   }
 
   /** One-shot convenience: drain everything available, then stop.
@@ -277,7 +309,7 @@ object DedupStream {
   // compactedUpTo would return None and visibleIndex's `batch >= 0`
   // filter would hide a committed epoch partition, re-admitting
   // near-dups with no error.
-  private def hfs(spark: SparkSession, dir: String)
+  private[streaming] def hfs(spark: SparkSession, dir: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(dir)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)

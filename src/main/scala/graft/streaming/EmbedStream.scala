@@ -182,6 +182,10 @@ object EmbedStream {
           onMalformed, quarantineDir)
         case None => raw
       }
+      // ONE dimension probe per micro-batch (round 21, guide §1.2):
+      // the two LSH passes and the sidecar write each ran their own
+      // probe collect for the same number
+      val dim = Dedup.probeDim(b, vecCol)
       // WITHIN-batch: pairs over the full batch, larger id of each
       // pair drops (the semanticDedup rule; pairs are (id_a < id_b)).
       // Default occupancy bound derived from maxBucketLoad: in-bucket
@@ -204,20 +208,25 @@ object EmbedStream {
             "the answer's size, pass withinOccupancy = Some(None) to " +
             "unguard this pass alone (the cross batch x index guard " +
             "stays); replaying the batch without it re-raises " +
-            "deterministically.")
+            "deterministically.",
+          dim = dim)
         .select(col("id_b").as(idCol))
       val withinSurvivors = b.join(withinDrop, Seq(idCol), "left_anti")
       // CROSS batch x index: survivors pairing any index row drop.
-      // Steady-state: batch bands join the STORED sidecar; index
-      // vectors re-enter only for the candidate-sized colliding slice.
-      val survivors = (priorOnly(vecsDir) match {
+      // Steady-state: batch bands join the STORED sidecar (params
+      // checked on the DATA PATH — the eager per-batch full-sidecar
+      // distinct+collect is the public form's posture, not the loop's);
+      // index vectors re-enter only for the candidate-sized colliding
+      // slice.
+      val survivors = priorOnly(vecsDir) match {
         case Some(indexVecs) =>
           val crossDrop = (priorOnly(bandsDir) match {
             case Some(indexBands) =>
               Dedup.embeddingNearDupsIncrementalPrebanded(withinSurvivors,
                 indexVecs.select(batch.columns.map(col): _*),
                 indexBands, idCol, vecCol, tables, planesPerTable,
-                threshold, maxBucketLoad, metricSuffix = "ingest_cross")
+                threshold, maxBucketLoad, metricSuffix = "ingest_cross",
+                dim = dim, eagerValidate = false)
             case None => // bands table missing (manual surgery): direct
               Dedup.embeddingNearDupsIncremental(withinSurvivors,
                 indexVecs.select(batch.columns.map(col): _*),
@@ -226,28 +235,44 @@ object EmbedStream {
           }).select(col("id_a").as(idCol)).distinct()
           withinSurvivors.join(crossDrop, Seq(idCol), "left_anti")
         case None => withinSurvivors // first batch: no index yet
-      }).persist()
-      try {
-        // materialize before any partition overwrite (the DedupStream
-        // cache-eviction rationale, verbatim)
-        survivors.count()
-        graft.util.Forked.awaitAll[Unit](spark)(Seq(
-          () => survivors.write.mode("overwrite")
-            .parquet(s"$vecsDir/batch=$batchId"),
-          () => Dedup.embeddingBandSignatures(survivors, idCol, vecCol,
-              tables, planesPerTable)
-            .write.mode("overwrite").parquet(s"$bandsDir/batch=$batchId")))
-        // SERVING increment, same batch scope (round 17): also an
-        // overwrite of its own batch partition, so the crash window
-        // between the dedup writes above and this append closes on
-        // replay — both sides rewrite, neither double-appends
-        servingDir.foreach { sd =>
-          Similarity.ivfIndexAppendBatch(spark, sd,
-            survivors.select(batch.columns.map(col).toIndexedSeq: _*),
-            batchId, idCol, vecCol)
-        }
-        ()
-      } finally { survivors.unpersist(); () }
+      }
+      // STAGE-THEN-RENAME batch commit ([[DedupStream.processBatch]]'s
+      // round-21 pattern, for the two vector tables): the staged vecs
+      // write IS the materialization point — no index partition is
+      // touched while the dedup plan still reads the index — and the
+      // bands sidecar derives from the staged parquet (the native
+      // BandSignatures projection over a tiny re-read; the old shape
+      // paid persist + count + two concurrent partition overwrites plus
+      // a THIRD dimension probe inside the write face). Crash windows
+      // unchanged: mid-staging leaves the index intact, between renames
+      // is the old between-writes window — the replay overwrites both.
+      val (fs, _) = DedupStream.hfs(spark, indexRoot)
+      val stage = new org.apache.hadoop.fs.Path(
+        s"$indexRoot/${DedupStream.StageDirPrefix}$batchId")
+      fs.delete(stage, true) // stale attempt of this batch
+      survivors.write.parquet(s"$stage/vecs")
+      val staged = spark.read.schema(org.apache.spark.sql.types.StructType(
+          survivors.schema.fields)).parquet(s"$stage/vecs")
+      Dedup.embeddingBandSignatures(staged, idCol, vecCol,
+          tables, planesPerTable, dim = dim)
+        .write.parquet(s"$stage/bands")
+      DedupStream.commitStagedDir(fs, s"$stage/vecs", s"$vecsDir/batch=$batchId")
+      DedupStream.commitStagedDir(fs, s"$stage/bands", s"$bandsDir/batch=$batchId")
+      fs.delete(stage, true)
+      // SERVING increment, same batch scope (round 17): also an
+      // overwrite of its own batch partition, so the crash window
+      // between the dedup writes above and this append closes on
+      // replay — both sides rewrite, neither double-appends. Reads the
+      // committed batch partition (the survivors, already on disk).
+      servingDir.foreach { sd =>
+        Similarity.ivfIndexAppendBatch(spark, sd,
+          spark.read.schema(org.apache.spark.sql.types.StructType(
+              survivors.schema.fields))
+            .parquet(s"$vecsDir/batch=$batchId")
+            .select(batch.columns.map(col).toIndexedSeq: _*),
+          batchId, idCol, vecCol)
+      }
+      ()
     } finally { raw.unpersist(); () }
     ()
   }

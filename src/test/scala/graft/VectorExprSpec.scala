@@ -223,6 +223,28 @@ class VectorExprSpec extends AnyFunSuite {
     assert(r.getSeq[Any](0).last == null)
   }
 
+  test("all three expressions whole-stage-compile — no silent interpreted fallback") {
+    // spark.sql.codegen.fallback=false turns a generated-code compile
+    // failure into a raise instead of the silent interpreted fallback
+    // that would eat the optimization (this caught the round-21 Block
+    // margin bug: the code interpolator does NOT strip | margins, and
+    // the pipes reached Janino)
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val cents = Seq((1L, Seq(1.0, 0.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0, 0.0)))
+      val book: Seq[Seq[Seq[Double]]] =
+        Seq(Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), Seq(Seq(0.5, 0.5)))
+      val got = hostileFrame().filter(col("id") <= 4L)
+        .select(
+          nativeNearest(col("vec"), cents).as("slot"),
+          MinSqDist.minSqDist(col("vec"), cents.map(_._2)).as("d"),
+          PqCodes.codes(col("vec"), book).as("codes"))
+        .collect()
+      assert(got.length == 4)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   // ---- interpreted (non-codegen) eval path ----------------------------
 
   test("interpreted eval paths match the codegen results") {
